@@ -1,0 +1,65 @@
+package graft.queries
+
+/** DuckDB oracle SQL per query key (SURVEY.md Appendix A, validated
+  * cross-engine at sf0.01). Texts run on views named after the parquet
+  * tables; dialect deltas vs Spark are noted inline.
+  */
+object OracleSql {
+  val all: Map[String, String] = Map(
+    "q_scan" ->
+      "SELECT count(*) AS n FROM lineitem",
+    "q_scan_events" ->
+      "SELECT event_type, count(*) AS c FROM events GROUP BY event_type ORDER BY event_type",
+    "q_project" ->
+      "SELECT l_orderkey, l_extendedprice*(1-l_discount) AS net FROM lineitem ORDER BY l_orderkey, net LIMIT 100",
+    "q_filter" ->
+      "SELECT round(sum(l_extendedprice*l_discount),2) AS revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01' AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+    "q_agg_group" ->
+      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) sq, round(sum(l_extendedprice),2) sp, round(avg(l_discount),4) ad, count(*) c FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+    "q_agg_distinct" ->
+      "SELECT c_mktsegment, count(DISTINCT c_nationkey) dn FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    "q_rollup" ->
+      "SELECT l_returnflag, l_linestatus, count(*) c FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, c",
+    "q_cube" ->
+      "SELECT c_mktsegment, c_nationkey, round(sum(c_acctbal),2) s FROM customer GROUP BY CUBE(c_mktsegment, c_nationkey) ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST",
+    "q_join_inner" ->
+      "SELECT n_name, round(sum(o_totalprice),2) s, count(*) c FROM orders JOIN customer ON o_custkey=c_custkey JOIN nation ON c_nationkey=n_nationkey GROUP BY n_name ORDER BY n_name",
+    "q_join_outer" ->
+      "SELECT c_custkey, count(o_orderkey) c FROM customer LEFT JOIN orders ON c_custkey=o_custkey GROUP BY c_custkey ORDER BY c DESC, c_custkey LIMIT 50",
+    "q_join_semi" ->
+      "SELECT count(*) n FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+    "q_join_anti" ->
+      "SELECT count(*) n FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+    "q_join_range" ->
+      "SELECT count(*) n FROM lineitem JOIN orders ON l_orderkey=o_orderkey AND l_shipdate > o_orderdate",
+    "q_window_rank" ->
+      "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) r FROM orders) t WHERE r <= 2 ORDER BY o_custkey, r, o_orderkey LIMIT 100",
+    "q_window_running" ->
+      "SELECT user_id, event_id, round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) rs FROM events ORDER BY user_id, event_id LIMIT 100",
+    "q_window_lag" ->
+      "SELECT user_id, event_id, round(value - lag(value,1,0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id),2) d FROM events ORDER BY user_id, event_id LIMIT 100",
+    "q_sort_limit" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q_setops" ->
+      "SELECT c_nationkey k FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY k",
+    "q_string" ->
+      "SELECT upper(substr(p_name,1,3)) pre, count(*) c FROM part WHERE p_name LIKE '%a%' GROUP BY pre ORDER BY c DESC, pre LIMIT 20",
+    "q_date" ->
+      "SELECT CAST(date_trunc('month', o_orderdate) AS DATE) m, count(*) c, round(sum(o_totalprice),2) s FROM orders GROUP BY m ORDER BY m",
+    // DuckDB spelling: json_extract + CAST (Spark: get_json_object).
+    "q_json" ->
+      "SELECT CAST(json_extract(props,'$.k') AS INTEGER) % 10 kb, count(*) c FROM events GROUP BY kb ORDER BY kb",
+    "q_dedupe" ->
+      "SELECT count(*) n, round(sum(value),2) s FROM (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM events) t WHERE rn=1) z",
+    // DuckDB epoch(a-b) vs Spark CAST(ts AS DOUBLE) subtraction.
+    "q_sessionize" ->
+      "WITH g AS (SELECT user_id, ts, CASE WHEN epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END brk, event_id FROM events), s AS (SELECT user_id, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) sid FROM g) SELECT user_id, count(DISTINCT sid) sessions FROM s GROUP BY user_id ORDER BY user_id LIMIT 100",
+    "q_tumble" ->
+      "SELECT date_trunc('hour', ts) w, event_type, count(*) c, round(sum(value),2) s FROM events GROUP BY w, event_type ORDER BY w, event_type LIMIT 200",
+    // DuckDB unnest(string_split) vs Spark explode(split).
+    "q_topk_terms" ->
+      "SELECT w, count(*) c FROM (SELECT unnest(string_split(text,' ')) w FROM documents) t WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT 10",
+    // DuckDB unnest+generate_subscripts vs Spark zip_with/aggregate.
+    "q_cosine_topk" ->
+      "WITH qv AS (SELECT u.i AS i, u.v AS v FROM (SELECT unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings WHERE vec_id=0) u), ev AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings WHERE vec_id<>0), d AS (SELECT ev.vec_id, sum(ev.v*qv.v) dot, sqrt(sum(ev.v*ev.v)) nrm FROM ev JOIN qv ON ev.i=qv.i GROUP BY ev.vec_id), nq AS (SELECT sqrt(sum(v*v)) n FROM qv) SELECT d.vec_id, round(d.dot/(d.nrm*nq.n),4) cos FROM d, nq ORDER BY cos DESC, d.vec_id LIMIT 10")
+}

@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver testdata (TESTDATA.md): one parquet file per
+  * table under `$sfDir/`.
+  *
+  * The only non-trivial read is `events`: its `ts` column is physical
+  * TIMESTAMP(NANOS), which Spark 4.x refuses to read unless
+  * `spark.sql.legacy.parquet.nanosAsLong=true`, after which the column
+  * arrives as `long` nanoseconds and must be rebuilt to a microsecond
+  * timestamp. We use integer division (`DIV`) rather than `/1000` so no
+  * precision is lost converting the int64 nanos through a double
+  * (2024-era nanos ≈ 1.7e18 > 2^53).
+  *
+  * At 100 TB these readers would pick up partitioned directories the same
+  * way — `spark.read.parquet` on a directory of row-group-sized files with
+  * hive-style partition columns enables partition pruning for free; nothing
+  * here assumes a single file.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table as a DataFrame (events gets the ts rebuild). */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else df
+  }
+
+  /** Register temp views for the named tables (all by default), so both
+    * DataFrame-API operators and `spark.sql` queries see the same inputs. */
+  def views(spark: SparkSession, sfDir: String, names: Seq[String] = all): Unit =
+    names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+}
