@@ -14,6 +14,42 @@ object OracleSql {
       "SELECT l_orderkey, l_extendedprice*(1-l_discount) AS net FROM lineitem ORDER BY l_orderkey, net LIMIT 100",
     "q_filter" ->
       "SELECT round(sum(l_extendedprice*l_discount),2) AS revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01' AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+    "q_case" ->
+      "SELECT CASE WHEN o_totalprice >= 300000 THEN 'high' WHEN o_totalprice >= 150000 THEN 'mid' ELSE 'low' END band, coalesce(nullif(o_orderstatus,'O'),'OPEN') st, count(*) c FROM orders GROUP BY band, st ORDER BY band, st",
+    "q_distinct" ->
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer ORDER BY c_mktsegment, c_nationkey",
+    "q_join_bcast" ->
+      "SELECT p_brand, round(sum(l_extendedprice),2) s, count(*) c FROM lineitem JOIN part ON l_partkey=p_partkey GROUP BY p_brand ORDER BY p_brand",
+    "q_join_full" ->
+      "WITH c AS (SELECT c_nationkey ck, count(*) cc FROM customer GROUP BY ck), s AS (SELECT s_nationkey sk, count(*) sc FROM supplier GROUP BY sk) SELECT coalesce(ck, sk) k, coalesce(cc, 0) cc, coalesce(sc, 0) sc FROM c FULL JOIN s ON ck=sk ORDER BY k",
+    "q_join_cross" ->
+      "SELECT r_name, count(*) c FROM region CROSS JOIN nation GROUP BY r_name ORDER BY r_name",
+    "q_grouping_sets" ->
+      "SELECT l_returnflag, l_linestatus, grouping(l_returnflag) gf, grouping(l_linestatus) gs, count(*) c FROM lineitem GROUP BY GROUPING SETS ((l_returnflag),(l_linestatus),()) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, c",
+    "q_pivot" ->
+      "SELECT user_id%10 ub, count(CASE WHEN event_type='click' THEN 1 END) click, count(CASE WHEN event_type='error' THEN 1 END) error, count(CASE WHEN event_type='purchase' THEN 1 END) purchase, count(CASE WHEN event_type='signup' THEN 1 END) signup, count(CASE WHEN event_type='view' THEN 1 END) AS \"view\" FROM events GROUP BY ub ORDER BY ub",
+    "q_window_ntile" ->
+      "SELECT o_orderkey, o_orderpriority, ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) nt, round(percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey),4) pr FROM orders ORDER BY o_orderkey LIMIT 100",
+    "q_window_range" ->
+      "SELECT o_custkey, o_orderkey, round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey RANGE BETWEEN 100 PRECEDING AND CURRENT ROW),2) ma FROM orders ORDER BY o_orderkey LIMIT 100",
+    "q_window_firstlast" ->
+      "SELECT o_custkey, o_orderkey, first_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) fv, last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) lv FROM orders ORDER BY o_orderkey LIMIT 100",
+    "q_union_all" ->
+      "SELECT k, count(*) c FROM (SELECT c_nationkey k FROM customer UNION ALL SELECT s_nationkey k FROM supplier) t GROUP BY k ORDER BY k",
+    "q_union_distinct" ->
+      "SELECT c_nationkey k FROM customer UNION SELECT s_nationkey k FROM supplier ORDER BY k",
+    "q_except" ->
+      "SELECT c_nationkey k FROM customer EXCEPT SELECT s_nationkey k FROM supplier ORDER BY k",
+    "q_regex" ->
+      "SELECT regexp_extract(p_type,'^(\\w+)',1) tok, count(*) c FROM part GROUP BY tok ORDER BY c DESC, tok",
+    "q_math" ->
+      "SELECT o_orderpriority, round(sum(abs(o_totalprice-150000)),2) sa, round(power(avg(o_totalprice),0.5),4) sq, round(ln(max(o_totalprice)),4) lg FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+    "q_array" ->
+      "SELECT vec_id, len(embedding) d, round(CAST(embedding[1] AS DOUBLE),4) e1, round(list_sum(embedding),3) sm FROM embeddings ORDER BY vec_id LIMIT 100",
+    // All props objects carry the single key 'k' (FIXTURES.md), so the
+    // oracle enumerates it; the Spark side explodes the parsed map.
+    "q_map" ->
+      "SELECT 'k' mk, count(*) c, CAST(sum(CAST(json_extract(props,'$.k') AS INTEGER)) AS BIGINT) sv FROM events WHERE json_extract(props,'$.k') IS NOT NULL GROUP BY mk ORDER BY mk",
     "q_agg_group" ->
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) sq, round(sum(l_extendedprice),2) sp, round(avg(l_discount),4) ad, count(*) c FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q_agg_distinct" ->

@@ -87,6 +87,51 @@ object Queries {
         col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"))
       .agg(count(lit(1)).as("n"))
 
+  private val qCase: Q = (s, sf) =>
+    t(s, sf, "orders")
+      .groupBy(
+        when(col("o_totalprice") >= 300000, "high")
+          .when(col("o_totalprice") >= 150000, "mid")
+          .otherwise("low").as("band"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("st"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("band", "st")
+
+  private val qDistinct: Q = (s, sf) =>
+    t(s, sf, "customer")
+      .select("c_mktsegment", "c_nationkey")
+      .distinct()
+      .orderBy("c_mktsegment", "c_nationkey")
+
+  /** Fact ⋈ small-dim with an explicit broadcast hint; the plan is asserted
+    * broadcast in tests — at 100 TB the 20k-row part dim must never shuffle
+    * the 600M-row lineitem side. */
+  private val qJoinBcast: Q = (s, sf) =>
+    t(s, sf, "lineitem")
+      .join(broadcast(t(s, sf, "part")), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(round(sum("l_extendedprice"), 2).as("s"), count(lit(1)).as("c"))
+      .orderBy("p_brand")
+
+  private val qJoinFull: Q = (s, sf) => {
+    val c = t(s, sf, "customer").groupBy(col("c_nationkey").as("ck"))
+      .agg(count(lit(1)).as("cc"))
+    val su = t(s, sf, "supplier").groupBy(col("s_nationkey").as("sk"))
+      .agg(count(lit(1)).as("sc"))
+    c.join(su, col("ck") === col("sk"), "full")
+      .select(coalesce(col("ck"), col("sk")).as("k"),
+        coalesce(col("cc"), lit(0L)).as("cc"),
+        coalesce(col("sc"), lit(0L)).as("sc"))
+      .orderBy("k")
+  }
+
+  private val qJoinCross: Q = (s, sf) =>
+    t(s, sf, "region")
+      .crossJoin(t(s, sf, "nation"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("c"))
+      .orderBy("r_name")
+
   // ----------------------------------------------------------- aggregation
 
   private val qAggGroup: Q = (s, sf) =>
@@ -116,6 +161,29 @@ object Queries {
       .cube("c_mktsegment", "c_nationkey")
       .agg(round(sum("c_acctbal"), 2).as("s"))
       .orderBy(col("c_mktsegment").asc_nulls_first, col("c_nationkey").asc_nulls_first)
+
+  private val qGroupingSets: Q = (s, sf) => {
+    val li = t(s, sf, "lineitem")
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).as("gf"),
+        grouping(col("l_linestatus")).as("gs"),
+        count(lit(1)).as("c"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first, col("c"))
+  }
+
+  /** event_type → columns. The value list is explicit so the plan needs no
+    * distinct-collect pass and the output schema is static (required at
+    * scale: pivot without values collects the distinct set to the driver). */
+  private val qPivot: Q = (s, sf) =>
+    t(s, sf, "events")
+      .groupBy((col("user_id") % 10).as("ub"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy("ub")
 
   // --------------------------------------------------------------- windows
 
@@ -149,6 +217,39 @@ object Queries {
       .limit(100)
   }
 
+  private val qWindowNtile: Q = (s, sf) => {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("nt"),
+        round(percent_rank().over(w), 4).as("pr"))
+      .orderBy("o_orderkey")
+      .limit(100)
+  }
+
+  private val qWindowRange: Q = (s, sf) => {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderkey"))
+      .rangeBetween(-100L, Window.currentRow)
+    t(s, sf, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(avg("o_totalprice").over(w), 2).as("ma"))
+      .orderBy("o_orderkey")
+      .limit(100)
+  }
+
+  private val qWindowFirstLast: Q = (s, sf) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, sf, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        first("o_totalprice").over(w).as("fv"),
+        last("o_totalprice").over(w).as("lv"))
+      .orderBy("o_orderkey")
+      .limit(100)
+  }
+
   // -------------------------------------------------- sort / limit / sets
 
   private val qSortLimit: Q = (s, sf) =>
@@ -160,6 +261,25 @@ object Queries {
   private val qSetops: Q = (s, sf) =>
     t(s, sf, "customer").select(col("c_nationkey").as("k"))
       .intersect(t(s, sf, "supplier").select(col("s_nationkey").as("k")))
+      .orderBy("k")
+
+  /** UNION ALL + agg — also the shape of dags block accumulation. */
+  private val qUnionAll: Q = (s, sf) =>
+    t(s, sf, "customer").select(col("c_nationkey").as("k"))
+      .unionByName(t(s, sf, "supplier").select(col("s_nationkey").as("k")))
+      .groupBy("k")
+      .agg(count(lit(1)).as("c"))
+      .orderBy("k")
+
+  private val qUnionDistinct: Q = (s, sf) =>
+    t(s, sf, "customer").select(col("c_nationkey").as("k"))
+      .union(t(s, sf, "supplier").select(col("s_nationkey").as("k")))
+      .distinct()
+      .orderBy("k")
+
+  private val qExcept: Q = (s, sf) =>
+    t(s, sf, "customer").select(col("c_nationkey").as("k"))
+      .except(t(s, sf, "supplier").select(col("s_nationkey").as("k")))
       .orderBy("k")
 
   // ------------------------------------------------------ scalar functions
@@ -183,6 +303,38 @@ object Queries {
       .groupBy((get_json_object(col("props"), "$.k").cast("int") % 10).as("kb"))
       .agg(count(lit(1)).as("c"))
       .orderBy("kb")
+
+  private val qRegex: Q = (s, sf) =>
+    t(s, sf, "part")
+      .groupBy(regexp_extract(col("p_type"), "^(\\w+)", 1).as("tok"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok"))
+
+  private val qMath: Q = (s, sf) =>
+    t(s, sf, "orders")
+      .groupBy("o_orderpriority")
+      .agg(round(sum(abs(col("o_totalprice") - 150000)), 2).as("sa"),
+        round(pow(avg("o_totalprice"), 0.5), 4).as("sq"),
+        round(log(max("o_totalprice")), 4).as("lg"))
+      .orderBy("o_orderpriority")
+
+  /** Array higher-order functions over the embedding column; the sum
+    * accumulates float→double left-to-right, matching DuckDB list_sum. */
+  private val qArray: Q = (s, sf) =>
+    t(s, sf, "embeddings")
+      .select(col("vec_id"),
+        size(col("embedding")).as("d"),
+        round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
+        round(expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"), 3).as("sm"))
+      .orderBy("vec_id")
+      .limit(100)
+
+  private val qMap: Q = (s, sf) =>
+    t(s, sf, "events")
+      .select(explode(expr("from_json(props, 'map<string,int>')")).as(Seq("mk", "mv")))
+      .groupBy("mk")
+      .agg(count(lit(1)).as("c"), sum("mv").as("sv"))
+      .orderBy("mk")
 
   // ------------------------------------- dags-signature incremental ops
 
@@ -258,6 +410,23 @@ object Queries {
     "q_scan_events" -> qScanEvents,
     "q_project" -> qProject,
     "q_filter" -> qFilter,
+    "q_case" -> qCase,
+    "q_distinct" -> qDistinct,
+    "q_join_bcast" -> qJoinBcast,
+    "q_join_full" -> qJoinFull,
+    "q_join_cross" -> qJoinCross,
+    "q_grouping_sets" -> qGroupingSets,
+    "q_pivot" -> qPivot,
+    "q_window_ntile" -> qWindowNtile,
+    "q_window_range" -> qWindowRange,
+    "q_window_firstlast" -> qWindowFirstLast,
+    "q_union_all" -> qUnionAll,
+    "q_union_distinct" -> qUnionDistinct,
+    "q_except" -> qExcept,
+    "q_regex" -> qRegex,
+    "q_math" -> qMath,
+    "q_array" -> qArray,
+    "q_map" -> qMap,
     "q_agg_group" -> qAggGroup,
     "q_agg_distinct" -> qAggDistinct,
     "q_rollup" -> qRollup,
