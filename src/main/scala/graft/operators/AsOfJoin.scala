@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join: for each left row, attach the most recent right row whose
+  * time is at or before the left row's time, within the same key.
+  *
+  * Spark has no native as-of join, and a range-join formulation
+  * (`l.key = r.key AND r.t <= l.t` + row_number) explodes to the full
+  * per-key cross product before pruning. This implementation is the
+  * union-tag + running `last(_, ignoreNulls)` window form: one shuffle on
+  * the key, one per-partition sort, O(left+right) rows end to end — the
+  * shape that survives 100 TB (both sides hash-partitioned by key; no
+  * pairwise blowup; skew handled by AQE like any window).
+  *
+  * Within a key, rows are ordered by (time, tag, tieBreak) with right rows
+  * (tag 0) before left rows (tag 1) at equal times, so "at or before"
+  * includes same-timestamp matches, and ties among right rows resolve to
+  * the largest `tieBreak` deterministically.
+  */
+object AsOfJoin {
+
+  /** @param left       probe side
+    * @param right      reference side (its `carry` columns are attached)
+    * @param leftKey    join key column on left
+    * @param rightKey   join key column on right
+    * @param leftTime   event-time column on left
+    * @param rightTime  event-time column on right
+    * @param carry      right columns to carry to matched left rows; each is
+    *                   emitted as `asof_<name>` (null when no match)
+    */
+  def asOf(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      carry: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    val r = right.select(
+      col(rightKey).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__tag") +:
+        carry.map(c => col(c).as(s"asof_$c")): _*)
+    val l = left.select(
+      col(leftKey).as("__k") +: col(leftTime).as("__t") +: lit(1).as("__tag") +:
+        leftCols.map(col): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // Deterministic total order inside a key: right ties resolve to the
+    // largest value of the first carry column (left rows sort on null there,
+    // which is harmless — they contribute nothing to `last(ignoreNulls)`).
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t"), col("__tag"), col(s"asof_${carry.head}"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val windowed = carry.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    windowed
+      .filter(col("__tag") === 1)
+      .select(leftCols.map(col) ++ carry.map(c => col(s"asof_$c")): _*)
+  }
+}

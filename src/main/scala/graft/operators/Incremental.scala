@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The reference's signature incremental pipes (SURVEY.md §1.1, §2.8) as
+  * reusable DataFrame operators: block accumulation, keep-newest dedupe (the
+  * "as dataset" materialization), schema "implements" casting, and
+  * high-watermark incremental consumption.
+  *
+  * Scale posture: `dedupeKeepNewest` is a single hash-shuffle on the unique
+  * key followed by a per-partition sort — the same cost as any groupBy at
+  * 100 TB, no driver-side state. `accumulate` is a metadata-only union (no
+  * shuffle of its own); Catalyst pushes filters/pruning through it into each
+  * block scan.
+  */
+object Incremental {
+
+  /** Union an ordered sequence of blocks by column name. Blocks are the
+    * reference's unit of dataflow; the union is lazy and shuffle-free. */
+  def accumulate(blocks: Seq[DataFrame]): DataFrame =
+    blocks.reduce(_.unionByName(_))
+
+  /** Keep exactly one row per `uniqueOn` key: the newest by `newestFirst`
+    * ordering (descending recency columns, tie-broken to a unique column so
+    * the result is deterministic). The reference's flagship dedupe pipe. */
+  def dedupeKeepNewest(df: DataFrame, uniqueOn: Seq[String],
+      newestFirst: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(uniqueOn.map(col): _*).orderBy(newestFirst: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Accumulate blocks then dedupe — the reference's "DataSet" view: the
+    * latest version of every unique key across all blocks ever produced. */
+  def asDataset(blocks: Seq[DataFrame], uniqueOn: Seq[String],
+      newestFirst: Seq[Column]): DataFrame =
+    dedupeKeepNewest(accumulate(blocks), uniqueOn, newestFirst)
+
+  /** Schema "implements" mapping: project a frame onto a target schema via
+    * (sourceColumn, targetName, targetType) triples — the reference's
+    * structural-subtyping cast between ObjectSchemas. */
+  def schemaCast(df: DataFrame, mapping: Seq[(String, String, String)]): DataFrame =
+    df.select(mapping.map { case (src, name, tpe) =>
+      col(src).cast(tpe).as(name)
+    }: _*)
+
+  /** High-watermark incremental consumption: only rows strictly newer than
+    * the checkpointed watermark. The runner persists the watermark; the
+    * predicate pushes down to the scan (partition pruning at scale). */
+  def sinceWatermark(df: DataFrame, tsCol: String, watermark: Column): DataFrame =
+    df.filter(col(tsCol) >= watermark)
+}

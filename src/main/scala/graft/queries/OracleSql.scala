@@ -90,6 +90,22 @@ object OracleSql {
     // DuckDB epoch(a-b) vs Spark CAST(ts AS DOUBLE) subtraction.
     "q_sessionize" ->
       "WITH g AS (SELECT user_id, ts, CASE WHEN epoch(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END brk, event_id FROM events), s AS (SELECT user_id, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) sid FROM g) SELECT user_id, count(DISTINCT sid) sessions FROM s GROUP BY user_id ORDER BY user_id LIMIT 100",
+    "q_accumulate" ->
+      "SELECT count(*) n, round(sum(value),2) s FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn FROM (SELECT * FROM events WHERE event_id % 2 = 0 UNION ALL SELECT * FROM events WHERE event_id % 2 = 1) u) t WHERE rn=1",
+    "q_schema_cast" ->
+      "SELECT CAST(c_custkey AS BIGINT) id, c_name AS \"name\", CAST(c_acctbal AS DOUBLE) score FROM customer ORDER BY id LIMIT 100",
+    "q_incremental" ->
+      "SELECT count(*) n, round(sum(value),2) s FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'",
+    // ANSI union-tag + last_value(IGNORE NULLS) formulation — deliberately
+    // NOT DuckDB's ASOF JOIN keyword, to pin identical semantics.
+    "q_join_asof" ->
+      "WITH u AS (SELECT o_custkey k, o_orderdate t, 0 tag, o_orderkey rk, CAST(NULL AS BIGINT) event_id FROM orders UNION ALL SELECT user_id k, ts t, 1 tag, CAST(NULL AS BIGINT) rk, event_id FROM events) SELECT event_id, k user_id, mk FROM (SELECT *, last_value(rk IGNORE NULLS) OVER (PARTITION BY k ORDER BY t, tag, rk ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) mk FROM u) w WHERE tag=1 ORDER BY event_id LIMIT 100",
+    "q_slide" ->
+      "SELECT ws, count(*) c, round(sum(value),2) s FROM (SELECT time_bucket(INTERVAL '30 minutes', ts) ws, value FROM events UNION ALL SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' ws, value FROM events) t GROUP BY ws ORDER BY ws LIMIT 200",
+    "q_text_stats" ->
+      "SELECT lang, count(*) c, round(avg(n_chars),2) ac, round(avg(len(string_split(text,' '))),2) atok FROM documents GROUP BY lang ORDER BY lang",
+    "q_multimodal_join" ->
+      "SELECT doc_id, lang, len(embedding) dim, round(sqrt(list_sum(list_transform(embedding, x -> CAST(x * x AS DOUBLE)))),4) nrm FROM documents JOIN embeddings ON doc_id=vec_id ORDER BY doc_id LIMIT 100",
     "q_tumble" ->
       "SELECT date_trunc('hour', ts) w, event_type, count(*) c, round(sum(value),2) s FROM events GROUP BY w, event_type ORDER BY w, event_type LIMIT 200",
     // DuckDB unnest(string_split) vs Spark explode(split).

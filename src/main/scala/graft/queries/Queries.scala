@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
+import graft.operators.{AsOfJoin, Incremental}
 
 /** The declared query inventory (SURVEY.md §2) as idiomatic DataFrame-API
   * plans. Each entry is `(spark, sfDir) => DataFrame` and has a matching
@@ -348,6 +349,44 @@ object Queries {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"))
   }
 
+  /** Block accumulation + keep-newest dedupe = the reference's DataSet
+    * materialization, over two event "blocks" (split on event_id parity). */
+  private val qAccumulate: Q = (s, sf) => {
+    val ev = t(s, sf, "events")
+    val blocks = Seq(ev.filter(col("event_id") % 2 === 0),
+      ev.filter(col("event_id") % 2 === 1))
+    Incremental.asDataset(blocks, Seq("user_id"),
+        Seq(col("ts").desc, col("event_id").desc))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"))
+  }
+
+  /** Schema "implements": customer projected onto a generic Entity shape. */
+  private val qSchemaCast: Q = (s, sf) =>
+    Incremental.schemaCast(t(s, sf, "customer"), Seq(
+        ("c_custkey", "id", "bigint"),
+        ("c_name", "name", "string"),
+        ("c_acctbal", "score", "double")))
+      .orderBy("id")
+      .limit(100)
+
+  /** High-watermark consumption: rows at/after the checkpoint parameter. */
+  private val qIncremental: Q = (s, sf) =>
+    Incremental.sinceWatermark(t(s, sf, "events"), "ts",
+        lit("2024-01-15 00:00:00").cast("timestamp"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"))
+
+  /** As-of join: each event matched to the customer's most recent order at
+    * or before the event time (union-tag + window — no range blowup). */
+  private val qJoinAsof: Q = (s, sf) => {
+    val ev = t(s, sf, "events").select("event_id", "user_id", "ts")
+    val ord = t(s, sf, "orders")
+    AsOfJoin.asOf(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate",
+        Seq("o_orderkey"))
+      .select(col("event_id"), col("user_id"), col("asof_o_orderkey").as("mk"))
+      .orderBy("event_id")
+      .limit(100)
+  }
+
   // -------------------------------------------------- time-series / text
 
   private val qTumble: Q = (s, sf) =>
@@ -356,6 +395,26 @@ object Queries {
       .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("s"))
       .orderBy("w", "event_type")
       .limit(200)
+
+  /** 1-hour windows sliding every 30 minutes (each event lands in 2
+    * windows). Spark's `window()` works in batch GROUP BY too; streaming
+    * uses the identical expression plus a watermark (graft.streaming). */
+  private val qSlide: Q = (s, sf) =>
+    t(s, sf, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("s"))
+      .select(col("window.start").as("ws"), col("c"), col("s"))
+      .orderBy("ws")
+      .limit(200)
+
+  /** HLL++ approximate distinct — mergeable sketch, no exact-count shuffle
+    * of raw user ids. No oracle: sketch estimates are engine-specific; the
+    * unit test bounds the error vs the exact count instead. */
+  private val qApproxDistinct: Q = (s, sf) =>
+    t(s, sf, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id").as("du"))
+      .orderBy("event_type")
 
   /** Sessionize with a 30-minute inactivity gap: lag → break flag →
     * running sum = session id → distinct sessions per user. */
@@ -382,6 +441,25 @@ object Queries {
       .agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w"))
       .limit(10)
+
+  private val qTextStats: Q = (s, sf) =>
+    t(s, sf, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("c"),
+        round(avg("n_chars"), 2).as("ac"),
+        round(avg(size(split(col("text"), " "))), 2).as("atok"))
+      .orderBy("lang")
+
+  /** Multimodal row: document text joined with its embedding vector plus
+    * derived vector metadata — the docs⋈vectors co-location join. */
+  private val qMultimodalJoin: Q = (s, sf) =>
+    t(s, sf, "documents")
+      .join(t(s, sf, "embeddings"), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"),
+        size(col("embedding")).as("dim"),
+        round(sqrt(expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x * x AS DOUBLE))")), 4).as("nrm"))
+      .orderBy("doc_id")
+      .limit(100)
 
   /** Exact cosine top-k against the query vector (vec_id=0), 100 TB shape:
     * the 1-row query vector is broadcast and the dot product runs as a
@@ -445,6 +523,14 @@ object Queries {
     "q_date" -> qDate,
     "q_json" -> qJson,
     "q_dedupe" -> qDedupe,
+    "q_accumulate" -> qAccumulate,
+    "q_schema_cast" -> qSchemaCast,
+    "q_incremental" -> qIncremental,
+    "q_join_asof" -> qJoinAsof,
+    "q_slide" -> qSlide,
+    "q_approx_distinct" -> qApproxDistinct,
+    "q_text_stats" -> qTextStats,
+    "q_multimodal_join" -> qMultimodalJoin,
     "q_sessionize" -> qSessionize,
     "q_tumble" -> qTumble,
     "q_topk_terms" -> qTopkTerms,
