@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-deduplication operators for training-data pipelines: exact
+  * (content-hash), MinHash+LSH banding, exact n-gram/token Jaccard, and
+  * SimHash — each a pure DataFrame transformation.
+  *
+  * Scale notes (100 TB):
+  *  - exact dedupe is one hash-shuffle on the 128-bit fingerprint;
+  *  - MinHash-LSH turns the O(n²) pair space into per-(band,hash) buckets:
+  *    only same-bucket docs are joined — the canonical sub-quadratic near-dup
+  *    path. Signatures/bands are plain columns, so the bucket join is a
+  *    regular shuffle join Catalyst can plan (AQE handles hot buckets);
+  *  - exact Jaccard is kept for verification / small candidate sets: its
+  *    token-inverted-index join explodes on frequent tokens, so at scale it
+  *    should run *after* LSH pruning, not instead of it.
+  *
+  * All hashing is md5-based so results are portable across engines (the
+  * DuckDB oracle reproduces them bit-for-bit).
+  */
+object Dedup {
+
+  /** Distinct-token array for a whitespace-tokenized text column. */
+  def tokens(text: Column): Column = array_distinct(split(text, " "))
+
+  /** 128-bit content fingerprint of a column (hex string). */
+  def fingerprint(c: Column): Column = md5(c)
+
+  /** Exact dedupe on content hash: one surviving (keeper) id per distinct
+    * content value, keeper = smallest id. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("cnt"))
+
+  /** MinHash signature: `numHashes` independent min-hashes of the distinct
+    * token set, hash i = md5("i:" ++ token). Returns (idCol, sig array). */
+  def minHashSignature(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int): DataFrame = {
+    val sig = array((0 until numHashes).map { i =>
+      expr(s"array_min(transform(array_distinct(split($textCol, ' ')), w -> md5(concat('$i:', w))))")
+    }: _*)
+    df.select(col(idCol), sig.as("sig"))
+  }
+
+  /** LSH banding over MinHash signatures: signature is cut into `bands`
+    * bands of `numHashes/bands` rows; docs sharing any (band, bandHash)
+    * bucket become candidate pairs. Returns distinct (da, db) with da<db. */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = minHashSignature(df, idCol, textCol, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rows).map(r => s"element_at(sig, ${b * rows + r + 1})")
+      expr(s"md5(concat_ws(':', ${parts.mkString(", ")}))")
+    }
+    val banded = sigs
+      .select(col(idCol), posexplode(array(bandCols: _*)).as(Seq("band_id", "bv")))
+    val a = banded.select(col(idCol).as("da"), col("band_id"), col("bv"))
+    val b = banded.select(col(idCol).as("db"), col("band_id").as("band_id2"), col("bv").as("bv2"))
+    a.join(b, col("band_id") === col("band_id2") && col("bv") === col("bv2") &&
+        col("da") < col("db"))
+      .select("da", "db").distinct()
+  }
+
+  /** Exact token-set Jaccard over all same-`groupCol` pairs via an inverted
+    * token index: |∩| from the token join, |∪| = |A|+|B|−|∩|. Returns
+    * (da, db, jac) for pairs with jac ≥ tau. Quadratic in bucket size —
+    * at scale feed it LSH candidates, not whole corpora. */
+  def jaccardPairs(df: DataFrame, idCol: String, groupCol: String,
+      textCol: String, tau: Double): DataFrame = {
+    val d = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      tokens(col(textCol)).as("toks"))
+    val tok = d.select(col("id"), col("grp"), size(col("toks")).as("nt"),
+      explode(col("toks")).as("w"))
+    val a = tok.select(col("id").as("da"), col("grp"), col("nt").as("na"), col("w"))
+    val b = tok.select(col("id").as("db"), col("grp").as("grp2"),
+      col("nt").as("nb"), col("w").as("w2"))
+    a.join(b, col("grp") === col("grp2") && col("w") === col("w2") &&
+        col("da") < col("db"))
+      .groupBy("da", "db", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .select(col("da"), col("db"),
+        (col("inter") / (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
+      .filter(col("jac") >= tau)
+  }
+
+  /** 16-bit SimHash over distinct tokens: token hash = first 60 bits of
+    * md5 (portable hex→int), bit b of the signature set iff the +1/−1 vote
+    * sum at bit b is positive. Returns (idCol, sig). */
+  def simHash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+        explode(tokens(col(textCol))).as("w"))
+      .withColumn("h", expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)"))
+    val votes = (0 until 16).map { b =>
+      sum(when(expr(s"(h div ${1L << b}) % 2") === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    tok.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol),
+        (0 until 16).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("sig"))
+  }
+}

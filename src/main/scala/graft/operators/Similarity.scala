@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * The exact path broadcasts the query vector and evaluates the dot product
+  * as a codegen'd higher-order function per candidate row — a single
+  * narrow-dependency scan plus a top-k, no posexplode blowup, no shuffle
+  * except the final TakeOrdered. That is the 100 TB shape: 1000 executors
+  * each score their partitions against the broadcast vector.
+  *
+  * The bucketed (LSH/IVF-style) path prunes candidates to the query's
+  * coarse bucket first — here sign-bit buckets over leading dimensions (a
+  * fixed random-hyperplane LSH with axis-aligned planes); a real deployment
+  * would store the bucket as a partition column so pruning happens at the
+  * parquet-scan level (partition pruning), reading 1/2^bits of the data.
+  *
+  * Float products are accumulated in double, index order — bit-portable to
+  * the DuckDB oracle.
+  */
+object Similarity {
+
+  /** Double-accumulated dot product of two float-array columns. */
+  def dot(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x * y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  /** L2 norm of a float-array column. */
+  def norm(a: String): Column =
+    sqrt(expr(s"aggregate($a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x * x AS DOUBLE))"))
+
+  /** Exact cosine top-k of `emb` rows vs the row with id `queryId`.
+    * Returns (idCol, cos) ordered desc, k rows. */
+  def cosineTopK(emb: DataFrame, idCol: String, embCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val qv = emb.filter(col(idCol) === queryId).select(col(embCol).as("qe"))
+    emb.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(qv))
+      .select(col(idCol),
+        round(dot(embCol, "qe") / (norm(embCol) * norm("qe")), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Sign-bit coarse bucket from the first `bits` dimensions: bucket =
+    * Σ 2^i · [emb[i] > 0]. Deterministic, portable, partitionable. */
+  def signBucket(embCol: String, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(expr(s"element_at($embCol, ${i + 1})") > 0, lit(1 << (bits - 1 - i)))
+        .otherwise(0)
+    }.reduce(_ + _)
+
+  /** ANN top-k: exact cosine ranking restricted to the query's sign bucket
+    * (recall < 1 by construction; the scale path reads one bucket). */
+  def annBucketTopK(emb: DataFrame, idCol: String, embCol: String,
+      queryId: Long, k: Int, bits: Int = 3): DataFrame = {
+    val bucketed = emb.withColumn("bk", signBucket(embCol, bits))
+    val qb = bucketed.filter(col(idCol) === queryId)
+      .select(col(embCol).as("qe"), col("bk").as("qbk"))
+    bucketed.filter(col(idCol) =!= queryId)
+      .join(broadcast(qb), col("bk") === col("qbk"))
+      .select(col(idCol),
+        round(dot(embCol, "qe") / (norm(embCol) * norm("qe")), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All pairs (da < db) with cosine ≥ tau. Exact O(n²) — declared-query /
+    * verification use; the scale path buckets first (see annBucketTopK). */
+  def cosinePairs(emb: DataFrame, idCol: String, embCol: String,
+      tau: Double): DataFrame = {
+    val e = emb.select(col(idCol).as("vid"), col(embCol).as("e"),
+      norm(embCol).as("nrm"))
+    val a = e.select(col("vid").as("da"), col("e").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vid").as("db"), col("e").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("da") < col("db"))
+      .select(col("da"), col("db"), (dot("ea", "eb") / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+}

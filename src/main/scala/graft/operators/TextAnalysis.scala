@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * language identification, and quality scoring. All are narrow per-row
+  * transformations (no shuffle) built from codegen'd functions — they
+  * stream through 100 TB at scan speed.
+  */
+object TextAnalysis {
+
+  /** English-signal words used by the ratio heuristics (drawn from the
+    * corpus vocabulary; a real deployment plugs in per-language lists). */
+  val stopwords: Seq[String] = Seq("the", "a")
+
+  private def stopwordList: String =
+    stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(split(text, " "))
+
+  /** Regex token count (BPE-ish word-piece pattern). */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[a-z]+"))
+
+  /** Fraction of whitespace tokens that are stopwords — an integer ratio,
+    * so the value is bit-identical across engines. */
+  def stopwordRatio(textCol: String): Column =
+    expr(s"size(filter(split($textCol, ' '), w -> w IN $stopwordList))") /
+      wsTokenCount(col(textCol)).cast("double")
+
+  /** N-gram-heuristic language id: stopword-ratio thresholding (the corpus
+    * vocabulary is shared across langs, so this is the mechanical shape of
+    * the classifier, not a tuned model). */
+  def languageId(textCol: String, threshold: Double = 0.05): Column =
+    when(stopwordRatio(textCol) >= threshold, "en").otherwise("und")
+
+  /** Composite quality score in [0,1]: length, stopword, and token-count
+    * components, each saturating. Quantized via floor on the binary double
+    * (not decimal round) so the value is bit-identical across engines. */
+  def qualityScore(textCol: String, nCharsCol: String): Column = {
+    val raw =
+      least(col(nCharsCol) / 400.0, lit(1.0)) * 0.5 +
+        stopwordRatio(textCol) * 0.3 +
+        least(wsTokenCount(col(textCol)) / 80.0, lit(1.0)) * 0.2
+    floor(raw * 10000 + 0.5) / 10000
+  }
+
+  /** Per-document fingerprints: full-content md5 plus a leading 3-token
+    * shingle hash (the rolling-hash prefix fingerprint). */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      substring(md5(col(textCol)), 1, 16).as("fp"),
+      substring(md5(array_join(slice(split(col(textCol), " "), 1, 3), " ")), 1, 16).as("sh"))
+}

@@ -5,6 +5,34 @@ package graft.queries
   * tables; dialect deltas vs Spark are noted inline.
   */
 object OracleSql {
+
+  // 16-bit SimHash, generated to keep the bit loop in one place.
+  private val simhashSql: String = {
+    val votes = (0 until 16)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) s$b")
+      .mkString(", ")
+    val sig = (0 until 16)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1 << b} ELSE 0 END")
+      .mkString(" + ")
+    "WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) w FROM documents), " +
+      "h AS (SELECT doc_id, CAST(concat('0x', substr(md5(w),1,15)) AS BIGINT) h FROM tok), " +
+      s"v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id), " +
+      s"sg AS (SELECT doc_id, $sig sig FROM v) " +
+      "SELECT sig, count(*) c FROM sg GROUP BY sig ORDER BY c DESC, sig LIMIT 20"
+  }
+
+  // MinHash 8 hashes / 4 bands of 2 (mirrors Dedup.lshCandidatePairs).
+  private val minhashSql: String = {
+    val sigs = (0 until 8)
+      .map(i => s"list_min(list_transform(toks, w -> md5(concat('$i:', w))))")
+      .mkString(", ")
+    "WITH d AS (SELECT doc_id, list_distinct(string_split(text,' ')) toks FROM documents), " +
+      s"s AS (SELECT doc_id, [$sigs] sig FROM d), " +
+      "bands AS (SELECT doc_id, i band_id, md5(concat_ws(':', sig[2*i+1], sig[2*i+2])) bv FROM s, (VALUES (0),(1),(2),(3)) t(i)), " +
+      "p AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bands a JOIN bands b ON a.band_id=b.band_id AND a.bv=b.bv AND a.doc_id<b.doc_id) " +
+      "SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk FROM p"
+  }
+
   val all: Map[String, String] = Map(
     "q_scan" ->
       "SELECT count(*) AS n FROM lineitem",
@@ -111,6 +139,25 @@ object OracleSql {
     // DuckDB unnest(string_split) vs Spark explode(split).
     "q_topk_terms" ->
       "SELECT w, count(*) c FROM (SELECT unnest(string_split(text,' ')) w FROM documents) t WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT 10",
+    "q_dedup_exact" ->
+      "SELECT count(*) g, CAST(sum(cnt) AS BIGINT) n, CAST(sum(keeper) AS BIGINT) chk FROM (SELECT md5(text) fp, min(doc_id) keeper, count(*) cnt FROM documents GROUP BY fp) t",
+    "q_fingerprint" ->
+      "SELECT doc_id, substr(md5(text),1,16) fp, substr(md5(array_to_string((string_split(text,' '))[1:3],' ')),1,16) sh FROM documents ORDER BY doc_id LIMIT 100",
+    "q_token_count" ->
+      "SELECT doc_id, len(string_split(text,' ')) wt, len(regexp_extract_all(text,'[a-z]+')) rt FROM documents ORDER BY doc_id LIMIT 100",
+    // floor-quantized (not round) so the score is bit-identical x-engine.
+    "q_quality" ->
+      "SELECT doc_id, floor((least(n_chars/400.0, 1.0)*0.5 + (len(list_filter(string_split(text,' '), w -> w IN ('the', 'a')))/CAST(len(string_split(text,' ')) AS DOUBLE))*0.3 + least(len(string_split(text,' '))/80.0, 1.0)*0.2)*10000 + 0.5)/10000 score FROM documents ORDER BY doc_id LIMIT 100",
+    "q_lang_id" ->
+      "SELECT lang, CASE WHEN len(list_filter(string_split(text,' '), w -> w IN ('the', 'a')))/CAST(len(string_split(text,' ')) AS DOUBLE) >= 0.05 THEN 'en' ELSE 'und' END pred, count(*) c FROM documents GROUP BY lang, pred ORDER BY lang, pred",
+    "q_minhash_lsh" -> minhashSql,
+    "q_neardup" ->
+      "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text,' ')) toks FROM documents), tok AS (SELECT doc_id, lang, len(toks) nt, unnest(toks) w FROM d), g AS (SELECT a.doc_id da, b.doc_id db, a.nt na, b.nt nb, count(*) inter FROM tok a JOIN tok b ON a.w=b.w AND a.lang=b.lang AND a.doc_id<b.doc_id GROUP BY 1,2,3,4), j AS (SELECT da, db, inter/CAST(na+nb-inter AS DOUBLE) jac FROM g) SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk, round(avg(jac),4) aj FROM j WHERE jac >= 0.8",
+    "q_simhash" -> simhashSql,
+    "q_embed_neardup" ->
+      "WITH ev AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings), d AS (SELECT a.vec_id da, b.vec_id db, sum(a.v*b.v) dot FROM ev a JOIN ev b ON a.i=b.i AND a.vec_id<b.vec_id GROUP BY 1,2), n AS (SELECT vec_id, sqrt(sum(v*v)) nrm FROM ev GROUP BY vec_id), j AS (SELECT da, db, dot/(na.nrm*nb.nrm) cos FROM d JOIN n na ON da=na.vec_id JOIN n nb ON db=nb.vec_id) SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk, round(avg(cos),4) ac FROM j WHERE cos >= 0.4",
+    "q_ann_lsh" ->
+      "WITH b AS (SELECT vec_id, embedding, 4*(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + 2*(CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) bk FROM embeddings), qb AS (SELECT bk FROM b WHERE vec_id=0), cand AS (SELECT b.vec_id, b.embedding FROM b, qb WHERE b.bk=qb.bk AND b.vec_id<>0), qv AS (SELECT u.i i, u.v v FROM (SELECT unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings WHERE vec_id=0) u), ev AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding,1) i FROM cand), d AS (SELECT ev.vec_id, sum(ev.v*qv.v) dot, sqrt(sum(ev.v*ev.v)) nrm FROM ev JOIN qv ON ev.i=qv.i GROUP BY ev.vec_id), nq AS (SELECT sqrt(sum(v*v)) n FROM qv) SELECT d.vec_id, round(d.dot/(d.nrm*nq.n),4) cos FROM d, nq ORDER BY cos DESC, d.vec_id LIMIT 10",
     // DuckDB unnest+generate_subscripts vs Spark zip_with/aggregate.
     "q_cosine_topk" ->
       "WITH qv AS (SELECT u.i AS i, u.v AS v FROM (SELECT unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings WHERE vec_id=0) u), ev AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings WHERE vec_id<>0), d AS (SELECT ev.vec_id, sum(ev.v*qv.v) dot, sqrt(sum(ev.v*ev.v)) nrm FROM ev JOIN qv ON ev.i=qv.i GROUP BY ev.vec_id), nq AS (SELECT sqrt(sum(v*v)) n FROM qv) SELECT d.vec_id, round(d.dot/(d.nrm*nq.n),4) cos FROM d, nq ORDER BY cos DESC, d.vec_id LIMIT 10")

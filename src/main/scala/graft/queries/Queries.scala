@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Incremental}
+import graft.operators.{AsOfJoin, Dedup, Incremental, Similarity, TextAnalysis}
 
 /** The declared query inventory (SURVEY.md §2) as idiomatic DataFrame-API
   * plans. Each entry is `(spark, sfDir) => DataFrame` and has a matching
@@ -464,22 +464,73 @@ object Queries {
   /** Exact cosine top-k against the query vector (vec_id=0), 100 TB shape:
     * the 1-row query vector is broadcast and the dot product runs as a
     * codegen'd higher-order function per row — no posexplode blowup, no
-    * shuffle except the final top-k.
-    * Arithmetic note: products are computed float*float then accumulated in
-    * double, mirroring the validated oracle (SURVEY Appendix A). */
-  private val qCosineTopk: Q = (s, sf) => {
-    val emb = t(s, sf, "embeddings")
-    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-    emb.filter(col("vec_id") =!= 0)
-      .crossJoin(broadcast(qv))
-      .select(col("vec_id"),
-        expr("aggregate(zip_with(embedding, qe, (x, y) -> CAST(x * y AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, v) -> a + v)").as("dot"),
-        expr("sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x * x AS DOUBLE)))").as("nrm"),
-        expr("sqrt(aggregate(qe, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x * x AS DOUBLE)))").as("nq"))
-      .select(col("vec_id"), round(col("dot") / (col("nrm") * col("nq")), 4).as("cos"))
-      .orderBy(col("cos").desc, col("vec_id"))
-      .limit(10)
-  }
+    * shuffle except the final top-k (see [[Similarity.cosineTopK]]). */
+  private val qCosineTopk: Q = (s, sf) =>
+    Similarity.cosineTopK(t(s, sf, "embeddings"), "vec_id", "embedding", 0L, 10)
+
+  /** ANN variant: same ranking restricted to the query's sign-bit bucket —
+    * the read-one-bucket scale path. */
+  private val qAnnLsh: Q = (s, sf) =>
+    Similarity.annBucketTopK(t(s, sf, "embeddings"), "vec_id", "embedding", 0L, 10)
+
+  /** Embedding-cosine near-duplicate pairs (exact, bounded input). */
+  private val qEmbedNeardup: Q = (s, sf) =>
+    Similarity.cosinePairs(t(s, sf, "embeddings"), "vec_id", "embedding", 0.4)
+      .agg(count(lit(1)).as("pairs"),
+        sum(col("da") + col("db")).as("chk"),
+        round(avg("cos"), 4).as("ac"))
+
+  // ----------------------------------------------------- dedup / text ops
+
+  private val qDedupExact: Q = (s, sf) =>
+    Dedup.exactGroups(t(s, sf, "documents"), "doc_id", "text")
+      .agg(count(lit(1)).as("g"), sum("cnt").as("n"), sum("keeper").as("chk"))
+
+  private val qFingerprint: Q = (s, sf) =>
+    TextAnalysis.fingerprints(t(s, sf, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+      .limit(100)
+
+  private val qTokenCount: Q = (s, sf) =>
+    t(s, sf, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("wt"),
+        TextAnalysis.regexTokenCount(col("text")).as("rt"))
+      .orderBy("doc_id")
+      .limit(100)
+
+  private val qQuality: Q = (s, sf) =>
+    t(s, sf, "documents")
+      .select(col("doc_id"), TextAnalysis.qualityScore("text", "n_chars").as("score"))
+      .orderBy("doc_id")
+      .limit(100)
+
+  private val qLangId: Q = (s, sf) =>
+    t(s, sf, "documents")
+      .groupBy(col("lang"), TextAnalysis.languageId("text").as("pred"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy("lang", "pred")
+
+  /** MinHash-LSH candidate pairs (8 hashes, 4 bands × 2) — the
+    * sub-quadratic near-dup path; output is the pair count + checksum. */
+  private val qMinhashLsh: Q = (s, sf) =>
+    Dedup.lshCandidatePairs(t(s, sf, "documents"), "doc_id", "text", 8, 4)
+      .agg(count(lit(1)).as("pairs"), sum(col("da") + col("db")).as("chk"))
+
+  /** Exact token-set Jaccard near-dup pairs (τ=0.8) within a language. */
+  private val qNeardup: Q = (s, sf) =>
+    Dedup.jaccardPairs(t(s, sf, "documents"), "doc_id", "lang", "text", 0.8)
+      .agg(count(lit(1)).as("pairs"),
+        sum(col("da") + col("db")).as("chk"),
+        round(avg("jac"), 4).as("aj"))
+
+  /** SimHash signature buckets: most-populated 16-bit signatures. */
+  private val qSimhash: Q = (s, sf) =>
+    Dedup.simHash16(t(s, sf, "documents"), "doc_id", "text")
+      .groupBy("sig")
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("sig"))
+      .limit(20)
 
   // ---------------------------------------------------------------- map
 
@@ -534,5 +585,15 @@ object Queries {
     "q_sessionize" -> qSessionize,
     "q_tumble" -> qTumble,
     "q_topk_terms" -> qTopkTerms,
-    "q_cosine_topk" -> qCosineTopk)
+    "q_cosine_topk" -> qCosineTopk,
+    "q_ann_lsh" -> qAnnLsh,
+    "q_embed_neardup" -> qEmbedNeardup,
+    "q_dedup_exact" -> qDedupExact,
+    "q_fingerprint" -> qFingerprint,
+    "q_token_count" -> qTokenCount,
+    "q_quality" -> qQuality,
+    "q_lang_id" -> qLangId,
+    "q_minhash_lsh" -> qMinhashLsh,
+    "q_neardup" -> qNeardup,
+    "q_simhash" -> qSimhash)
 }
