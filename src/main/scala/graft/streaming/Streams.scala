@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming operators. The reference's "streams" are
+  * micro-batched block streams (SURVEY §2.9); Structured Streaming's
+  * incremental model is a strict superset, so each operator below works on
+  * a `readStream` source and, where marked, on a batch frame with identical
+  * semantics (the declared queries run the batch form; these run under
+  * `writeStream` with state stores + watermark-bounded state).
+  *
+  * State at scale: every operator keys its state by a high-cardinality
+  * column (user/event id), so state shards across executors with the
+  * shuffle; watermarks bound state size — nothing accumulates unboundedly.
+  */
+object Streams {
+
+  /** Tumbling-window counts/sums per event_type. Batch-equivalent:
+    * date_trunc to the window length (q_tumble). */
+  def tumblingStats(events: DataFrame, tsCol: String, duration: String,
+      watermarkDelay: String): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), duration), col("event_type"))
+      .agg(count(lit(1)).as("c"), sum("value").as("s"))
+      .select(col("window.start").as("ws"), col("event_type"), col("c"), col("s"))
+
+  /** Sliding-window counts (each event in duration/slide windows).
+    * Batch-equivalent: q_slide. */
+  def slidingCounts(events: DataFrame, tsCol: String, duration: String,
+      slide: String, watermarkDelay: String): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), duration, slide))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("ws"), col("c"))
+
+  /** Native session windows with an inactivity gap, per user.
+    * Batch-equivalent: the lag/break/running-sum form (q_sessionize). */
+  def sessionStats(events: DataFrame, tsCol: String, gap: String,
+      watermarkDelay: String): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("session_window.start").as("ss"),
+        col("session_window.end").as("se"), col("user_id"), col("c"))
+
+  /** Streaming exactly-one-per-key dedupe with watermark-bounded state —
+    * the streaming form of the reference's dedupe pipe. Drops any row whose
+    * key was already seen within the watermark horizon. */
+  def dedupeWithinWatermark(events: DataFrame, tsCol: String,
+      watermarkDelay: String, keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.queries.Queries
+
+/** Physical-plan assertions (SURVEY §4, §5.2.4): the scale-critical
+  * properties — filter pushdown to parquet, broadcast of small dims,
+  * top-k as TakeOrdered — must hold, not just correctness. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    Queries.all(q)(spark, sf001).queryExecution.executedPlan.toString
+
+  test("q_filter pushes predicates into the parquet scan") {
+    val p = plan("q_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThanOrEqual"), p)
+  }
+
+  test("q_join_bcast broadcasts the dimension side") {
+    assert(plan("q_join_bcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q_join_inner broadcasts the nation dim") {
+    assert(plan("q_join_inner").contains("BroadcastHashJoin"))
+  }
+
+  test("q_sort_limit compiles to TakeOrderedAndProject (no global sort)") {
+    assert(plan("q_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_join_semi/anti decorrelate to semi/anti hash joins") {
+    assert(plan("q_join_semi").contains("SemiJoin") || plan("q_join_semi").contains("Semi"))
+    assert(plan("q_join_anti").contains("Anti"))
+  }
+
+  test("q_scan prunes columns: count reads no data columns") {
+    val p = Queries.all("q_scan")(spark, sf001).queryExecution.optimizedPlan
+    // count(*) over parquet must not require any column in the scan schema
+    val scans = p.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+        if r.nodeName.contains("Relation") => r.output.map(_.name)
+    }
+    assert(scans.nonEmpty)
+  }
+
+  test("q_agg_group uses partial (map-side) aggregation") {
+    val p = plan("q_agg_group")
+    assert(p.contains("partial_sum") || p.contains("partial"), p)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.engine
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("run executes in topological order and wires upstream frames") {
+    val src = Seq((1, 10), (2, 20)).toDF("k", "v")
+    val g = new Graph(Seq(
+      Node("double", Seq("src"), m => m("src").withColumn("v", col("v") * 2)),
+      Node("total", Seq("double"), m => m("double").agg(sum("v").as("s")))))
+    val out = g.run(Map("src" -> src))
+    assert(out("total").collect().head.getLong(0) == 60L)
+  }
+
+  test("diamond dependencies run each node once, in order") {
+    val dir = Files.createTempDirectory("graftlog").toString
+    val log = new RunLog(dir)
+    val src = Seq(1).toDF("x")
+    val g = new Graph(Seq(
+      Node("d", Seq("b", "c"), m => m("b").union(m("c"))),
+      Node("b", Seq("a"), m => m("a")),
+      Node("c", Seq("a"), m => m("a")),
+      Node("a", Seq("src"), m => m("src"))))
+    g.run(Map("src" -> src), Some(log))
+    val order = log.runs.map(_._2)
+    assert(order.indexOf("a") < order.indexOf("b"))
+    assert(order.indexOf("a") < order.indexOf("c"))
+    assert(order.indexOf("b") < order.indexOf("d"))
+    assert(order.size == 4)
+  }
+
+  test("cycles are detected") {
+    val g = new Graph(Seq(
+      Node("a", Seq("b"), m => m("b")),
+      Node("b", Seq("a"), m => m("a"))))
+    intercept[CycleException](g.topoOrder)
+  }
+
+  test("watermark store round-trips for incremental consumption") {
+    val dir = Files.createTempDirectory("graftwm").toString
+    val log = new RunLog(dir)
+    assert(log.watermark("n1").isEmpty)
+    log.setWatermark("n1", "2024-01-15 00:00:00")
+    assert(log.watermark("n1").contains("2024-01-15 00:00:00"))
+    log.setWatermark("n1", "2024-01-16 00:00:00")
+    assert(log.watermark("n1").contains("2024-01-16 00:00:00"))
+  }
+}

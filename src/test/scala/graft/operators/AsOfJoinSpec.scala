@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOf matches most recent right row at or before left time") {
+    val left = Seq((1L, 100L, 10), (1L, 101L, 20), (2L, 200L, 5))
+      .toDF("k", "lid", "t")
+    val right = Seq((1L, 900L, 5), (1L, 901L, 15), (2L, 902L, 50))
+      .toDF("rk", "rid", "rt")
+    val out = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt", Seq("rid"))
+      .orderBy("lid")
+      .collect()
+      .map(r => (r.getAs[Long]("lid"), Option(r.getAs[java.lang.Long]("asof_rid")).map(_.toLong)))
+    // lid=100 t=10: rid 900 (rt5) matched; lid=101 t=20: rid 901 (rt15);
+    // lid=200 t=5: right rt50 is in the future -> no match
+    assert(out.toSeq == Seq((100L, Some(900L)), (101L, Some(901L)), (200L, None)))
+  }
+
+  test("asOf includes same-timestamp right rows and breaks ties to largest carry") {
+    val left = Seq((1L, 100L, 10)).toDF("k", "lid", "t")
+    val right = Seq((1L, 900L, 10), (1L, 901L, 10)).toDF("rk", "rid", "rt")
+    val out = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt", Seq("rid")).collect()
+    assert(out.head.getAs[Long]("asof_rid") == 901L)
+  }
+
+  test("asOf keys absent from right yield nulls, not dropped rows") {
+    val left = Seq((9L, 1L, 10)).toDF("k", "lid", "t")
+    val right = Seq((1L, 900L, 5)).toDF("rk", "rid", "rt")
+    val out = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt", Seq("rid"))
+    assert(out.count() == 1 && out.collect().head.isNullAt(out.columns.indexOf("asof_rid")))
+  }
+}

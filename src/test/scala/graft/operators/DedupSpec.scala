@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "en", "the cat sat on the mat"),
+    (2L, "en", "the cat sat on the mat"),          // exact dup of 1
+    (3L, "en", "the cat sat on the red mat"),      // near dup of 1
+    (4L, "en", "completely different words here"),
+    (5L, "fr", "the cat sat on the mat")           // dup text, other group
+  ).toDF("doc_id", "lang", "text")
+
+  test("exactGroups groups identical content, keeper = min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    val byKeeper = g.map(r => r.getAs[Long]("keeper") -> r.getAs[Long]("cnt")).toMap
+    assert(byKeeper(1L) == 3L) // docs 1, 2, 5 share text
+    assert(g.length == 3)
+  }
+
+  test("jaccardPairs finds exact and near dups within a group") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "lang", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)))      // identical -> jac 1.0
+    assert(keys.contains((1L, 3L)))      // near dup
+    assert(!keys.exists(p => p._1 == 5L || p._2 == 5L)) // fr not joined to en
+    assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 1.0)
+  }
+
+  test("lshCandidatePairs is a superset of identical-content pairs") {
+    val cand = Dedup.lshCandidatePairs(docs, "doc_id", "text", 8, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical token sets share every band hash
+    assert(cand.contains((1L, 2L)) && cand.contains((1L, 5L)) && cand.contains((2L, 5L)))
+    assert(!cand.contains((1L, 4L))) // disjoint vocab never collides on all-min bands
+  }
+
+  test("simHash16 gives equal signatures for equal token sets, different for disjoint") {
+    val sigs = Dedup.simHash16(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L) && sigs(1L) == sigs(5L))
+    assert(sigs(1L) != sigs(4L))
+    assert(sigs.values.forall(s => s >= 0 && s < (1L << 16)))
+  }
+}

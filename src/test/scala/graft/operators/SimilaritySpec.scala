@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(1.0f, 0.0f, 0.0f)),   // identical to query
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal
+    (3L, Array(-1.0f, 0.0f, 0.0f)),  // opposite
+    (4L, Array(0.9f, 0.1f, 0.0f))    // close
+  ).toDF("vec_id", "embedding")
+
+  test("cosineTopK: identical vector scores 1.0 and ranks first") {
+    val top = Similarity.cosineTopK(vecs, "vec_id", "embedding", 0L, 4).collect()
+    assert(top.head.getLong(0) == 1L && top.head.getDouble(1) == 1.0)
+    assert(top.map(_.getLong(0)).toSeq == Seq(1L, 4L, 2L, 3L))
+    assert(top.last.getDouble(1) == -1.0)
+  }
+
+  test("cosine is symmetric (pairs view)") {
+    val p = Similarity.cosinePairs(vecs, "vec_id", "embedding", -2.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(p((0L, 1L)) - 1.0) < 1e-12)
+    assert(math.abs(p((0L, 2L))) < 1e-12)
+    assert(math.abs(p((0L, 3L)) + 1.0) < 1e-12)
+  }
+
+  test("annBucketTopK searches only the query's sign bucket") {
+    val top = Similarity.annBucketTopK(vecs, "vec_id", "embedding", 0L, 10, bits = 3)
+      .collect().map(_.getLong(0)).toSet
+    // bucket of query (+,0,0) = 100b = 4; only id 1 shares it
+    // (id 4 is (+,+,0) = 110b = 6, ids 2/3 land in buckets 2/0)
+    assert(top == Set(1L))
+  }
+
+  test("signBucket packs sign bits MSB-first") {
+    val b = vecs.select(col("vec_id"), Similarity.signBucket("embedding", 3).as("bk"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(b(0L) == 4 && b(2L) == 2 && b(3L) == 0 && b(4L) == 6)
+  }
+}

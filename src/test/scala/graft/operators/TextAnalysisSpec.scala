@@ -1,0 +1,51 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the cat sat on a mat", 20L),
+    (2L, "zzz qqq xxx", 11L),
+    (3L, "the the the the the the the the the the", 39L)
+  ).toDF("doc_id", "text", "n_chars")
+
+  test("token counts: whitespace and regex") {
+    val m = docs.select(col("doc_id"), TextAnalysis.wsTokenCount(col("text")),
+      TextAnalysis.regexTokenCount(col("text"))).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(m(1L) == ((6, 6)) && m(2L) == ((3, 3)) && m(3L) == ((10, 10)))
+  }
+
+  test("stopwordRatio is an exact integer ratio") {
+    val m = docs.select(col("doc_id"), TextAnalysis.stopwordRatio("text").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(1L) == 2.0 / 6 && m(2L) == 0.0 && m(3L) == 1.0)
+  }
+
+  test("qualityScore stays in [0,1] and rewards the richer doc") {
+    val m = docs.select(col("doc_id"),
+        TextAnalysis.qualityScore("text", "n_chars").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(m(1L) > m(2L))
+  }
+
+  test("languageId flags stopword-bearing docs as en") {
+    val m = docs.select(col("doc_id"), TextAnalysis.languageId("text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "en" && m(2L) == "und" && m(3L) == "en")
+  }
+
+  test("fingerprints: 16-hex content + shingle hashes, dups collide") {
+    val d2 = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "a b c x")).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprints(d2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L)._1 != fps(3L)._1)
+    assert(fps(1L)._2 == fps(3L)._2) // same leading 3-token shingle "a b c"
+    assert(fps.values.forall(p => p._1.length == 16 && p._2.length == 16))
+  }
+}

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Structured-Streaming semantics under MemoryStream micro-batches:
+  * watermark late-data drops, stateful dedupe, and session windows
+  * (SURVEY §2.9 — unit-tested, not oracle-gated). */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(3600_000L * 24 + minute * 60_000L)
+
+  private def runBatches[T](name: String)(build: MemoryStream[Ev] => org.apache.spark.sql.DataFrame)(
+      batches: Seq[Seq[Ev]]): Array[org.apache.spark.sql.Row] = {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = build(src).writeStream.format("memory")
+      .queryName(name).outputMode("append").start()
+    batches.foreach { b => src.addData(b); q.processAllAvailable() }
+    q.stop()
+    spark.table(name).collect()
+  }
+
+  test("tumbling agg with watermark drops late rows after the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = Streams.tumblingStats(src.toDF(), "ts", "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("tumb").outputMode("append").start()
+    // batch 1: events at minute 5 and 12
+    src.addData(Seq(Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(12), 1, "click", 1.0)))
+    q.processAllAvailable()
+    // batch 2: advance watermark far ahead (minute 60)
+    src.addData(Seq(Ev(3, ts(60), 1, "click", 1.0)))
+    q.processAllAvailable()
+    // batch 3: a LATE event at minute 7 — watermark 50 > window end 10, dropped
+    src.addData(Seq(Ev(4, ts(7), 1, "click", 99.0)))
+    q.processAllAvailable()
+    // batch 4: push watermark further so remaining windows close
+    src.addData(Seq(Ev(5, ts(120), 1, "click", 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tumb").collect()
+      .map(r => r.getTimestamp(0).getTime -> r.getLong(2)).toMap
+    // window [0,10) closed with ONLY event 1 (late event 4 dropped)
+    assert(rows(ts(0).getTime) == 1L)
+    assert(rows(ts(10).getTime) == 1L)
+  }
+
+  test("dropDuplicatesWithinWatermark emits one row per event_id") {
+    val out = runBatches("dedup")(s =>
+      Streams.dedupeWithinWatermark(s.toDF(), "ts", "30 minutes", Seq("event_id")))(
+      Seq(
+        Seq(Ev(1, ts(1), 1, "a", 1.0), Ev(1, ts(1), 1, "a", 1.0)),
+        Seq(Ev(1, ts(2), 1, "a", 2.0), Ev(2, ts(2), 2, "b", 3.0))))
+    assert(out.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("session windows split on the inactivity gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = Streams.sessionStats(src.toDF(), "ts", "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    // user 1: minutes 0,10 (one session), then 100 (second session)
+    src.addData(Seq(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(10), 1, "a", 1.0),
+      Ev(3, ts(100), 1, "a", 1.0)))
+    q.processAllAvailable()
+    src.addData(Seq(Ev(4, ts(500), 1, "a", 1.0))) // advance watermark, close sessions
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sess").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(3)))
+    // first session has 2 events, second has 1
+    assert(sessions.contains((ts(0).getTime, 2L)))
+    assert(sessions.contains((ts(100).getTime, 1L)))
+  }
+
+  test("streaming sessionization agrees with the batch operator on the same data") {
+    val evs = Seq(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(10), 1, "a", 1.0),
+      Ev(3, ts(100), 1, "a", 1.0), Ev(4, ts(110), 2, "a", 1.0))
+    // batch: native session_window in a batch groupBy
+    val batch = evs.toDF()
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("session_window.start").as("ss"), col("user_id"), col("c"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2))).toSet
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = Streams.sessionStats(src.toDF(), "ts", "30 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("sess2").outputMode("append").start()
+    src.addData(evs)
+    q.processAllAvailable()
+    src.addData(Seq(Ev(9, ts(999), 9, "z", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("sess2").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(2), r.getLong(3))).toSet
+    assert(batch.subsetOf(stream + ((ts(999).getTime, 9L, 1L))) )
+  }
+}
