@@ -152,10 +152,10 @@ object OracleSql {
       "SELECT lang, CASE WHEN len(list_filter(string_split(text,' '), w -> w IN ('the', 'a')))/CAST(len(string_split(text,' ')) AS DOUBLE) >= 0.05 THEN 'en' ELSE 'und' END pred, count(*) c FROM documents GROUP BY lang, pred ORDER BY lang, pred",
     "q_minhash_lsh" -> minhashSql,
     "q_neardup" ->
-      "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text,' ')) toks FROM documents), tok AS (SELECT doc_id, lang, len(toks) nt, unnest(toks) w FROM d), g AS (SELECT a.doc_id da, b.doc_id db, a.nt na, b.nt nb, count(*) inter FROM tok a JOIN tok b ON a.w=b.w AND a.lang=b.lang AND a.doc_id<b.doc_id GROUP BY 1,2,3,4), j AS (SELECT da, db, inter/CAST(na+nb-inter AS DOUBLE) jac FROM g) SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk, round(avg(jac),4) aj FROM j WHERE jac >= 0.8",
+      "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text,' ')) toks FROM documents WHERE doc_id < 1000), tok AS (SELECT doc_id, lang, len(toks) nt, unnest(toks) w FROM d), g AS (SELECT a.doc_id da, b.doc_id db, a.nt na, b.nt nb, count(*) inter FROM tok a JOIN tok b ON a.w=b.w AND a.lang=b.lang AND a.doc_id<b.doc_id GROUP BY 1,2,3,4), j AS (SELECT da, db, inter/CAST(na+nb-inter AS DOUBLE) jac FROM g) SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk, round(avg(jac),4) aj FROM j WHERE jac >= 0.8",
     "q_simhash" -> simhashSql,
     "q_embed_neardup" ->
-      "WITH ev AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings), d AS (SELECT a.vec_id da, b.vec_id db, sum(a.v*b.v) dot FROM ev a JOIN ev b ON a.i=b.i AND a.vec_id<b.vec_id GROUP BY 1,2), n AS (SELECT vec_id, sqrt(sum(v*v)) nrm FROM ev GROUP BY vec_id), j AS (SELECT da, db, dot/(na.nrm*nb.nrm) cos FROM d JOIN n na ON da=na.vec_id JOIN n nb ON db=nb.vec_id) SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk, round(avg(cos),4) ac FROM j WHERE cos >= 0.4",
+      "WITH ev AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings WHERE vec_id < 500), d AS (SELECT a.vec_id da, b.vec_id db, sum(a.v*b.v) dot FROM ev a JOIN ev b ON a.i=b.i AND a.vec_id<b.vec_id GROUP BY 1,2), n AS (SELECT vec_id, sqrt(sum(v*v)) nrm FROM ev GROUP BY vec_id), j AS (SELECT da, db, dot/(na.nrm*nb.nrm) cos FROM d JOIN n na ON da=na.vec_id JOIN n nb ON db=nb.vec_id) SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk, round(avg(cos),4) ac FROM j WHERE cos >= 0.4",
     "q_ann_lsh" ->
       "WITH b AS (SELECT vec_id, embedding, 4*(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + 2*(CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) bk FROM embeddings), qb AS (SELECT bk FROM b WHERE vec_id=0), cand AS (SELECT b.vec_id, b.embedding FROM b, qb WHERE b.bk=qb.bk AND b.vec_id<>0), qv AS (SELECT u.i i, u.v v FROM (SELECT unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings WHERE vec_id=0) u), ev AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding,1) i FROM cand), d AS (SELECT ev.vec_id, sum(ev.v*qv.v) dot, sqrt(sum(ev.v*ev.v)) nrm FROM ev JOIN qv ON ev.i=qv.i GROUP BY ev.vec_id), nq AS (SELECT sqrt(sum(v*v)) n FROM qv) SELECT d.vec_id, round(d.dot/(d.nrm*nq.n),4) cos FROM d, nq ORDER BY cos DESC, d.vec_id LIMIT 10",
     // DuckDB unnest+generate_subscripts vs Spark zip_with/aggregate.

@@ -473,9 +473,14 @@ object Queries {
   private val qAnnLsh: Q = (s, sf) =>
     Similarity.annBucketTopK(t(s, sf, "embeddings"), "vec_id", "embedding", 0L, 10)
 
-  /** Embedding-cosine near-duplicate pairs (exact, bounded input). */
+  /** Embedding-cosine near-duplicate pairs. Exact all-pairs is O(n²) by
+    * definition, so the declared query bounds the corpus (vec_id<500);
+    * the scale path is bucketing first (q_ann_lsh / Similarity.signBucket),
+    * never exact pairs over the full corpus. */
   private val qEmbedNeardup: Q = (s, sf) =>
-    Similarity.cosinePairs(t(s, sf, "embeddings"), "vec_id", "embedding", 0.4)
+    Similarity.cosinePairs(
+        t(s, sf, "embeddings").filter(col("vec_id") < 500),
+        "vec_id", "embedding", 0.4)
       .agg(count(lit(1)).as("pairs"),
         sum(col("da") + col("db")).as("chk"),
         round(avg("cos"), 4).as("ac"))
@@ -517,9 +522,14 @@ object Queries {
     Dedup.lshCandidatePairs(t(s, sf, "documents"), "doc_id", "text", 8, 4)
       .agg(count(lit(1)).as("pairs"), sum(col("da") + col("db")).as("chk"))
 
-  /** Exact token-set Jaccard near-dup pairs (τ=0.8) within a language. */
+  /** Exact token-set Jaccard near-dup pairs (τ=0.8) within a language.
+    * Bounded corpus (doc_id<1000): this synthetic corpus has a 31-word
+    * vocabulary, so *every* doc pair is a near-candidate and the exact
+    * inverted-index join is inherently quadratic on it; at scale exact
+    * Jaccard runs only on LSH candidates (q_minhash_lsh). */
   private val qNeardup: Q = (s, sf) =>
-    Dedup.jaccardPairs(t(s, sf, "documents"), "doc_id", "lang", "text", 0.8)
+    Dedup.jaccardPairs(t(s, sf, "documents").filter(col("doc_id") < 1000),
+        "doc_id", "lang", "text", 0.8)
       .agg(count(lit(1)).as("pairs"),
         sum(col("da") + col("db")).as("chk"),
         round(avg("jac"), 4).as("aj"))
