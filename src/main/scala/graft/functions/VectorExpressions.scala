@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** Native codegen'd dot product over two `array<float>` columns.
+  *
+  * Spark's higher-order functions (`zip_with` + `aggregate`) evaluate the
+  * lambda interpreted, per element, with boxing — fine for correctness,
+  * hostile at 100 TB × 64+ dims. This expression compiles to a tight
+  * primitive loop inside whole-stage codegen (no boxing, no virtual calls),
+  * the preferred extension order of SURVEY §4: compose built-ins first,
+  * then a custom `Expression` with `doGenCode` — never a Scala UDF.
+  *
+  * Semantics exactly match the validated HOF/oracle formulation: per-index
+  * float×float product, accumulated in double, index order.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += (x.getFloat(i) * y.getFloat(i)).toDouble; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      s"""
+         |int graftN = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double graftAcc = 0.0;
+         |for (int graftI = 0; graftI < graftN; graftI++) {
+         |  graftAcc += (double) ($x.getFloat(graftI) * $y.getFloat(graftI));
+         |}
+         |${ev.value} = graftAcc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotProduct = copy(left = newLeft, right = newRight)
+}
+
+/** Column-API and SQL surfaces for the vector expressions. */
+object VectorFunctions {
+
+  /** Codegen'd dot product of two float-array columns. */
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd squared L2 norm. */
+  def norm2(a: Column): Column = dotProduct(a, a)
+
+  private val registration = (
+    new FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+    (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+
+  /** Register `graft_dot` in a session's function registry so SQL-string
+    * pipes can call it (the library-call path needs no registration). */
+  def register(spark: SparkSession): Unit = {
+    val (id, info, builder) = registration
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` injects the
+  * functions at session build — the deployment path for clusters where user
+  * code can't touch the registry before SQL parsing. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_dot"),
+        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+        (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+  }
+}

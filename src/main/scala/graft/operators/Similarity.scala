@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -22,13 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Double-accumulated dot product of two float-array columns. */
+  /** Double-accumulated dot product of two float-array columns —
+    * the codegen'd [[graft.functions.DotProduct]] expression (primitive
+    * loop in whole-stage codegen; bit-identical to the interpreted
+    * `zip_with`+`aggregate` formulation the oracle uses). */
   def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(x * y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)")
+    VectorFunctions.dotProduct(col(a), col(b))
 
   /** L2 norm of a float-array column. */
   def norm(a: String): Column =
-    sqrt(expr(s"aggregate($a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x * x AS DOUBLE))"))
+    sqrt(VectorFunctions.norm2(col(a)))
 
   /** Exact cosine top-k of `emb` rows vs the row with id `queryId`.
     * Returns (idCol, cos) ordered desc, k rows. */

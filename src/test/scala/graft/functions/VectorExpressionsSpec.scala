@@ -1,0 +1,63 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+    (2L, Array(0.5f, -0.25f), Array(2.0f, 4.0f)),
+    (3L, null.asInstanceOf[Array[Float]], Array(1.0f))
+  ).toDF("id", "a", "b")
+
+  test("graft_dot matches the interpreted HOF formulation bit-for-bit") {
+    val out = vecs.filter(col("a").isNotNull).select(col("id"),
+        VectorFunctions.dotProduct(col("a"), col("b")).as("fast"),
+        expr("aggregate(zip_with(a, b, (x, y) -> CAST(x * y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)").as("slow"))
+      .collect()
+    out.foreach(r => assert(r.getDouble(1) == r.getDouble(2), r.toString))
+    assert(out.find(_.getLong(0) == 1L).get.getDouble(1) == 32.0)
+  }
+
+  test("null input yields null, not a crash") {
+    val out = vecs.select(VectorFunctions.dotProduct(col("a"), col("b"))).collect()
+    assert(out.count(_.isNullAt(0)) == 1)
+  }
+
+  test("norm2 is the self dot product") {
+    val r = vecs.filter(col("id") === 2L)
+      .select(VectorFunctions.norm2(col("a"))).collect().head.getDouble(0)
+    assert(r == 0.3125)
+  }
+
+  test("SQL registration: graft_dot callable from spark.sql") {
+    VectorFunctions.register(spark)
+    vecs.filter(col("a").isNotNull).createOrReplaceTempView("vs")
+    val r = spark.sql("SELECT id, graft_dot(a, b) d FROM vs ORDER BY id")
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(1L) == 32.0)
+  }
+
+  test("codegen and interpreted paths agree") {
+    val df = vecs.filter(col("a").isNotNull)
+    val fast = df.select(VectorFunctions.dotProduct(col("a"), col("b"))).collect()
+    withCodegenDisabled {
+      val slow = df.select(VectorFunctions.dotProduct(col("a"), col("b"))).collect()
+      assert(fast.map(_.getDouble(0)).toSeq == slow.map(_.getDouble(0)).toSeq)
+    }
+  }
+
+  private def withCodegenDisabled[T](f: => T): T = {
+    val key = "spark.sql.codegen.wholeStage"
+    val factoryKey = "spark.sql.codegen.factoryMode"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    spark.conf.set(factoryKey, "NO_CODEGEN")
+    try f finally {
+      spark.conf.set(key, old)
+      spark.conf.set(factoryKey, "FALLBACK")
+    }
+  }
+}
