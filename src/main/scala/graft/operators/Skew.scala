@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot-key joins. AQE's skew-join split handles most
+  * cases at runtime; explicit salting is the deterministic fallback when a
+  * single key dominates so badly that even split partitions overwhelm one
+  * executor (the classic null-key / power-law tail at 100 TB).
+  *
+  * `saltedJoin` fans the probe side out over `salts` buckets via a random
+  * salt and replicates the build side once per bucket: the hot key's rows
+  * spread across `salts` tasks instead of one. Replication multiplies the
+  * build side by `salts` — use with a small/dimension build side only.
+  */
+object Skew {
+
+  /** Equi-join `left ⋈ right` on `leftKey = rightKey`, salted. */
+  def saltedJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      (rand(seed = 7) * salts).cast("int"))
+    val saltedRight = right.crossJoin(
+      spark_range_df(right, salts))
+    saltedLeft.join(saltedRight,
+      col(leftKey) === col(rightKey) && col("__salt") === col("__rep"),
+      joinType)
+      .drop("__salt", "__rep")
+  }
+
+  private def spark_range_df(df: DataFrame, n: Int) =
+    df.sparkSession.range(n).select(col("id").cast("int").as("__rep"))
+}

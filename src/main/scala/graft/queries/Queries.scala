@@ -369,10 +369,12 @@ object Queries {
       .orderBy("id")
       .limit(100)
 
-  /** High-watermark consumption: rows at/after the checkpoint parameter. */
+  /** High-watermark consumption: rows at/after the checkpoint parameter.
+    * Uses the raw-nanos pushdown reader — the predicate reaches the parquet
+    * scan (plan-asserted in PlanSpec), unlike a filter on the rebuilt
+    * timestamp column. */
   private val qIncremental: Q = (s, sf) =>
-    Incremental.sinceWatermark(t(s, sf, "events"), "ts",
-        lit("2024-01-15 00:00:00").cast("timestamp"))
+    Tables.eventsSince(s, sf, java.time.Instant.parse("2024-01-15T00:00:00Z"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"))
 
   /** As-of join: each event matched to the customer's most recent order at

@@ -37,4 +37,19 @@ object Tables {
     * DataFrame-API operators and `spark.sql` queries see the same inputs. */
   def views(spark: SparkSession, sfDir: String, names: Seq[String] = all): Unit =
     names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Events at/after a watermark, with the predicate applied to the RAW
+    * int64-nanos column *before* the timestamp rebuild, so it pushes down
+    * into the parquet scan (row-group + page pruning). Filtering the
+    * rebuilt `timestamp_micros(...)` column instead would defeat pushdown —
+    * a full scan at 100 TB. */
+  def eventsSince(spark: SparkSession, sfDir: String,
+      watermark: java.time.Instant): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val nanos = watermark.getEpochSecond * 1000000000L + watermark.getNano
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .filter(col("ts") >= nanos)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
 }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming operators. The reference's "streams" are
   * micro-batched block streams (SURVEY §2.9); Structured Streaming's
@@ -51,4 +52,29 @@ object Streams {
       watermarkDelay: String, keys: Seq[String]): DataFrame =
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  final case class KeyedTotal(key: Long, count: Long, total: Double)
+
+  /** Custom arbitrary state: per-key running (count, total) maintained with
+    * `flatMapGroupsWithState` across micro-batches — the escape hatch for
+    * stateful semantics the built-in windows can't express. State is one
+    * tiny struct per key, sharded by the groupBy shuffle; at scale the
+    * state store partitions with the key like any agg. Emits the updated
+    * running value for every key touched in a batch. */
+  def runningTotals[T](events: Dataset[T], key: T => Long,
+      value: T => Double): Dataset[KeyedTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(key)
+      .flatMapGroupsWithState[KeyedTotal, KeyedTotal](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (k: Long, rows: Iterator[T], state: GroupState[KeyedTotal]) =>
+          val prev = state.getOption.getOrElse(KeyedTotal(k, 0L, 0.0))
+          var c = prev.count
+          var s = prev.total
+          rows.foreach { r => c += 1; s += value(r) }
+          val next = KeyedTotal(k, c, s)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
 }

@@ -43,6 +43,12 @@ class PlanSpec extends SparkSpec {
     assert(scans.nonEmpty)
   }
 
+  test("q_incremental pushes the watermark predicate into the events scan") {
+    val p = plan("q_incremental")
+    // the raw-nanos comparison must reach the parquet reader
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), p)
+  }
+
   test("q_agg_group uses partial (map-side) aggregation") {
     val p = plan("q_agg_group")
     assert(p.contains("partial_sum") || p.contains("partial"), p)

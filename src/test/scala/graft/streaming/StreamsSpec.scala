@@ -80,6 +80,26 @@ class StreamsSpec extends SparkSpec {
     assert(sessions.contains((ts(100).getTime, 1L)))
   }
 
+  test("flatMapGroupsWithState running totals accumulate across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Ev]
+    val q = Streams.runningTotals[Ev](src.toDS(), _.user_id, _.value)
+      .writeStream.format("memory").queryName("rt").outputMode("append").start()
+    src.addData(Seq(Ev(1, ts(0), 1, "a", 10.0), Ev(2, ts(1), 1, "a", 5.0),
+      Ev(3, ts(1), 2, "a", 1.0)))
+    q.processAllAvailable()
+    src.addData(Seq(Ev(4, ts(2), 1, "a", 5.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("rt").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // batch 1 emits user1 (2, 15.0) and user2 (1, 1.0); batch 2 emits the
+    // carried-forward user1 state (3, 20.0)
+    assert(rows.contains((1L, 2L, 15.0)))
+    assert(rows.contains((2L, 1L, 1.0)))
+    assert(rows.contains((1L, 3L, 20.0)))
+  }
+
   test("streaming sessionization agrees with the batch operator on the same data") {
     val evs = Seq(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(10), 1, "a", 1.0),
       Ev(3, ts(100), 1, "a", 1.0), Ev(4, ts(110), 2, "a", 1.0))
