@@ -13,6 +13,19 @@ import scala.jdk.CollectionConverters._
 final case class Node(id: String, deps: Seq[String],
     fn: Map[String, DataFrame] => DataFrame)
 
+object Node {
+  /** A SQL pipe (the reference's signature node kind): upstream frames are
+    * registered as temp views named after their node ids, then the SQL text
+    * runs against them — Catalyst plans it like any DataFrame node. */
+  def sql(id: String, deps: Seq[String], query: String): Node =
+    Node(id, deps, upstream => {
+      require(upstream.nonEmpty, s"sql node $id needs at least one upstream")
+      val spark = upstream.values.head.sparkSession
+      upstream.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+      spark.sql(query)
+    })
+}
+
 final class CycleException(msg: String) extends RuntimeException(msg)
 
 final class Graph(val nodes: Seq[Node]) {

@@ -33,6 +33,26 @@ class GraphSpec extends SparkSpec {
     assert(order.size == 4)
   }
 
+  test("SQL pipe nodes run against upstream temp views") {
+    val src = Seq((1, 10.0), (1, 5.0), (2, 2.0)).toDF("k", "v")
+    val g = new Graph(Seq(
+      Node.sql("agg", Seq("src"),
+        "SELECT k, sum(v) AS s FROM src GROUP BY k")))
+    val out = g.run(Map("src" -> src))
+    assert(out("agg").collect().map(r => (r.getInt(0), r.getDouble(1))).toMap ==
+      Map(1 -> 15.0, 2 -> 2.0))
+  }
+
+  test("partitioned parquet sink round-trips with partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graftsink").toString
+    val df = Seq((1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)).toDF("id", "part", "v")
+    df.write.partitionBy("part").parquet(s"$dir/t")
+    val back = spark.read.parquet(s"$dir/t").filter(col("part") === "a")
+    assert(back.count() == 2)
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(part"), scan)
+  }
+
   test("cycles are detected") {
     val g = new Graph(Seq(
       Node("a", Seq("b"), m => m("b")),
