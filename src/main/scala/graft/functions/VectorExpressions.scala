@@ -51,13 +51,16 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
       s"""
-         |int graftN = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double graftAcc = 0.0;
-         |for (int graftI = 0; graftI < graftN; graftI++) {
-         |  graftAcc += (double) ($x.getFloat(graftI) * $y.getFloat(graftI));
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) ($x.getFloat($i) * $y.getFloat($i));
          |}
-         |${ev.value} = graftAcc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two well-separated clusters around (±10, 0)
+  private def vecs = (0 until 20).map { i =>
+    val base = if (i % 2 == 0) 10.0f else -10.0f
+    (i.toLong, Array(base + (i % 5) * 0.1f, (i % 3) * 0.1f))
+  }.toDF("vec_id", "embedding")
+
+  test("train produces k centroids that separate the clusters") {
+    val c = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 3).collect()
+    assert(c.length == 2)
+    val xs = c.map(_.getSeq[Float](1).head).sorted
+    assert(xs(0) < -5 && xs(1) > 5, xs.toSeq.toString)
+  }
+
+  test("assign sends every row to its nearest centroid") {
+    val cents = Ivf.train(vecs, "vec_id", "embedding", 2, 3)
+    val a = Ivf.assign(vecs, cents, "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    assert(a.size == 20)
+    // all even ids (positive cluster) share a cell, odd ids the other
+    assert(a.filterKeys(_ % 2 == 0).values.toSet.size == 1)
+    assert(a.filterKeys(_ % 2 == 1).values.toSet.size == 1)
+    assert(a(0L) != a(1L))
+  }
+
+  test("search with nprobe=1 finds neighbours from the query's cluster only") {
+    val cents = Ivf.train(vecs, "vec_id", "embedding", 2, 3)
+    val hits = Ivf.search(vecs, cents, "vec_id", "embedding",
+      queryId = 0L, k = 5, nprobe = 1).collect().map(_.getLong(0))
+    assert(hits.nonEmpty && hits.forall(_ % 2 == 0))
+  }
+}
