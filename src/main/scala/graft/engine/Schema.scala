@@ -25,6 +25,13 @@ final case class GraftSchema(
     df.select(struct.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
   }
 
+  /** The reference's DataSet view driven by this schema's `uniqueOn` key:
+    * accumulate the blocks, keep the newest row per key (newest by the
+    * given recency ordering). */
+  def latestView(blocks: Seq[DataFrame],
+      newestFirst: Seq[org.apache.spark.sql.Column]): DataFrame =
+    graft.operators.Incremental.asDataset(blocks, uniqueOn, newestFirst)
+
   /** Cast a conforming frame onto an implemented target schema. */
   def castTo(target: String, df: DataFrame): DataFrame = {
     val mapping = implementsMaps.getOrElse(target,

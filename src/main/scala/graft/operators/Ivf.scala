@@ -5,72 +5,82 @@ import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
 
 /** IVF (inverted-file) approximate nearest neighbour: k coarse centroids
-  * trained by Lloyd's iterations expressed as DataFrame aggregations, then
-  * search probes only the `nprobe` closest cells.
+  * trained by Lloyd's iterations, then search probes only the `nprobe`
+  * closest cells.
   *
-  * Scale shape: training is `iters` passes of (broadcast k centroids →
-  * narrow argmin assignment → groupBy-avg shuffle of k groups); k is small
-  * (≤ thousands), so the per-pass shuffle is trivial and the centroid set
-  * always broadcasts. Search reads only the probed cells — with the cell id
-  * as a partition column, that is partition pruning at the scan. The
-  * assignment distance uses the codegen'd [[graft.functions.DotProduct]].
+  * Scale shape — the classic distributed k-means split: centroids are tiny
+  * driver-side state (k × dim floats, like every k-means implementation),
+  * embedded into the plan as literals each pass; cell assignment is then a
+  * NARROW argmin over the broadcast literals (codegen'd dot products, no
+  * crossJoin, no shuffle), and the only shuffle per iteration is the
+  * k-group mean aggregation. Search touches `nprobe`/k of the data — with
+  * the cell id as a partition column that is partition pruning at the scan.
   */
 object Ivf {
 
-  /** Squared L2 distance between a row's embedding and a broadcast
-    * centroid array column (both array<float>). */
-  private def dist2(e: String, c: String): Column =
-    VectorFunctions.norm2(col(e)) + VectorFunctions.norm2(col(c)) -
-      VectorFunctions.dotProduct(col(e), col(c)) * 2
+  type Centroids = Array[(Int, Array[Float])]
 
-  /** Train k centroids with `iters` Lloyd iterations. Deterministic:
-    * seeded by the first k vectors in id order. Returns (cell, centroid). */
+  /** Squared L2 distance from the embedding column to a literal centroid. */
+  private def dist2Lit(embCol: String, c: Array[Float]): Column = {
+    val lit2 = typedlit(c)
+    VectorFunctions.norm2(col(embCol)) +
+      lit(c.map(x => x.toDouble * x).sum) -
+      VectorFunctions.dotProduct(col(embCol), lit2) * 2
+  }
+
+  /** Nearest-cell index as a column: argmin = position of the min distance
+    * (first occurrence on ties → the smaller cell id). Cell ids are the
+    * 0-based positions of `centroids`. */
+  def cellOf(centroids: Centroids, embCol: String): Column = {
+    val ds = array(centroids.map { case (_, c) => dist2Lit(embCol, c) }: _*)
+    (array_position(ds, array_min(ds)) - 1).cast("int")
+  }
+
+  /** Train k centroids with `iters` Lloyd iterations (init: first k vectors
+    * in id order). Deterministic. */
   def train(emb: DataFrame, idCol: String, embCol: String, k: Int,
-      iters: Int): DataFrame = {
-    var centroids = emb.orderBy(col(idCol)).limit(k)
-      .select(col(idCol), col(embCol).as("centroid"))
-      .withColumn("cell", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col(idCol))) - 1)
-      .drop(idCol)
+      iters: Int): Centroids = {
+    var centroids: Centroids = emb.orderBy(col(idCol)).limit(k)
+      .select(col(embCol)).collect()
+      .map(_.getSeq[Float](0).toArray).zipWithIndex.map(_.swap)
     (1 to iters).foreach { _ =>
-      val assigned = assign(emb, centroids, idCol, embCol)
-      centroids = assigned
-        .select(col("cell"), posexplode(col(embCol)).as(Seq("i", "v")))
+      val means = emb
+        .select(cellOf(centroids, embCol).as("cell"),
+          posexplode(col(embCol)).as(Seq("i", "v")))
         .groupBy("cell", "i").agg(avg("v").as("m"))
-        .groupBy("cell")
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
-          x => x("m").cast("float")).as("centroid"))
+        .collect()
+      // re-index 0..k'-1: a cell can go empty, and cellOf maps cells by
+      // position in this array
+      centroids = means.groupBy(_.getInt(0)).toArray
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+        }.sortBy(_._1).zipWithIndex.map { case ((_, arr), i) => (i, arr) }
     }
-    centroids.select("cell", "centroid")
+    centroids
   }
 
-  /** Assign each row to its nearest centroid cell (broadcast + argmin). */
-  def assign(emb: DataFrame, centroids: DataFrame, idCol: String,
-      embCol: String): DataFrame = {
-    val withDist = emb.crossJoin(broadcast(centroids))
-      .withColumn("__d", dist2(embCol, "centroid"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("__d"), col("cell"))
-    withDist.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__d", "centroid")
-  }
+  /** Assign each row its nearest cell (narrow, shuffle-free). */
+  def assign(emb: DataFrame, centroids: Centroids, embCol: String): DataFrame =
+    emb.withColumn("cell", cellOf(centroids, embCol))
 
-  /** Top-k cosine within the `nprobe` cells nearest to the query vector. */
-  def search(emb: DataFrame, centroids: DataFrame, idCol: String,
+  /** Top-k cosine within the `nprobe` cells nearest to the query vector.
+    * Probe selection is driver-side arithmetic on the tiny centroid set. */
+  def search(emb: DataFrame, centroids: Centroids, idCol: String,
       embCol: String, queryId: Long, k: Int, nprobe: Int): DataFrame = {
-    val assigned = assign(emb, centroids, idCol, embCol)
-    val qv = assigned.filter(col(idCol) === queryId)
-      .select(col(embCol).as("qe"))
-    val probeCells = centroids.crossJoin(broadcast(qv))
-      .select(col("cell"), dist2("centroid", "qe").as("__d"))
-      .orderBy("__d").limit(nprobe).select("cell")
-    assigned.join(broadcast(probeCells), "cell")
-      .filter(col(idCol) =!= queryId)
-      .crossJoin(broadcast(qv))
+    val q = emb.filter(col(idCol) === queryId)
+      .select(col(embCol)).collect().head.getSeq[Float](0).toArray
+    val probed = centroids
+      .map { case (cell, c) =>
+        val d2 = c.zip(q).map { case (a, b) => val d = a.toDouble - b; d * d }.sum
+        (d2, cell)
+      }.sorted.take(nprobe).map(_._2).toSeq
+    val qv = typedlit(q)
+    assign(emb, centroids, embCol)
+      .filter(col("cell").isin(probed: _*) && col(idCol) =!= queryId)
       .select(col(idCol),
-        round(Similarity.dot(embCol, "qe") /
-          (Similarity.norm(embCol) * Similarity.norm("qe")), 4).as("cos"))
+        round(VectorFunctions.dotProduct(col(embCol), qv) /
+          (sqrt(VectorFunctions.norm2(col(embCol))) *
+            lit(math.sqrt(q.map(x => x.toDouble * x).sum))), 4).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }

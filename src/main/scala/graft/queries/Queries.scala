@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Dedup, Incremental, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Incremental, Ivf, Similarity, TextAnalysis}
 
 /** The declared query inventory (SURVEY.md §2) as idiomatic DataFrame-API
   * plans. Each entry is `(spark, sfDir) => DataFrame` and has a matching
@@ -475,6 +475,16 @@ object Queries {
   private val qAnnLsh: Q = (s, sf) =>
     Similarity.annBucketTopK(t(s, sf, "embeddings"), "vec_id", "embedding", 0L, 10)
 
+  /** IVF ANN: Lloyd-trained coarse cells, search probes the 2 nearest of 8.
+    * No oracle (iterative float centroid training is not reasonably
+    * SQL-expressible); the driver records a rows-only check and IvfSpec
+    * pins the semantics on separable clusters. */
+  private val qCosineIvf: Q = (s, sf) => {
+    val emb = t(s, sf, "embeddings")
+    val cents = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    Ivf.search(emb, cents, "vec_id", "embedding", queryId = 0L, k = 10, nprobe = 2)
+  }
+
   /** Embedding-cosine near-duplicate pairs. Exact all-pairs is O(n²) by
     * definition, so the declared query bounds the corpus (vec_id<500);
     * the scale path is bucketing first (q_ann_lsh / Similarity.signBucket),
@@ -599,6 +609,7 @@ object Queries {
     "q_topk_terms" -> qTopkTerms,
     "q_cosine_topk" -> qCosineTopk,
     "q_ann_lsh" -> qAnnLsh,
+    "q_cosine_ivf" -> qCosineIvf,
     "q_embed_neardup" -> qEmbedNeardup,
     "q_dedup_exact" -> qDedupExact,
     "q_fingerprint" -> qFingerprint,

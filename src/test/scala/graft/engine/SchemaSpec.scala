@@ -36,6 +36,17 @@ class SchemaSpec extends SparkSpec {
     assert(entity.conform(out).count() == 1)
   }
 
+  test("latestView dedupes on the schema's uniqueOn key") {
+    import org.apache.spark.sql.functions.col
+    val b1 = Seq((1L, "old", 1.0), (2L, "x", 2.0)).toDF("c_custkey", "c_name", "c_acctbal")
+      .withColumn("v", col("c_acctbal"))
+    val b2 = Seq((1L, "new", 9.0)).toDF("c_custkey", "c_name", "c_acctbal")
+      .withColumn("v", col("c_acctbal"))
+    val out = customer.latestView(Seq(b1, b2), Seq(col("v").desc))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "new", 2L -> "x"))
+  }
+
   test("castTo rejects unimplemented targets") {
     val df = Seq((1L, "a", 2.5)).toDF("c_custkey", "c_name", "c_acctbal")
     intercept[IllegalArgumentException](customer.castTo("Unknown", df))

@@ -13,18 +13,20 @@ class IvfSpec extends SparkSpec {
   }.toDF("vec_id", "embedding")
 
   test("train produces k centroids that separate the clusters") {
-    val c = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 3).collect()
+    val c = Ivf.train(vecs, "vec_id", "embedding", k = 2, iters = 3)
     assert(c.length == 2)
-    val xs = c.map(_.getSeq[Float](1).head).sorted
+    val xs = c.map(_._2.head).sorted
     assert(xs(0) < -5 && xs(1) > 5, xs.toSeq.toString)
   }
 
-  test("assign sends every row to its nearest centroid") {
+  test("assign is a narrow shuffle-free argmin to the nearest centroid") {
     val cents = Ivf.train(vecs, "vec_id", "embedding", 2, 3)
-    val a = Ivf.assign(vecs, cents, "vec_id", "embedding")
-      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val assigned = Ivf.assign(vecs, cents, "embedding")
+    // no Exchange in the plan: assignment must not shuffle
+    assert(!assigned.queryExecution.executedPlan.toString.contains("Exchange"))
+    val a = assigned.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
     assert(a.size == 20)
-    // all even ids (positive cluster) share a cell, odd ids the other
     assert(a.filterKeys(_ % 2 == 0).values.toSet.size == 1)
     assert(a.filterKeys(_ % 2 == 1).values.toSet.size == 1)
     assert(a(0L) != a(1L))
