@@ -60,6 +60,30 @@ class GraphSpec extends SparkSpec {
     intercept[CycleException](g.topoOrder)
   }
 
+  test("incremental node run: RunLog watermark bounds each pass (dags consumption loop)") {
+    import graft.operators.Incremental
+    import org.apache.spark.sql.functions.{col, lit, max}
+    val dir = java.nio.file.Files.createTempDirectory("graftinc").toString
+    val log = new RunLog(dir)
+    val events = Seq((1L, 10), (2L, 20), (3L, 30)).toDF("id", "t")
+    def pass(): Long = {
+      val wm = log.watermark("n").map(_.toInt).getOrElse(Int.MinValue)
+      val fresh = Incremental.sinceWatermark(events, "t", lit(wm + 1))
+      val n = fresh.count()
+      if (n > 0) {
+        val newWm = fresh.agg(max("t")).collect().head.getInt(0)
+        log.setWatermark("n", newWm.toString)
+      }
+      log.append("n")
+      n
+    }
+    assert(pass() == 3)  // first run consumes everything
+    assert(pass() == 0)  // nothing new -> nothing reprocessed
+    val more = events.union(Seq((4L, 40)).toDF("id", "t"))
+    val wm = log.watermark("n").get.toInt
+    assert(Incremental.sinceWatermark(more, "t", lit(wm + 1)).count() == 1)
+  }
+
   test("watermark store round-trips for incremental consumption") {
     val dir = Files.createTempDirectory("graftwm").toString
     val log = new RunLog(dir)
