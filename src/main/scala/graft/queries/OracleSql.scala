@@ -21,14 +21,15 @@ object OracleSql {
       "SELECT sig, count(*) c FROM sg GROUP BY sig ORDER BY c DESC, sig LIMIT 20"
   }
 
-  // MinHash 8 hashes / 4 bands of 2 (mirrors Dedup.lshCandidatePairs).
+  // MinHash 8 hashes / 2 bands of 4 (mirrors Dedup.lshCandidatePairs;
+  // banding tuned so the S-curve threshold ≈ 0.84 matches the τ=0.8 target).
   private val minhashSql: String = {
     val sigs = (0 until 8)
       .map(i => s"list_min(list_transform(toks, w -> md5(concat('$i:', w))))")
       .mkString(", ")
     "WITH d AS (SELECT doc_id, list_distinct(string_split(text,' ')) toks FROM documents), " +
       s"s AS (SELECT doc_id, [$sigs] sig FROM d), " +
-      "bands AS (SELECT doc_id, i band_id, md5(concat_ws(':', sig[2*i+1], sig[2*i+2])) bv FROM s, (VALUES (0),(1),(2),(3)) t(i)), " +
+      "bands AS (SELECT doc_id, i band_id, md5(concat_ws(':', sig[4*i+1], sig[4*i+2], sig[4*i+3], sig[4*i+4])) bv FROM s, (VALUES (0),(1)) t(i)), " +
       "p AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bands a JOIN bands b ON a.band_id=b.band_id AND a.bv=b.bv AND a.doc_id<b.doc_id) " +
       "SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk FROM p"
   }

@@ -528,10 +528,14 @@ object Queries {
       .agg(count(lit(1)).as("c"))
       .orderBy("lang", "pred")
 
-  /** MinHash-LSH candidate pairs (8 hashes, 4 bands × 2) — the
-    * sub-quadratic near-dup path; output is the pair count + checksum. */
+  /** MinHash-LSH candidate pairs (8 hashes, 2 bands × 4) — the
+    * sub-quadratic near-dup path. Banding is tuned to the τ≈0.8 Jaccard
+    * target: the S-curve threshold (1/b)^(1/r) = (1/2)^(1/4) ≈ 0.84, so
+    * mid-similarity pairs (which dominate this 31-word-vocab corpus) are
+    * filtered in the bucket hash, not in a post-join. Output is the pair
+    * count + checksum. */
   private val qMinhashLsh: Q = (s, sf) =>
-    Dedup.lshCandidatePairs(t(s, sf, "documents"), "doc_id", "text", 8, 4)
+    Dedup.lshCandidatePairs(t(s, sf, "documents"), "doc_id", "text", 8, 2)
       .agg(count(lit(1)).as("pairs"), sum(col("da") + col("db")).as("chk"))
 
   /** Exact token-set Jaccard near-dup pairs (τ=0.8) within a language.
