@@ -87,6 +87,10 @@ object OracleSql {
       "SELECT l_returnflag, l_linestatus, count(*) c FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, c",
     "q_cube" ->
       "SELECT c_mktsegment, c_nationkey, round(sum(c_acctbal),2) s FROM customer GROUP BY CUBE(c_mktsegment, c_nationkey) ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST",
+    "q_percentile" ->
+      "SELECT l_returnflag, round(quantile_cont(l_quantity, 0.5),4) p50, round(quantile_cont(l_quantity, 0.9),4) p90, round(quantile_cont(l_extendedprice, 0.99),2) p99e FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+    "q_stats" ->
+      "SELECT l_linestatus, round(stddev_samp(l_quantity),4) sd, round(var_samp(l_quantity),3) vr, round(corr(l_quantity, l_extendedprice),4) cr, round(covar_samp(l_quantity, l_extendedprice),2) cv FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus",
     "q_join_inner" ->
       "SELECT n_name, round(sum(o_totalprice),2) s, count(*) c FROM orders JOIN customer ON o_custkey=c_custkey JOIN nation ON c_nationkey=n_nationkey GROUP BY n_name ORDER BY n_name",
     "q_join_outer" ->

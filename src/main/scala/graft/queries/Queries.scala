@@ -186,6 +186,27 @@ object Queries {
       .na.fill(0L)
       .orderBy("ub")
 
+  /** Exact interpolated percentiles (DuckDB quantile_cont ≡ Spark
+    * percentile). At scale the approx_percentile sketch replaces this;
+    * exact needs the full sorted group. */
+  private val qPercentile: Q = (s, sf) =>
+    t(s, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 2).as("p99e"))
+      .orderBy("l_returnflag")
+
+  /** Statistical aggregates (merge-order-sensitive floats → rounded). */
+  private val qStats: Q = (s, sf) =>
+    t(s, sf, "lineitem")
+      .groupBy("l_linestatus")
+      .agg(round(stddev_samp(col("l_quantity")), 4).as("sd"),
+        round(var_samp(col("l_quantity")), 3).as("vr"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("cr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cv"))
+      .orderBy("l_linestatus")
+
   // --------------------------------------------------------------- windows
 
   private val qWindowRank: Q = (s, sf) => {
@@ -572,6 +593,8 @@ object Queries {
     "q_join_cross" -> qJoinCross,
     "q_grouping_sets" -> qGroupingSets,
     "q_pivot" -> qPivot,
+    "q_percentile" -> qPercentile,
+    "q_stats" -> qStats,
     "q_window_ntile" -> qWindowNtile,
     "q_window_range" -> qWindowRange,
     "q_window_firstlast" -> qWindowFirstLast,

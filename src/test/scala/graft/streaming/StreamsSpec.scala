@@ -100,6 +100,27 @@ class StreamsSpec extends SparkSpec {
     assert(rows.contains((1L, 3L, 20.0)))
   }
 
+  test("file-source block stream: new parquet blocks are consumed incrementally") {
+    // the dags DataBlockStream model: each block = one new file in a dir
+    val dir = java.nio.file.Files.createTempDirectory("graftblocks").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graftckpt").toString
+    val schema = Seq((1L, 10.0)).toDF("id", "v").schema
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .write.parquet(s"$dir/block1.parquet")
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*.parquet")
+      .groupBy().agg(sum("v").as("s"))
+    val q = stream.writeStream.format("memory").queryName("blocks")
+      .outputMode("complete").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    val first = spark.table("blocks").collect().head.getDouble(0)
+    assert(first == 30.0)
+    Seq((3L, 5.0)).toDF("id", "v").write.parquet(s"$dir/block2.parquet")
+    q.processAllAvailable()
+    q.stop()
+    val second = spark.table("blocks").collect().head.getDouble(0)
+    assert(second == 35.0) // block 2 consumed incrementally, block 1 not reread
+  }
+
   test("streaming sessionization agrees with the batch operator on the same data") {
     val evs = Seq(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(10), 1, "a", 1.0),
       Ev(3, ts(100), 1, "a", 1.0), Ev(4, ts(110), 2, "a", 1.0))
