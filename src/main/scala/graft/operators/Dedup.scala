@@ -64,14 +64,31 @@ object Dedup {
       .select("da", "db").distinct()
   }
 
+  /** Character 3-gram shingle set of a text column (n-gram Jaccard basis:
+    * robust to word-boundary edits that token sets miss). */
+  def shingles3(text: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - 2, lit(1))),
+      i => substr(text, i, lit(3))))
+
   /** Exact token-set Jaccard over all same-`groupCol` pairs via an inverted
     * token index: |∩| from the token join, |∪| = |A|+|B|−|∩|. Returns
     * (da, db, jac) for pairs with jac ≥ tau. Quadratic in bucket size —
     * at scale feed it LSH candidates, not whole corpora. */
   def jaccardPairs(df: DataFrame, idCol: String, groupCol: String,
-      textCol: String, tau: Double): DataFrame = {
+      textCol: String, tau: Double): DataFrame =
+    jaccardPairsBy(df, idCol, groupCol, tokens(col(textCol)), tau)
+
+  /** N-gram variant: Jaccard over character 3-gram shingles. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, groupCol: String,
+      textCol: String, tau: Double): DataFrame =
+    jaccardPairsBy(df, idCol, groupCol, shingles3(col(textCol)), tau)
+
+  /** Jaccard over an arbitrary element-set expression. */
+  def jaccardPairsBy(df: DataFrame, idCol: String, groupCol: String,
+      tokensExpr: Column, tau: Double): DataFrame = {
     val d = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
-      tokens(col(textCol)).as("toks"))
+      tokensExpr.as("toks"))
     val tok = d.select(col("id"), col("grp"), size(col("toks")).as("nt"),
       explode(col("toks")).as("w"))
     val a = tok.select(col("id").as("da"), col("grp"), col("nt").as("na"), col("w"))

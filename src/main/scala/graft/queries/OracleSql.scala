@@ -158,6 +158,8 @@ object OracleSql {
     "q_minhash_lsh" -> minhashSql,
     "q_neardup" ->
       "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text,' ')) toks FROM documents WHERE doc_id < 1000), tok AS (SELECT doc_id, lang, len(toks) nt, unnest(toks) w FROM d), g AS (SELECT a.doc_id da, b.doc_id db, a.nt na, b.nt nb, count(*) inter FROM tok a JOIN tok b ON a.w=b.w AND a.lang=b.lang AND a.doc_id<b.doc_id GROUP BY 1,2,3,4), j AS (SELECT da, db, inter/CAST(na+nb-inter AS DOUBLE) jac FROM g) SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk, round(avg(jac),4) aj FROM j WHERE jac >= 0.8",
+    "q_ngram_neardup" ->
+      "WITH d AS (SELECT doc_id, lang, list_distinct(list_transform(range(1, greatest(len(text)-2, 1)+1), i -> substr(text, i, 3))) toks FROM documents WHERE doc_id < 200), tok AS (SELECT doc_id, lang, len(toks) nt, unnest(toks) w FROM d), g AS (SELECT a.doc_id da, b.doc_id db, a.nt na, b.nt nb, count(*) inter FROM tok a JOIN tok b ON a.w=b.w AND a.lang=b.lang AND a.doc_id<b.doc_id GROUP BY 1,2,3,4), j AS (SELECT da, db, inter/CAST(na+nb-inter AS DOUBLE) jac FROM g) SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk, round(avg(jac),4) aj FROM j WHERE jac >= 0.9",
     "q_simhash" -> simhashSql,
     "q_embed_neardup" ->
       "WITH ev AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings WHERE vec_id < 500), d AS (SELECT a.vec_id da, b.vec_id db, sum(a.v*b.v) dot FROM ev a JOIN ev b ON a.i=b.i AND a.vec_id<b.vec_id GROUP BY 1,2), n AS (SELECT vec_id, sqrt(sum(v*v)) nrm FROM ev GROUP BY vec_id), j AS (SELECT da, db, dot/(na.nrm*nb.nrm) cos FROM d JOIN n na ON da=na.vec_id JOIN n nb ON db=nb.vec_id) SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk, round(avg(cos),4) ac FROM j WHERE cos >= 0.4",

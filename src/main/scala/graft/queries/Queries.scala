@@ -571,6 +571,17 @@ object Queries {
         sum(col("da") + col("db")).as("chk"),
         round(avg("jac"), 4).as("aj"))
 
+  /** Character 3-gram (shingle) Jaccard near-dup pairs, τ≥0.9, per lang —
+    * the n-gram variant of q_neardup. Bounded corpus: frequent shingles in
+    * this 31-word vocabulary make the inverted index quadratic here; the
+    * scale path hashes shingles into MinHash bands first. */
+  private val qNgramNeardup: Q = (s, sf) =>
+    Dedup.ngramJaccardPairs(t(s, sf, "documents").filter(col("doc_id") < 200),
+        "doc_id", "lang", "text", 0.9)
+      .agg(count(lit(1)).as("pairs"),
+        sum(col("da") + col("db")).as("chk"),
+        round(avg("jac"), 4).as("aj"))
+
   /** SimHash signature buckets: most-populated 16-bit signatures. */
   private val qSimhash: Q = (s, sf) =>
     Dedup.simHash16(t(s, sf, "documents"), "doc_id", "text")
@@ -645,5 +656,6 @@ object Queries {
     "q_lang_id" -> qLangId,
     "q_minhash_lsh" -> qMinhashLsh,
     "q_neardup" -> qNeardup,
+    "q_ngram_neardup" -> qNgramNeardup,
     "q_simhash" -> qSimhash)
 }

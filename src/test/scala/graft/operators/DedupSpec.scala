@@ -31,6 +31,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 1.0)
   }
 
+  test("ngramJaccardPairs: shingles catch boundary edits token sets miss") {
+    val d = Seq(
+      (1L, "en", "the catsat mat"),   // word-boundary shifted vs doc 2
+      (2L, "en", "the cat sat mat"),
+      (3L, "en", "entirely unrelated string")
+    ).toDF("doc_id", "lang", "text")
+    val tokJac = Dedup.jaccardPairs(d, "doc_id", "lang", "text", 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ngrJac = Dedup.ngramJaccardPairs(d, "doc_id", "lang", "text", 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // token Jaccard of (1,2) is low (catsat != cat, sat); shingle Jaccard high
+    assert(ngrJac((1L, 2L)) > tokJac((1L, 2L)))
+    assert(ngrJac((1L, 2L)) > 0.6)
+    assert(ngrJac.getOrElse((1L, 3L), 0.0) < 0.2)
+  }
+
   test("lshCandidatePairs is a superset of identical-content pairs") {
     val cand = Dedup.lshCandidatePairs(docs, "doc_id", "text", 8, 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
