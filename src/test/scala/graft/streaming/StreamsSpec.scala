@@ -100,6 +100,33 @@ class StreamsSpec extends SparkSpec {
     assert(rows.contains((1L, 3L, 20.0)))
   }
 
+  test("foreachBatch pipeline: stream blocks -> keep-newest DataSet materialization") {
+    // end-to-end dags pipeline on a stream: each micro-batch appends a
+    // block; foreachBatch re-materializes the deduped latest view
+    import graft.operators.Incremental
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graftds").toString
+    val src = MemoryStream[Ev]
+    val blocks = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.DataFrame]()
+    val q = src.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        blocks += batch.persist()
+        Incremental.asDataset(blocks.toSeq, Seq("user_id"),
+            Seq(col("ts").desc, col("event_id").desc))
+          .write.mode("overwrite").parquet(s"$out/latest")
+      }
+      .start()
+    src.addData(Seq(Ev(1, ts(1), 1, "a", 1.0), Ev(2, ts(2), 2, "a", 2.0)))
+    q.processAllAvailable()
+    src.addData(Seq(Ev(3, ts(3), 1, "a", 9.0)))  // newer row for user 1
+    q.processAllAvailable()
+    q.stop()
+    val latest = spark.read.parquet(s"$out/latest")
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("value")).toMap
+    assert(latest == Map(1L -> 9.0, 2L -> 2.0))
+  }
+
   test("file-source block stream: new parquet blocks are consumed incrementally") {
     // the dags DataBlockStream model: each block = one new file in a dir
     val dir = java.nio.file.Files.createTempDirectory("graftblocks").toString
