@@ -30,29 +30,52 @@ object AsOfJoin {
     * @param rightTime  event-time column on right
     * @param carry      right columns to carry to matched left rows; each is
     *                   emitted as `asof_<name>` (null when no match)
+    * @param direction  "backward" (default): most recent right row at/before
+    *                   the left time; "forward": earliest right row at/after
+    * @param toleranceSeconds optional maximum |leftTime − rightTime|; a
+    *                   match farther away than this is nulled out
     */
   def asOf(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String,
-      carry: Seq[String]): DataFrame = {
+      carry: Seq[String],
+      direction: String = "backward",
+      toleranceSeconds: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val leftCols = left.columns
+    val carryAll = carry :+ rightTime // carry the matched time for tolerance
     val r = right.select(
       col(rightKey).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__tag") +:
-        carry.map(c => col(c).as(s"asof_$c")): _*)
+        carryAll.map(c => col(c).as(s"asof_$c")): _*)
     val l = left.select(
       col(leftKey).as("__k") +: col(leftTime).as("__t") +: lit(1).as("__tag") +:
         leftCols.map(col): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // Deterministic total order inside a key: right ties resolve to the
-    // largest value of the first carry column (left rows sort on null there,
+    // extreme value of the first carry column (left rows sort on null there,
     // which is harmless — they contribute nothing to `last(ignoreNulls)`).
+    // "forward" flips the time axis and prefers the SMALLEST tie-break so
+    // the semantics mirror backward exactly.
+    val (tOrd, tieOrd) = direction match {
+      case "backward" => (col("__t").asc, col(s"asof_${carry.head}").asc)
+      case "forward" => (col("__t").desc, col(s"asof_${carry.head}").desc)
+    }
     val w = Window.partitionBy("__k")
-      .orderBy(col("__t"), col("__tag"), col(s"asof_${carry.head}"))
+      .orderBy(tOrd, col("__tag").asc, tieOrd)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val windowed = carry.foldLeft(unioned) { (d, c) =>
+    val windowed = carryAll.foldLeft(unioned) { (d, c) =>
       d.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
     }
-    windowed
+    val withinTol = toleranceSeconds match {
+      case None => lit(true)
+      case Some(tol) =>
+        abs(col("__t").cast("double") - col(s"asof_$rightTime").cast("double")) <= tol
+    }
+    val tolApplied = carry.foldLeft(windowed) { (d, c) =>
+      d.withColumn(s"asof_$c", when(withinTol, col(s"asof_$c")))
+    }
+    tolApplied
       .filter(col("__tag") === 1)
       .select(leftCols.map(col) ++ carry.map(c => col(s"asof_$c")): _*)
   }

@@ -26,6 +26,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.head.getAs[Long]("asof_rid") == 901L)
   }
 
+  test("asOf forward direction matches the earliest right row at/after") {
+    val left = Seq((1L, 100L, 10), (1L, 101L, 16)).toDF("k", "lid", "t")
+    val right = Seq((1L, 900L, 5), (1L, 901L, 15), (1L, 902L, 15)).toDF("rk", "rid", "rt")
+    val out = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt", Seq("rid"),
+        direction = "forward")
+      .orderBy("lid").collect()
+      .map(r => (r.getLong(1), Option(r.getAs[java.lang.Long]("asof_rid")).map(_.toLong)))
+    // lid=100 t=10 -> earliest at/after is rt=15, tie -> smallest rid 901
+    // lid=101 t=16 -> nothing at/after -> null
+    assert(out.toSeq == Seq((100L, Some(901L)), (101L, None)))
+  }
+
+  test("asOf tolerance nulls matches farther than the bound") {
+    val left = Seq((1L, 100L, 100), (1L, 101L, 12)).toDF("k", "lid", "t")
+    val right = Seq((1L, 900L, 10)).toDF("rk", "rid", "rt")
+    val out = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt", Seq("rid"),
+        toleranceSeconds = Some(5L))
+      .orderBy("lid").collect()
+      .map(r => (r.getLong(1), Option(r.getAs[java.lang.Long]("asof_rid")).map(_.toLong)))
+    // t=100 is 90s past rt=10: outside tolerance; t=12 is within 5s
+    assert(out.toSeq == Seq((100L, None), (101L, Some(900L))))
+  }
+
   test("asOf keys absent from right yield nulls, not dropped rows") {
     val left = Seq((9L, 1L, 10)).toDF("k", "lid", "t")
     val right = Seq((1L, 900L, 5)).toDF("rk", "rid", "rt")
