@@ -70,9 +70,33 @@ object Similarity {
       .limit(k)
   }
 
-  /** All pairs (da < db) with cosine ≥ tau. Exact O(n²) — declared-query /
-    * verification use; the scale path buckets first (see annBucketTopK). */
+  /** Near-duplicate pairs (da < db) with cosine ≥ tau, bucket-blocked:
+    * both sides carry their [[signBucket]] and the pair join is an
+    * EQUI-join on the bucket with `da < db` as a residual — a plain
+    * shuffle join Catalyst plans like any other (never a cartesian /
+    * BroadcastNestedLoopJoin; plan-asserted in PlanSpec). Near-identical
+    * vectors agree on sign bits, so true near-dups share a bucket; with
+    * `bucketBits` = b the pair space shrinks ~2^b-fold. At 100 TB the
+    * bucket is the blocking key: 2^b independent shuffle partitions,
+    * AQE splitting any hot bucket. Requires dim ≥ bucketBits. */
   def cosinePairs(emb: DataFrame, idCol: String, embCol: String,
+      tau: Double, bucketBits: Int = 6): DataFrame = {
+    val e = emb.select(col(idCol).as("vid"), col(embCol).as("e"),
+      norm(embCol).as("nrm"), signBucket(embCol, bucketBits).as("bk"))
+    val a = e.select(col("vid").as("da"), col("e").as("ea"),
+      col("nrm").as("na"), col("bk"))
+    val b = e.select(col("vid").as("db"), col("e").as("eb"),
+      col("nrm").as("nb"), col("bk").as("bk2"))
+    a.join(b, col("bk") === col("bk2") && col("da") < col("db"))
+      .select(col("da"), col("db"), (dot("ea", "eb") / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
+  /** All pairs (da < db) with cosine ≥ tau — the EXACT O(n²) form, which
+    * plans as a nested-loop join. Verification-only: use it to score a
+    * bounded candidate set (e.g. [[cosinePairs]] or LSH output), never a
+    * full corpus — there is deliberately no declared query on this path. */
+  def cosinePairsExact(emb: DataFrame, idCol: String, embCol: String,
       tau: Double): DataFrame = {
     val e = emb.select(col(idCol).as("vid"), col(embCol).as("e"),
       norm(embCol).as("nrm"))

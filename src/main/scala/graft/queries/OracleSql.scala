@@ -161,8 +161,12 @@ object OracleSql {
     "q_ngram_neardup" ->
       "WITH d AS (SELECT doc_id, lang, list_distinct(list_transform(range(1, greatest(len(text)-2, 1)+1), i -> substr(text, i, 3))) toks FROM documents WHERE doc_id < 200), tok AS (SELECT doc_id, lang, len(toks) nt, unnest(toks) w FROM d), g AS (SELECT a.doc_id da, b.doc_id db, a.nt na, b.nt nb, count(*) inter FROM tok a JOIN tok b ON a.w=b.w AND a.lang=b.lang AND a.doc_id<b.doc_id GROUP BY 1,2,3,4), j AS (SELECT da, db, inter/CAST(na+nb-inter AS DOUBLE) jac FROM g) SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk, round(avg(jac),4) aj FROM j WHERE jac >= 0.9",
     "q_simhash" -> simhashSql,
+    // Bucket-blocked pairs: the 6-bit sign bucket (MSB-first, mirrors
+    // Similarity.signBucket) gates the pair join exactly as the Spark plan.
     "q_embed_neardup" ->
-      "WITH ev AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings WHERE vec_id < 500), d AS (SELECT a.vec_id da, b.vec_id db, sum(a.v*b.v) dot FROM ev a JOIN ev b ON a.i=b.i AND a.vec_id<b.vec_id GROUP BY 1,2), n AS (SELECT vec_id, sqrt(sum(v*v)) nrm FROM ev GROUP BY vec_id), j AS (SELECT da, db, dot/(na.nrm*nb.nrm) cos FROM d JOIN n na ON da=na.vec_id JOIN n nb ON db=nb.vec_id) SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk, round(avg(cos),4) ac FROM j WHERE cos >= 0.4",
+      ("WITH b AS (SELECT vec_id, embedding, " +
+        (0 until 6).map(i => s"${1 << (5 - i)}*(CASE WHEN embedding[${i + 1}] > 0 THEN 1 ELSE 0 END)").mkString(" + ") +
+        " bk FROM embeddings), ev AS (SELECT vec_id, bk, unnest(embedding) v, generate_subscripts(embedding,1) i FROM b), d AS (SELECT a.vec_id da, c.vec_id db, sum(a.v*c.v) dot FROM ev a JOIN ev c ON a.i=c.i AND a.bk=c.bk AND a.vec_id<c.vec_id GROUP BY 1,2), n AS (SELECT vec_id, sqrt(sum(v*v)) nrm FROM ev GROUP BY vec_id), j AS (SELECT da, db, dot/(na.nrm*nb.nrm) cos FROM d JOIN n na ON da=na.vec_id JOIN n nb ON db=nb.vec_id) SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk, round(avg(cos),4) ac FROM j WHERE cos >= 0.4"),
     "q_ann_lsh" ->
       "WITH b AS (SELECT vec_id, embedding, 4*(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + 2*(CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) bk FROM embeddings), qb AS (SELECT bk FROM b WHERE vec_id=0), cand AS (SELECT b.vec_id, b.embedding FROM b, qb WHERE b.bk=qb.bk AND b.vec_id<>0), qv AS (SELECT u.i i, u.v v FROM (SELECT unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings WHERE vec_id=0) u), ev AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding,1) i FROM cand), d AS (SELECT ev.vec_id, sum(ev.v*qv.v) dot, sqrt(sum(ev.v*ev.v)) nrm FROM ev JOIN qv ON ev.i=qv.i GROUP BY ev.vec_id), nq AS (SELECT sqrt(sum(v*v)) n FROM qv) SELECT d.vec_id, round(d.dot/(d.nrm*nq.n),4) cos FROM d, nq ORDER BY cos DESC, d.vec_id LIMIT 10",
     // DuckDB unnest+generate_subscripts vs Spark zip_with/aggregate.

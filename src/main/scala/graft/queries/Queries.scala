@@ -506,14 +506,14 @@ object Queries {
     Ivf.search(emb, cents, "vec_id", "embedding", queryId = 0L, k = 10, nprobe = 2)
   }
 
-  /** Embedding-cosine near-duplicate pairs. Exact all-pairs is O(n²) by
-    * definition, so the declared query bounds the corpus (vec_id<500);
-    * the scale path is bucketing first (q_ann_lsh / Similarity.signBucket),
-    * never exact pairs over the full corpus. */
+  /** Embedding-cosine near-duplicate pairs over the WHOLE corpus,
+    * bucket-blocked: the pair join is an equi-join on the 6-bit sign
+    * bucket (plan-asserted non-cartesian in PlanSpec), so the pair space
+    * is ~64× smaller than all-pairs and every stage is a plain shuffle —
+    * the shape that survives 100 TB. Exact all-pairs scoring stays
+    * available as Similarity.cosinePairsExact for candidate verification. */
   private val qEmbedNeardup: Q = (s, sf) =>
-    Similarity.cosinePairs(
-        t(s, sf, "embeddings").filter(col("vec_id") < 500),
-        "vec_id", "embedding", 0.4)
+    Similarity.cosinePairs(t(s, sf, "embeddings"), "vec_id", "embedding", 0.4)
       .agg(count(lit(1)).as("pairs"),
         sum(col("da") + col("db")).as("chk"),
         round(avg("cos"), 4).as("ac"))

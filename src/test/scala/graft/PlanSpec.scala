@@ -49,6 +49,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), p)
   }
 
+  test("q_embed_neardup pair join is bucket-blocked, never cartesian") {
+    val p = plan("q_embed_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_agg_group uses partial (map-side) aggregation") {
     val p = plan("q_agg_group")
     assert(p.contains("partial_sum") || p.contains("partial"), p)

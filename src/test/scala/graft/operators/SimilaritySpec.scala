@@ -21,12 +21,19 @@ class SimilaritySpec extends SparkSpec {
     assert(top.last.getDouble(1) == -1.0)
   }
 
-  test("cosine is symmetric (pairs view)") {
-    val p = Similarity.cosinePairs(vecs, "vec_id", "embedding", -2.0)
+  test("cosinePairsExact scores every pair (verification path)") {
+    val p = Similarity.cosinePairsExact(vecs, "vec_id", "embedding", -2.0)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(math.abs(p((0L, 1L)) - 1.0) < 1e-12)
     assert(math.abs(p((0L, 2L))) < 1e-12)
     assert(math.abs(p((0L, 3L)) + 1.0) < 1e-12)
+  }
+
+  test("cosinePairs blocks on the sign bucket: only same-bucket pairs") {
+    val p = Similarity.cosinePairs(vecs, "vec_id", "embedding", -2.0, bucketBits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // buckets: 0→4, 1→4, 2→2, 3→0, 4→6 — only (0,1) share one
+    assert(p == Set((0L, 1L)))
   }
 
   test("annBucketTopK searches only the query's sign bucket") {
