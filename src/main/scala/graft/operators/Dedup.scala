@@ -49,6 +49,9 @@ object Dedup {
     * bucket become candidate pairs. Returns distinct (da, db) with da<db. */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes): a remainder would " +
+        "silently drop trailing signature positions and shift the S-curve")
     val rows = numHashes / bands
     val sigs = minHashSignature(df, idCol, textCol, numHashes)
     val bandCols = (0 until bands).map { b =>
@@ -74,23 +77,42 @@ object Dedup {
   /** Exact token-set Jaccard over all same-`groupCol` pairs via an inverted
     * token index: |∩| from the token join, |∪| = |A|+|B|−|∩|. Returns
     * (da, db, jac) for pairs with jac ≥ tau. Quadratic in bucket size —
-    * at scale feed it LSH candidates, not whole corpora. */
+    * at scale either feed it LSH candidates ([[lshVerifiedPairs]]) or cap
+    * hot tokens with `maxDf`. */
   def jaccardPairs(df: DataFrame, idCol: String, groupCol: String,
-      textCol: String, tau: Double): DataFrame =
-    jaccardPairsBy(df, idCol, groupCol, tokens(col(textCol)), tau)
+      textCol: String, tau: Double, maxDf: Option[Long] = None): DataFrame =
+    jaccardPairsBy(df, idCol, groupCol, tokens(col(textCol)), tau, maxDf)
 
   /** N-gram variant: Jaccard over character 3-gram shingles. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, groupCol: String,
-      textCol: String, tau: Double): DataFrame =
-    jaccardPairsBy(df, idCol, groupCol, shingles3(col(textCol)), tau)
+      textCol: String, tau: Double, maxDf: Option[Long] = None): DataFrame =
+    jaccardPairsBy(df, idCol, groupCol, shingles3(col(textCol)), tau, maxDf)
 
-  /** Jaccard over an arbitrary element-set expression. */
+  /** Jaccard over an arbitrary element-set expression.
+    *
+    * `maxDf` is the hot-token defense for Zipfian corpora: tokens whose
+    * per-group document frequency exceeds the cap are dropped before the
+    * inverted-index join (a stop-word shared by f docs alone contributes
+    * f·(f−1)/2 joined rows), and set sizes are recomputed over the capped
+    * sets, so the result is the exact Jaccard of the capped token sets —
+    * a well-defined, engine-portable semantic. With a cap the join fan-out
+    * is bounded by maxDf per (group, token) bucket. */
   def jaccardPairsBy(df: DataFrame, idCol: String, groupCol: String,
-      tokensExpr: Column, tau: Double): DataFrame = {
+      tokensExpr: Column, tau: Double, maxDf: Option[Long] = None): DataFrame = {
     val d = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
       tokensExpr.as("toks"))
-    val tok = d.select(col("id"), col("grp"), size(col("toks")).as("nt"),
+    val base = d.select(col("id"), col("grp"), size(col("toks")).as("nt"),
       explode(col("toks")).as("w"))
+    val tok = maxDf match {
+      case None => base
+      case Some(cap) =>
+        import org.apache.spark.sql.expressions.Window
+        base
+          .withColumn("__df", count(lit(1)).over(Window.partitionBy("grp", "w")))
+          .filter(col("__df") <= cap)
+          .withColumn("nt", count(lit(1)).over(Window.partitionBy("grp", "id")))
+          .drop("__df")
+    }
     val a = tok.select(col("id").as("da"), col("grp"), col("nt").as("na"), col("w"))
     val b = tok.select(col("id").as("db"), col("grp").as("grp2"),
       col("nt").as("nb"), col("w").as("w2"))
@@ -100,6 +122,28 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
       .select(col("da"), col("db"),
         (col("inter") / (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
+      .filter(col("jac") >= tau)
+  }
+
+  /** The composed scale path: MinHash-LSH candidate generation followed by
+    * exact token-Jaccard verification of only those candidates. Sub-quadratic
+    * end to end — the pair space is the LSH buckets' (the S-curve prunes
+    * low-similarity pairs before any token join), and the verify stage is
+    * two equi-joins on doc id attaching the token sets plus a narrow
+    * `array_intersect`. This is the form to run on a full corpus; exact
+    * [[jaccardPairs]] over everything is for small groups or `maxDf`-capped
+    * token sets. Returns (da, db, jac) with jac ≥ tau. */
+  def lshVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, tau: Double): DataFrame = {
+    val cands = lshCandidatePairs(df, idCol, textCol, numHashes, bands)
+    val toks = df.select(col(idCol).as("tid"), tokens(col(textCol)).as("toks"))
+    cands
+      .join(toks.select(col("tid").as("da"), col("toks").as("ta")), "da")
+      .join(toks.select(col("tid").as("db"), col("toks").as("tb")), "db")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+      .select(col("da"), col("db"),
+        (col("inter") /
+          (size(col("ta")) + size(col("tb")) - col("inter")).cast("double")).as("jac"))
       .filter(col("jac") >= tau)
   }
 

@@ -23,16 +23,27 @@ object OracleSql {
 
   // MinHash 8 hashes / 2 bands of 4 (mirrors Dedup.lshCandidatePairs;
   // banding tuned so the S-curve threshold ≈ 0.84 matches the τ=0.8 target).
-  private val minhashSql: String = {
+  // Shared candidate CTEs: d (token sets) … p (distinct candidate pairs).
+  private val lshCandidateCtes: String = {
     val sigs = (0 until 8)
       .map(i => s"list_min(list_transform(toks, w -> md5(concat('$i:', w))))")
       .mkString(", ")
     "WITH d AS (SELECT doc_id, list_distinct(string_split(text,' ')) toks FROM documents), " +
       s"s AS (SELECT doc_id, [$sigs] sig FROM d), " +
       "bands AS (SELECT doc_id, i band_id, md5(concat_ws(':', sig[4*i+1], sig[4*i+2], sig[4*i+3], sig[4*i+4])) bv FROM s, (VALUES (0),(1)) t(i)), " +
-      "p AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bands a JOIN bands b ON a.band_id=b.band_id AND a.bv=b.bv AND a.doc_id<b.doc_id) " +
-      "SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk FROM p"
+      "p AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bands a JOIN bands b ON a.band_id=b.band_id AND a.bv=b.bv AND a.doc_id<b.doc_id)"
   }
+
+  private val minhashSql: String =
+    lshCandidateCtes + " SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk FROM p"
+
+  // LSH candidates verified by exact token-set Jaccard (mirrors
+  // Dedup.lshVerifiedPairs): intersection counted over the distinct sets.
+  private val lshVerifiedSql: String =
+    lshCandidateCtes +
+      ", v AS (SELECT da, db, len(list_filter(ta.toks, x -> list_contains(tb.toks, x))) inter, len(ta.toks) na, len(tb.toks) nb FROM p JOIN d ta ON p.da=ta.doc_id JOIN d tb ON p.db=tb.doc_id), " +
+      "j AS (SELECT da, db, inter/CAST(na+nb-inter AS DOUBLE) jac FROM v) " +
+      "SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk, round(avg(jac),4) aj FROM j WHERE jac >= 0.8"
 
   val all: Map[String, String] = Map(
     "q_scan" ->
@@ -156,6 +167,7 @@ object OracleSql {
     "q_lang_id" ->
       "SELECT lang, CASE WHEN len(list_filter(string_split(text,' '), w -> w IN ('the', 'a')))/CAST(len(string_split(text,' ')) AS DOUBLE) >= 0.05 THEN 'en' ELSE 'und' END pred, count(*) c FROM documents GROUP BY lang, pred ORDER BY lang, pred",
     "q_minhash_lsh" -> minhashSql,
+    "q_neardup_lsh" -> lshVerifiedSql,
     "q_neardup" ->
       "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text,' ')) toks FROM documents WHERE doc_id < 1000), tok AS (SELECT doc_id, lang, len(toks) nt, unnest(toks) w FROM d), g AS (SELECT a.doc_id da, b.doc_id db, a.nt na, b.nt nb, count(*) inter FROM tok a JOIN tok b ON a.w=b.w AND a.lang=b.lang AND a.doc_id<b.doc_id GROUP BY 1,2,3,4), j AS (SELECT da, db, inter/CAST(na+nb-inter AS DOUBLE) jac FROM g) SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk, round(avg(jac),4) aj FROM j WHERE jac >= 0.8",
     "q_ngram_neardup" ->

@@ -582,6 +582,16 @@ object Queries {
         sum(col("da") + col("db")).as("chk"),
         round(avg("jac"), 4).as("aj"))
 
+  /** The composed near-dup pipeline over the WHOLE corpus: MinHash-LSH
+    * candidates (sub-quadratic banding) verified by exact token Jaccard —
+    * the form that replaces the bounded exact queries at scale. No corpus
+    * bound: the pair space is the LSH buckets', not n². */
+  private val qNeardupLsh: Q = (s, sf) =>
+    Dedup.lshVerifiedPairs(t(s, sf, "documents"), "doc_id", "text", 8, 2, 0.8)
+      .agg(count(lit(1)).as("pairs"),
+        sum(col("da") + col("db")).as("chk"),
+        round(avg("jac"), 4).as("aj"))
+
   /** SimHash signature buckets: most-populated 16-bit signatures. */
   private val qSimhash: Q = (s, sf) =>
     Dedup.simHash16(t(s, sf, "documents"), "doc_id", "text")
@@ -655,6 +665,7 @@ object Queries {
     "q_quality" -> qQuality,
     "q_lang_id" -> qLangId,
     "q_minhash_lsh" -> qMinhashLsh,
+    "q_neardup_lsh" -> qNeardupLsh,
     "q_neardup" -> qNeardup,
     "q_ngram_neardup" -> qNgramNeardup,
     "q_simhash" -> qSimhash)

@@ -55,6 +55,41 @@ class DedupSpec extends SparkSpec {
     assert(!cand.contains((1L, 4L))) // disjoint vocab never collides on all-min bands
   }
 
+  test("jaccardPairs maxDf drops hot tokens and recomputes capped set sizes") {
+    val d = Seq(
+      (1L, "en", "stop alpha beta"),   // 'stop' appears in all 3 docs
+      (2L, "en", "stop alpha gamma"),
+      (3L, "en", "stop delta epsilon")
+    ).toDF("doc_id", "lang", "text")
+    // uncapped: jac(1,2) = |{stop,alpha}| / |{stop,alpha,beta,gamma}| = 0.5
+    val full = Dedup.jaccardPairs(d, "doc_id", "lang", "text", 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(full((1L, 2L)) == 0.5)
+    // maxDf=2 drops 'stop' (df=3): capped sets {alpha,beta} vs {alpha,gamma}
+    // → jac = 1/3, and pairs sharing only 'stop' vanish entirely
+    val capped = Dedup.jaccardPairs(d, "doc_id", "lang", "text", 0.0, maxDf = Some(2L))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(capped((1L, 2L)) - 1.0 / 3.0) < 1e-12)
+    assert(!capped.contains((1L, 3L)) && !capped.contains((2L, 3L)))
+  }
+
+  test("lshVerifiedPairs: LSH candidates verified by exact Jaccard") {
+    val v = Dedup.lshVerifiedPairs(docs, "doc_id", "text", 8, 2, 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // identical docs are always candidates (equal signatures) and verify at 1.0
+    assert(v((1L, 2L)) == 1.0 && v((1L, 5L)) == 1.0 && v((2L, 5L)) == 1.0)
+    // everything surviving the verify stage genuinely clears tau
+    assert(v.values.forall(_ >= 0.8))
+    // disjoint-vocab doc never appears
+    assert(!v.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("lshCandidatePairs rejects bands that do not divide numHashes") {
+    assertThrows[IllegalArgumentException] {
+      Dedup.lshCandidatePairs(docs, "doc_id", "text", 8, 3)
+    }
+  }
+
   test("simHash16 gives equal signatures for equal token sets, different for disjoint") {
     val sigs = Dedup.simHash16(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
