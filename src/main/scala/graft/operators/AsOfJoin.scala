@@ -29,11 +29,18 @@ object AsOfJoin {
     * @param leftTime   event-time column on left
     * @param rightTime  event-time column on right
     * @param carry      right columns to carry to matched left rows; each is
-    *                   emitted as `asof_<name>` (null when no match)
+    *                   emitted as `asof_<name>` (null when no match). May be
+    *                   empty (the join then only validates matchability).
     * @param direction  "backward" (default): most recent right row at/before
     *                   the left time; "forward": earliest right row at/after
     * @param toleranceSeconds optional maximum |leftTime − rightTime|; a
     *                   match farther away than this is nulled out
+    *
+    * The attached match is ATOMIC: all carried values come from ONE right
+    * row (pandas/DuckDB as-of semantics). Internally every carry column
+    * plus the matched time rides in a single struct, so a null in one
+    * carried column can never mix values from different right rows, and the
+    * tolerance check always agrees with the row the values came from.
     */
   def asOf(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
@@ -44,39 +51,37 @@ object AsOfJoin {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     val leftCols = left.columns
-    val carryAll = carry :+ rightTime // carry the matched time for tolerance
-    val r = right.select(
-      col(rightKey).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__tag") +:
-        carryAll.map(c => col(c).as(s"asof_$c")): _*)
+    val carryAll = carry :+ rightTime // matched time rides along for tolerance
+    val r = right.select(col(rightKey).as("__k"), col(rightTime).as("__t"),
+      lit(0).as("__tag"),
+      struct(carryAll.map(c => col(c).as(s"asof_$c")): _*).as("__m"))
     val l = left.select(
       col(leftKey).as("__k") +: col(leftTime).as("__t") +: lit(1).as("__tag") +:
         leftCols.map(col): _*)
-    val unioned = l.unionByName(r, allowMissingColumns = true)
-    // Deterministic total order inside a key: right ties resolve to the
-    // extreme value of the first carry column (left rows sort on null there,
-    // which is harmless — they contribute nothing to `last(ignoreNulls)`).
-    // "forward" flips the time axis and prefers the SMALLEST tie-break so
-    // the semantics mirror backward exactly.
+    val unioned = l.unionByName(r, allowMissingColumns = true) // __m null on left
+    // Deterministic total order inside a key: struct comparison is
+    // lexicographic over (carry…, matched time), so ties among right rows
+    // at one timestamp resolve to ONE whole row (left rows sort on a null
+    // struct, contributing nothing to last(ignoreNulls)). "forward" flips
+    // the time axis and prefers the smallest tie-break, mirroring backward.
     val (tOrd, tieOrd) = direction match {
-      case "backward" => (col("__t").asc, col(s"asof_${carry.head}").asc)
-      case "forward" => (col("__t").desc, col(s"asof_${carry.head}").desc)
+      case "backward" => (col("__t").asc, col("__m").asc)
+      case "forward" => (col("__t").desc, col("__m").desc)
     }
     val w = Window.partitionBy("__k")
       .orderBy(tOrd, col("__tag").asc, tieOrd)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val windowed = carryAll.foldLeft(unioned) { (d, c) =>
-      d.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
+    val matched = unioned
+      .withColumn("__m", last(col("__m"), ignoreNulls = true).over(w))
     val withinTol = toleranceSeconds match {
       case None => lit(true)
       case Some(tol) =>
-        abs(col("__t").cast("double") - col(s"asof_$rightTime").cast("double")) <= tol
+        abs(col("__t").cast("double") -
+          col("__m").getField(s"asof_$rightTime").cast("double")) <= tol
     }
-    val tolApplied = carry.foldLeft(windowed) { (d, c) =>
-      d.withColumn(s"asof_$c", when(withinTol, col(s"asof_$c")))
-    }
-    tolApplied
+    matched
       .filter(col("__tag") === 1)
-      .select(leftCols.map(col) ++ carry.map(c => col(s"asof_$c")): _*)
+      .select(leftCols.map(col) ++ carry.map(c =>
+        when(withinTol, col("__m").getField(s"asof_$c")).as(s"asof_$c")): _*)
   }
 }

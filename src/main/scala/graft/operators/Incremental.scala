@@ -47,9 +47,13 @@ object Incremental {
       col(src).cast(tpe).as(name)
     }: _*)
 
-  /** High-watermark incremental consumption: only rows strictly newer than
-    * the checkpointed watermark. The runner persists the watermark; the
-    * predicate pushes down to the scan (partition pruning at scale). */
+  /** High-watermark incremental consumption: rows AT OR AFTER the
+    * checkpointed watermark (`>=`, matching [[graft.sources.Tables.eventsSince]]).
+    * Callers that checkpoint an observed max timestamp must dedupe boundary
+    * rows (or advance the watermark past them) — the inclusive bound is
+    * chosen so a watermark taken between two equal-timestamp rows never
+    * loses the second one. The runner persists the watermark; the predicate
+    * pushes down to the scan (partition pruning at scale). */
   def sinceWatermark(df: DataFrame, tsCol: String, watermark: Column): DataFrame =
     df.filter(col(tsCol) >= watermark)
 }

@@ -15,12 +15,23 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Equi-join `left ⋈ right` on `leftKey = rightKey`, salted. */
+  /** Equi-join `left ⋈ right` on `leftKey = rightKey`, salted.
+    *
+    * Only inner/left joins are allowed: the build side is replicated
+    * `salts` times, so a right/full outer join would emit each unmatched
+    * right row once per replica. The salt is derived deterministically
+    * from the left row's columns (not `rand()`), so task retries and stage
+    * recomputation reproduce identical salts — no duplicated or dropped
+    * rows under speculative execution. */
   def saltedJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, salts: Int,
       joinType: String = "inner"): DataFrame = {
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(jt == "inner" || jt == "left" || jt == "leftouter",
+      s"saltedJoin supports inner/left only (got $joinType): the replicated " +
+        "build side would emit unmatched right rows once per salt")
     val saltedLeft = left.withColumn("__salt",
-      (rand(seed = 7) * salts).cast("int"))
+      pmod(hash(left.columns.map(col): _*), lit(salts)))
     val saltedRight = right.crossJoin(
       spark_range_df(right, salts))
     saltedLeft.join(saltedRight,

@@ -49,6 +49,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.toSeq == Seq((100L, None), (101L, Some(900L))))
   }
 
+  test("asOf attaches one whole right row: null fields never mix rows") {
+    // newest right row has a null in one carried column; a per-column
+    // last(ignoreNulls) would resurrect 'a' from the OLDER row — atomic
+    // attachment must report (null, "y") from the newest row instead
+    val left = Seq((1L, 100L, 30)).toDF("k", "lid", "t")
+    val right = Seq(
+      (1L, 10, Some(7L), "x"),
+      (1L, 20, None: Option[Long], "y")
+    ).toDF("rk", "rt", "a", "b")
+    val out = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt", Seq("a", "b"))
+      .collect().head
+    assert(out.isNullAt(out.fieldIndex("asof_a")))
+    assert(out.getAs[String]("asof_b") == "y")
+  }
+
+  test("asOf with empty carry keeps every left row (schema unchanged)") {
+    val left = Seq((1L, 100L, 10)).toDF("k", "lid", "t")
+    val right = Seq((1L, 900L, 5)).toDF("rk", "rid", "rt")
+    val out = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt", Seq.empty)
+    assert(out.columns.toSeq == Seq("k", "lid", "t") && out.count() == 1)
+  }
+
   test("asOf keys absent from right yield nulls, not dropped rows") {
     val left = Seq((9L, 1L, 10)).toDF("k", "lid", "t")
     val right = Seq((1L, 900L, 5)).toDF("rk", "rid", "rt")

@@ -19,10 +19,29 @@ class SkewSpec extends SparkSpec {
     assert(plain.length == 502)
   }
 
-  test("saltedJoin spreads a hot key over multiple salt buckets") {
+  test("saltedJoin spreads a hot key over multiple salt buckets, deterministically") {
     val left = Seq.fill(1000)(1L).zipWithIndex.toDF("k", "i")
-    val salts = left.withColumn("__salt", (rand(seed = 7) * 8).cast("int"))
-      .select("__salt").distinct().count()
-    assert(salts > 4) // the hot key lands in most of the 8 buckets
+    def buckets() = left
+      .withColumn("__salt", pmod(hash(left.columns.map(col): _*), lit(8)))
+      .select("__salt").distinct().collect().map(_.getInt(0)).toSet
+    val b1 = buckets()
+    assert(b1.size > 4) // the hot key lands in most of the 8 buckets
+    assert(b1 == buckets()) // hash-derived: identical on recomputation
+  }
+
+  test("saltedJoin left join keeps unmatched left rows exactly once") {
+    val left = Seq((1L, 0), (9L, 1)).toDF("k", "i") // 9 has no dim row
+    val dim = Seq((1L, "a")).toDF("dk", "name")
+    val out = Skew.saltedJoin(left, dim, "k", "dk", salts = 4, joinType = "left")
+      .select("i", "name").collect().map(r => (r.getInt(0), Option(r.getString(1))))
+    assert(out.sortBy(_._1).toSeq == Seq((0, Some("a")), (1, None)))
+  }
+
+  test("saltedJoin rejects outer join types that would duplicate the build side") {
+    val left = Seq((1L, 0)).toDF("k", "i")
+    val dim = Seq((1L, "a")).toDF("dk", "name")
+    assertThrows[IllegalArgumentException] {
+      Skew.saltedJoin(left, dim, "k", "dk", salts = 4, joinType = "right")
+    }
   }
 }
