@@ -65,30 +65,106 @@ final class Graph(val nodes: Seq[Node]) {
     }
     produced.toMap
   }
+
+  /** Incremental run — the defining block-consumption semantic: each
+    * source in `blockSources` is an ordered list of (blockId, frame), and
+    * a run consumes ONLY blocks not yet recorded as consumed in `log`.
+    * Nodes see the union of their sources' NEW blocks (delta propagation
+    * for insert-only pipelines; a source with nothing new contributes an
+    * empty delta of its schema). When no source has new blocks the run is
+    * a no-op returning an empty map — nothing is recomputed, nothing is
+    * logged. Each node's run-log entry records the block ids it
+    * transitively consumed (lineage); block ids are marked consumed only
+    * after every node ran, so a failed run re-consumes its blocks
+    * (at-least-once, matching the idempotent re-run bookkeeping).
+    *
+    * Driver-side wiring only: the delta union is a metadata-only plan, so
+    * at 100 TB a run costs the new blocks' scan, never the backlog's. */
+  def runIncremental(blockSources: Map[String, Seq[(String, DataFrame)]],
+      log: RunLog,
+      inputs: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] = {
+    blockSources.foreach { case (src, blocks) =>
+      require(blocks.nonEmpty, s"block source $src has no blocks") }
+    val fresh: Map[String, Seq[(String, DataFrame)]] = blockSources.map {
+      case (src, blocks) =>
+        val seen = log.consumedBlocks(src)
+        src -> blocks.filterNot { case (bid, _) => seen(bid) }
+    }
+    if (fresh.values.forall(_.isEmpty)) return Map.empty
+    val deltas = blockSources.map { case (src, blocks) =>
+      val news = fresh(src)
+      src -> (if (news.isEmpty) blocks.head._2.limit(0)
+              else news.map(_._2).reduce(_.unionByName(_)))
+    }
+    // transitive source-block lineage per node
+    val consumedBy = scala.collection.mutable.Map[String, Seq[String]]()
+    val produced = scala.collection.mutable.Map[String, DataFrame](
+      (inputs ++ deltas).toSeq: _*)
+    topoOrder.foreach { n =>
+      val upstream = n.deps.map { d =>
+        d -> produced.getOrElse(d,
+          throw new IllegalArgumentException(s"node ${n.id}: missing upstream $d"))
+      }.toMap
+      produced(n.id) = n.fn(upstream)
+      consumedBy(n.id) = n.deps.flatMap { d =>
+        fresh.get(d).map(_.map(_._1)).getOrElse(consumedBy.getOrElse(d, Nil))
+      }.distinct
+      log.append(n.id, consumedBy(n.id))
+    }
+    fresh.foreach { case (src, news) =>
+      if (news.nonEmpty) log.markConsumed(src, news.map(_._1)) }
+    produced.toMap
+  }
 }
 
-/** Append-only run log + high-watermark store — the reference's metadata DB
-  * reduced to its two jobs: which node ran (idempotent re-run bookkeeping)
-  * and the incremental-consumption watermark per node. Driver-side file
-  * state (tiny), matching the reference's SQLAlchemy log in role. */
+/** Append-only run log + high-watermark store + consumed-block ledger —
+  * the reference's metadata DB reduced to its three jobs: which node ran
+  * with which input blocks (lineage / idempotent re-run bookkeeping), the
+  * incremental-consumption watermark per node, and the per-source set of
+  * already-consumed block ids. Driver-side file state (tiny), matching the
+  * reference's SQLAlchemy log in role. */
 final class RunLog(dir: String) {
   Files.createDirectories(Paths.get(dir))
   private val runsPath = Paths.get(dir, "runs.log")
   private val wmDir = Paths.get(dir, "watermarks")
+  private val consumedDir = Paths.get(dir, "consumed")
   Files.createDirectories(wmDir)
-  private var seq = 0L
+  Files.createDirectories(consumedDir)
+  private var seq = runs.lastOption.map(_._1).getOrElse(0L) // survive reopen
 
-  def append(nodeId: String): Unit = synchronized {
+  /** Record a node run; `consumed` = source block ids this run drew on. */
+  def append(nodeId: String, consumed: Seq[String] = Nil): Unit = synchronized {
     seq += 1
-    Files.writeString(runsPath, s"$seq\t$nodeId\n",
+    Files.writeString(runsPath, s"$seq\t$nodeId\t${consumed.mkString(",")}\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 
-  def runs: Seq[(Long, String)] =
+  def runs: Seq[(Long, String)] = lineage.map { case (s, id, _) => (s, id) }
+
+  /** Full lineage: (seq, nodeId, consumed block ids) per recorded run. */
+  def lineage: Seq[(Long, String, Seq[String])] =
     if (!Files.exists(runsPath)) Seq.empty
     else Files.readAllLines(runsPath).asScala.toSeq.map { l =>
-      val Array(s, id) = l.split("\t", 2); (s.toLong, id)
+      l.split("\t", 3) match {
+        case Array(s, id, blocks) =>
+          (s.toLong, id, blocks.split(",").filter(_.nonEmpty).toSeq)
+        case Array(s, id) => (s.toLong, id, Seq.empty)
+      }
     }
+
+  /** Block ids a source has already had consumed (never re-processed). */
+  def consumedBlocks(sourceId: String): Set[String] = {
+    val p = consumedDir.resolve(sourceId)
+    if (!Files.exists(p)) Set.empty
+    else Files.readAllLines(p).asScala.filter(_.nonEmpty).toSet
+  }
+
+  /** Mark blocks consumed (append-only ledger, idempotent re-adds). */
+  def markConsumed(sourceId: String, blockIds: Seq[String]): Unit = synchronized {
+    Files.writeString(consumedDir.resolve(sourceId),
+      blockIds.mkString("", "\n", "\n"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
 
   /** Persisted high-watermark for a node's incremental consumption. */
   def setWatermark(nodeId: String, value: String): Unit =

@@ -84,6 +84,45 @@ class GraphSpec extends SparkSpec {
     assert(Incremental.sinceWatermark(more, "t", lit(wm + 1)).count() == 1)
   }
 
+  test("runIncremental consumes only unprocessed blocks and records lineage") {
+    val dir = Files.createTempDirectory("graftblk").toString
+    val log = new RunLog(dir)
+    val b1 = Seq((1L, 10.0)).toDF("id", "v")
+    val b2 = Seq((2L, 32.0)).toDF("id", "v")
+    val g = new Graph(Seq(
+      Node("clean", Seq("ev"), m => m("ev").filter(col("v") > 0)),
+      Node.sql("total", Seq("clean"), "SELECT count(*) c, sum(v) s FROM clean")))
+
+    val r1 = g.runIncremental(Map("ev" -> Seq("b1" -> b1)), log)
+    assert(r1("total").collect().head.getLong(0) == 1L)
+
+    // second run sees both blocks registered but consumes ONLY the new one
+    val r2 = g.runIncremental(Map("ev" -> Seq("b1" -> b1, "b2" -> b2)), log)
+    val row = r2("total").collect().head
+    assert(row.getLong(0) == 1L && row.getDouble(1) == 32.0)
+
+    // third run: nothing new -> no-op, nothing recomputed or logged
+    val before = log.lineage.size
+    assert(g.runIncremental(Map("ev" -> Seq("b1" -> b1, "b2" -> b2)), log).isEmpty)
+    assert(log.lineage.size == before)
+
+    assert(log.consumedBlocks("ev") == Set("b1", "b2"))
+    // lineage: both nodes record the block ids they (transitively) consumed
+    assert(log.lineage.filter(_._2 == "total").map(_._3) == Seq(Seq("b1"), Seq("b2")))
+    assert(log.lineage.filter(_._2 == "clean").map(_._3) == Seq(Seq("b1"), Seq("b2")))
+  }
+
+  test("RunLog seq and consumed ledger survive reopen") {
+    val dir = Files.createTempDirectory("graftreopen").toString
+    val log1 = new RunLog(dir)
+    log1.append("n", Seq("blk-0"))
+    log1.markConsumed("src", Seq("blk-0"))
+    val log2 = new RunLog(dir)
+    log2.append("n", Seq("blk-1"))
+    assert(log2.lineage.map(_._1) == Seq(1L, 2L)) // seq continues, not restarts
+    assert(log2.consumedBlocks("src") == Set("blk-0"))
+  }
+
   test("watermark store round-trips for incremental consumption") {
     val dir = Files.createTempDirectory("graftwm").toString
     val log = new RunLog(dir)
