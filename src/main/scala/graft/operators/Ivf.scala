@@ -59,6 +59,44 @@ object Ivf {
     centroids
   }
 
+  /** Fixed axis-aligned coarse cells: cell j is the unit vector along
+    * dimension j (j < cells), so assignment = argmax of the first `cells`
+    * coordinates (nearest unit axis = largest coordinate; ties to the
+    * smallest j). No training, fully deterministic, SQL-expressible —
+    * the oracle-checkable IVF variant. Narrow and codegen'd like
+    * [[cellOf]]; [[train]]/[[search]] remain the learned-centroid path. */
+  def fixedCellOf(embCol: String, cells: Int): Column = {
+    val ds = array((0 until cells).map(j =>
+      expr(s"element_at($embCol, ${j + 1})")): _*)
+    (array_position(ds, array_max(ds)) - 1).cast("int")
+  }
+
+  /** IVF search over the fixed axis cells: probe the query's `nprobe`
+    * largest of the first `cells` dimensions, rank candidates by cosine.
+    * The probe set is computed inside the plan from the query row (no
+    * driver collect) and broadcast with the query vector; at scale `cell`
+    * doubles as a partition column → scan-level pruning to nprobe/cells
+    * of the data. */
+  def searchFixed(emb: DataFrame, idCol: String, embCol: String,
+      queryId: Long, k: Int, cells: Int, nprobe: Int): DataFrame = {
+    val assigned = emb.withColumn("cell", fixedCellOf(embCol, cells))
+    // top-nprobe probe cells: sort (−value, dim) structs, take the head
+    val probes = expr(
+      s"transform(slice(array_sort(transform(sequence(1, $cells), " +
+        s"j -> struct(-element_at($embCol, j) AS nv, j AS j))), 1, $nprobe), " +
+        "s -> s.j - 1)")
+    val q = assigned.filter(col(idCol) === queryId)
+      .select(col(embCol).as("qe"), probes.as("probes"))
+    assigned.filter(col(idCol) =!= queryId)
+      .join(broadcast(q), array_contains(col("probes"), col("cell")))
+      .select(col(idCol),
+        round(VectorFunctions.dotProduct(col(embCol), col("qe")) /
+          (sqrt(VectorFunctions.norm2(col(embCol))) *
+            sqrt(VectorFunctions.norm2(col("qe")))), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Assign each row its nearest cell (narrow, shuffle-free). */
   def assign(emb: DataFrame, centroids: Centroids, embCol: String): DataFrame =
     emb.withColumn("cell", cellOf(centroids, embCol))

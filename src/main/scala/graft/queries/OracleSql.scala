@@ -181,6 +181,10 @@ object OracleSql {
         " bk FROM embeddings), ev AS (SELECT vec_id, bk, unnest(embedding) v, generate_subscripts(embedding,1) i FROM b), d AS (SELECT a.vec_id da, c.vec_id db, sum(a.v*c.v) dot FROM ev a JOIN ev c ON a.i=c.i AND a.bk=c.bk AND a.vec_id<c.vec_id GROUP BY 1,2), n AS (SELECT vec_id, sqrt(sum(v*v)) nrm FROM ev GROUP BY vec_id), j AS (SELECT da, db, dot/(na.nrm*nb.nrm) cos FROM d JOIN n na ON da=na.vec_id JOIN n nb ON db=nb.vec_id) SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk, round(avg(cos),4) ac FROM j WHERE cos >= 0.4"),
     "q_ann_lsh" ->
       "WITH b AS (SELECT vec_id, embedding, 4*(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + 2*(CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) bk FROM embeddings), qb AS (SELECT bk FROM b WHERE vec_id=0), cand AS (SELECT b.vec_id, b.embedding FROM b, qb WHERE b.bk=qb.bk AND b.vec_id<>0), qv AS (SELECT u.i i, u.v v FROM (SELECT unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings WHERE vec_id=0) u), ev AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding,1) i FROM cand), d AS (SELECT ev.vec_id, sum(ev.v*qv.v) dot, sqrt(sum(ev.v*ev.v)) nrm FROM ev JOIN qv ON ev.i=qv.i GROUP BY ev.vec_id), nq AS (SELECT sqrt(sum(v*v)) n FROM qv) SELECT d.vec_id, round(d.dot/(d.nrm*nq.n),4) cos FROM d, nq ORDER BY cos DESC, d.vec_id LIMIT 10",
+    // Fixed axis-aligned IVF (mirrors Ivf.searchFixed): cell = argmax of
+    // the first 8 dims (ties -> smallest dim), probes = query's top-2 dims.
+    "q_ann_ivf_fixed" ->
+      "WITH ed AS (SELECT vec_id, generate_subscripts(embedding,1) j, unnest(embedding) v FROM embeddings), mx AS (SELECT vec_id, max(v) mv FROM ed WHERE j <= 8 GROUP BY vec_id), ca AS (SELECT e.vec_id, min(e.j)-1 cell FROM ed e JOIN mx ON e.vec_id=mx.vec_id AND e.v=mx.mv WHERE e.j <= 8 GROUP BY e.vec_id), qp AS (SELECT j-1 cell FROM ed WHERE vec_id=0 AND j <= 8 ORDER BY v DESC, j LIMIT 2), qv AS (SELECT j i, v FROM ed WHERE vec_id=0), cand AS (SELECT c.vec_id FROM ca c JOIN qp ON c.cell=qp.cell WHERE c.vec_id<>0), ev AS (SELECT e.vec_id, e.j i, e.v FROM ed e JOIN cand ON e.vec_id=cand.vec_id), d AS (SELECT ev.vec_id, sum(ev.v*qv.v) dot, sqrt(sum(ev.v*ev.v)) nrm FROM ev JOIN qv ON ev.i=qv.i GROUP BY ev.vec_id), nq AS (SELECT sqrt(sum(v*v)) n FROM qv) SELECT d.vec_id, round(d.dot/(d.nrm*nq.n),4) cos FROM d, nq ORDER BY cos DESC, d.vec_id LIMIT 10",
     // DuckDB unnest+generate_subscripts vs Spark zip_with/aggregate.
     "q_cosine_topk" ->
       "WITH qv AS (SELECT u.i AS i, u.v AS v FROM (SELECT unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings WHERE vec_id=0) u), ev AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings WHERE vec_id<>0), d AS (SELECT ev.vec_id, sum(ev.v*qv.v) dot, sqrt(sum(ev.v*ev.v)) nrm FROM ev JOIN qv ON ev.i=qv.i GROUP BY ev.vec_id), nq AS (SELECT sqrt(sum(v*v)) n FROM qv) SELECT d.vec_id, round(d.dot/(d.nrm*nq.n),4) cos FROM d, nq ORDER BY cos DESC, d.vec_id LIMIT 10")

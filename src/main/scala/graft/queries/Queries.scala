@@ -506,6 +506,14 @@ object Queries {
     Ivf.search(emb, cents, "vec_id", "embedding", queryId = 0L, k = 10, nprobe = 2)
   }
 
+  /** IVF over FIXED axis-aligned cells (8 cells, probe 2): deterministic
+    * and SQL-expressible, so unlike the Lloyd-trained q_cosine_ivf this
+    * variant is oracle-checked end to end. Same physical shape: narrow
+    * argmax assignment, probe-pruned candidates, top-k cosine. */
+  private val qAnnIvfFixed: Q = (s, sf) =>
+    Ivf.searchFixed(t(s, sf, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10, cells = 8, nprobe = 2)
+
   /** Embedding-cosine near-duplicate pairs over the WHOLE corpus,
     * bucket-blocked: the pair join is an equi-join on the 6-bit sign
     * bucket (plan-asserted non-cartesian in PlanSpec), so the pair space
@@ -658,6 +666,7 @@ object Queries {
     "q_cosine_topk" -> qCosineTopk,
     "q_ann_lsh" -> qAnnLsh,
     "q_cosine_ivf" -> qCosineIvf,
+    "q_ann_ivf_fixed" -> qAnnIvfFixed,
     "q_embed_neardup" -> qEmbedNeardup,
     "q_dedup_exact" -> qDedupExact,
     "q_fingerprint" -> qFingerprint,
