@@ -38,6 +38,48 @@ object Tables {
   def views(spark: SparkSession, sfDir: String, names: Seq[String] = all): Unit =
     names.foreach(n => table(spark, sfDir, n).createOrReplaceTempView(n))
 
+  /** Write `events` as a hive-partitioned parquet layout (dt=YYYY-MM-DD
+    * directories) — the 100 TB layout: a time-ranged query prunes whole
+    * date partitions at the scan (see [[eventsSincePartitioned]] and the
+    * PartitionFilters plan assertion in PlanSpec). Testdata stays
+    * read-only; callers pass a scratch `outDir`. */
+  def writeEventsPartitioned(spark: SparkSession, sfDir: String,
+      outDir: String): Unit =
+    table(spark, sfDir, "events")
+      .withColumn("dt", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("dt").parquet(outDir)
+
+  /** Incremental read over the partitioned layout: the watermark predicate
+    * lands on the PARTITION column, so pruning happens at file listing —
+    * unneeded date directories are never opened (vs. row-group pruning on
+    * the raw-nanos path of [[eventsSince]]). */
+  def eventsSincePartitioned(spark: SparkSession, dir: String,
+      watermark: java.time.LocalDate): DataFrame =
+    spark.read.parquet(dir)
+      .filter(col("dt") >= lit(java.sql.Date.valueOf(watermark)))
+
+  /** JDBC table read (the reference's database storages, e.g. Postgres
+    * tables, behind the same reader API). `options` passes through Spark
+    * JDBC tuning — at scale ALWAYS set partitionColumn/lowerBound/
+    * upperBound/numPartitions so the read is N parallel range scans
+    * instead of one executor draining the whole table over one
+    * connection; predicates on the partition column prune ranges. */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .options(options).load()
+
+  /** JDBC table write. `mode` follows DataFrameWriter ("overwrite",
+    * "append", …); batching is Spark's JDBC writer (per-partition
+    * connections, `batchsize` rows per round trip via `options`). */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+      mode: String = "overwrite",
+      options: Map[String, String] = Map.empty): Unit =
+    df.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .options(options).mode(mode).save()
+
   /** Events at/after a watermark, with the predicate applied to the RAW
     * int64-nanos column *before* the timestamp rebuild, so it pushes down
     * into the parquet scan (row-group + page pruning). Filtering the

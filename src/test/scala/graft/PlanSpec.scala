@@ -49,6 +49,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"), p)
   }
 
+  test("date-partitioned events layout prunes partitions on the watermark") {
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graftpart").toString
+    Tables.writeEventsPartitioned(spark, sf001, s"$dir/events")
+    val since = Tables.eventsSincePartitioned(spark, s"$dir/events",
+      java.time.LocalDate.parse("2024-01-15"))
+    val p = since.queryExecution.executedPlan.toString
+    // the predicate must be a PartitionFilter (file-listing pruning),
+    // not a post-scan data filter
+    assert(p.contains("PartitionFilters: [isnotnull(dt"), p)
+    assert(p.contains("2024-01-15"), p)
+    // and pruning actually bites: fewer files read than the full layout
+    val all = spark.read.parquet(s"$dir/events")
+    assert(since.count() > 0 && since.count() < all.count())
+  }
+
   test("q_embed_neardup pair join is bucket-blocked, never cartesian") {
     val p = plan("q_embed_neardup")
     assert(!p.contains("CartesianProduct"), p)
