@@ -86,3 +86,21 @@ object MinHashAgg {
     a.zip(b).count { case (x, y) => x == y }.toDouble / a.length
   }
 }
+
+/** Keyed variant for per-document aggregation: input rows are
+  * (docId, token); the id rides in the group key, the token feeds the
+  * sketch. Same hash family and merge as [[MinHashAgg]], so per-block
+  * signatures fold into batch signatures exactly (the incremental
+  * signature-maintenance path — see graft.modules.CorpusModule). */
+final class MinHashDocAgg(k: Int)
+    extends Aggregator[(Long, String), Array[Long], Array[Long]] {
+  private val inner = new MinHashAgg(k)
+  override def zero: Array[Long] = inner.zero
+  override def reduce(b: Array[Long], a: (Long, String)): Array[Long] =
+    inner.reduce(b, a._2)
+  override def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+    inner.merge(x, y)
+  override def finish(r: Array[Long]): Array[Long] = inner.finish(r)
+  override def bufferEncoder: Encoder[Array[Long]] = inner.bufferEncoder
+  override def outputEncoder: Encoder[Array[Long]] = inner.outputEncoder
+}

@@ -1,0 +1,70 @@
+package graft.modules
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.engine.{Graph, Node}
+import graft.functions.MinHashDocAgg
+import graft.operators.{Incremental, TextAnalysis}
+
+/** A packaged, reusable module in the reference's sense — a bundled schema
+  * plus pipes you drop into any DAG (the pattern its shipped modules use:
+  * declare the shape once, reuse the pipeline everywhere). This one is the
+  * canonical training-corpus intake: normalize onto the module schema →
+  * exact-dedupe by content → quality-score → filter.
+  *
+  * Every pipe is a pure DataFrame transformation, so the module composes
+  * with [[graft.engine.Graph.runIncremental]]: each run processes only new
+  * blocks. The signature helpers maintain per-doc MinHash sketches
+  * INCREMENTALLY — a new block's signatures fold into the stored ones by
+  * element-wise min (the mergeable-sketch reuse path), so old blocks are
+  * never re-read.
+  */
+object CorpusModule {
+
+  /** The module's document shape, as schema-cast triples. */
+  val schema: Seq[(String, String, String)] = Seq(
+    ("doc_id", "id", "bigint"),
+    ("text", "text", "string"),
+    ("lang", "lang", "string"),
+    ("n_chars", "n_chars", "int"))
+
+  /** Keep one row per distinct content (md5 fingerprint), smallest id. */
+  def dedupe(df: DataFrame): DataFrame =
+    Incremental.dedupeKeepNewest(df.withColumn("__fp", md5(col("text"))),
+      Seq("__fp"), Seq(col("id").asc)).drop("__fp")
+
+  /** Attach the module's quality score. */
+  def score(df: DataFrame): DataFrame =
+    df.withColumn("quality", TextAnalysis.qualityScore("text", "n_chars"))
+
+  /** The pipes, wired over a block source named `docs`. */
+  def nodes(minQuality: Double = 0.5): Seq[Node] = Seq(
+    Node("normalized", Seq("docs"), m => Incremental.schemaCast(m("docs"), schema)),
+    Node("deduped", Seq("normalized"), m => dedupe(m("normalized"))),
+    Node("scored", Seq("deduped"), m => score(m("deduped"))),
+    Node("kept", Seq("scored"), m => m("scored").filter(col("quality") >= minQuality)))
+
+  def graph(minQuality: Double = 0.5): Graph = new Graph(nodes(minQuality))
+
+  /** Per-doc MinHash signatures of one block: (id, sig). Partial-agg
+    * friendly (typed Aggregator → map-side combine before the shuffle). */
+  def signatures(docs: DataFrame, k: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("id").cast("long"), explode(split(col("text"), " ")).as("tok"))
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .agg(new MinHashDocAgg(k).toColumn.name("sig"))
+      .toDF("id", "sig")
+  }
+
+  /** Fold new signatures into accumulated ones: element-wise min per id
+    * (full outer join — docs seen in only one side pass through). Equals
+    * the batch signature over the union of blocks, by sketch mergeability. */
+  def mergeSignatures(acc: DataFrame, fresh: DataFrame): DataFrame =
+    acc.select(col("id"), col("sig").as("__sa"))
+      .join(fresh.select(col("id"), col("sig").as("__sb")), Seq("id"), "full")
+      .select(col("id"), coalesce(
+        zip_with(col("__sa"), col("__sb"), (x, y) => least(x, y)),
+        col("__sa"), col("__sb")).as("sig"))
+}

@@ -1,0 +1,61 @@
+package graft.modules
+
+import graft.SparkSpec
+import graft.engine.RunLog
+import graft.functions.MinHashAgg
+import java.nio.file.Files
+
+class CorpusModuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String, Int)*) =
+    rows.toSeq.toDF("doc_id", "text", "lang", "n_chars")
+
+  test("module pipeline: normalize → dedupe → score → filter through Graph") {
+    val block = docs(
+      (1L, "the cat sat on the mat with a hat and a bat near the door", "en", 58),
+      (2L, "the cat sat on the mat with a hat and a bat near the door", "en", 58), // dup of 1
+      (3L, "x", "en", 1)) // too short: filtered by quality
+    val out = CorpusModule.graph(minQuality = 0.1)
+      .run(Map("docs" -> block))
+    val kept = out("kept").collect()
+    assert(kept.map(_.getAs[Long]("id")).toSeq == Seq(1L)) // dup 2 and junk 3 gone
+    assert(out("kept").columns.contains("quality"))
+    assert(out("deduped").count() == 2) // 1 (keeper of {1,2}) and 3
+  }
+
+  test("module runs incrementally: second run touches only the new block") {
+    val dir = Files.createTempDirectory("graftmod").toString
+    val log = new RunLog(dir)
+    val b1 = docs((1L, "the first block document with plenty of words in it", "en", 52))
+    val b2 = docs((2L, "the second block document also with plenty of words", "en", 52))
+    val g = CorpusModule.graph(minQuality = 0.0)
+    val r1 = g.runIncremental(Map("docs" -> Seq("b1" -> b1)), log)
+    assert(r1("kept").collect().map(_.getAs[Long]("id")).toSeq == Seq(1L))
+    val r2 = g.runIncremental(Map("docs" -> Seq("b1" -> b1, "b2" -> b2)), log)
+    assert(r2("kept").collect().map(_.getAs[Long]("id")).toSeq == Seq(2L))
+    assert(log.consumedBlocks("docs") == Set("b1", "b2"))
+  }
+
+  test("incremental signature maintenance equals batch signatures") {
+    // the same doc gains tokens across blocks; merged sketches must equal
+    // the batch sketch over the union (mergeability, not approximation)
+    val b1 = Seq((10L, "alpha beta gamma"), (20L, "delta epsilon"))
+      .toDF("id", "text")
+    val b2 = Seq((10L, "gamma zeta eta"), (30L, "theta iota"))
+      .toDF("id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma gamma zeta eta"),
+      (20L, "delta epsilon"),
+      (30L, "theta iota")).toDF("id", "text")
+
+    val inc = CorpusModule.mergeSignatures(
+        CorpusModule.signatures(b1), CorpusModule.signatures(b2))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val bat = CorpusModule.signatures(batch)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(inc == bat)
+    // and the signatures are usable: self-similarity of doc 10 is 1.0
+    assert(MinHashAgg.estimate(inc(10L).toArray, bat(10L).toArray) == 1.0)
+  }
+}
