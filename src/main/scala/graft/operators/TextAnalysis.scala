@@ -53,4 +53,34 @@ object TextAnalysis {
     df.select(col(idCol),
       substring(md5(col(textCol)), 1, 16).as("fp"),
       substring(md5(array_join(slice(split(col(textCol), " "), 1, 3), " ")), 1, 16).as("sh"))
+
+  /** Corpus-level TF-IDF term ranking: score(t) = tf(t) · ln(N/df(t)) with
+    * tf the total term count and df the per-term document frequency. One
+    * token shuffle for the (tf, df) aggregate; the single-row corpus count
+    * is broadcast into the plan (no driver collect). Ordering is on the
+    * ROUNDED score (tie-broken by term) so ranking is engine-portable. */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val stats = tok.groupBy("w")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("id")).as("df"))
+    val nDocs = df.agg(count(lit(1)).cast("double").as("nd"))
+    stats.crossJoin(broadcast(nDocs))
+      .select(col("w"), round(col("tf") * log(col("nd") / col("df")), 4).as("score"))
+      .orderBy(col("score").desc, col("w"))
+      .limit(n)
+  }
+
+  /** Fixed-size character chunks with overlap (context-window prep):
+    * chunk i covers [1 + i·stride, … + size); the last chunks are shorter.
+    * Narrow per-row expression — chunking 100 TB is scan-speed work. */
+  def chunks(text: Column, size: Int, stride: Int): Column = {
+    require(stride > 0 && size >= stride,
+      s"need 0 < stride <= size for covering chunks (got size=$size stride=$stride)")
+    transform(
+      sequence(lit(1), greatest(length(text), lit(1)), lit(stride)),
+      i => text.substr(i, lit(size)))
+  }
 }

@@ -168,6 +168,16 @@ object OracleSql {
       "SELECT lang, CASE WHEN len(list_filter(string_split(text,' '), w -> w IN ('the', 'a')))/CAST(len(string_split(text,' ')) AS DOUBLE) >= 0.05 THEN 'en' ELSE 'und' END pred, count(*) c FROM documents GROUP BY lang, pred ORDER BY lang, pred",
     "q_minhash_lsh" -> minhashSql,
     "q_neardup_lsh" -> lshVerifiedSql,
+    "q_tfidf" ->
+      "WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) w FROM documents), t AS (SELECT w, count(*) tf, count(DISTINCT doc_id) df FROM tok WHERE w <> '' GROUP BY w), n AS (SELECT CAST(count(*) AS DOUBLE) nd FROM documents) SELECT w, round(tf * ln(nd/df), 4) score FROM t, n ORDER BY score DESC, w LIMIT 15",
+    // Portable md5 bucket (first 32 hash bits): Spark conv(...,16,10) ≡
+    // DuckDB CAST('0x…' AS BIGINT); ids render identically as strings.
+    "q_split_assign" ->
+      "WITH b AS (SELECT doc_id, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100 bk FROM documents) SELECT CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val' ELSE 'test' END split, count(*) c, CAST(sum(doc_id) AS BIGINT) chk FROM b GROUP BY split ORDER BY split",
+    // DuckDB // = integer division (plain / yields double); range() stop
+    // is exclusive, hence len+1. Spark's posexplode index is 0-based int.
+    "q_chunk" ->
+      "WITH s AS (SELECT doc_id, text, unnest(range(1, greatest(len(text),1)+1, 150)) st FROM documents) SELECT doc_id, CAST((st-1)//150 AS INTEGER) ci, substr(text, CAST(st AS INTEGER), 200) chunk FROM s ORDER BY doc_id, ci LIMIT 200",
     "q_neardup" ->
       "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text,' ')) toks FROM documents WHERE doc_id < 1000), tok AS (SELECT doc_id, lang, len(toks) nt, unnest(toks) w FROM d), g AS (SELECT a.doc_id da, b.doc_id db, a.nt na, b.nt nb, count(*) inter FROM tok a JOIN tok b ON a.w=b.w AND a.lang=b.lang AND a.doc_id<b.doc_id GROUP BY 1,2,3,4), j AS (SELECT da, db, inter/CAST(na+nb-inter AS DOUBLE) jac FROM g) SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk, round(avg(jac),4) aj FROM j WHERE jac >= 0.8",
     "q_ngram_neardup" ->

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Dedup, Incremental, Ivf, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Incremental, Ivf, Sampling, Similarity, TextAnalysis}
 
 /** The declared query inventory (SURVEY.md §2) as idiomatic DataFrame-API
   * plans. Each entry is `(spark, sfDir) => DataFrame` and has a matching
@@ -590,6 +590,30 @@ object Queries {
         sum(col("da") + col("db")).as("chk"),
         round(avg("jac"), 4).as("aj"))
 
+  /** Corpus TF-IDF term ranking: one token shuffle + broadcast corpus
+    * count; ordering on the rounded score so ranking is engine-portable. */
+  private val qTfidf: Q = (s, sf) =>
+    TextAnalysis.tfIdfTopTerms(t(s, sf, "documents"), "doc_id", "text", 15)
+
+  /** Deterministic train/val/test assignment from an md5 key hash — stable
+    * across runs, retries, engines, and corpus growth (a row's split never
+    * changes when new rows arrive), unlike rand()-based splits. */
+  private val qSplitAssign: Q = (s, sf) =>
+    Sampling.assignSplits(t(s, sf, "documents"), "doc_id",
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .groupBy("split")
+      .agg(count(lit(1)).as("c"), sum("doc_id").as("chk"))
+      .orderBy("split")
+
+  /** Context-window chunking: 200-char chunks every 150 chars (50-char
+    * overlap) — narrow per-row expression, scan-speed at 100 TB. */
+  private val qChunk: Q = (s, sf) =>
+    t(s, sf, "documents")
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.chunks(col("text"), 200, 150)).as(Seq("ci", "chunk")))
+      .orderBy("doc_id", "ci")
+      .limit(200)
+
   /** The composed near-dup pipeline over the WHOLE corpus: MinHash-LSH
     * candidates (sub-quadratic banding) verified by exact token Jaccard —
     * the form that replaces the bounded exact queries at scale. No corpus
@@ -675,6 +699,9 @@ object Queries {
     "q_lang_id" -> qLangId,
     "q_minhash_lsh" -> qMinhashLsh,
     "q_neardup_lsh" -> qNeardupLsh,
+    "q_tfidf" -> qTfidf,
+    "q_split_assign" -> qSplitAssign,
+    "q_chunk" -> qChunk,
     "q_neardup" -> qNeardup,
     "q_ngram_neardup" -> qNgramNeardup,
     "q_simhash" -> qSimhash)

@@ -24,10 +24,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session settings the readers depend on (nanos-as-long for the events
+    * TIMESTAMP(NANOS) column, UTC so date/timestamp functions are
+    * engine-portable). Applied once per session — prefer setting these in
+    * the SparkSession builder; this guard exists so a bare session still
+    * reads correctly without per-read conf churn. */
+  private def ensureConfigured(spark: SparkSession): Unit = {
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!spark.conf.getOption("spark.sql.session.timeZone").contains("UTC"))
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   /** Read one table as a DataFrame (events gets the ts rebuild). */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensureConfigured(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     else df
@@ -87,8 +98,7 @@ object Tables {
     * a full scan at 100 TB. */
   def eventsSince(spark: SparkSession, sfDir: String,
       watermark: java.time.Instant): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ensureConfigured(spark)
     val nanos = watermark.getEpochSecond * 1000000000L + watermark.getNano
     spark.read.parquet(s"$sfDir/events.parquet")
       .filter(col("ts") >= nanos)

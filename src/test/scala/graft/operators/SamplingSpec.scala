@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rows = (0L until 1000L).map(i => (i, s"r$i")).toDF("id", "v")
+
+  test("hashBucket is deterministic and roughly uniform") {
+    val b1 = rows.select(Sampling.hashBucket(col("id"), 10).as("b"))
+      .groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1.keys.toSet == (0L until 10L).toSet)
+    assert(b1.values.forall(c => c > 50 && c < 200)) // ~100 ± slack
+    val b2 = rows.select(Sampling.hashBucket(col("id"), 10).as("b"))
+      .groupBy("b").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 == b2)
+  }
+
+  test("sampleByHash keeps a stable subset of about the requested size") {
+    val s10 = Sampling.sampleByHash(rows, "id", 10)
+    val n = s10.count()
+    assert(n > 50 && n < 150, n.toString)
+    // stability: the sample of a superset contains the sample of the subset
+    val firstHalf = rows.filter(col("id") < 500)
+    val sHalf = Sampling.sampleByHash(firstHalf, "id", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val sFull = s10.select("id").collect().map(_.getLong(0)).toSet
+    assert(sHalf.subsetOf(sFull))
+  }
+
+  test("assignSplits partitions every row once with stable membership") {
+    val s = Sampling.assignSplits(rows, "id", Seq("train" -> 90, "val" -> 5, "test" -> 5))
+    assert(s.count() == 1000)
+    val by = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by.keys.toSet == Set("train", "val", "test"))
+    assert(by("train") > 800 && by("val") < 120 && by("test") < 120)
+    // membership survives corpus growth: split of id 7 is the same when
+    // computed over any superset (pure function of the key)
+    val one = Sampling.assignSplits(rows.filter(col("id") === 7), "id",
+      Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .select("split").collect().head.getString(0)
+    val inFull = s.filter(col("id") === 7).select("split").collect().head.getString(0)
+    assert(one == inFull)
+  }
+
+  test("splitColumn rejects percents that do not sum to 100") {
+    assertThrows[IllegalArgumentException] {
+      Sampling.splitColumn(col("id"), Seq("a" -> 50, "b" -> 40))
+    }
+  }
+}

@@ -48,4 +48,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L)._2 == fps(3L)._2) // same leading 3-token shingle "a b c"
     assert(fps.values.forall(p => p._1.length == 16 && p._2.length == 16))
   }
+
+  test("tfIdfTopTerms: corpus-unique terms outrank ubiquitous ones") {
+    val d = Seq(
+      (1L, "common rare rare rare"),
+      (2L, "common filler words"),
+      (3L, "common more filler")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfTopTerms(d, "doc_id", "text", 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // 'common' is in every doc: idf = ln(1) = 0 -> score 0
+    assert(top("common") == 0.0)
+    // 'rare': tf 3, df 1 -> 3·ln(3) ≈ 3.2958, the top term
+    assert(math.abs(top("rare") - 3.2958) < 1e-9)
+    assert(top.values.max == top("rare"))
+  }
+
+  test("chunks: covering overlapped windows, short tail, degenerate text") {
+    val d = Seq((1L, "abcdefghij")).toDF("id", "text") // 10 chars
+    val c = d.select(TextAnalysis.chunks(col("text"), 4, 3).as("c"))
+      .collect().head.getSeq[String](0)
+    // starts 1,4,7,10 -> every char covered, 1-char overlap, short tail
+    assert(c == Seq("abcd", "defg", "ghij", "j"))
+    val empty = Seq((1L, "")).toDF("id", "text")
+      .select(TextAnalysis.chunks(col("text"), 4, 3).as("c"))
+      .collect().head.getSeq[String](0)
+    assert(empty == Seq("")) // empty text yields one empty chunk, not zero rows
+    assertThrows[IllegalArgumentException] {
+      TextAnalysis.chunks(col("text"), 2, 3) // gap between chunks
+    }
+  }
 }
