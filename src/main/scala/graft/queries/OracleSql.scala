@@ -94,6 +94,11 @@ object OracleSql {
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) sq, round(sum(l_extendedprice),2) sp, round(avg(l_discount),4) ad, count(*) c FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q_agg_distinct" ->
       "SELECT c_mktsegment, count(DISTINCT c_nationkey) dn FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    "q_agg_list" ->
+      "SELECT c_mktsegment, list_sort(list(DISTINCT c_nationkey)) nations, count(*) c FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    // max(struct) argmax idiom spelled as a window in ANSI for the oracle.
+    "q_struct_agg" ->
+      "SELECT o_orderpriority, p, k FROM (SELECT o_orderpriority, o_totalprice p, o_orderkey k, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey DESC) rn FROM orders) t WHERE rn=1 ORDER BY o_orderpriority",
     "q_rollup" ->
       "SELECT l_returnflag, l_linestatus, count(*) c FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, c",
     "q_cube" ->

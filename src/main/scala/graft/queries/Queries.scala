@@ -186,6 +186,25 @@ object Queries {
       .na.fill(0L)
       .orderBy("ub")
 
+  /** Array-valued aggregation: the distinct set per group, sorted so the
+    * array value is deterministic (collect_set order is not). */
+  private val qAggList: Q = (s, sf) =>
+    t(s, sf, "customer")
+      .groupBy("c_mktsegment")
+      .agg(array_sort(collect_set(col("c_nationkey"))).as("nations"),
+        count(lit(1)).as("c"))
+      .orderBy("c_mktsegment")
+
+  /** Struct construction + struct-ordering argmax: max(struct(p, k)) is
+    * the lexicographic top row per group (the argmax idiom without a
+    * window), then nested-field access unpacks it. */
+  private val qStructAgg: Q = (s, sf) =>
+    t(s, sf, "orders")
+      .groupBy("o_orderpriority")
+      .agg(max(struct(col("o_totalprice").as("p"), col("o_orderkey").as("k"))).as("top"))
+      .select(col("o_orderpriority"), col("top.p").as("p"), col("top.k").as("k"))
+      .orderBy("o_orderpriority")
+
   /** Exact interpolated percentiles (DuckDB quantile_cont ≡ Spark
     * percentile). At scale the approx_percentile sketch replaces this;
     * exact needs the full sorted group. */
@@ -659,6 +678,8 @@ object Queries {
     "q_array" -> qArray,
     "q_map" -> qMap,
     "q_agg_group" -> qAggGroup,
+    "q_agg_list" -> qAggList,
+    "q_struct_agg" -> qStructAgg,
     "q_agg_distinct" -> qAggDistinct,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,

@@ -53,6 +53,22 @@ object Streams {
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Watermarked stream-stream interval join: each left row joins right
+    * rows with the same key whose time lies in [leftTs − lookback, leftTs]
+    * — the streaming enrichment/as-of shape. Watermarks on BOTH sides plus
+    * the time-range condition let Spark bound the join state: buffered
+    * rows older than watermark + lookback are evicted, so state never
+    * grows unboundedly (the property that makes this run forever on a
+    * cluster). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      watermarkDelay: String, lookback: String): DataFrame =
+    left.withWatermark(leftTs, watermarkDelay)
+      .join(right.withWatermark(rightTs, watermarkDelay),
+        col(leftKey) === col(rightKey) &&
+          col(rightTs) <= col(leftTs) &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback"))
+
   final case class KeyedTotal(key: Long, count: Long, total: Double)
 
   /** Custom arbitrary state: per-key running (count, total) maintained with

@@ -8,6 +8,8 @@ import java.sql.Timestamp
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
+case class REv(rid: Long, rts: Timestamp, rkey: Long)
+
 /** Structured-Streaming semantics under MemoryStream micro-batches:
   * watermark late-data drops, stateful dedupe, and session windows
   * (SURVEY §2.9 — unit-tested, not oracle-gated). */
@@ -50,6 +52,27 @@ class StreamsSpec extends SparkSpec {
     // window [0,10) closed with ONLY event 1 (late event 4 dropped)
     assert(rows(ts(0).getTime) == 1L)
     assert(rows(ts(10).getTime) == 1L)
+  }
+
+  test("stream-stream interval join matches within the lookback window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val lsrc = MemoryStream[Ev]
+    val rsrc = MemoryStream[REv]
+    val q = Streams.intervalJoin(lsrc.toDF(), rsrc.toDF(),
+        "user_id", "rkey", "ts", "rts", "10 minutes", "10 minutes")
+      .select(col("event_id"), col("rid"))
+      .writeStream.format("memory").queryName("ivj").outputMode("append").start()
+    lsrc.addData(Seq(Ev(1, ts(20), 7, "a", 1.0)))
+    rsrc.addData(Seq(
+      REv(100, ts(15), 7),  // same key, within [10, 20] -> match
+      REv(101, ts(5), 7),   // too old
+      REv(102, ts(25), 7),  // in the future of the left row
+      REv(103, ts(15), 8))) // wrong key
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ivj").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 100L)))
   }
 
   test("dropDuplicatesWithinWatermark emits one row per event_id") {
