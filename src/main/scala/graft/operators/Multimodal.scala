@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * UDF — one iterator per partition, so codec state is initialized once per
   * partition, not per row).
   *
-  * The actual codecs are STUBBED: no image/audio libraries exist in this
-  * container, so `decodeStub` derives deterministic fake features from the
-  * payload bytes. Everything around the stub — schema, encoders, partition
-  * batch shape, partition-count preservation — is real and tested; swapping
-  * in a real decoder changes only the marked function body.
+  * Codecs: image (PNG/JPEG/BMP/GIF via the JDK's ImageIO) and audio (WAV
+  * PCM via javax.sound.sampled) decode are REAL — pure-JDK, no external
+  * libraries. Video remains STUBBED (no JDK video codec; `stubFeatures`
+  * derives deterministic fake features from the payload bytes) — swapping
+  * in a real decoder changes only the marked function body; the schema,
+  * encoders, partition batch shape, and error rows are the same.
   *
   * Scale: payloads never shuffle unless the caller joins/groups; feature
   * extraction is a narrow map over whatever partitioning the source has
@@ -56,6 +57,88 @@ object Multimodal {
     media.mapPartitions { rows =>
       // per-partition init would open the codec once, here
       rows.map(r => MediaFeatures(r.id, r.modality, dim, stubFeatures(r.payload, dim)))
+    }
+  }
+
+  /** One decoded media row: dimensions + mean luma for images, sample
+    * rate/frames/RMS level for audio; `ok=false` rows carry the reason a
+    * payload failed to decode (corrupt bytes must yield an error ROW, not
+    * a task failure — at 100 TB some blobs are always bad). */
+  final case class DecodedMedia(id: Long, modality: String, ok: Boolean,
+      error: String, width: Int, height: Int, sampleRate: Float,
+      frames: Long, level: Double)
+
+  /** REAL image decode, pure JDK (ImageIO: PNG/JPEG/BMP/GIF). Mean luma
+    * (ITU-R 601) over a ≤64×64 subsampled grid so huge images cost O(1). */
+  def imageFeatures(payload: Array[Byte]): Either[String, (Int, Int, Double)] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) Left("undecodable image payload")
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val sx = math.max(1, w / 64); val sy = math.max(1, h / 64)
+      var sum = 0.0; var n = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          n += 1; x += sx
+        }
+        y += sy
+      }
+      Right((w, h, sum / n / 255.0))
+    }
+  }
+
+  /** REAL audio decode, pure JDK (javax.sound WAV/AIFF PCM): sample rate,
+    * frame count, and RMS level of the 16-bit little-endian samples. */
+  def audioFeatures(payload: Array[Byte]): Either[String, (Float, Long, Double)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = in.getFormat
+      val bytes = in.readAllBytes()
+      var sum = 0.0; var n = 0; var i = 0
+      while (i + 1 < bytes.length) {
+        val s = ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort / 32768.0
+        sum += s * s; n += 1; i += 2
+      }
+      Right((fmt.getSampleRate, in.getFrameLength,
+        if (n == 0) 0.0 else math.sqrt(sum / n)))
+    } catch {
+      case e: javax.sound.sampled.UnsupportedAudioFileException =>
+        Left(s"undecodable audio payload: ${e.getMessage}")
+    }
+
+  /** Decode every media row with the modality's codec — image and audio
+    * REAL (JDK codecs), anything else an error row. mapPartitions so a
+    * real deployment initializes its codec once per partition; narrow,
+    * partition-preserving, failures as data. */
+  def decodeMedia(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        r.modality match {
+          case "image" => imageFeatures(r.payload) match {
+            case Right((w, h, luma)) =>
+              DecodedMedia(r.id, r.modality, ok = true, "", w, h, 0f, 0L, luma)
+            case Left(err) =>
+              DecodedMedia(r.id, r.modality, ok = false, err, 0, 0, 0f, 0L, 0.0)
+          }
+          case "audio" => audioFeatures(r.payload) match {
+            case Right((rate, frames, rms)) =>
+              DecodedMedia(r.id, r.modality, ok = true, "", 0, 0, rate, frames, rms)
+            case Left(err) =>
+              DecodedMedia(r.id, r.modality, ok = false, err, 0, 0, 0f, 0L, 0.0)
+          }
+          case other =>
+            DecodedMedia(r.id, other, ok = false,
+              s"no codec for modality '$other' (video stays stubbed)",
+              0, 0, 0f, 0L, 0.0)
+        }
+      }
     }
   }
 

@@ -35,6 +35,52 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.bytes.length == 50))
   }
 
+  private def pngBytes(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def wavBytes(rate: Float, amplitude: Short, nFrames: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate, 16, 1, true, false) // 16-bit mono LE PCM
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) { // constant-amplitude square wave: RMS = amplitude
+      val s = if (i % 2 == 0) amplitude else (-amplitude).toShort
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeMedia: REAL JDK codecs decode PNG and WAV payloads") {
+    val rows = Seq(
+      MediaRow(10L, "image", pngBytes(8, 4, gray = 100), 0, 0),
+      MediaRow(11L, "audio", wavBytes(8000f, amplitude = 16384, nFrames = 800), 0, 0),
+      MediaRow(12L, "image", Array[Byte](1, 2, 3), 0, 0), // corrupt
+      MediaRow(13L, "video", Array[Byte](9, 9), 0, 0)     // stub-only modality
+    ).toDS()
+    val d = Multimodal.decodeMedia(rows).collect().map(x => x.id -> x).toMap
+    // PNG: dimensions + mean luma of the uniform gray fill
+    assert(d(10L).ok && d(10L).width == 8 && d(10L).height == 4)
+    assert(math.abs(d(10L).level - 100.0 / 255.0) < 1e-6)
+    // WAV: sample rate, frame count, RMS of the square wave = amplitude
+    assert(d(11L).ok && d(11L).sampleRate == 8000f && d(11L).frames == 800L)
+    assert(math.abs(d(11L).level - 16384.0 / 32768.0) < 1e-6)
+    // corrupt and unsupported payloads become error ROWS, not task failures
+    assert(!d(12L).ok && d(12L).error.nonEmpty)
+    assert(!d(13L).ok && d(13L).error.contains("video"))
+  }
+
   test("withEmbeddings builds the multimodal struct row") {
     val docs = Seq((1L, "hello", "en")).toDF("doc_id", "text", "lang")
     val emb = Seq((1L, Array(0.1f, 0.2f))).toDF("vec_id", "embedding")
