@@ -94,6 +94,10 @@ object OracleSql {
       "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) sq, round(sum(l_extendedprice),2) sp, round(avg(l_discount),4) ad, count(*) c FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
     "q_agg_distinct" ->
       "SELECT c_mktsegment, count(DISTINCT c_nationkey) dn FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    "q_correlated" ->
+      "SELECT c_nationkey, count(*) AS c FROM customer c1 WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey) GROUP BY c_nationkey ORDER BY c_nationkey",
+    "q_cte" ->
+      "WITH mo AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, round(sum(o_totalprice), 2) AS rev FROM orders GROUP BY m) SELECT m, rev, round(rev - lag(rev, 1, 0.0) OVER (ORDER BY m), 2) AS d FROM mo ORDER BY m",
     "q_agg_list" ->
       "SELECT c_mktsegment, list_sort(list(DISTINCT c_nationkey)) nations, count(*) c FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
     // max(struct) argmax idiom spelled as a window in ANSI for the oracle.

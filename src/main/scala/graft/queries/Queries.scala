@@ -186,6 +186,32 @@ object Queries {
       .na.fill(0L)
       .orderBy("ub")
 
+  /** Correlated scalar subquery (customers above their nation's average
+    * balance) through the SQL runtime — Catalyst decorrelates it to an
+    * aggregate + join, no per-row subquery execution. The mean is rounded
+    * before comparing so the threshold is engine-portable. */
+  private val qCorrelated: Q = (s, sf) => {
+    t(s, sf, "customer").createOrReplaceTempView("customer")
+    s.sql("""SELECT c_nationkey, count(*) AS c FROM customer c1
+             WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2)
+                                FROM customer c2
+                                WHERE c2.c_nationkey = c1.c_nationkey)
+             GROUP BY c_nationkey ORDER BY c_nationkey""")
+  }
+
+  /** CTE pipeline through the SQL runtime: monthly revenue then
+    * month-over-month delta. The window is over the ~80-row aggregate
+    * output, not raw orders, so the single-partition sort is trivial. */
+  private val qCte: Q = (s, sf) => {
+    t(s, sf, "orders").createOrReplaceTempView("orders")
+    s.sql("""WITH mo AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                    round(sum(o_totalprice), 2) AS rev
+                 FROM orders GROUP BY m)
+             SELECT m, rev,
+                    round(rev - lag(rev, 1, 0.0) OVER (ORDER BY m), 2) AS d
+             FROM mo ORDER BY m""")
+  }
+
   /** Array-valued aggregation: the distinct set per group, sorted so the
     * array value is deterministic (collect_set order is not). */
   private val qAggList: Q = (s, sf) =>
@@ -680,6 +706,8 @@ object Queries {
     "q_agg_group" -> qAggGroup,
     "q_agg_list" -> qAggList,
     "q_struct_agg" -> qStructAgg,
+    "q_correlated" -> qCorrelated,
+    "q_cte" -> qCte,
     "q_agg_distinct" -> qAggDistinct,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,

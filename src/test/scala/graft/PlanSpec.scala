@@ -75,4 +75,22 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_agg_group")
     assert(p.contains("partial_sum") || p.contains("partial"), p)
   }
+
+  test("q_neardup_lsh: candidate + verify joins never go cartesian") {
+    val p = plan("q_neardup_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_ann_ivf_fixed probes via a broadcast of the single query row") {
+    val p = plan("q_ann_ivf_fixed")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_chunk stays narrow until the final top-k") {
+    val p = plan("q_chunk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p) // no shuffle at all
+  }
 }
