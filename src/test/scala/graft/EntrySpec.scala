@@ -20,6 +20,20 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: later blocks with new columns merge on read") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graftevo").toString
+    // block 1 predates the 'tag' column; block 2 adds it
+    spark.range(3).selectExpr("id", "id * 2 AS v").write.parquet(s"$dir/t/b=1")
+    spark.range(3).selectExpr("id", "id * 3 AS v", "'x' AS tag").write.parquet(s"$dir/t/b=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.columns.toSet == Set("id", "v", "tag", "b"))
+    // old-block rows surface the new column as null, not an error
+    assert(merged.filter(col("b") === 1).select("tag").collect().forall(_.isNullAt(0)))
+    assert(merged.count() == 6)
+  }
+
   test("csv and json round-trip with schema inference (ingest pipes)") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graftio").toString
