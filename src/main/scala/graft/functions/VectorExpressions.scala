@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StringType}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
 /** Native codegen'd dot product over two `array<float>` columns.
@@ -68,6 +68,71 @@ case class DotProduct(left: Expression, right: Expression)
       newRight: Expression): DotProduct = copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd |A ∩ B| over two `array<string>` columns — semantics of
+  * `size(array_intersect(a, b))` (distinct intersection count) without
+  * materializing the intersection array. The built-in composition builds
+  * and allocates the intersection per evaluation; near-dup verification
+  * evaluates it millions of times per task (once per candidate pair), so
+  * the count-only single-pass form is the hot-path version: one hash set
+  * of the right side, one membership sweep of the left, no allocation of
+  * result arrays. Null elements are ignored (token sets never hold null). */
+case class IntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<string> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val set = new java.util.HashSet[AnyRef]()
+    var i = 0
+    while (i < y.numElements()) {
+      if (!y.isNullAt(i)) set.add(y.getUTF8String(i)); i += 1
+    }
+    var n = 0
+    i = 0
+    while (i < x.numElements()) {
+      // remove-on-hit so duplicate left elements count once (distinct ∩)
+      if (!x.isNullAt(i) && set.remove(x.getUTF8String(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val set = ctx.freshName("set")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      s"""
+         |java.util.HashSet $set = new java.util.HashSet();
+         |for (int $i = 0; $i < $y.numElements(); $i++) {
+         |  if (!$y.isNullAt($i)) { $set.add($y.getUTF8String($i)); }
+         |}
+         |int $n = 0;
+         |for (int $j = 0; $j < $x.numElements(); $j++) {
+         |  if (!$x.isNullAt($j) && $set.remove($x.getUTF8String($j))) { $n++; }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): IntersectSize = copy(left = newLeft, right = newRight)
+}
+
 /** Column-API and SQL surfaces for the vector expressions. */
 object VectorFunctions {
 
@@ -78,6 +143,12 @@ object VectorFunctions {
 
   /** Codegen'd squared L2 norm. */
   def norm2(a: Column): Column = dotProduct(a, a)
+
+  /** Codegen'd distinct-intersection count of two string-array columns
+    * (≡ size(array_intersect(a, b)), allocation-free). */
+  def intersectSize(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      IntersectSize(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   private val registration = (
     new FunctionIdentifier("graft_dot"),
@@ -101,5 +172,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("graft_dot"),
         new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
         (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_intersect_size"),
+        new ExpressionInfo(classOf[IntersectSize].getName, "graft_intersect_size"),
+        (children: Seq[Expression]) => IntersectSize(children(0), children(1))))
   }
 }

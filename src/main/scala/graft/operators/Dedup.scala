@@ -137,13 +137,16 @@ object Dedup {
       numHashes: Int, bands: Int, tau: Double): DataFrame = {
     val cands = lshCandidatePairs(df, idCol, textCol, numHashes, bands)
     val toks = df.select(col(idCol).as("tid"), tokens(col(textCol)).as("toks"))
+    // codegen'd count-only intersection: evaluated once per candidate pair
+    // (millions per task on dup-heavy corpora), so no intersection-array
+    // allocation — see graft.functions.IntersectSize
+    val inter = graft.functions.VectorFunctions.intersectSize(col("ta"), col("tb"))
     cands
       .join(toks.select(col("tid").as("da"), col("toks").as("ta")), "da")
       .join(toks.select(col("tid").as("db"), col("toks").as("tb")), "db")
-      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
       .select(col("da"), col("db"),
-        (col("inter") /
-          (size(col("ta")) + size(col("tb")) - col("inter")).cast("double")).as("jac"))
+        (inter /
+          (size(col("ta")) + size(col("tb")) - inter).cast("double")).as("jac"))
       .filter(col("jac") >= tau)
   }
 

@@ -49,6 +49,27 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_intersect_size matches size(array_intersect) incl. dups and empties") {
+    val sets = Seq(
+      (1L, Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (2L, Seq("a", "a", "b"), Seq("a", "x")),   // dup left element counts once
+      (3L, Seq.empty[String], Seq("a")),
+      (4L, Seq("a"), Seq.empty[String]),
+      (5L, Seq("x", "y"), Seq("x", "y"))
+    ).toDF("id", "ta", "tb")
+    val out = sets.select(col("id"),
+        VectorFunctions.intersectSize(col("ta"), col("tb")).as("fast"),
+        size(array_intersect(col("ta"), col("tb"))).as("builtin"))
+      .collect()
+    out.foreach(r => assert(r.getInt(1) == r.getInt(2), r.toString))
+    // interpreted path agrees with codegen
+    val slow = withCodegenDisabled {
+      sets.select(VectorFunctions.intersectSize(col("ta"), col("tb")))
+        .collect().map(_.getInt(0)).toSeq
+    }
+    assert(slow == out.map(_.getInt(1)).toSeq)
+  }
+
   private def withCodegenDisabled[T](f: => T): T = {
     val key = "spark.sql.codegen.wholeStage"
     val factoryKey = "spark.sql.codegen.factoryMode"
