@@ -68,6 +68,10 @@ object OracleSql {
       "SELECT l_returnflag, l_linestatus, grouping(l_returnflag) gf, grouping(l_linestatus) gs, count(*) c FROM lineitem GROUP BY GROUPING SETS ((l_returnflag),(l_linestatus),()) ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, c",
     "q_pivot" ->
       "SELECT user_id%10 ub, count(CASE WHEN event_type='click' THEN 1 END) click, count(CASE WHEN event_type='error' THEN 1 END) error, count(CASE WHEN event_type='purchase' THEN 1 END) purchase, count(CASE WHEN event_type='signup' THEN 1 END) signup, count(CASE WHEN event_type='view' THEN 1 END) AS \"view\" FROM events GROUP BY ub ORDER BY ub",
+    // UNPIVOT spelled as UNION ALL for dialect portability ("value" is
+    // reserved in DuckDB, hence quoted).
+    "q_unpivot" ->
+      "WITH a AS (SELECT o_orderpriority, round(sum(o_totalprice),2) total, round(avg(o_totalprice),2) mean FROM orders GROUP BY o_orderpriority) SELECT o_orderpriority, 'mean' metric, mean AS \"value\" FROM a UNION ALL SELECT o_orderpriority, 'total' metric, total AS \"value\" FROM a ORDER BY o_orderpriority, metric",
     "q_window_ntile" ->
       "SELECT o_orderkey, o_orderpriority, ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) nt, round(percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey),4) pr FROM orders ORDER BY o_orderkey LIMIT 100",
     "q_window_range" ->

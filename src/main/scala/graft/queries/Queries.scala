@@ -231,6 +231,17 @@ object Queries {
       .select(col("o_orderpriority"), col("top.p").as("p"), col("top.k").as("k"))
       .orderBy("o_orderpriority")
 
+  /** Unpivot (melt): measures back to (metric, value) rows — the inverse
+    * of q_pivot, static schema, narrow reshape after the aggregate. */
+  private val qUnpivot: Q = (s, sf) =>
+    t(s, sf, "orders")
+      .groupBy("o_orderpriority")
+      .agg(round(sum("o_totalprice"), 2).as("total"),
+        round(avg("o_totalprice"), 2).as("mean"))
+      .unpivot(Array(col("o_orderpriority")), Array(col("total"), col("mean")),
+        "metric", "value")
+      .orderBy("o_orderpriority", "metric")
+
   /** Exact interpolated percentiles (DuckDB quantile_cont ≡ Spark
     * percentile). At scale the approx_percentile sketch replaces this;
     * exact needs the full sorted group. */
@@ -691,6 +702,7 @@ object Queries {
     "q_join_cross" -> qJoinCross,
     "q_grouping_sets" -> qGroupingSets,
     "q_pivot" -> qPivot,
+    "q_unpivot" -> qUnpivot,
     "q_percentile" -> qPercentile,
     "q_stats" -> qStats,
     "q_window_ntile" -> qWindowNtile,

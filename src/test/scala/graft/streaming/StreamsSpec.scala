@@ -54,6 +54,21 @@ class StreamsSpec extends SparkSpec {
     assert(rows(ts(10).getTime) == 1L)
   }
 
+  test("stream-static join enriches a stream against a batch dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((7L, "gold"), (8L, "basic")).toDF("ukey", "tier")
+    val src = MemoryStream[Ev]
+    val q = src.toDF().join(dim, col("user_id") === col("ukey"), "left")
+      .select(col("event_id"), col("tier"))
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    src.addData(Seq(Ev(1, ts(1), 7, "a", 1.0), Ev(2, ts(2), 9, "b", 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(rows == Set((1L, Some("gold")), (2L, None)))
+  }
+
   test("stream-stream interval join matches within the lookback window only") {
     implicit val sqlCtx = spark.sqlContext
     val lsrc = MemoryStream[Ev]
