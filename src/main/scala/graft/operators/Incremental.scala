@@ -18,9 +18,13 @@ import org.apache.spark.sql.expressions.Window
 object Incremental {
 
   /** Union an ordered sequence of blocks by column name. Blocks are the
-    * reference's unit of dataflow; the union is lazy and shuffle-free. */
-  def accumulate(blocks: Seq[DataFrame]): DataFrame =
-    blocks.reduce(_.unionByName(_))
+    * reference's unit of dataflow; the union is lazy and shuffle-free.
+    * `allowMissingColumns` enables schema evolution across blocks: a
+    * column absent from older blocks surfaces as null there (pair with
+    * `mergeSchema` when the blocks live as parquet directories). */
+  def accumulate(blocks: Seq[DataFrame],
+      allowMissingColumns: Boolean = false): DataFrame =
+    blocks.reduce(_.unionByName(_, allowMissingColumns))
 
   /** Keep exactly one row per `uniqueOn` key: the newest by `newestFirst`
     * ordering (descending recency columns, tie-broken to a unique column so

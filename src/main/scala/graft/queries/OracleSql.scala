@@ -104,6 +104,8 @@ object OracleSql {
       "WITH mo AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, round(sum(o_totalprice), 2) AS rev FROM orders GROUP BY m) SELECT m, rev, round(rev - lag(rev, 1, 0.0) OVER (ORDER BY m), 2) AS d FROM mo ORDER BY m",
     "q_agg_list" ->
       "SELECT c_mktsegment, list_sort(list(DISTINCT c_nationkey)) nations, count(*) c FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
+    "q_string_agg" ->
+      "SELECT c_nationkey, array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') segs, count(*) c FROM customer GROUP BY c_nationkey ORDER BY c_nationkey",
     // max(struct) argmax idiom spelled as a window in ANSI for the oracle.
     "q_struct_agg" ->
       "SELECT o_orderpriority, p, k FROM (SELECT o_orderpriority, o_totalprice p, o_orderkey k, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey DESC) rn FROM orders) t WHERE rn=1 ORDER BY o_orderpriority",

@@ -221,6 +221,15 @@ object Queries {
         count(lit(1)).as("c"))
       .orderBy("c_mktsegment")
 
+  /** String aggregation: sorted distinct values joined per group (the
+    * listagg/string_agg shape, ordered for determinism). */
+  private val qStringAgg: Q = (s, sf) =>
+    t(s, sf, "customer")
+      .groupBy("c_nationkey")
+      .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segs"),
+        count(lit(1)).as("c"))
+      .orderBy("c_nationkey")
+
   /** Struct construction + struct-ordering argmax: max(struct(p, k)) is
     * the lexicographic top row per group (the argmax idiom without a
     * window), then nested-field access unpacks it. */
@@ -718,6 +727,7 @@ object Queries {
     "q_agg_group" -> qAggGroup,
     "q_agg_list" -> qAggList,
     "q_struct_agg" -> qStructAgg,
+    "q_string_agg" -> qStringAgg,
     "q_correlated" -> qCorrelated,
     "q_cte" -> qCte,
     "q_agg_distinct" -> qAggDistinct,
