@@ -19,15 +19,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
+    var warmFailures = 0
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, warmDir).count()
-      catch { case _: Throwable => () } // warmup failures surface in the timed pass
+      catch { case scala.util.control.NonFatal(_) => warmFailures += 1 }
     }
+    if (warmFailures > 0)
+      // a silently skipped warmup would re-introduce the first-query JIT
+      // artifact with zero signal — say so loudly
+      System.err.println(s"[bench] WARNING: $warmFailures/${names.size} warmup " +
+        s"queries failed against $warmDir; timings may absorb JIT warmup")
     val results = names.map { name =>
       val t0 = System.nanoTime()
       val ok =
         try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
+        catch { case scala.util.control.NonFatal(_) => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     val qs = results

@@ -74,15 +74,22 @@ final class Graph(val nodes: Seq[Node]) {
     * empty delta of its schema). When no source has new blocks the run is
     * a no-op returning an empty map — nothing is recomputed, nothing is
     * logged. Each node's run-log entry records the block ids it
-    * transitively consumed (lineage); block ids are marked consumed only
-    * after every node ran, so a failed run re-consumes its blocks
-    * (at-least-once, matching the idempotent re-run bookkeeping).
+    * transitively consumed (lineage).
+    *
+    * AT-LEAST-ONCE: node functions only BUILD plans — real work happens
+    * when outputs are materialized. Pass your materialization (sink
+    * writes, counts) as `sink`: blocks are marked consumed only after it
+    * returns, so a failed write leaves them unconsumed and the next run
+    * retries them. With the default no-op sink, marking happens at
+    * plan-wiring time and an action-time failure will NOT be retried —
+    * only use the default when the caller materializes nothing durable.
     *
     * Driver-side wiring only: the delta union is a metadata-only plan, so
     * at 100 TB a run costs the new blocks' scan, never the backlog's. */
   def runIncremental(blockSources: Map[String, Seq[(String, DataFrame)]],
       log: RunLog,
-      inputs: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] = {
+      inputs: Map[String, DataFrame] = Map.empty,
+      sink: Map[String, DataFrame] => Unit = _ => ()): Map[String, DataFrame] = {
     blockSources.foreach { case (src, blocks) =>
       require(blocks.nonEmpty, s"block source $src has no blocks") }
     val fresh: Map[String, Seq[(String, DataFrame)]] = blockSources.map {
@@ -93,8 +100,10 @@ final class Graph(val nodes: Seq[Node]) {
     if (fresh.values.forall(_.isEmpty)) return Map.empty
     val deltas = blockSources.map { case (src, blocks) =>
       val news = fresh(src)
-      src -> (if (news.isEmpty) blocks.head._2.limit(0)
-              else news.map(_._2).reduce(_.unionByName(_)))
+      // allowMissingColumns: block schemas may have evolved; an exhausted
+      // source contributes an empty delta of its NEWEST block's schema
+      src -> (if (news.isEmpty) blocks.last._2.limit(0)
+              else news.map(_._2).reduce(_.unionByName(_, allowMissingColumns = true)))
     }
     // transitive source-block lineage per node
     val consumedBy = scala.collection.mutable.Map[String, Seq[String]]()
@@ -111,9 +120,11 @@ final class Graph(val nodes: Seq[Node]) {
       }.distinct
       log.append(n.id, consumedBy(n.id))
     }
+    val out = produced.toMap
+    sink(out) // materialize BEFORE marking: a throw here leaves blocks unconsumed
     fresh.foreach { case (src, news) =>
       if (news.nonEmpty) log.markConsumed(src, news.map(_._1)) }
-    produced.toMap
+    out
   }
 }
 
@@ -132,8 +143,16 @@ final class RunLog(dir: String) {
   Files.createDirectories(consumedDir)
   private var seq = runs.lastOption.map(_._1).getOrElse(0L) // survive reopen
 
+  // ids are stored in tab/comma/newline-delimited text; reject ids that
+  // would corrupt the format (silent lineage corruption → re-consumption)
+  private def checkId(kind: String, id: String): Unit =
+    require(!id.exists(c => c == '\t' || c == '\n' || c == '\r' || c == ','),
+      s"$kind id contains a delimiter character (tab/newline/comma): '$id'")
+
   /** Record a node run; `consumed` = source block ids this run drew on. */
   def append(nodeId: String, consumed: Seq[String] = Nil): Unit = synchronized {
+    checkId("node", nodeId)
+    consumed.foreach(checkId("block", _))
     seq += 1
     Files.writeString(runsPath, s"$seq\t$nodeId\t${consumed.mkString(",")}\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
@@ -161,6 +180,7 @@ final class RunLog(dir: String) {
 
   /** Mark blocks consumed (append-only ledger, idempotent re-adds). */
   def markConsumed(sourceId: String, blockIds: Seq[String]): Unit = synchronized {
+    blockIds.foreach(checkId("block", _))
     Files.writeString(consumedDir.resolve(sourceId),
       blockIds.mkString("", "\n", "\n"),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)

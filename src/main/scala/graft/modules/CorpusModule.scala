@@ -14,7 +14,13 @@ import graft.operators.{Incremental, TextAnalysis}
   *
   * Every pipe is a pure DataFrame transformation, so the module composes
   * with [[graft.engine.Graph.runIncremental]]: each run processes only new
-  * blocks. The signature helpers maintain per-doc MinHash sketches
+  * blocks. Note the scope that implies: `dedupe` is exact-dedupe WITHIN
+  * the blocks a run sees — under incremental runs that is the delta, so a
+  * document whose content already shipped in an earlier block is NOT
+  * dropped by a later run. Cross-run global dedupe is a materialization
+  * concern: apply [[dedupe]] (or Incremental.asDataset) over the
+  * accumulated `kept` outputs when reading the corpus view.
+  * The signature helpers maintain per-doc MinHash sketches
   * INCREMENTALLY — a new block's signatures fold into the stored ones by
   * element-wise min (the mergeable-sketch reuse path), so old blocks are
   * never re-read.

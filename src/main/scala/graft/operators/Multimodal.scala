@@ -69,46 +69,62 @@ object Multimodal {
       frames: Long, level: Double)
 
   /** REAL image decode, pure JDK (ImageIO: PNG/JPEG/BMP/GIF). Mean luma
-    * (ITU-R 601) over a ≤64×64 subsampled grid so huge images cost O(1). */
-  def imageFeatures(payload: Array[Byte]): Either[String, (Int, Int, Double)] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-    if (img == null) Left("undecodable image payload")
-    else {
-      val w = img.getWidth; val h = img.getHeight
-      val sx = math.max(1, w / 64); val sy = math.max(1, h / 64)
-      var sum = 0.0; var n = 0
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-            0.114 * (rgb & 0xff)
-          n += 1; x += sx
+    * (ITU-R 601) over a ≤64×64 subsampled grid so huge images cost O(1).
+    * Recognized-but-corrupt payloads (valid signature, truncated body)
+    * come back as Left, never as an exception — a bad blob must become an
+    * error row, not a task failure. */
+  def imageFeatures(payload: Array[Byte]): Either[String, (Int, Int, Double)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) Left("undecodable image payload")
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val sx = math.max(1, w / 64); val sy = math.max(1, h / 64)
+        var sum = 0.0; var n = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            n += 1; x += sx
+          }
+          y += sy
         }
-        y += sy
+        Right((w, h, sum / n / 255.0))
       }
-      Right((w, h, sum / n / 255.0))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Left(s"corrupt image payload: ${e.getMessage}")
     }
-  }
 
-  /** REAL audio decode, pure JDK (javax.sound WAV/AIFF PCM): sample rate,
-    * frame count, and RMS level of the 16-bit little-endian samples. */
+  /** REAL audio decode, pure JDK (javax.sound WAV/AIFF): sample rate,
+    * frame count, and RMS level. Whatever the container's encoding
+    * (8/16/24-bit, big/little-endian, AIFF), the stream is CONVERTED to
+    * 16-bit signed little-endian PCM before the RMS loop, so the level is
+    * format-independent. Corrupt payloads become Left, not exceptions. */
   def audioFeatures(payload: Array[Byte]): Either[String, (Float, Long, Double)] =
     try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
       val fmt = in.getFormat
-      val bytes = in.readAllBytes()
+      val frames = in.getFrameLength
+      val target = new AudioFormat(fmt.getSampleRate, 16, fmt.getChannels,
+        true, false) // signed 16-bit little-endian PCM
+      val pcm = if (fmt.matches(target)) in
+        else AudioSystem.getAudioInputStream(target, in)
+      val bytes = pcm.readAllBytes()
       var sum = 0.0; var n = 0; var i = 0
       while (i + 1 < bytes.length) {
         val s = ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort / 32768.0
         sum += s * s; n += 1; i += 2
       }
-      Right((fmt.getSampleRate, in.getFrameLength,
+      Right((fmt.getSampleRate, frames,
         if (n == 0) 0.0 else math.sqrt(sum / n)))
     } catch {
-      case e: javax.sound.sampled.UnsupportedAudioFileException =>
+      case scala.util.control.NonFatal(e) =>
         Left(s"undecodable audio payload: ${e.getMessage}")
     }
 

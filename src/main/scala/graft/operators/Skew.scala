@@ -19,10 +19,14 @@ object Skew {
     *
     * Only inner/left joins are allowed: the build side is replicated
     * `salts` times, so a right/full outer join would emit each unmatched
-    * right row once per replica. The salt is derived deterministically
-    * from the left row's columns (not `rand()`), so task retries and stage
-    * recomputation reproduce identical salts — no duplicated or dropped
-    * rows under speculative execution. */
+    * right row once per replica. The salt derives from the row's position
+    * (`monotonically_increasing_id`: partition id + offset) rather than
+    * `rand()` or a hash of the row's values — positions are reproduced
+    * exactly when a task or stage is recomputed over the same input
+    * (deterministic scans), so retries can't duplicate or drop rows, AND
+    * fully-duplicate hot rows still spread across salts (a value hash
+    * would send every copy of the hot row to one bucket, silently
+    * defeating the operator). */
   def saltedJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, salts: Int,
       joinType: String = "inner"): DataFrame = {
@@ -31,7 +35,7 @@ object Skew {
       s"saltedJoin supports inner/left only (got $joinType): the replicated " +
         "build side would emit unmatched right rows once per salt")
     val saltedLeft = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(salts)))
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
     val saltedRight = right.crossJoin(
       spark_range_df(right, salts))
     saltedLeft.join(saltedRight,

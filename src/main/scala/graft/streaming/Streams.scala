@@ -62,12 +62,16 @@ object Streams {
     * cluster). */
   def intervalJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, leftTs: String, rightTs: String,
-      watermarkDelay: String, lookback: String): DataFrame =
-    left.withWatermark(leftTs, watermarkDelay)
-      .join(right.withWatermark(rightTs, watermarkDelay),
-        col(leftKey) === col(rightKey) &&
-          col(rightTs) <= col(leftTs) &&
-          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback"))
+      watermarkDelay: String, lookback: String): DataFrame = {
+    // alias both sides so homogeneous streams (same key/ts column names on
+    // both sides — the common case) don't hit AMBIGUOUS_REFERENCE
+    val l = left.withWatermark(leftTs, watermarkDelay).alias("__l")
+    val r = right.withWatermark(rightTs, watermarkDelay).alias("__r")
+    l.join(r,
+      col(s"__l.$leftKey") === col(s"__r.$rightKey") &&
+        col(s"__r.$rightTs") <= col(s"__l.$leftTs") &&
+        col(s"__r.$rightTs") >= col(s"__l.$leftTs") - expr(s"INTERVAL $lookback"))
+  }
 
   final case class KeyedTotal(key: Long, count: Long, total: Double)
 

@@ -112,6 +112,39 @@ class GraphSpec extends SparkSpec {
     assert(log.lineage.filter(_._2 == "clean").map(_._3) == Seq(Seq("b1"), Seq("b2")))
   }
 
+  test("runIncremental: a failing sink leaves blocks unconsumed (at-least-once)") {
+    val dir = Files.createTempDirectory("graftsink2").toString
+    val log = new RunLog(dir)
+    val b1 = Seq((1L, 5.0)).toDF("id", "v")
+    val g = new Graph(Seq(Node("out", Seq("ev"), m => m("ev"))))
+    intercept[RuntimeException] {
+      g.runIncremental(Map("ev" -> Seq("b1" -> b1)), log,
+        sink = _ => throw new RuntimeException("sink outage"))
+    }
+    assert(log.consumedBlocks("ev").isEmpty) // retried on the next run
+    val r = g.runIncremental(Map("ev" -> Seq("b1" -> b1)), log)
+    assert(r("out").count() == 1 && log.consumedBlocks("ev") == Set("b1"))
+  }
+
+  test("runIncremental handles evolved block schemas in one delta") {
+    val dir = Files.createTempDirectory("graftevo2").toString
+    val log = new RunLog(dir)
+    val b1 = Seq((1L, 1.0)).toDF("id", "v")
+    val b2 = Seq((2L, 2.0, "x")).toDF("id", "v", "tag") // later block adds a column
+    val g = new Graph(Seq(Node("out", Seq("ev"), m => m("ev"))))
+    val r = g.runIncremental(Map("ev" -> Seq("b1" -> b1, "b2" -> b2)), log)
+    val rows = r("out").orderBy("id").collect()
+    assert(rows.length == 2 && rows.head.isNullAt(2) && rows(1).getString(2) == "x")
+  }
+
+  test("RunLog rejects ids that would corrupt the delimited log format") {
+    val dir = Files.createTempDirectory("graftids").toString
+    val log = new RunLog(dir)
+    intercept[IllegalArgumentException](log.append("n", Seq("a,b")))
+    intercept[IllegalArgumentException](log.markConsumed("src", Seq("a\nb")))
+    intercept[IllegalArgumentException](log.append("n\tx"))
+  }
+
   test("RunLog seq and consumed ledger survive reopen") {
     val dir = Files.createTempDirectory("graftreopen").toString
     val log1 = new RunLog(dir)

@@ -81,6 +81,20 @@ class MultimodalSpec extends SparkSpec {
     assert(!d(13L).ok && d(13L).error.contains("video"))
   }
 
+  test("decodeMedia: recognized-but-truncated payloads are error rows too") {
+    // valid PNG signature + truncated body: ImageIO throws (not null);
+    // WAV header promising more data than present: javax.sound throws
+    val png = pngBytes(8, 4, gray = 10)
+    val wav = wavBytes(8000f, amplitude = 100, nFrames = 400)
+    val rows = Seq(
+      MediaRow(20L, "image", png.take(30), 0, 0),
+      MediaRow(21L, "audio", wav.take(20), 0, 0)
+    ).toDS()
+    val d = Multimodal.decodeMedia(rows).collect().map(x => x.id -> x).toMap
+    assert(!d(20L).ok && d(20L).error.nonEmpty)
+    assert(!d(21L).ok && d(21L).error.nonEmpty)
+  }
+
   test("withEmbeddings builds the multimodal struct row") {
     val docs = Seq((1L, "hello", "en")).toDF("doc_id", "text", "lang")
     val emb = Seq((1L, Array(0.1f, 0.2f))).toDF("vec_id", "embedding")

@@ -20,13 +20,18 @@ class SkewSpec extends SparkSpec {
   }
 
   test("saltedJoin spreads a hot key over multiple salt buckets, deterministically") {
-    val left = Seq.fill(1000)(1L).zipWithIndex.toDF("k", "i")
+    // FULL-ROW duplicates: the worst case — a value-derived salt would put
+    // every copy in one bucket; the position-derived salt must spread them
+    val left = Seq.fill(1000)(1L).toDF("k")
     def buckets() = left
-      .withColumn("__salt", pmod(hash(left.columns.map(col): _*), lit(8)))
+      .withColumn("__salt", pmod(hash(monotonically_increasing_id()), lit(8)))
       .select("__salt").distinct().collect().map(_.getInt(0)).toSet
     val b1 = buckets()
-    assert(b1.size > 4) // the hot key lands in most of the 8 buckets
-    assert(b1 == buckets()) // hash-derived: identical on recomputation
+    assert(b1.size > 4) // the duplicated hot row lands in most of the 8 buckets
+    assert(b1 == buckets()) // position-derived: identical on recomputation
+    // and the join itself still returns exactly the plain-join rows
+    val dim = Seq((1L, "a")).toDF("dk", "name")
+    assert(Skew.saltedJoin(left, dim, "k", "dk", salts = 8).count() == 1000)
   }
 
   test("saltedJoin left join keeps unmatched left rows exactly once") {

@@ -90,6 +90,22 @@ class StreamsSpec extends SparkSpec {
     assert(rows == Set((1L, 100L)))
   }
 
+  test("interval join works when both streams share column names") {
+    implicit val sqlCtx = spark.sqlContext
+    val lsrc = MemoryStream[Ev]
+    val rsrc = MemoryStream[Ev] // SAME schema on both sides
+    val q = Streams.intervalJoin(lsrc.toDF(), rsrc.toDF(),
+        "user_id", "user_id", "ts", "ts", "10 minutes", "10 minutes")
+      .select(col("__l.event_id").as("le"), col("__r.event_id").as("re"))
+      .writeStream.format("memory").queryName("ivj2").outputMode("append").start()
+    lsrc.addData(Seq(Ev(1, ts(20), 7, "a", 1.0)))
+    rsrc.addData(Seq(Ev(50, ts(15), 7, "b", 1.0), Ev(51, ts(2), 7, "b", 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ivj2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 50L)))
+  }
+
   test("dropDuplicatesWithinWatermark emits one row per event_id") {
     val out = runBatches("dedup")(s =>
       Streams.dedupeWithinWatermark(s.toDF(), "ts", "30 minutes", Seq("event_id")))(
