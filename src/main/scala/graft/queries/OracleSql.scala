@@ -100,6 +100,8 @@ object OracleSql {
       "SELECT c_mktsegment, count(DISTINCT c_nationkey) dn FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
     "q_correlated" ->
       "SELECT c_nationkey, count(*) AS c FROM customer c1 WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2) FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey) GROUP BY c_nationkey ORDER BY c_nationkey",
+    "q_lateral" ->
+      "SELECT r_name, n_name FROM region, LATERAL (SELECT n_name FROM nation WHERE n_regionkey = r_regionkey ORDER BY n_name LIMIT 2) ORDER BY r_name, n_name",
     "q_cte" ->
       "WITH mo AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, round(sum(o_totalprice), 2) AS rev FROM orders GROUP BY m) SELECT m, rev, round(rev - lag(rev, 1, 0.0) OVER (ORDER BY m), 2) AS d FROM mo ORDER BY m",
     "q_agg_list" ->

@@ -212,6 +212,18 @@ object Queries {
              FROM mo ORDER BY m""")
   }
 
+  /** Correlated LATERAL subquery: top-2 nations per region without a
+    * window — the lateral per-row subquery surface of the SQL runtime. */
+  private val qLateral: Q = (s, sf) => {
+    t(s, sf, "region").createOrReplaceTempView("region")
+    t(s, sf, "nation").createOrReplaceTempView("nation")
+    s.sql("""SELECT r_name, n_name
+             FROM region, LATERAL (SELECT n_name FROM nation
+                                   WHERE n_regionkey = r_regionkey
+                                   ORDER BY n_name LIMIT 2)
+             ORDER BY r_name, n_name""")
+  }
+
   /** Array-valued aggregation: the distinct set per group, sorted so the
     * array value is deterministic (collect_set order is not). */
   private val qAggList: Q = (s, sf) =>
@@ -730,6 +742,7 @@ object Queries {
     "q_string_agg" -> qStringAgg,
     "q_correlated" -> qCorrelated,
     "q_cte" -> qCte,
+    "q_lateral" -> qLateral,
     "q_agg_distinct" -> qAggDistinct,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,
