@@ -49,4 +49,15 @@ object Sampling {
   def assignSplits(df: DataFrame, keyCol: String,
       splits: Seq[(String, Int)]): DataFrame =
     df.withColumn("split", splitColumn(col(keyCol), splits))
+
+  /** Weighted corpus mixing: each source contributes a deterministic
+    * `percent`% hash-sample of its rows, unioned by name. The standard
+    * source-weighting step of a training mix — reproducible (same rows
+    * every run), schema-checked by the union, and pure narrow filters +
+    * a metadata union at any scale. */
+  def mixByWeight(sources: Seq[(DataFrame, Int)], keyCol: String): DataFrame = {
+    require(sources.nonEmpty, "mixByWeight needs at least one source")
+    sources.map { case (df, pct) => sampleByHash(df, keyCol, pct) }
+      .reduce(_.unionByName(_))
+  }
 }

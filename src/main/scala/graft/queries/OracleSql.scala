@@ -191,6 +191,11 @@ object OracleSql {
     // DuckDB CAST('0x…' AS BIGINT); ids render identically as strings.
     "q_split_assign" ->
       "WITH b AS (SELECT doc_id, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100 bk FROM documents) SELECT CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val' ELSE 'test' END split, count(*) c, CAST(sum(doc_id) AS BIGINT) chk FROM b GROUP BY split ORDER BY split",
+    "q_mix" ->
+      "WITH b AS (SELECT doc_id, lang, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100 bk FROM documents) SELECT lang, count(*) c, CAST(sum(doc_id) AS BIGINT) chk FROM (SELECT doc_id, lang FROM b WHERE lang = 'en' AND bk < 80 UNION ALL SELECT doc_id, lang FROM b WHERE lang <> 'en' AND bk < 20) t GROUP BY lang ORDER BY lang",
+    // same floor-quantized score expression as q_quality
+    "q_quota" ->
+      "SELECT lang, r, doc_id, score FROM (SELECT lang, doc_id, score, row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) r FROM (SELECT lang, doc_id, floor((least(n_chars/400.0, 1.0)*0.5 + (len(list_filter(string_split(text,' '), w -> w IN ('the', 'a')))/CAST(len(string_split(text,' ')) AS DOUBLE))*0.3 + least(len(string_split(text,' '))/80.0, 1.0)*0.2)*10000 + 0.5)/10000 score FROM documents) s) t WHERE r <= 20 ORDER BY lang, r",
     // DuckDB // = integer division (plain / yields double); range() stop
     // is exclusive, hence len+1. Spark's posexplode index is 0-based int.
     "q_chunk" ->

@@ -691,6 +691,33 @@ object Queries {
       .orderBy("doc_id", "ci")
       .limit(200)
 
+  /** Weighted corpus mix: 80% of English docs + 20% of the rest, by
+    * deterministic hash sample — the reproducible source-weighting step
+    * of a training mix. */
+  private val qMix: Q = (s, sf) => {
+    val docs = t(s, sf, "documents")
+    Sampling.mixByWeight(Seq(
+        docs.filter(col("lang") === "en") -> 80,
+        docs.filter(col("lang") =!= "en") -> 20), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("c"), sum("doc_id").as("chk"))
+      .orderBy("lang")
+  }
+
+  /** Per-domain quota: the top-20 docs per language by quality score —
+    * window-ranked curation (quota sampling), quality from the
+    * floor-quantized portable score. */
+  private val qQuota: Q = (s, sf) => {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("score").desc, col("doc_id"))
+    t(s, sf, "documents")
+      .withColumn("score", TextAnalysis.qualityScore("text", "n_chars"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= 20)
+      .select("lang", "r", "doc_id", "score")
+      .orderBy("lang", "r")
+  }
+
   /** The composed near-dup pipeline over the WHOLE corpus: MinHash-LSH
     * candidates (sub-quadratic banding) verified by exact token Jaccard —
     * the form that replaces the bounded exact queries at scale. No corpus
@@ -786,6 +813,8 @@ object Queries {
     "q_tfidf" -> qTfidf,
     "q_split_assign" -> qSplitAssign,
     "q_chunk" -> qChunk,
+    "q_mix" -> qMix,
+    "q_quota" -> qQuota,
     "q_neardup" -> qNeardup,
     "q_ngram_neardup" -> qNgramNeardup,
     "q_simhash" -> qSimhash)

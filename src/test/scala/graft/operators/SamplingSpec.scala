@@ -46,6 +46,17 @@ class SamplingSpec extends SparkSpec {
     assert(one == inFull)
   }
 
+  test("mixByWeight unions deterministic per-source samples") {
+    val a = rows.filter(col("id") < 500)
+    val b = rows.filter(col("id") >= 500)
+    val mix = Sampling.mixByWeight(Seq(a -> 100, b -> 10), "id")
+    val n = mix.count()
+    assert(n > 500 + 20 && n < 500 + 100, n.toString) // all of a, ~10% of b
+    // reproducible: same rows on every evaluation
+    assert(mix.select("id").collect().map(_.getLong(0)).toSet ==
+      mix.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("splitColumn rejects percents that do not sum to 100") {
     assertThrows[IllegalArgumentException] {
       Sampling.splitColumn(col("id"), Seq("a" -> 50, "b" -> 40))
