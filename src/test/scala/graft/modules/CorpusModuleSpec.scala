@@ -37,6 +37,23 @@ class CorpusModuleSpec extends SparkSpec {
     assert(log.consumedBlocks("docs") == Set("b1", "b2"))
   }
 
+  test("cross-run duplicates are removed at materialization (documented path)") {
+    val dir = Files.createTempDirectory("graftxrun").toString
+    val log = new RunLog(dir)
+    val text = "the same exact document content shipped twice across blocks"
+    val b1 = docs((1L, text, "en", 59))
+    val b2 = docs((2L, text, "en", 59)) // same content, later block, new id
+    val g = CorpusModule.graph(minQuality = 0.0)
+    val k1 = g.runIncremental(Map("docs" -> Seq("b1" -> b1)), log)("kept")
+    val k2 = g.runIncremental(Map("docs" -> Seq("b1" -> b1, "b2" -> b2)), log)("kept")
+    // per-delta dedupe keeps both (documented) …
+    assert(k1.count() + k2.count() == 2)
+    // … the corpus VIEW dedupes across runs: module dedupe over the
+    // accumulated kept blocks keeps only the first copy
+    val view = CorpusModule.dedupe(k1.unionByName(k2))
+    assert(view.collect().map(_.getAs[Long]("id")).toSeq == Seq(1L))
+  }
+
   test("incremental signature maintenance equals batch signatures") {
     // the same doc gains tokens across blocks; merged sketches must equal
     // the batch sketch over the union (mergeability, not approximation)
