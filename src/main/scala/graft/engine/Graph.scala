@@ -90,6 +90,12 @@ final class Graph(val nodes: Seq[Node]) {
       log: RunLog,
       inputs: Map[String, DataFrame] = Map.empty,
       sink: Map[String, DataFrame] => Unit = _ => ()): Map[String, DataFrame] = {
+    // an empty map would make the everything-consumed check below vacuously
+    // true and silently no-op a graph wired purely from `inputs` — that
+    // caller wants run(), not runIncremental()
+    require(blockSources.nonEmpty,
+      "runIncremental needs at least one block source; use run() for " +
+        "non-incremental graphs")
     blockSources.foreach { case (src, blocks) =>
       require(blocks.nonEmpty, s"block source $src has no blocks") }
     val fresh: Map[String, Seq[(String, DataFrame)]] = blockSources.map {
@@ -109,6 +115,11 @@ final class Graph(val nodes: Seq[Node]) {
     val consumedBy = scala.collection.mutable.Map[String, Seq[String]]()
     val produced = scala.collection.mutable.Map[String, DataFrame](
       (inputs ++ deltas).toSeq: _*)
+    // lineage rows are BUFFERED during plan wiring and appended only after
+    // the sink materializes: runs.log must record runs that durably
+    // happened, not plans that were wired — a sink failure + retry would
+    // otherwise log the same run twice while never completing it
+    val pendingLineage = scala.collection.mutable.ArrayBuffer[(String, Seq[String])]()
     topoOrder.foreach { n =>
       val upstream = n.deps.map { d =>
         d -> produced.getOrElse(d,
@@ -118,10 +129,12 @@ final class Graph(val nodes: Seq[Node]) {
       consumedBy(n.id) = n.deps.flatMap { d =>
         fresh.get(d).map(_.map(_._1)).getOrElse(consumedBy.getOrElse(d, Nil))
       }.distinct
-      log.append(n.id, consumedBy(n.id))
+      pendingLineage += (n.id -> consumedBy(n.id))
     }
     val out = produced.toMap
-    sink(out) // materialize BEFORE marking: a throw here leaves blocks unconsumed
+    sink(out) // materialize BEFORE logging/marking: a throw here leaves
+              // blocks unconsumed and runs.log untouched (retry-safe)
+    pendingLineage.foreach { case (id, consumed) => log.append(id, consumed) }
     fresh.foreach { case (src, news) =>
       if (news.nonEmpty) log.markConsumed(src, news.map(_._1)) }
     out
@@ -143,11 +156,17 @@ final class RunLog(dir: String) {
   Files.createDirectories(consumedDir)
   private var seq = runs.lastOption.map(_._1).getOrElse(0L) // survive reopen
 
-  // ids are stored in tab/comma/newline-delimited text; reject ids that
-  // would corrupt the format (silent lineage corruption → re-consumption)
+  // ids are stored in tab/comma/newline-delimited text AND used as file
+  // names under the ledger dir; reject ids that would corrupt the format
+  // (silent lineage corruption → re-consumption) or escape the directory
+  // (path separators: '../runs.log' as a source id must not resolve
+  // outside the ledger)
   private def checkId(kind: String, id: String): Unit =
-    require(!id.exists(c => c == '\t' || c == '\n' || c == '\r' || c == ','),
-      s"$kind id contains a delimiter character (tab/newline/comma): '$id'")
+    require(id.nonEmpty &&
+        !id.exists(c => c == '\t' || c == '\n' || c == '\r' || c == ',' ||
+          c == '/' || c == '\\'),
+      s"$kind id is empty or contains a delimiter/path character " +
+        s"(tab/newline/comma/slash): '$id'")
 
   /** Record a node run; `consumed` = source block ids this run drew on. */
   def append(nodeId: String, consumed: Seq[String] = Nil): Unit = synchronized {
@@ -173,6 +192,7 @@ final class RunLog(dir: String) {
 
   /** Block ids a source has already had consumed (never re-processed). */
   def consumedBlocks(sourceId: String): Set[String] = {
+    checkId("source", sourceId)
     val p = consumedDir.resolve(sourceId)
     if (!Files.exists(p)) Set.empty
     else Files.readAllLines(p).asScala.filter(_.nonEmpty).toSet
@@ -180,6 +200,7 @@ final class RunLog(dir: String) {
 
   /** Mark blocks consumed (append-only ledger, idempotent re-adds). */
   def markConsumed(sourceId: String, blockIds: Seq[String]): Unit = synchronized {
+    checkId("source", sourceId)
     blockIds.foreach(checkId("block", _))
     Files.writeString(consumedDir.resolve(sourceId),
       blockIds.mkString("", "\n", "\n"),
@@ -187,10 +208,13 @@ final class RunLog(dir: String) {
   }
 
   /** Persisted high-watermark for a node's incremental consumption. */
-  def setWatermark(nodeId: String, value: String): Unit =
+  def setWatermark(nodeId: String, value: String): Unit = {
+    checkId("node", nodeId)
     Files.writeString(wmDir.resolve(nodeId), value)
+  }
 
   def watermark(nodeId: String): Option[String] = {
+    checkId("node", nodeId)
     val p = wmDir.resolve(nodeId)
     if (Files.exists(p)) Some(Files.readString(p)) else None
   }

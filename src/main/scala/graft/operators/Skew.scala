@@ -22,11 +22,14 @@ object Skew {
     * right row once per replica. The salt derives from the row's position
     * (`monotonically_increasing_id`: partition id + offset) rather than
     * `rand()` or a hash of the row's values — positions are reproduced
-    * exactly when a task or stage is recomputed over the same input
-    * (deterministic scans), so retries can't duplicate or drop rows, AND
-    * fully-duplicate hot rows still spread across salts (a value hash
-    * would send every copy of the hot row to one bucket, silently
-    * defeating the operator). */
+    * when a recomputed task re-reads the same input in the same order
+    * (true for direct file scans; after an upstream shuffle, retry fetch
+    * order can differ, though results stay correct because every salt
+    * replica of the build side is identical — only the probe row's bucket
+    * assignment moves). Prefer salting directly over source scans when
+    * deterministic salts matter. A value hash would be fully deterministic
+    * but sends every copy of a duplicate hot row to ONE bucket, silently
+    * defeating the operator — position wins for the skew use-case. */
   def saltedJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, salts: Int,
       joinType: String = "inner"): DataFrame = {

@@ -104,8 +104,10 @@ object OracleSql {
       "SELECT r_name, n_name FROM region, LATERAL (SELECT n_name FROM nation WHERE n_regionkey = r_regionkey ORDER BY n_name LIMIT 2) ORDER BY r_name, n_name",
     "q_cte" ->
       "WITH mo AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, round(sum(o_totalprice), 2) AS rev FROM orders GROUP BY m) SELECT m, rev, round(rev - lag(rev, 1, 0.0) OVER (ORDER BY m), 2) AS d FROM mo ORDER BY m",
+    // array rendered as a joined string: the compare driver can't sort/hash
+    // array cells (pandas unhashable ndarray, round-2 ADVICE)
     "q_agg_list" ->
-      "SELECT c_mktsegment, list_sort(list(DISTINCT c_nationkey)) nations, count(*) c FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
+      "SELECT c_mktsegment, array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') nations, len(list(DISTINCT c_nationkey)) n_nations, count(*) c FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
     "q_string_agg" ->
       "SELECT c_nationkey, array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') segs, count(*) c FROM customer GROUP BY c_nationkey ORDER BY c_nationkey",
     // max(struct) argmax idiom spelled as a window in ANSI for the oracle.

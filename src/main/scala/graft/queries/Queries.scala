@@ -225,12 +225,19 @@ object Queries {
   }
 
   /** Array-valued aggregation: the distinct set per group, sorted so the
-    * array value is deterministic (collect_set order is not). */
+    * array value is deterministic (collect_set order is not). The array is
+    * built as an array, then rendered as a joined string for output: the
+    * compare driver normalizes cells via pandas sort, which cannot hash
+    * array cells (round-2 ADVICE) — scalars are the portable surface. */
   private val qAggList: Q = (s, sf) =>
     t(s, sf, "customer")
       .groupBy("c_mktsegment")
-      .agg(array_sort(collect_set(col("c_nationkey"))).as("nations"),
+      .agg(array_sort(collect_set(col("c_nationkey"))).as("nation_arr"),
         count(lit(1)).as("c"))
+      .select(col("c_mktsegment"),
+        array_join(transform(col("nation_arr"), _.cast("string")), ",").as("nations"),
+        size(col("nation_arr")).as("n_nations"),
+        col("c"))
       .orderBy("c_mktsegment")
 
   /** String aggregation: sorted distinct values joined per group (the

@@ -122,8 +122,21 @@ class GraphSpec extends SparkSpec {
         sink = _ => throw new RuntimeException("sink outage"))
     }
     assert(log.consumedBlocks("ev").isEmpty) // retried on the next run
+    // lineage too: runs.log records only materialized runs, so the failed
+    // attempt leaves no row and the retry can't double-log
+    assert(log.lineage.isEmpty)
     val r = g.runIncremental(Map("ev" -> Seq("b1" -> b1)), log)
     assert(r("out").count() == 1 && log.consumedBlocks("ev") == Set("b1"))
+    assert(log.lineage.map(_._2) == Seq("out"))
+  }
+
+  test("runIncremental rejects an empty block-source map (would silently no-op)") {
+    val dir = Files.createTempDirectory("graftempty").toString
+    val g = new Graph(Seq(Node("out", Seq("src"), m => m("src"))))
+    intercept[IllegalArgumentException] {
+      g.runIncremental(Map.empty, new RunLog(dir),
+        inputs = Map("src" -> Seq(1).toDF("x")))
+    }
   }
 
   test("runIncremental handles evolved block schemas in one delta") {
@@ -143,6 +156,17 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](log.append("n", Seq("a,b")))
     intercept[IllegalArgumentException](log.markConsumed("src", Seq("a\nb")))
     intercept[IllegalArgumentException](log.append("n\tx"))
+  }
+
+  test("RunLog rejects ids that would escape the ledger directory") {
+    val dir = Files.createTempDirectory("graftpath").toString
+    val log = new RunLog(dir)
+    // source/node ids become file names: '../runs.log' or 'a/b' must fail
+    intercept[IllegalArgumentException](log.markConsumed("../runs.log", Seq("b")))
+    intercept[IllegalArgumentException](log.consumedBlocks("a/b"))
+    intercept[IllegalArgumentException](log.setWatermark("..\\wm", "1"))
+    intercept[IllegalArgumentException](log.watermark("x/y"))
+    intercept[IllegalArgumentException](log.append("", Seq("b")))
   }
 
   test("RunLog seq and consumed ledger survive reopen") {
