@@ -36,12 +36,18 @@ object Bench {
         catch { case scala.util.control.NonFatal(_) => false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
+    // ms precision only: the harness keeps the LAST ~2000 chars of output
+    // and parses the JSON line out of that tail — at 75+ queries the
+    // 9-significant-digit form is >3 KB and the line gets truncated
+    // (rounds 1-2 shipped parsed:null). 3 decimals keeps the whole line
+    // under the tail window; sub-ms precision is noise at these scales.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results
-      .map { case (k, v, ok) => s""""$k":${if (ok) v else -1}""" }
+      .map { case (k, v, ok) => s""""$k":${if (ok) f3(v) else -1}""" }
       .mkString("{", ",", "}")
     val errors = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errors}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errors}""")
     spark.stop()
   }
 }

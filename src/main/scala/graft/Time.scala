@@ -1,0 +1,26 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc single-query timer: `runMain graft.Time q_x q_y` runs each named
+  * query (after one warmup at sf0.001) against SPARK_GRAFT_SF_DIR and
+  * prints per-run seconds — the iteration loop for chasing one query's
+  * regression without paying a full Bench pass. */
+object Time {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.foreach { q =>
+      SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count() // warmup
+      (1 to reps).foreach { r =>
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(q)(spark, sfDir).count()
+        println(f"TIME $q run$r ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
+    }
+    spark.stop()
+  }
+}

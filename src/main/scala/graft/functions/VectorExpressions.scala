@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
 /** Native codegen'd dot product over two `array<float>` columns.
@@ -133,6 +133,83 @@ case class IntersectSize(left: Expression, right: Expression)
       newRight: Expression): IntersectSize = copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd |A ∩ B| over two ASCENDING-SORTED `array<bigint>` columns via
+  * a two-pointer merge — O(|A|+|B|) primitive compares, ZERO allocation per
+  * evaluation. This is the hot-path intersection for LSH-verified near-dup:
+  * [[IntersectSize]] (string sets) builds a `java.util.HashSet` per
+  * candidate pair, and at millions of pairs per task that allocation is
+  * pure GC churn (the round-2 q_neardup_lsh 11–58 s swing). Token sets are
+  * hashed to int64 once per DOCUMENT (not per pair) and sorted; each pair
+  * evaluation is then a branchy primitive loop whole-stage codegen inlines.
+  *
+  * Requires both arrays sorted ascending (e.g. `array_sort(transform(toks,
+  * xxhash64(w)))`); duplicate values are counted once (distinct-set ∩) and
+  * null elements must not occur (hash outputs never are). */
+case class IntersectSizeSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_intersect_size_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else {
+        n += 1
+        // skip duplicates so each distinct value counts once
+        val v = xv
+        while (i < nx && x.getLong(i) == v) i += 1
+        while (j < ny && y.getLong(j) == v) j += 1
+      }
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val n = ctx.freshName("n"); val v = ctx.freshName("v")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $x.numElements(); int $ny = $y.numElements();
+         |int $i = 0; int $j = 0; int $n = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $x.getLong($i); long $yv = $y.getLong($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else {
+         |    $n++;
+         |    long $v = $xv;
+         |    while ($i < $nx && $x.getLong($i) == $v) { $i++; }
+         |    while ($j < $ny && $y.getLong($j) == $v) { $j++; }
+         |  }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): IntersectSizeSorted =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API and SQL surfaces for the vector expressions. */
 object VectorFunctions {
 
@@ -149,6 +226,12 @@ object VectorFunctions {
   def intersectSize(a: Column, b: Column): Column =
     ColumnBridge.column(
       IntersectSize(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd distinct-intersection count of two SORTED long-array columns
+    * (two-pointer merge, zero allocation per row — the per-pair hot path). */
+  def intersectSizeSorted(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      IntersectSizeSorted(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   private val registration = (
     new FunctionIdentifier("graft_dot"),
@@ -176,5 +259,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("graft_intersect_size"),
         new ExpressionInfo(classOf[IntersectSize].getName, "graft_intersect_size"),
         (children: Seq[Expression]) => IntersectSize(children(0), children(1))))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_intersect_size_sorted"),
+        new ExpressionInfo(classOf[IntersectSizeSorted].getName,
+          "graft_intersect_size_sorted"),
+        (children: Seq[Expression]) => IntersectSizeSorted(children(0), children(1))))
   }
 }

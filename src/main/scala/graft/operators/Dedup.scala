@@ -136,17 +136,26 @@ object Dedup {
   def lshVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, tau: Double): DataFrame = {
     val cands = lshCandidatePairs(df, idCol, textCol, numHashes, bands)
-    val toks = df.select(col(idCol).as("tid"), tokens(col(textCol)).as("toks"))
-    // codegen'd count-only intersection: evaluated once per candidate pair
-    // (millions per task on dup-heavy corpora), so no intersection-array
-    // allocation — see graft.functions.IntersectSize
-    val inter = graft.functions.VectorFunctions.intersectSize(col("ta"), col("tb"))
+    // Verification plan: hash each doc's distinct token set to int64 ONCE
+    // (per document, not per pair) and sort it; a pair's |∩| is then a
+    // zero-allocation two-pointer merge over two sorted long arrays
+    // (graft_intersect_size_sorted). The earlier per-pair HashSet
+    // (IntersectSize over string arrays) allocated ~1 KB of boxed garbage
+    // per candidate — at millions of candidates per task that GC churn,
+    // not the compares, dominated wall-clock. Jaccard is computed over the
+    // hashed sets: identical to token Jaccard unless two distinct tokens
+    // collide in 64 bits (P ≈ vocab²/2⁶⁴ — negligible at any corpus size
+    // where exact verification is sane).
+    val toks = df.select(col(idCol).as("tid"),
+      array_sort(array_distinct(transform(tokens(col(textCol)), w => xxhash64(w))))
+        .as("th"))
+      .withColumn("nt", size(col("th")))
+    val inter = graft.functions.VectorFunctions.intersectSizeSorted(col("ta"), col("tb"))
     cands
-      .join(toks.select(col("tid").as("da"), col("toks").as("ta")), "da")
-      .join(toks.select(col("tid").as("db"), col("toks").as("tb")), "db")
+      .join(toks.select(col("tid").as("da"), col("th").as("ta"), col("nt").as("na")), "da")
+      .join(toks.select(col("tid").as("db"), col("th").as("tb"), col("nt").as("nb")), "db")
       .select(col("da"), col("db"),
-        (inter /
-          (size(col("ta")) + size(col("tb")) - inter).cast("double")).as("jac"))
+        (inter / (col("na") + col("nb") - inter).cast("double")).as("jac"))
       .filter(col("jac") >= tau)
   }
 

@@ -70,6 +70,38 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(slow == out.map(_.getInt(1)).toSeq)
   }
 
+  test("graft_intersect_size_sorted: merge-count ≡ size(array_intersect) on sorted input") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 200).map { i =>
+      val a = Seq.fill(rnd.nextInt(40))(rnd.nextInt(30).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(40))(rnd.nextInt(30).toLong).distinct.sorted
+      (i.toLong, a, b)
+    } ++ Seq(
+      (900L, Seq.empty[Long], Seq(1L, 2L)),
+      (901L, Seq(1L, 2L, 3L), Seq.empty[Long]),
+      (902L, Seq(Long.MinValue, 0L, Long.MaxValue), Seq(Long.MinValue, Long.MaxValue)))
+    val df = rows.toDF("id", "ta", "tb")
+    val out = df.select(col("id"),
+        VectorFunctions.intersectSizeSorted(col("ta"), col("tb")).as("fast"),
+        size(array_intersect(col("ta"), col("tb"))).as("builtin"))
+      .collect()
+    out.foreach(r => assert(r.getInt(1) == r.getInt(2), r.toString))
+    val slow = withCodegenDisabled {
+      df.select(VectorFunctions.intersectSizeSorted(col("ta"), col("tb")))
+        .collect().map(_.getInt(0)).toSeq
+    }
+    assert(slow == out.map(_.getInt(1)).toSeq)
+  }
+
+  test("graft_intersect_size_sorted counts duplicate values once (distinct-set ∩)") {
+    // caller contract is sorted input; duplicates may still arise from hash
+    // collisions upstream — each distinct value must count once
+    val df = Seq((1L, Seq(1L, 1L, 2L, 2L, 3L), Seq(1L, 2L, 2L, 4L))).toDF("id", "ta", "tb")
+    val n = df.select(VectorFunctions.intersectSizeSorted(col("ta"), col("tb")))
+      .collect().head.getInt(0)
+    assert(n == 2)
+  }
+
   private def withCodegenDisabled[T](f: => T): T = {
     val key = "spark.sql.codegen.wholeStage"
     val factoryKey = "spark.sql.codegen.factoryMode"
