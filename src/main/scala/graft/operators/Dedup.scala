@@ -67,6 +67,41 @@ object Dedup {
       .select("da", "db").distinct()
   }
 
+  /** Word n-gram shingles of a whitespace-tokenized text column (contiguous
+    * n-token windows joined by a single space; a doc shorter than n tokens
+    * yields its whole token sequence as one shingle). The decontamination
+    * unit: eval benchmarks leak into training corpora as verbatim runs of
+    * tokens, which single-token or char-3-gram overlap can't pin down. */
+  def wordShingles(text: Column, n: Int): Column = {
+    require(n >= 1, s"shingle width must be >= 1 (got $n)")
+    val ws = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
+      i => array_join(slice(ws, i, lit(n)), " ")))
+  }
+
+  /** Benchmark decontamination: drop every `train` row sharing at least one
+    * word n-gram shingle with any `bench` row — the standard eval-leakage
+    * filter run before training. Returns the clean subset of `train`.
+    *
+    * Scale shape (100 TB): benchmarks are small by construction, so the
+    * bench shingle set (distinct, single column) is BROADCAST; the train
+    * side streams through one explode → broadcast semi-join → distinct ids
+    * → broadcast anti-join, never shuffling the corpus itself. */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val benchShingles = broadcast(
+      bench.select(explode(wordShingles(col(textCol), n)).as("s")).distinct())
+    val contaminated = train
+      .select(col(idCol), explode(wordShingles(col(textCol), n)).as("s"))
+      .join(benchShingles, "s", "left_semi")
+      .select(idCol).distinct()
+    // no broadcast hint on the anti-join: the contaminated-id set is usually
+    // tiny (AQE will broadcast it) but is corpus-dependent — a heavily
+    // leaked corpus should fall back to a shuffle join, not OOM the driver
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Character 3-gram shingle set of a text column (n-gram Jaccard basis:
     * robust to word-boundary edits that token sets miss). */
   def shingles3(text: Column): Column =

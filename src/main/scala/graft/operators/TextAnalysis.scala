@@ -73,6 +73,39 @@ object TextAnalysis {
       .limit(n)
   }
 
+  /** PII scrub regexes — kept RE2-compatible (no backrefs/lookaround) so
+    * the DuckDB oracle and any RE2-based engine reproduce them exactly. */
+  val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phoneRe = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** Redact emails and phone numbers with typed placeholders — the
+    * pre-training PII scrub pass. Narrow per-row regex work: scan speed,
+    * no shuffle, whole-stage codegen keeps it in the scan stage. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, lit(emailRe), lit("<EMAIL>")),
+      lit(phoneRe), lit("<PHONE>"))
+
+  /** How many emails / phones a row contains (audit counters for the
+    * scrub pass). */
+  def piiCounts(text: Column): (Column, Column) =
+    (regexp_count(text, lit(emailRe)), regexp_count(text, lit(phoneRe)))
+
+  /** Duplicate word-n-gram fraction: 1 − distinct(n-grams)/total(n-grams),
+    * the Gopher-style within-document repetition signal (high value ⇒
+    * boilerplate/looping text). Floor-quantized to 4 dp on the binary
+    * double so the score is bit-identical across engines. Narrow per-row
+    * expression — no shuffle. */
+  def repetitionRatio(text: Column, n: Int = 2): Column = {
+    require(n >= 1, s"n-gram width must be >= 1 (got $n)")
+    val ws = split(text, " ")
+    val grams = transform(
+      sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
+      i => array_join(slice(ws, i, lit(n)), " "))
+    floor((lit(1.0) - size(array_distinct(grams)) / size(grams).cast("double"))
+      * 10000 + 0.5) / 10000
+  }
+
   /** Fixed-size character chunks with overlap (context-window prep):
     * chunk i covers [1 + i·stride, … + size); the last chunks are shorter.
     * Narrow per-row expression — chunking 100 TB is scan-speed work. */

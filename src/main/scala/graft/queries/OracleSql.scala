@@ -198,6 +198,34 @@ object OracleSql {
     // same floor-quantized score expression as q_quality
     "q_quota" ->
       "SELECT lang, r, doc_id, score FROM (SELECT lang, doc_id, score, row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) r FROM (SELECT lang, doc_id, floor((least(n_chars/400.0, 1.0)*0.5 + (len(list_filter(string_split(text,' '), w -> w IN ('the', 'a')))/CAST(len(string_split(text,' ')) AS DOUBLE))*0.3 + least(len(string_split(text,' '))/80.0, 1.0)*0.2)*10000 + 0.5)/10000 score FROM documents) s) t WHERE r <= 20 ORDER BY lang, r",
+    // word-5-gram leakage filter; range() stop is exclusive, list slice
+    // [i:i+4] is inclusive both ends (= Spark slice(ws, i, 5))
+    "q_decontaminate" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text,' ') ws FROM documents), " +
+        "sh AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') s FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws)-4,1)+1)) i FROM toks) t), " +
+        "bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20), " +
+        "cont AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s) WHERE sh.doc_id >= 20) " +
+        "SELECT count(*) n_clean, CAST(sum(doc_id) AS BIGINT) chk " +
+        "FROM documents WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM cont)"),
+    // DuckDB regexp_replace needs the 'g' flag (Spark replaces all matches
+    // by default); regexes are RE2-safe on both engines
+    "q_pii_scrub" ->
+      ("WITH d AS (SELECT doc_id, substr(text,1,40) || ' email u' || CAST(doc_id AS VARCHAR) || '@example.com or 555-123-' || " +
+        "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' and 555-999-' || lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0') AS s FROM documents) " +
+        "SELECT doc_id, " +
+        "len(regexp_extract_all(s, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) ne, " +
+        "len(regexp_extract_all(s, '\\d{3}-\\d{3}-\\d{4}')) np, " +
+        "md5(regexp_replace(regexp_replace(s, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g')) h " +
+        "FROM d ORDER BY doc_id LIMIT 100"),
+    // duplicate-bigram fraction, floor-quantized like q_quality
+    "q_repetition" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text,' ') ws FROM documents), " +
+        "sh AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') s FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws)-1,1)+1)) i FROM toks) t) " +
+        "SELECT doc_id, floor((1 - count(DISTINCT s)/CAST(count(*) AS DOUBLE))*10000 + 0.5)/10000 rep " +
+        "FROM sh GROUP BY doc_id ORDER BY doc_id LIMIT 100"),
+    // the salted join must equal the PLAIN join — salting is physical only
+    "q_skew_join" ->
+      "SELECT n_name, count(*) c, round(sum(c_acctbal),2) s FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",
     // DuckDB // = integer division (plain / yields double); range() stop
     // is exclusive, hence len+1. Spark's posexplode index is 0-based int.
     "q_chunk" ->

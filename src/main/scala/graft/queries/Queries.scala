@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Dedup, Incremental, Ivf, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Incremental, Ivf, Sampling, Similarity, Skew, TextAnalysis}
 
 /** The declared query inventory (SURVEY.md §2) as idiomatic DataFrame-API
   * plans. Each entry is `(spark, sfDir) => DataFrame` and has a matching
@@ -725,6 +725,53 @@ object Queries {
       .orderBy("lang", "r")
   }
 
+  /** Benchmark decontamination: training docs sharing any 5-token shingle
+    * with the (stand-in) benchmark set — docs 0..19 — are dropped before
+    * training. Bench shingles broadcast; the corpus never shuffles. */
+  private val qDecontaminate: Q = (s, sf) => {
+    val docs = t(s, sf, "documents")
+    Dedup.decontaminate(
+      docs.filter(col("doc_id") >= 20),
+      docs.filter(col("doc_id") < 20),
+      "doc_id", "text", 5)
+      .agg(count(lit(1)).as("n_clean"), sum("doc_id").as("chk"))
+  }
+
+  /** PII scrub: emails/phones (planted deterministically — the corpus
+    * itself is synthetic words) redacted with typed placeholders; output
+    * is the audit counters plus a fingerprint of the scrubbed text. */
+  private val qPiiScrub: Q = (s, sf) => {
+    val dirty = concat(
+      substring(col("text"), 1, 40),
+      lit(" email u"), col("doc_id").cast("string"),
+      lit("@example.com or 555-123-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" and 555-999-"),
+      lpad((col("doc_id") % 100).cast("string"), 4, "0"))
+    val (ne, np) = TextAnalysis.piiCounts(dirty)
+    t(s, sf, "documents")
+      .select(col("doc_id"), ne.as("ne"), np.as("np"),
+        md5(TextAnalysis.scrubPii(dirty)).as("h"))
+      .orderBy("doc_id").limit(100)
+  }
+
+  /** Within-document repetition: duplicate-bigram fraction per doc (the
+    * boilerplate/looping-text quality signal). */
+  private val qRepetition: Q = (s, sf) =>
+    t(s, sf, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.repetitionRatio(col("text"), 2).as("rep"))
+      .orderBy("doc_id").limit(100)
+
+  /** Salted hot-key join: results must equal the plain join (the oracle IS
+    * the plain join) — salting only changes the physical row routing. */
+  private val qSkewJoin: Q = (s, sf) =>
+    Skew.saltedJoin(t(s, sf, "customer"), t(s, sf, "nation"),
+        "c_nationkey", "n_nationkey", 8)
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("c"), round(sum("c_acctbal"), 2).as("s"))
+      .orderBy("n_name")
+
   /** The composed near-dup pipeline over the WHOLE corpus: MinHash-LSH
     * candidates (sub-quadratic banding) verified by exact token Jaccard —
     * the form that replaces the bounded exact queries at scale. No corpus
@@ -824,5 +871,9 @@ object Queries {
     "q_quota" -> qQuota,
     "q_neardup" -> qNeardup,
     "q_ngram_neardup" -> qNgramNeardup,
+    "q_decontaminate" -> qDecontaminate,
+    "q_pii_scrub" -> qPiiScrub,
+    "q_repetition" -> qRepetition,
+    "q_skew_join" -> qSkewJoin,
     "q_simhash" -> qSimhash)
 }

@@ -93,4 +93,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Exchange hashpartitioning"), p) // no shuffle at all
   }
+
+  test("q_decontaminate broadcasts the bench shingle set, never cartesian") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p) // bench side broadcast semi-join
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_repetition / q_pii_scrub stay narrow (scan-speed per-row work)") {
+    Seq("q_repetition", "q_pii_scrub").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q: $p")
+      assert(!p.contains("Exchange hashpartitioning"), s"$q shuffles: $p")
+    }
+  }
 }

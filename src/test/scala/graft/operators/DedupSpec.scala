@@ -31,6 +31,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs.find(p => (p._1, p._2) == (1L, 2L)).get._3 == 1.0)
   }
 
+  test("wordShingles: contiguous n-token windows; short docs yield one shingle") {
+    val d = Seq((1L, "a b c d e f"), (2L, "a b")).toDF("id", "text")
+    val m = d.select(col("id"), Dedup.wordShingles(col("text"), 5).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(m(1L) == Seq("a b c d e", "b c d e f"))
+    assert(m(2L) == Seq("a b")) // shorter than n: whole doc is the shingle
+  }
+
+  test("decontaminate drops exactly the train docs sharing a 5-gram with bench") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "intro text then the quick brown fox jumps stolen verbatim"), // leaked
+      (2L, "quick brown fox jumps over"),                                // leaked (exact 5-gram)
+      (3L, "the quick brown fox leaps over the lazy dog"),               // CENTER-word edit: every 5-gram differs
+      (4L, "completely unrelated content entirely")
+    ).toDF("doc_id", "text")
+    val clean = Dedup.decontaminate(train, bench, "doc_id", "text", 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(3L, 4L))
+  }
+
   test("ngramJaccardPairs: shingles catch boundary edits token sets miss") {
     val d = Seq(
       (1L, "en", "the catsat mat"),   // word-boundary shifted vs doc 2

@@ -33,6 +33,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m(1L) > m(2L))
   }
 
+  test("scrubPii redacts emails and phones; counts audit the redactions") {
+    val d = Seq(
+      (1L, "reach me at jo.doe+x@mail.example.org or 415-555-0199 thanks"),
+      (2L, "no pii here at all"),
+      (3L, "two phones 111-222-3333 and 444-555-6666")
+    ).toDF("id", "text")
+    val (ne, np) = TextAnalysis.piiCounts(col("text"))
+    val out = d.select(col("id"), TextAnalysis.scrubPii(col("text")).as("s"),
+        ne.as("ne"), np.as("np"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L)._1 == "reach me at <EMAIL> or <PHONE> thanks")
+    assert(out(1L)._2 == 1 && out(1L)._3 == 1)
+    assert(out(2L) == (("no pii here at all", 0, 0)))
+    assert(out(3L)._1 == "two phones <PHONE> and <PHONE>" && out(3L)._3 == 2)
+  }
+
+  test("repetitionRatio: 0 for all-distinct bigrams, high for looping text") {
+    val d = Seq(
+      (1L, "a b c d e"),                  // 4 bigrams, all distinct -> 0
+      (2L, "x y x y x y x y"),            // 7 bigrams, 2 distinct -> 5/7
+      (3L, "solo")                        // single token -> one 1-gram -> 0
+    ).toDF("id", "text")
+    val m = d.select(col("id"), TextAnalysis.repetitionRatio(col("text"), 2).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(1L) == 0.0 && m(3L) == 0.0)
+    assert(m(2L) == math.floor((1.0 - 2.0 / 7) * 10000 + 0.5) / 10000)
+  }
+
   test("languageId flags stopword-bearing docs as en") {
     val m = docs.select(col("doc_id"), TextAnalysis.languageId("text").as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
