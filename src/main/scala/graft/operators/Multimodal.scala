@@ -158,6 +158,47 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize, pure JDK (headless BufferedImage + Graphics2D,
+    * bilinear): decode → scale to `w`×`h` → re-encode PNG. Corrupt
+    * payloads become Left — failures stay data. */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Either[String, Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) Left("undecodable image payload")
+      else {
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        val buf = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", buf)
+        Right(buf.toByteArray)
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Left(s"corrupt image payload: ${e.getMessage}")
+    }
+
+  /** Resize every image row to a uniform `w`×`h` (the thumbnail /
+    * model-input normalization pass); non-image or undecodable rows pass
+    * through unchanged so the pipeline never loses records. Narrow
+    * mapPartitions — payload bytes never shuffle. */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.modality != "image") r
+        else resizeImage(r.payload, w, h) match {
+          case Right(bytes) => MediaRow(r.id, r.modality, bytes, w, h)
+          case Left(_) => r
+        }
+      }
+    }
+  }
+
   /** Sample every `stride`-th fixed-size chunk of a video payload as a
     * "frame" (stub for a real frame decoder; keeps the 1→N generator
     * shape: flatMap, no shuffle). */

@@ -223,6 +223,9 @@ object OracleSql {
         "sh AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') s FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws)-1,1)+1)) i FROM toks) t) " +
         "SELECT doc_id, floor((1 - count(DISTINCT s)/CAST(count(*) AS DOUBLE))*10000 + 0.5)/10000 rep " +
         "FROM sh GROUP BY doc_id ORDER BY doc_id LIMIT 100"),
+    // uncorrelated scalar subquery in the SELECT list
+    "q_scalar_subq" ->
+      "SELECT c_mktsegment, round(avg(c_acctbal), 2) seg_avg, round((SELECT avg(c_acctbal) FROM customer), 2) all_avg FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
     // the salted join must equal the PLAIN join — salting is physical only
     "q_skew_join" ->
       "SELECT n_name, count(*) c, round(sum(c_acctbal),2) s FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name",

@@ -523,6 +523,32 @@ object Queries {
       .agg(approx_count_distinct("user_id").as("du"))
       .orderBy("event_type")
 
+  /** Mergeable quantile sketch (approx_percentile ≈ KLL/GK family): the
+    * distributed path when exact percentiles' full sort is too expensive.
+    * No oracle: sketch internals are engine-specific; the unit test bounds
+    * the estimates against exact quantiles instead. */
+  private val qApproxPercentile: Q = (s, sf) =>
+    t(s, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("pcts"))
+      .select(col("l_returnflag"),
+        element_at(col("pcts"), 1).as("p50"),
+        element_at(col("pcts"), 2).as("p90"),
+        element_at(col("pcts"), 3).as("p99"))
+      .orderBy("l_returnflag")
+
+  /** Scalar subquery in the SELECT list (uncorrelated): each row carries
+    * the corpus-wide aggregate — planned as a broadcast of one value, not
+    * a per-row execution. */
+  private val qScalarSubq: Q = (s, sf) => {
+    t(s, sf, "customer").createOrReplaceTempView("customer")
+    s.sql("""SELECT c_mktsegment,
+               round(avg(c_acctbal), 2) seg_avg,
+               round((SELECT avg(c_acctbal) FROM customer), 2) all_avg
+             FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
+
   /** Sessionize with a 30-minute inactivity gap: lag → break flag →
     * running sum = session id → distinct sessions per user. */
   private val qSessionize: Q = (s, sf) => {
@@ -871,6 +897,8 @@ object Queries {
     "q_quota" -> qQuota,
     "q_neardup" -> qNeardup,
     "q_ngram_neardup" -> qNgramNeardup,
+    "q_approx_percentile" -> qApproxPercentile,
+    "q_scalar_subq" -> qScalarSubq,
     "q_decontaminate" -> qDecontaminate,
     "q_pii_scrub" -> qPiiScrub,
     "q_repetition" -> qRepetition,

@@ -20,6 +20,25 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile brackets the exact quantiles (no-oracle bound)") {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.table(spark, sf001, "lineitem")
+    val approx = SparkEntry.queries("q_approx_percentile")(spark, sf001)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    exact.foreach { case (k, e) =>
+      val (a50, a90, a99) = approx(k)
+      // accuracy=10000 → rank error ≤ n/10000; at sf0.001 value error stays
+      // well under 2% of the exact quantile for this distribution
+      Seq(a50 -> e(0), a90 -> e(1), a99 -> e(2)).foreach { case (a, x) =>
+        assert(math.abs(a - x) / x < 0.02, s"$k: approx $a vs exact $x")
+      }
+    }
+  }
+
   test("schema evolution: later blocks with new columns merge on read") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions.col

@@ -81,6 +81,24 @@ class MultimodalSpec extends SparkSpec {
     assert(!d(13L).ok && d(13L).error.contains("video"))
   }
 
+  test("resizeImages: REAL bilinear resize re-encodes at target dims") {
+    val rows = Seq(
+      MediaRow(1L, "image", pngBytes(16, 8, gray = 80), 16, 8),
+      MediaRow(2L, "image", Array[Byte](1, 2, 3), 0, 0),  // corrupt: passes through
+      MediaRow(3L, "audio", Array[Byte](9), 0, 0)         // non-image: untouched
+    ).toDS()
+    val out = Multimodal.resizeImages(rows, 4, 4).collect().map(x => x.id -> x).toMap
+    assert(out(1L).width == 4 && out(1L).height == 4)
+    // the resized payload really decodes at the new dimensions, and a
+    // uniform-gray source stays (approximately) the same gray
+    val dec = Multimodal.imageFeatures(out(1L).payload)
+    assert(dec.isRight)
+    val (w, h, luma) = dec.toOption.get
+    assert(w == 4 && h == 4 && math.abs(luma - 80.0 / 255.0) < 0.02)
+    assert(out(2L).payload.toSeq == Seq[Byte](1, 2, 3)) // corrupt kept as-is
+    assert(out(3L).payload.toSeq == Seq[Byte](9))
+  }
+
   test("decodeMedia: recognized-but-truncated payloads are error rows too") {
     // valid PNG signature + truncated body: ImageIO throws (not null);
     // WAV header promising more data than present: javax.sound throws
