@@ -4,13 +4,14 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.engine.{Graph, Node}
 import graft.functions.MinHashDocAgg
-import graft.operators.{Incremental, TextAnalysis}
+import graft.operators.{Dedup, Incremental, TextAnalysis}
 
 /** A packaged, reusable module in the reference's sense — a bundled schema
   * plus pipes you drop into any DAG (the pattern its shipped modules use:
   * declare the shape once, reuse the pipeline everywhere). This one is the
   * canonical training-corpus intake: normalize onto the module schema →
-  * exact-dedupe by content → quality-score → filter.
+  * (optional) benchmark-decontaminate → PII-scrub → exact-dedupe by
+  * content → quality/repetition-score → filter.
   *
   * Every pipe is a pure DataFrame transformation, so the module composes
   * with [[graft.engine.Graph.runIncremental]]: each run processes only new
@@ -39,18 +40,40 @@ object CorpusModule {
     Incremental.dedupeKeepNewest(df.withColumn("__fp", md5(col("text"))),
       Seq("__fp"), Seq(col("id").asc)).drop("__fp")
 
-  /** Attach the module's quality score. */
+  /** Attach the module's quality + repetition scores (repetition is the
+    * within-doc boilerplate signal; both narrow, scan-speed). */
   def score(df: DataFrame): DataFrame =
     df.withColumn("quality", TextAnalysis.qualityScore("text", "n_chars"))
+      .withColumn("repetition", TextAnalysis.repetitionRatio(col("text"), 2))
 
-  /** The pipes, wired over a block source named `docs`. */
-  def nodes(minQuality: Double = 0.5): Seq[Node] = Seq(
-    Node("normalized", Seq("docs"), m => Incremental.schemaCast(m("docs"), schema)),
-    Node("deduped", Seq("normalized"), m => dedupe(m("normalized"))),
-    Node("scored", Seq("deduped"), m => score(m("deduped"))),
-    Node("kept", Seq("scored"), m => m("scored").filter(col("quality") >= minQuality)))
+  /** Redact PII in place (emails/phones → typed placeholders). */
+  def scrub(df: DataFrame): DataFrame =
+    df.withColumn("text", TextAnalysis.scrubPii(col("text")))
 
-  def graph(minQuality: Double = 0.5): Graph = new Graph(nodes(minQuality))
+  /** The pipes, wired over a block source named `docs`: normalize →
+    * (optional) benchmark-decontaminate → PII-scrub → exact-dedupe →
+    * score → filter on quality AND repetition. `benchmark` is the eval
+    * set to decontaminate against; None skips the stage. */
+  def nodes(minQuality: Double = 0.5, maxRepetition: Double = 0.9,
+      benchmark: Option[DataFrame] = None): Seq[Node] = {
+    val decon = benchmark.toSeq.map { bench =>
+      Node("decontaminated", Seq("normalized"),
+        m => Dedup.decontaminate(m("normalized"), bench, "id", "text", 5))
+    }
+    val afterNorm = if (benchmark.isDefined) "decontaminated" else "normalized"
+    Seq(
+      Node("normalized", Seq("docs"), m => Incremental.schemaCast(m("docs"), schema))) ++
+      decon ++ Seq(
+      Node("scrubbed", Seq(afterNorm), m => scrub(m(afterNorm))),
+      Node("deduped", Seq("scrubbed"), m => dedupe(m("scrubbed"))),
+      Node("scored", Seq("deduped"), m => score(m("deduped"))),
+      Node("kept", Seq("scored"), m => m("scored")
+        .filter(col("quality") >= minQuality && col("repetition") <= maxRepetition)))
+  }
+
+  def graph(minQuality: Double = 0.5, maxRepetition: Double = 0.9,
+      benchmark: Option[DataFrame] = None): Graph =
+    new Graph(nodes(minQuality, maxRepetition, benchmark))
 
   /** Per-doc MinHash signatures of one block: (id, sig). Partial-agg
     * friendly (typed Aggregator → map-side combine before the shuffle). */

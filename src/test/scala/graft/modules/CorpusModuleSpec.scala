@@ -24,6 +24,24 @@ class CorpusModuleSpec extends SparkSpec {
     assert(out("deduped").count() == 2) // 1 (keeper of {1,2}) and 3
   }
 
+  test("module pipeline with benchmark: leaked docs dropped, PII scrubbed") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    val block = docs(
+      (1L, "intro words then the quick brown fox jumps over copied verbatim here", "en", 69), // leaked 5-gram
+      (2L, "a clean document with an email bob@corp.example.com inside it and words", "en", 72),
+      (3L, "another perfectly ordinary document with a good number of words", "en", 64))
+    val out = CorpusModule.graph(minQuality = 0.0, benchmark = Some(bench))
+      .run(Map("docs" -> block))
+    val kept = out("kept").collect().map(r =>
+      r.getAs[Long]("id") -> r.getAs[String]("text")).toMap
+    assert(!kept.contains(1L))                 // decontaminated
+    assert(kept(2L).contains("<EMAIL>"))       // scrubbed
+    assert(!kept(2L).contains("bob@corp.example.com"))
+    assert(kept.contains(3L))
+    assert(out("kept").columns.contains("repetition"))
+  }
+
   test("module runs incrementally: second run touches only the new block") {
     val dir = Files.createTempDirectory("graftmod").toString
     val log = new RunLog(dir)
