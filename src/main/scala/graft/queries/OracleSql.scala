@@ -223,6 +223,11 @@ object OracleSql {
         "sh AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') s FROM (SELECT doc_id, ws, unnest(range(1, greatest(len(ws)-1,1)+1)) i FROM toks) t) " +
         "SELECT doc_id, floor((1 - count(DISTINCT s)/CAST(count(*) AS DOUBLE))*10000 + 0.5)/10000 rep " +
         "FROM sh GROUP BY doc_id ORDER BY doc_id LIMIT 100"),
+    // cume_dist/percent_rank are integer-count ratios: engine-identical
+    "q_window_dist" ->
+      "SELECT c_custkey, c_mktsegment, cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) cd, percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) pr FROM customer ORDER BY c_custkey LIMIT 100",
+    "q_histogram" ->
+      "SELECT CAST(floor(c_acctbal/1000) AS BIGINT) bin, count(*) c, round(avg(c_acctbal),2) m FROM customer GROUP BY bin ORDER BY bin",
     // uncorrelated scalar subquery in the SELECT list
     "q_scalar_subq" ->
       "SELECT c_mktsegment, round(avg(c_acctbal), 2) seg_avg, round((SELECT avg(c_acctbal) FROM customer), 2) all_avg FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",

@@ -523,6 +523,25 @@ object Queries {
       .agg(approx_count_distinct("user_id").as("du"))
       .orderBy("event_type")
 
+  /** Distribution window functions: cume_dist + percent_rank per segment —
+    * both are integer-count ratios, so values are engine-identical. */
+  private val qWindowDist: Q = (s, sf) => {
+    val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    t(s, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        cume_dist().over(w).as("cd"), percent_rank().over(w).as("pr"))
+      .orderBy("c_custkey").limit(100)
+  }
+
+  /** Fixed-width histogram: floor-binning is the portable width_bucket
+    * (floor rounds toward −∞ in both engines, so negative balances bin
+    * correctly). One partial-agg shuffle — histograms of 100 TB are cheap. */
+  private val qHistogram: Q = (s, sf) =>
+    t(s, sf, "customer")
+      .groupBy(floor(col("c_acctbal") / 1000).cast("bigint").as("bin"))
+      .agg(count(lit(1)).as("c"), round(avg("c_acctbal"), 2).as("m"))
+      .orderBy("bin")
+
   /** Mergeable quantile sketch (approx_percentile ≈ KLL/GK family): the
     * distributed path when exact percentiles' full sort is too expensive.
     * No oracle: sketch internals are engine-specific; the unit test bounds
@@ -899,6 +918,8 @@ object Queries {
     "q_ngram_neardup" -> qNgramNeardup,
     "q_approx_percentile" -> qApproxPercentile,
     "q_scalar_subq" -> qScalarSubq,
+    "q_window_dist" -> qWindowDist,
+    "q_histogram" -> qHistogram,
     "q_decontaminate" -> qDecontaminate,
     "q_pii_scrub" -> qPiiScrub,
     "q_repetition" -> qRepetition,

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured-Streaming operators. The reference's "streams" are
   * micro-batched block streams (SURVEY §2.9); Structured Streaming's
@@ -96,5 +97,37 @@ object Streams {
           state.update(next)
           Iterator.single(next)
       }
+  }
+
+  /** [[runningTotals]] on the transformWithState API (Spark 4's successor
+    * to (flat)mapGroupsWithState): typed per-key `ValueState` handles, a
+    * TimeMode/TTL surface for state expiry, and the RocksDB state store as
+    * the intended backend — the operator model that scales state past
+    * executor memory. Semantics are identical to [[runningTotals]]; the
+    * StreamsSpec pins the two equal on the same input. */
+  final class RunningTotalProcessor[T](value: T => Double)
+      extends StatefulProcessor[Long, T, KeyedTotal] {
+    @transient private var state: ValueState[KeyedTotal] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[KeyedTotal]("running",
+        Encoders.product[KeyedTotal], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[T],
+        timerValues: TimerValues): Iterator[KeyedTotal] = {
+      val prev = Option(state.get()).getOrElse(KeyedTotal(key, 0L, 0.0))
+      var c = prev.count
+      var s = prev.total
+      rows.foreach { r => c += 1; s += value(r) }
+      val next = KeyedTotal(key, c, s)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningTotalsV2[T](events: Dataset[T], key: T => Long,
+      value: T => Double): Dataset[KeyedTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(key)
+      .transformWithState(new RunningTotalProcessor[T](value),
+        TimeMode.None(), OutputMode.Update())
   }
 }

@@ -154,6 +154,38 @@ class StreamsSpec extends SparkSpec {
     assert(rows.contains((1L, 3L, 20.0)))
   }
 
+  test("transformWithState (v2 API, RocksDB store) matches flatMapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    // transformWithState requires the RocksDB state store — the backend
+    // that scales state past executor memory at 100 TB
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = MemoryStream[Ev]
+      val q = Streams.runningTotalsV2[Ev](src.toDS(), _.user_id, _.value)
+        .writeStream.format("memory").queryName("rt2").outputMode("update").start()
+      src.addData(Seq(Ev(1, ts(0), 1, "a", 10.0), Ev(2, ts(1), 1, "a", 5.0),
+        Ev(3, ts(1), 2, "a", 1.0)))
+      q.processAllAvailable()
+      src.addData(Seq(Ev(4, ts(2), 1, "a", 5.0)))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("rt2").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // same emissions as the flatMapGroupsWithState form on the same input
+      assert(rows.contains((1L, 2L, 15.0)))
+      assert(rows.contains((2L, 1L, 1.0)))
+      assert(rows.contains((1L, 3L, 20.0)))
+    } finally {
+      old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("foreachBatch pipeline: stream blocks -> keep-newest DataSet materialization") {
     // end-to-end dags pipeline on a stream: each micro-batch appends a
     // block; foreachBatch re-materializes the deduped latest view
