@@ -228,6 +228,16 @@ object OracleSql {
       "SELECT c_custkey, c_mktsegment, cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) cd, percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) pr FROM customer ORDER BY c_custkey LIMIT 100",
     "q_histogram" ->
       "SELECT CAST(floor(c_acctbal/1000) AS BIGINT) bin, count(*) c, round(avg(c_acctbal),2) m FROM customer GROUP BY bin ORDER BY bin",
+    // per-user daily resample with zero fill; generate_series stop is
+    // INCLUSIVE for the date form (unlike range()), matching Spark sequence
+    "q_gapfill" ->
+      ("WITH daily AS (SELECT user_id, CAST(ts AS DATE) \"day\", count(*) c, round(sum(\"value\"), 2) v " +
+        "FROM events WHERE user_id < 5 GROUP BY user_id, \"day\"), " +
+        "cal AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) \"day\" " +
+        "FROM (SELECT user_id, min(\"day\") d0, max(\"day\") d1 FROM daily GROUP BY user_id) s) " +
+        "SELECT cal.user_id, cal.\"day\", coalesce(c, 0) c, coalesce(v, 0.0) v " +
+        "FROM cal LEFT JOIN daily ON cal.user_id = daily.user_id AND cal.\"day\" = daily.\"day\" " +
+        "ORDER BY cal.user_id, cal.\"day\""),
     // uncorrelated scalar subquery in the SELECT list
     "q_scalar_subq" ->
       "SELECT c_mktsegment, round(avg(c_acctbal), 2) seg_avg, round((SELECT avg(c_acctbal) FROM customer), 2) all_avg FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",
@@ -243,6 +253,19 @@ object OracleSql {
     "q_ngram_neardup" ->
       "WITH d AS (SELECT doc_id, lang, list_distinct(list_transform(range(1, greatest(len(text)-2, 1)+1), i -> substr(text, i, 3))) toks FROM documents WHERE doc_id < 200), tok AS (SELECT doc_id, lang, len(toks) nt, unnest(toks) w FROM d), g AS (SELECT a.doc_id da, b.doc_id db, a.nt na, b.nt nb, count(*) inter FROM tok a JOIN tok b ON a.w=b.w AND a.lang=b.lang AND a.doc_id<b.doc_id GROUP BY 1,2,3,4), j AS (SELECT da, db, inter/CAST(na+nb-inter AS DOUBLE) jac FROM g) SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk, round(avg(jac),4) aj FROM j WHERE jac >= 0.9",
     "q_simhash" -> simhashSql,
+    // Transitive closure of the within-lang jac>=0.9 pairs: recursive CTE
+    // computes min-reachable-id per vertex — ANSI ground truth for the
+    // Spark-side hash-min label propagation (integer-ratio threshold, so
+    // the edge set is bit-identical across engines).
+    "q_dedup_cluster" ->
+      ("WITH RECURSIVE d AS (SELECT doc_id, lang, list_distinct(string_split(text,' ')) toks FROM documents WHERE doc_id < 200), " +
+        "tok AS (SELECT doc_id, lang, len(toks) nt, unnest(toks) w FROM d), " +
+        "g AS (SELECT a.doc_id da, b.doc_id db, a.nt na, b.nt nb, count(*) inter FROM tok a JOIN tok b ON a.w=b.w AND a.lang=b.lang AND a.doc_id<b.doc_id GROUP BY 1,2,3,4), " +
+        "p AS (SELECT da, db FROM g WHERE inter/CAST(na+nb-inter AS DOUBLE) >= 0.9), " +
+        "sym AS (SELECT da s, db t FROM p UNION SELECT db, da FROM p), " +
+        "reach(id, r) AS (SELECT s, s FROM (SELECT DISTINCT s FROM sym) u UNION SELECT sym.t, reach.r FROM reach JOIN sym ON sym.s = reach.id), " +
+        "cc AS (SELECT id, min(r) comp FROM reach GROUP BY id) " +
+        "SELECT id doc_id, cc.comp, sz FROM cc JOIN (SELECT comp, count(*) sz FROM cc GROUP BY comp) z ON cc.comp = z.comp ORDER BY doc_id"),
     // Bucket-blocked pairs: the 6-bit sign bucket (MSB-first, mirrors
     // Similarity.signBucket) gates the pair join exactly as the Spark plan.
     "q_embed_neardup" ->

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Dedup, Incremental, Ivf, Sampling, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, Components, Dedup, Incremental, Ivf, Sampling, Similarity, Skew, TextAnalysis}
 
 /** The declared query inventory (SURVEY.md §2) as idiomatic DataFrame-API
   * plans. Each entry is `(spark, sfDir) => DataFrame` and has a matching
@@ -514,6 +514,28 @@ object Queries {
       .orderBy("ws")
       .limit(200)
 
+  /** Time-series gap filling (resample-to-daily): each user's series is
+    * densified over its OWN [min(day), max(day)] span via
+    * `sequence()+explode`, then left-joined back to the observed daily
+    * aggregates with zero fill. The calendar side is ~rows×span tiny
+    * relative to the events scan, and the join is an equi-join on
+    * (user_id, day) — at 100 TB the dense calendar is still only
+    * |keys|×|days| rows, generated distributed, never on the driver. */
+  private val qGapfill: Q = (s, sf) => {
+    val daily = t(s, sf, "events")
+      .filter(col("user_id") < 5)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("v"))
+    val calendar = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    calendar.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("v"), lit(0.0)).as("v"))
+      .orderBy("user_id", "day")
+  }
+
   /** HLL++ approximate distinct — mergeable sketch, no exact-count shuffle
     * of raw user ids. No oracle: sketch estimates are engine-specific; the
     * unit test bounds the error vs the exact count instead. */
@@ -827,6 +849,22 @@ object Queries {
         sum(col("da") + col("db")).as("chk"),
         round(avg("jac"), 4).as("aj"))
 
+  /** Duplicate-cluster assignment: near-dup pairs (within-language exact
+    * token Jaccard ≥ 0.9 on a bounded corpus) transitively closed into
+    * components by distributed hash-min label propagation — the stage that
+    * turns pairwise near-dup evidence into "keep one doc per cluster".
+    * comp is the cluster keeper (min doc_id), sz the cluster size. At
+    * corpus scale the edges come from [[Dedup.lshVerifiedPairs]] instead;
+    * the closure is threshold-agnostic. */
+  private val qDedupCluster: Q = (s, sf) => {
+    val pairs = Dedup.jaccardPairs(
+      t(s, sf, "documents").filter(col("doc_id") < 200),
+      "doc_id", "lang", "text", 0.9)
+    Components.dupClusters(pairs, "da", "db")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** SimHash signature buckets: most-populated 16-bit signatures. */
   private val qSimhash: Q = (s, sf) =>
     Dedup.simHash16(t(s, sf, "documents"), "doc_id", "text")
@@ -920,9 +958,11 @@ object Queries {
     "q_scalar_subq" -> qScalarSubq,
     "q_window_dist" -> qWindowDist,
     "q_histogram" -> qHistogram,
+    "q_gapfill" -> qGapfill,
     "q_decontaminate" -> qDecontaminate,
     "q_pii_scrub" -> qPiiScrub,
     "q_repetition" -> qRepetition,
     "q_skew_join" -> qSkewJoin,
-    "q_simhash" -> qSimhash)
+    "q_simhash" -> qSimhash,
+    "q_dedup_cluster" -> qDedupCluster)
 }
