@@ -238,6 +238,33 @@ object OracleSql {
         "SELECT cal.user_id, cal.\"day\", coalesce(c, 0) c, coalesce(v, 0.0) v " +
         "FROM cal LEFT JOIN daily ON cal.user_id = daily.user_id AND cal.\"day\" = daily.\"day\" " +
         "ORDER BY cal.user_id, cal.\"day\""),
+    // funnel: conditional-min firsts compared at µs granularity (CAST to
+    // TIMESTAMP truncates DuckDB's ns to match Spark's rebuilt µs ts)
+    "q_funnel" ->
+      ("WITH f AS (SELECT user_id, " +
+        "min(CASE WHEN event_type='view' THEN CAST(ts AS TIMESTAMP) END) t1, " +
+        "min(CASE WHEN event_type='click' THEN CAST(ts AS TIMESTAMP) END) t2, " +
+        "min(CASE WHEN event_type='purchase' THEN CAST(ts AS TIMESTAMP) END) t3 " +
+        "FROM events GROUP BY user_id) " +
+        "SELECT count(t1) s_view, count(CASE WHEN t2 > t1 THEN 1 END) s_click, " +
+        "count(CASE WHEN t2 > t1 AND t3 > t2 THEN 1 END) s_purchase FROM f"),
+    // retention triangle: Monday-start weeks in both engines; week offset
+    // via day-diff // 7 (engine week-diff semantics differ)
+    "q_retention" ->
+      ("WITH wk AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) wk FROM events), " +
+        "c AS (SELECT user_id, min(wk) cw FROM wk GROUP BY user_id) " +
+        "SELECT cw, datediff('day', cw, wk) // 7 k, count(DISTINCT wk.user_id) u " +
+        "FROM wk JOIN c ON wk.user_id = c.user_id GROUP BY cw, k ORDER BY cw, k"),
+    "q_regression" ->
+      ("SELECT l_returnflag, round(regr_slope(l_extendedprice, l_quantity), 2) b1, " +
+        "round(regr_intercept(l_extendedprice, l_quantity), 2) b0, " +
+        "round(regr_r2(l_extendedprice, l_quantity), 4) r2, count(*) n " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    "q_fuzzy" ->
+      ("SELECT d, count(*) c FROM (SELECT levenshtein(a.c_name, b.c_name) d " +
+        "FROM customer a JOIN customer b ON substr(a.c_name, 1, length(a.c_name)-2) = substr(b.c_name, 1, length(b.c_name)-2) " +
+        "AND a.c_custkey < b.c_custkey WHERE a.c_custkey < 100 AND b.c_custkey < 100) t " +
+        "WHERE d <= 2 GROUP BY d ORDER BY d"),
     // uncorrelated scalar subquery in the SELECT list
     "q_scalar_subq" ->
       "SELECT c_mktsegment, round(avg(c_acctbal), 2) seg_avg, round((SELECT avg(c_acctbal) FROM customer), 2) all_avg FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment",

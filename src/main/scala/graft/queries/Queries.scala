@@ -564,6 +564,78 @@ object Queries {
       .agg(count(lit(1)).as("c"), round(avg("c_acctbal"), 2).as("m"))
       .orderBy("bin")
 
+  /** Funnel analysis (view → click → purchase): per-user FIRST timestamp
+    * of each stage via conditional min — one pass over events, one
+    * hash-shuffle on user_id — then one global count of users whose firsts
+    * are stage-ordered. The first-touch ordering variant: stage k counts
+    * users whose first stage-k event follows their first stage-(k−1)
+    * event. At 100 TB this is the shape you want: no per-user event-list
+    * collection, no window sort — conditional aggregates only. */
+  private val qFunnel: Q = (s, sf) => {
+    val firsts = t(s, sf, "events")
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t1"),
+        min(when(col("event_type") === "click", col("ts"))).as("t2"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t3"))
+    firsts.agg(
+      count(col("t1")).as("s_view"),
+      count(when(col("t2") > col("t1"), lit(1))).as("s_click"),
+      count(when(col("t2") > col("t1") && col("t3") > col("t2"), lit(1)))
+        .as("s_purchase"))
+  }
+
+  /** Cohort retention: cohort = the Monday of each user's first-activity
+    * week; cell (cohort, k) = distinct users of that cohort active k weeks
+    * later. Two shuffles (per-user min, then per-cell distinct count) —
+    * the standard retention-triangle shape. */
+  private val qRetention: Q = (s, sf) => {
+    val wk = t(s, sf, "events")
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+    val cohort = wk.groupBy("user_id").agg(min("wk").as("cw"))
+    wk.join(cohort, "user_id")
+      .groupBy(col("cw"), (datediff(col("wk"), col("cw")) / 7)
+        .cast("bigint").as("k"))
+      .agg(count_distinct(col("user_id")).as("u"))
+      .orderBy("cw", "k")
+  }
+
+  /** Linear-regression aggregates (slope/intercept/R²) per group — single
+    * shuffle, partial-aggregable moments, the distributed OLS-by-group
+    * primitive. R² here is ≈0: the synthetic price is independent of
+    * quantity, which the near-zero slope/R² correctly report. */
+  private val qRegression: Q = (s, sf) =>
+    t(s, sf, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 2).as("b1"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("b0"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Fuzzy-match self-join, prefix-blocked: candidate pairs share a
+    * blocking key (name minus its last 2 chars — the classic record-linkage
+    * block), so the pair join is an EQUI-join on the block with the id
+    * residual, never a nested-loop over all pairs; Levenshtein then scores
+    * only in-block pairs. Levenshtein is integer-valued — bit-identical
+    * across engines — so the distance histogram is a strong oracle. Same
+    * shape as the LSH near-dup pipeline: blocking bounds the pair space,
+    * the scorer verifies. */
+  private val qFuzzy: Q = (s, sf) => {
+    val c = t(s, sf, "customer").filter(col("c_custkey") < 100)
+      .select(col("c_custkey").as("ck"), col("c_name").as("nm"),
+        expr("substr(c_name, 1, length(c_name) - 2)").as("blk"))
+    val a = c.select(col("ck").as("ka"), col("nm").as("na"), col("blk"))
+    val b = c.select(col("ck").as("kb"), col("nm").as("nb"),
+      col("blk").as("blk2"))
+    a.join(b, col("blk") === col("blk2") && col("ka") < col("kb"))
+      .select(levenshtein(col("na"), col("nb")).as("d"))
+      .filter(col("d") <= 2)
+      .groupBy("d").agg(count(lit(1)).as("c"))
+      .orderBy("d")
+  }
+
   /** Mergeable quantile sketch (approx_percentile ≈ KLL/GK family): the
     * distributed path when exact percentiles' full sort is too expensive.
     * No oracle: sketch internals are engine-specific; the unit test bounds
@@ -959,6 +1031,10 @@ object Queries {
     "q_window_dist" -> qWindowDist,
     "q_histogram" -> qHistogram,
     "q_gapfill" -> qGapfill,
+    "q_funnel" -> qFunnel,
+    "q_retention" -> qRetention,
+    "q_regression" -> qRegression,
+    "q_fuzzy" -> qFuzzy,
     "q_decontaminate" -> qDecontaminate,
     "q_pii_scrub" -> qPiiScrub,
     "q_repetition" -> qRepetition,

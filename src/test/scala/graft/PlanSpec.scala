@@ -76,6 +76,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("partial"), p)
   }
 
+  test("q_fuzzy pair join is prefix-blocked: equi-join, never nested-loop") {
+    val p = plan("q_fuzzy")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_funnel is conditional aggregates only: no window sort, one agg chain") {
+    val p = plan("q_funnel")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial"), p) // map-side partial aggregation
+  }
+
   test("q_neardup_lsh: candidate + verify joins never go cartesian") {
     val p = plan("q_neardup_lsh")
     assert(!p.contains("CartesianProduct"), p)
