@@ -198,6 +198,10 @@ object OracleSql {
     // same floor-quantized score expression as q_quality
     "q_quota" ->
       "SELECT lang, r, doc_id, score FROM (SELECT lang, doc_id, score, row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) r FROM (SELECT lang, doc_id, floor((least(n_chars/400.0, 1.0)*0.5 + (len(list_filter(string_split(text,' '), w -> w IN ('the', 'a')))/CAST(len(string_split(text,' ')) AS DOUBLE))*0.3 + least(len(string_split(text,' '))/80.0, 1.0)*0.2)*10000 + 0.5)/10000 score FROM documents) s) t WHERE r <= 20 ORDER BY lang, r",
+    // the window spelling is the ANSI oracle for the mergeable TopKAgg
+    // Aggregator (partial top-k, shuffle-light) — same rows by construction
+    "q_topk_group" ->
+      "SELECT lang, r, doc_id, score FROM (SELECT lang, doc_id, score, row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) r FROM (SELECT lang, doc_id, floor((least(n_chars/400.0, 1.0)*0.5 + (len(list_filter(string_split(text,' '), w -> w IN ('the', 'a')))/CAST(len(string_split(text,' ')) AS DOUBLE))*0.3 + least(len(string_split(text,' '))/80.0, 1.0)*0.2)*10000 + 0.5)/10000 score FROM documents) s) t WHERE r <= 5 ORDER BY lang, r",
     // word-5-gram leakage filter; range() stop is exclusive, list slice
     // [i:i+4] is inclusive both ends (= Spark slice(ws, i, 5))
     "q_decontaminate" ->

@@ -864,6 +864,26 @@ object Queries {
       .orderBy("lang", "r")
   }
 
+  /** Per-language top-5 via the mergeable [[graft.functions.TopKAgg]]
+    * Aggregator instead of a window: partial aggregation keeps only k
+    * entries per group per map task, so the shuffle carries k·|groups|
+    * rows regardless of corpus size — the window form (q_quota) shuffles
+    * and sorts every row. Same result set as the ANSI window oracle;
+    * id tie-break makes the quantized scores deterministic. */
+  private val qTopkGroup: Q = (s, sf) => {
+    val topk = udaf(new graft.functions.TopKAgg(5),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    t(s, sf, "documents")
+      .select(col("lang"),
+        TextAnalysis.qualityScore("text", "n_chars").as("score"), col("doc_id"))
+      .groupBy("lang")
+      .agg(topk(col("score"), col("doc_id")).as("tk"))
+      .select(col("lang"), posexplode(col("tk")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("r"),
+        col("col.id").as("doc_id"), col("col.score").as("score"))
+      .orderBy("lang", "r")
+  }
+
   /** Benchmark decontamination: training docs sharing any 5-token shingle
     * with the (stand-in) benchmark set — docs 0..19 — are dropped before
     * training. Bench shingles broadcast; the corpus never shuffles. */
@@ -1035,6 +1055,7 @@ object Queries {
     "q_retention" -> qRetention,
     "q_regression" -> qRegression,
     "q_fuzzy" -> qFuzzy,
+    "q_topk_group" -> qTopkGroup,
     "q_decontaminate" -> qDecontaminate,
     "q_pii_scrub" -> qPiiScrub,
     "q_repetition" -> qRepetition,
