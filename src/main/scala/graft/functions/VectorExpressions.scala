@@ -68,14 +68,15 @@ case class DotProduct(left: Expression, right: Expression)
       newRight: Expression): DotProduct = copy(left = newLeft, right = newRight)
 }
 
-/** Codegen'd |A ∩ B| over two `array<string>` columns — semantics of
-  * `size(array_intersect(a, b))` (distinct intersection count) without
-  * materializing the intersection array. The built-in composition builds
-  * and allocates the intersection per evaluation; near-dup verification
-  * evaluates it millions of times per task (once per candidate pair), so
-  * the count-only single-pass form is the hot-path version: one hash set
-  * of the right side, one membership sweep of the left, no allocation of
-  * result arrays. Null elements are ignored (token sets never hold null). */
+/** Codegen'd |A ∩ B| over two `array<string>` columns — EXACT semantics of
+  * `size(array_intersect(a, b))` (distinct intersection count, null
+  * elements matching null elements) without materializing the intersection
+  * array. The built-in composition builds and allocates the intersection
+  * per evaluation; near-dup verification evaluates it millions of times
+  * per task (once per candidate pair), so the count-only single-pass form
+  * is the hot-path version: one hash set of the right side, one membership
+  * sweep of the left, no allocation of result arrays. Exact equivalence is
+  * what lets [[IntersectSizeRewrite]] swap it in unconditionally. */
 case class IntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -96,15 +97,20 @@ case class IntersectSize(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val set = new java.util.HashSet[AnyRef]()
+    var yNull = false
     var i = 0
     while (i < y.numElements()) {
-      if (!y.isNullAt(i)) set.add(y.getUTF8String(i)); i += 1
+      if (y.isNullAt(i)) yNull = true else set.add(y.getUTF8String(i))
+      i += 1
     }
     var n = 0
     i = 0
     while (i < x.numElements()) {
-      // remove-on-hit so duplicate left elements count once (distinct ∩)
-      if (!x.isNullAt(i) && set.remove(x.getUTF8String(i))) n += 1
+      // remove-on-hit so duplicate left elements count once (distinct ∩);
+      // a null element matches a null element, once — as array_intersect
+      if (x.isNullAt(i)) {
+        if (yNull) { n += 1; yNull = false }
+      } else if (set.remove(x.getUTF8String(i))) n += 1
       i += 1
     }
     n
@@ -116,14 +122,19 @@ case class IntersectSize(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val n = ctx.freshName("n")
+      val yNull = ctx.freshName("yNull")
       s"""
          |java.util.HashSet $set = new java.util.HashSet();
+         |boolean $yNull = false;
          |for (int $i = 0; $i < $y.numElements(); $i++) {
-         |  if (!$y.isNullAt($i)) { $set.add($y.getUTF8String($i)); }
+         |  if ($y.isNullAt($i)) { $yNull = true; }
+         |  else { $set.add($y.getUTF8String($i)); }
          |}
          |int $n = 0;
          |for (int $j = 0; $j < $x.numElements(); $j++) {
-         |  if (!$x.isNullAt($j) && $set.remove($x.getUTF8String($j))) { $n++; }
+         |  if ($x.isNullAt($j)) {
+         |    if ($yNull) { $n++; $yNull = false; }
+         |  } else if ($set.remove($x.getUTF8String($j))) { $n++; }
          |}
          |${ev.value} = $n;
        """.stripMargin
@@ -246,11 +257,44 @@ object VectorFunctions {
   }
 }
 
+/** Optimizer rewrite: `size(array_intersect(a, b))` over string arrays →
+  * [[IntersectSize]]. Users (and composed operators) write the idiomatic
+  * built-in form; the rule swaps in the count-only expression, so the
+  * intersection ARRAY — allocated per evaluation, discarded after its size
+  * is read — never materializes. Sound unconditionally because
+  * IntersectSize reproduces array_intersect's semantics exactly, null
+  * elements included. A `Rule[LogicalPlan]` rather than an analyzer
+  * change: it runs in the optimizer where both expressions are resolved.
+  *
+  * Deployment: injected by [[GraftExtensions]]
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`) or session-
+  * locally via `spark.experimental.extraOptimizations`. */
+object IntersectSizeRewrite
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{ArrayIntersect, Size}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  private def strings(e: Expression): Boolean = e.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      // legacySizeOfNull=false only: legacy size() returns -1 on a null
+      // ARRAY input, IntersectSize (null-intolerant) returns null
+      case Size(ArrayIntersect(l, r), false) if strings(l) && strings(r) =>
+        IntersectSize(l, r)
+    }
+}
+
 /** `spark.sql.extensions=graft.functions.GraftExtensions` injects the
   * functions at session build — the deployment path for clusters where user
   * code can't touch the registry before SQL parsing. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => IntersectSizeRewrite)
     ext.injectFunction(
       (new FunctionIdentifier("graft_dot"),
         new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

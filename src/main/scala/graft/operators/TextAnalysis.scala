@@ -106,6 +106,34 @@ object TextAnalysis {
       * 10000 + 0.5) / 10000
   }
 
+  /** Gopher-style rule filter (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", Appendix A1.1):
+    * per-doc word count, mean word length, alphabetic-word fraction, and
+    * stopword count, each against a published-rule-shaped threshold; `pass`
+    * is their conjunction. All integer counts or integer-ratio doubles —
+    * bit-identical across engines — and narrow per-row work: filtering
+    * 100 TB with these rules runs at scan speed. Thresholds are
+    * constructor-visible because the published ones (50 ≤ words ≤ 100k,
+    * 3 ≤ mwl ≤ 10, …) are corpus-calibrated. */
+  def gopherRules(textCol: String, minWords: Int = 50, maxWords: Int = 100000,
+      minMwl: Double = 3.0, maxMwl: Double = 10.0, minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2): Seq[Column] = {
+    val ws = split(col(textCol), " ")
+    val nw = size(ws)
+    val mwl = aggregate(transform(ws, w => length(w)), lit(0),
+      (acc, x) => acc + x).cast("double") / nw.cast("double")
+    val alphaFrac = size(filter(ws, w => w.rlike("^[a-z]+$"))) /
+      nw.cast("double")
+    val nStop = expr(
+      s"size(filter(split($textCol, ' '), w -> w IN $stopwordList))")
+    val pass = nw.between(minWords, maxWords) &&
+      mwl.between(minMwl, maxMwl) && alphaFrac >= minAlphaFrac &&
+      nStop >= minStopwords
+    Seq(nw.as("nw"), (floor(mwl * 10000 + 0.5) / 10000).as("mwl"),
+      (floor(alphaFrac * 10000 + 0.5) / 10000).as("af"),
+      nStop.as("nstop"), pass.as("pass"))
+  }
+
   /** Fixed-size character chunks with overlap (context-window prep):
     * chunk i covers [1 + i·stride, … + size); the last chunks are shorter.
     * Narrow per-row expression — chunking 100 TB is scan-speed work. */

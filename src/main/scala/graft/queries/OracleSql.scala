@@ -198,6 +198,17 @@ object OracleSql {
     // same floor-quantized score expression as q_quality
     "q_quota" ->
       "SELECT lang, r, doc_id, score FROM (SELECT lang, doc_id, score, row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) r FROM (SELECT lang, doc_id, floor((least(n_chars/400.0, 1.0)*0.5 + (len(list_filter(string_split(text,' '), w -> w IN ('the', 'a')))/CAST(len(string_split(text,' ')) AS DOUBLE))*0.3 + least(len(string_split(text,' '))/80.0, 1.0)*0.2)*10000 + 0.5)/10000 score FROM documents) s) t WHERE r <= 20 ORDER BY lang, r",
+    // Gopher rule gate: integer counts + integer-ratio doubles; pass uses
+    // the UN-quantized values (division results are bit-identical) while
+    // the displayed ratios are floor-quantized
+    "q_gopher" ->
+      ("SELECT doc_id, nw, floor(mwl*10000 + 0.5)/10000 mwl, floor(af*10000 + 0.5)/10000 af, nstop, " +
+        "(nw BETWEEN 40 AND 120 AND mwl BETWEEN 4.2 AND 5.0 AND af >= 0.8 AND nstop >= 2) pass " +
+        "FROM (SELECT doc_id, len(string_split(text,' ')) nw, " +
+        "list_sum(list_transform(string_split(text,' '), w -> len(w)))/CAST(len(string_split(text,' ')) AS DOUBLE) mwl, " +
+        "len(list_filter(string_split(text,' '), w -> regexp_full_match(w, '[a-z]+')))/CAST(len(string_split(text,' ')) AS DOUBLE) af, " +
+        "len(list_filter(string_split(text,' '), w -> w IN ('the', 'a'))) nstop FROM documents) t " +
+        "ORDER BY doc_id LIMIT 100"),
     // the window spelling is the ANSI oracle for the mergeable TopKAgg
     // Aggregator (partial top-k, shuffle-light) — same rows by construction
     "q_topk_group" ->

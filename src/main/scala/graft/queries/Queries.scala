@@ -864,6 +864,17 @@ object Queries {
       .orderBy("lang", "r")
   }
 
+  /** Gopher-rule filtering: the published rule-based quality gate (word
+    * count, mean word length, alphabetic fraction, stopword floor) with
+    * thresholds calibrated to the synthetic corpus so every rule binds.
+    * Narrow per-row — the 100 TB shape is scan → filter(pass). */
+  private val qGopher: Q = (s, sf) =>
+    t(s, sf, "documents")
+      .select(col("doc_id") +: TextAnalysis.gopherRules("text",
+        minWords = 40, maxWords = 120, minMwl = 4.2, maxMwl = 5.0): _*)
+      .orderBy("doc_id")
+      .limit(100)
+
   /** Per-language top-5 via the mergeable [[graft.functions.TopKAgg]]
     * Aggregator instead of a window: partial aggregation keeps only k
     * entries per group per map task, so the shuffle carries k·|groups|
@@ -1056,6 +1067,7 @@ object Queries {
     "q_regression" -> qRegression,
     "q_fuzzy" -> qFuzzy,
     "q_topk_group" -> qTopkGroup,
+    "q_gopher" -> qGopher,
     "q_decontaminate" -> qDecontaminate,
     "q_pii_scrub" -> qPiiScrub,
     "q_repetition" -> qRepetition,

@@ -93,6 +93,54 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(slow == out.map(_.getInt(1)).toSeq)
   }
 
+  test("IntersectSizeRewrite rewrites size(array_intersect) over string arrays") {
+    val df = Seq((Seq("a", "b"), Seq("b", "c"))).toDF("ta", "tb")
+      .select(size(array_intersect(col("ta"), col("tb"))).as("n"))
+    val rewritten = IntersectSizeRewrite(df.queryExecution.analyzed)
+    assert(rewritten.toString.contains("graft_intersect_size"), rewritten)
+    // non-string arrays keep the built-in (IntersectSize is string-typed)
+    val longs = Seq((Seq(1L), Seq(1L))).toDF("ta", "tb")
+      .select(size(array_intersect(col("ta"), col("tb"))).as("n"))
+    val kept = IntersectSizeRewrite(longs.queryExecution.analyzed)
+    assert(!kept.toString.contains("graft_intersect_size"), kept)
+  }
+
+  test("intersect size matches array_intersect on null elements") {
+    val rows = Seq(
+      (1L, Seq(Option("a"), None, Option("b")), Seq(None, Option("b"))),
+      (2L, Seq(Option("a"), None, None), Seq[Option[String]](None)),
+      (3L, Seq(Option("a")), Seq[Option[String]](None)))
+      .toDF("id", "ta", "tb")
+    val out = rows.select(col("id"),
+        VectorFunctions.intersectSize(col("ta"), col("tb")).as("fast"),
+        size(array_intersect(col("ta"), col("tb"))).as("builtin"))
+      .collect()
+    out.foreach(r => assert(r.getInt(1) == r.getInt(2), r.toString))
+    val slow = withCodegenDisabled {
+      rows.select(VectorFunctions.intersectSize(col("ta"), col("tb")))
+        .collect().map(_.getInt(0)).toSeq
+    }
+    assert(slow == out.map(_.getInt(1)).toSeq)
+  }
+
+  test("IntersectSizeRewrite end-to-end via experimental.extraOptimizations") {
+    val dir = java.nio.file.Files.createTempDirectory("rewrite").toString
+    Seq((1L, Seq("a", "b", "c"), Seq("b", "c", "d")), (2L, Seq("x"), Seq("y")))
+      .toDF("id", "ta", "tb").write.mode("overwrite").parquet(dir)
+    val old = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = old :+ IntersectSizeRewrite
+    try {
+      // parquet source (not a LocalRelation): constant folding can't
+      // collapse the plan, so the rewrite is visible AND executed
+      val df = spark.read.parquet(dir)
+        .select(col("id"), size(array_intersect(col("ta"), col("tb"))).as("n"))
+      assert(df.queryExecution.optimizedPlan.toString
+        .contains("graft_intersect_size"))
+      val r = df.collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+      assert(r === Map(1L -> 2, 2L -> 0))
+    } finally spark.experimental.extraOptimizations = old
+  }
+
   test("graft_intersect_size_sorted counts duplicate values once (distinct-set ∩)") {
     // caller contract is sorted input; duplicates may still arise from hash
     // collisions upstream — each distinct value must count once
