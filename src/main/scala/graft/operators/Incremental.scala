@@ -58,6 +58,22 @@ object Incremental {
     * chosen so a watermark taken between two equal-timestamp rows never
     * loses the second one. The runner persists the watermark; the predicate
     * pushes down to the scan (partition pruning at scale). */
+  /** Incremental maintenance of an ADDITIVE aggregate: fold a fresh
+    * block's per-key partials into the accumulated ones by summing —
+    * new_total = old + delta, no rescan of history. Works for any
+    * commutative-monoid aggregate (counts, sums; pair with the sketch
+    * merges in CorpusModule/MinHashAgg for distinct-count/similarity
+    * state). Both inputs are (keys…, partials…) frames with identical
+    * column names; cost is one hash-shuffle over keys of the UNION of the
+    * two partial sets — at 100 TB the accumulated side is |keys| rows,
+    * not |history| rows, which is the whole point. */
+  def mergeAdditive(acc: DataFrame, fresh: DataFrame, keys: Seq[String],
+      sums: Seq[String]): DataFrame =
+    acc.unionByName(fresh)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(sums.head).as(sums.head),
+        sums.tail.map(c => sum(c).as(c)): _*)
+
   def sinceWatermark(df: DataFrame, tsCol: String, watermark: Column): DataFrame =
     df.filter(col(tsCol) >= watermark)
 }

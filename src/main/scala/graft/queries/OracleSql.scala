@@ -198,6 +198,13 @@ object OracleSql {
     // same floor-quantized score expression as q_quality
     "q_quota" ->
       "SELECT lang, r, doc_id, score FROM (SELECT lang, doc_id, score, row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) r FROM (SELECT lang, doc_id, floor((least(n_chars/400.0, 1.0)*0.5 + (len(list_filter(string_split(text,' '), w -> w IN ('the', 'a')))/CAST(len(string_split(text,' ')) AS DOUBLE))*0.3 + least(len(string_split(text,' '))/80.0, 1.0)*0.2)*10000 + 0.5)/10000 score FROM documents) s) t WHERE r <= 20 ORDER BY lang, r",
+    // group-mean imputation over deterministically planted nulls; both
+    // engines average only observed values
+    "q_impute" ->
+      ("SELECT c_custkey, c_mktsegment, bal IS NULL was_null, " +
+        "round(coalesce(bal, round(avg(bal) OVER (PARTITION BY c_mktsegment), 2)), 2) filled " +
+        "FROM (SELECT c_custkey, c_mktsegment, CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_acctbal END bal FROM customer) t " +
+        "ORDER BY c_custkey LIMIT 100"),
     // Gopher rule gate: integer counts + integer-ratio doubles; pass uses
     // the UN-quantized values (division results are bit-identical) while
     // the displayed ratios are floor-quantized

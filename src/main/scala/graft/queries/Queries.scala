@@ -864,6 +864,26 @@ object Queries {
       .orderBy("lang", "r")
   }
 
+  /** Missing-value imputation with the group mean: nulls are planted
+    * deterministically (every 10th key) and filled with the segment's
+    * average of the OBSERVED values — the standard feature-cleaning op.
+    * The group mean comes from an unordered window (one shuffle, no sort
+    * buffer); at 100 TB the same shape holds, or the means go through a
+    * broadcast join when |groups| is small. */
+  private val qImpute: Q = (s, sf) => {
+    val withNulls = t(s, sf, "customer")
+      .withColumn("bal", when(col("c_custkey") % 10 === 0, lit(null))
+        .otherwise(col("c_acctbal")))
+    withNulls
+      .withColumn("seg_avg",
+        round(avg("bal").over(Window.partitionBy("c_mktsegment")), 2))
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("bal").isNull.as("was_null"),
+        round(coalesce(col("bal"), col("seg_avg")), 2).as("filled"))
+      .orderBy("c_custkey")
+      .limit(100)
+  }
+
   /** Gopher-rule filtering: the published rule-based quality gate (word
     * count, mean word length, alphabetic fraction, stopword floor) with
     * thresholds calibrated to the synthetic corpus so every rule binds.
@@ -1068,6 +1088,7 @@ object Queries {
     "q_fuzzy" -> qFuzzy,
     "q_topk_group" -> qTopkGroup,
     "q_gopher" -> qGopher,
+    "q_impute" -> qImpute,
     "q_decontaminate" -> qDecontaminate,
     "q_pii_scrub" -> qPiiScrub,
     "q_repetition" -> qRepetition,

@@ -71,4 +71,44 @@ class IncrementalSpec extends SparkSpec {
     val out = Incremental.sinceWatermark(df, "ts", lit(10))
     assert(out.select("event_id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
   }
+
+  test("mergeAdditive folds block partials into batch-equal totals") {
+    def partials(rows: (String, Long, Double)*) =
+      rows.toDF("k", "c", "s")
+    val b1 = partials(("a", 2L, 10.0), ("b", 1L, 5.0))
+    val b2 = partials(("a", 3L, 7.0), ("c", 4L, 1.0))
+    val b3 = partials(("b", 1L, 2.0))
+    // fold one block at a time, as an incremental run would
+    val folded = Seq(b2, b3).foldLeft(b1)(
+        Incremental.mergeAdditive(_, _, Seq("k"), Seq("c", "s")))
+      .as[(String, Long, Double)].collect().toSet
+    assert(folded === Set(("a", 5L, 17.0), ("b", 2L, 7.0), ("c", 4L, 1.0)))
+    // = the batch aggregate of all raw partials at once
+    val batch = b1.unionByName(b2).unionByName(b3)
+      .groupBy("k").agg(sum("c").as("c"), sum("s").as("s"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(folded === batch)
+  }
+
+  test("HLL sketch state merges across blocks (incremental distinct counts)") {
+    // the built-in DataSketches pair: per-block hll_sketch_agg partials,
+    // hll_union_agg to fold — distinct-count state a pipeline can store
+    // per block and merge without rescanning history
+    val b1 = (1L to 600L).toDF("u").withColumn("blk", lit("b1"))
+    val b2 = (401L to 1000L).toDF("u").withColumn("blk", lit("b2"))
+    val perBlock = b1.unionByName(b2)
+      .groupBy("blk").agg(hll_sketch_agg(col("u")).as("sk"))
+    val merged = perBlock
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("du"))
+      .as[Long].collect().head
+    val direct = b1.unionByName(b2)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("u"))).as("du"))
+      .as[Long].collect().head
+    // union-of-sketches is estimate-equivalent to sketch-of-union, not
+    // bit-identical (the union may finish in a different coupon mode) —
+    // both must sit within HLL's error envelope of the exact count
+    assert(math.abs(merged - direct) <= 20L, s"merged $merged vs direct $direct")
+    assert(math.abs(merged - 1000L) <= 50L, s"estimate $merged vs 1000 exact")
+    assert(math.abs(direct - 1000L) <= 50L, s"estimate $direct vs 1000 exact")
+  }
 }
