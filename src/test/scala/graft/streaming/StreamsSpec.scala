@@ -186,6 +186,42 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("foreachBatch + mergeAdditive: streaming incremental aggregate state") {
+    // per-batch partial aggregates fold into a stored totals table — the
+    // IVM shape: state stays |keys| rows, history is never rescanned
+    import graft.operators.Incremental
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graftivm").toString
+    val src = MemoryStream[Ev]
+    val q = src.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val partial = batch.groupBy("user_id")
+          .agg(count(lit(1)).as("c"), sum("value").as("s"))
+        val acc = new java.io.File(s"$out/totals")
+        val merged =
+          if (!acc.exists()) partial
+          else Incremental.mergeAdditive(
+            spark.read.parquet(s"$out/totals"), partial,
+            Seq("user_id"), Seq("c", "s"))
+        // persist-then-write: totals is both input and output of the fold
+        val m = merged.persist(); m.count()
+        m.write.mode("overwrite").parquet(s"$out/totals")
+        m.unpersist()
+        ()
+      }
+      .start()
+    src.addData(Seq(Ev(1, ts(1), 1, "a", 1.0), Ev(2, ts(2), 2, "a", 2.0)))
+    q.processAllAvailable()
+    src.addData(Seq(Ev(3, ts(3), 1, "a", 9.0), Ev(4, ts(4), 3, "a", 4.0)))
+    q.processAllAvailable()
+    q.stop()
+    val totals = spark.read.parquet(s"$out/totals")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("c"), r.getAs[Double]("s"))).toSet
+    assert(totals === Set((1L, 2L, 10.0), (2L, 1L, 2.0), (3L, 1L, 4.0)))
+  }
+
   test("foreachBatch pipeline: stream blocks -> keep-newest DataSet materialization") {
     // end-to-end dags pipeline on a stream: each micro-batch appends a
     // block; foreachBatch re-materializes the deduped latest view
