@@ -587,16 +587,20 @@ object Queries {
 
   /** Cohort retention: cohort = the Monday of each user's first-activity
     * week; cell (cohort, k) = distinct users of that cohort active k weeks
-    * later. Two shuffles (per-user min, then per-cell distinct count) —
-    * the standard retention-triangle shape. */
+    * later. The raw event stream is FIRST reduced to distinct (user, week)
+    * pairs — ≤ |users|·|weeks| rows however many raw events exist — so the
+    * cohort join and the final count are over the compacted activity set
+    * and the last agg is a plain count, not a count-distinct expansion:
+    * the shape that survives 100 TB of events. */
   private val qRetention: Q = (s, sf) => {
     val wk = t(s, sf, "events")
       .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("wk"))
+      .distinct()
     val cohort = wk.groupBy("user_id").agg(min("wk").as("cw"))
     wk.join(cohort, "user_id")
       .groupBy(col("cw"), (datediff(col("wk"), col("cw")) / 7)
         .cast("bigint").as("k"))
-      .agg(count_distinct(col("user_id")).as("u"))
+      .agg(count(lit(1)).as("u"))
       .orderBy("cw", "k")
   }
 
@@ -867,16 +871,18 @@ object Queries {
   /** Missing-value imputation with the group mean: nulls are planted
     * deterministically (every 10th key) and filled with the segment's
     * average of the OBSERVED values — the standard feature-cleaning op.
-    * The group mean comes from an unordered window (one shuffle, no sort
-    * buffer); at 100 TB the same shape holds, or the means go through a
-    * broadcast join when |groups| is small. */
+    * Deliberately NOT a `Window.partitionBy(segment)`: with a handful of
+    * segments that window funnels the whole table into a few giant hot
+    * partitions. Instead the means are a partial-aggregable groupBy whose
+    * tiny (|segments|-row) result broadcast-joins back onto the stream —
+    * scan-speed at 100 TB. */
   private val qImpute: Q = (s, sf) => {
     val withNulls = t(s, sf, "customer")
       .withColumn("bal", when(col("c_custkey") % 10 === 0, lit(null))
         .otherwise(col("c_acctbal")))
-    withNulls
-      .withColumn("seg_avg",
-        round(avg("bal").over(Window.partitionBy("c_mktsegment")), 2))
+    val segMeans = withNulls.groupBy("c_mktsegment")
+      .agg(round(avg("bal"), 2).as("seg_avg"))
+    withNulls.join(broadcast(segMeans), "c_mktsegment")
       .select(col("c_custkey"), col("c_mktsegment"),
         col("bal").isNull.as("was_null"),
         round(coalesce(col("bal"), col("seg_avg")), 2).as("filled"))

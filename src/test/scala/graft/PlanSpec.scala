@@ -88,6 +88,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial"), p) // map-side partial aggregation
   }
 
+  test("q_impute broadcasts the tiny segment means, no few-partition window") {
+    val p = plan("q_impute")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q_topk_group partial-aggregates before the shuffle (no window sort)") {
     val p = plan("q_topk_group")
     assert(p.contains("partial_topkagg"), p) // map-side k-bounded buffers
