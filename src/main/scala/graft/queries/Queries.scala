@@ -515,24 +515,29 @@ object Queries {
       .limit(200)
 
   /** Time-series gap filling (resample-to-daily): each user's series is
-    * densified over its OWN [min(day), max(day)] span via
-    * `sequence()+explode`, then left-joined back to the observed daily
-    * aggregates with zero fill. The calendar side is ~rows×span tiny
-    * relative to the events scan, and the join is an equi-join on
-    * (user_id, day) — at 100 TB the dense calendar is still only
-    * |keys|×|days| rows, generated distributed, never on the driver. */
+    * densified over its OWN [min(day), max(day)] span. Single-pass shape:
+    * one aggregate collects the span AND a day→(c,v) map per user, the
+    * calendar explodes from `sequence(d0, d1)`, and each day is a map
+    * lookup with zero fill — ONE scan, ONE shuffle, no self-join (the
+    * naive spans⋈daily form scans the input twice; Catalyst doesn't reuse
+    * the exchange across the two branches). Per-user state is its
+    * observed days — bounded by the span, fine for any real resample; a
+    * span too large to hold per key is the cue to fall back to the
+    * calendar⋈daily equi-join. */
   private val qGapfill: Q = (s, sf) => {
     val daily = t(s, sf, "events")
       .filter(col("user_id") < 5)
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("c"), round(sum("value"), 2).as("v"))
-    val calendar = daily.groupBy("user_id")
-      .agg(min("day").as("d0"), max("day").as("d1"))
-      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
-    calendar.join(daily, Seq("user_id", "day"), "left")
+    daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"),
+        map_from_arrays(collect_list("day"),
+          collect_list(struct(col("c"), col("v")))).as("obs"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"), col("obs"))
       .select(col("user_id"), col("day"),
-        coalesce(col("c"), lit(0L)).as("c"),
-        coalesce(col("v"), lit(0.0)).as("v"))
+        coalesce(element_at(col("obs"), col("day")).getField("c"), lit(0L)).as("c"),
+        coalesce(element_at(col("obs"), col("day")).getField("v"), lit(0.0)).as("v"))
       .orderBy("user_id", "day")
   }
 
