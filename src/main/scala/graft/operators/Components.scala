@@ -67,6 +67,11 @@ object Components {
       val s = labelSum(next)
       converged = s.compareTo(last) == 0
       last = s
+      // `next` is eagerly materialized with lineage truncated at its own
+      // checkpoint, so the previous round's labels are unreferenced once
+      // reassigned; the ContextCleaner reclaims their checkpoint blocks
+      // (Dataset.unpersist would be a no-op here — it only clears
+      // CacheManager entries, not localCheckpoint RDD storage)
       labels = next
       iter += 1
     }

@@ -46,4 +46,31 @@ class ComponentsSpec extends SparkSpec {
     val m = comps(Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L)))
     assert(m === Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("random graphs match a local union-find (property, seeded)") {
+    val rnd = new scala.util.Random(7)
+    for (density <- Seq(0.3, 1.0, 2.5)) {
+      val n = 60
+      val edges = Seq.fill((n * density).toInt)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // local ground truth: path-compressing union-find, min-id roots
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val p = parent(c); parent(c) = r; c = p }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // min-id normalization: the root chosen above is always the min
+      // because unions always point the larger root at the smaller
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+      assert(comps(edges, maxIter = 64) === expected, s"density=$density")
+    }
+  }
 }
