@@ -9,12 +9,19 @@ object Time {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // warmup against the small fixture when present, else the timed dir
+    // itself — a hardcoded warmup path would crash on any other layout
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      if (java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get("/root/testdata/sf0.001")))
+        "/root/testdata/sf0.001"
+      else sfDir)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { q =>
-      SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count() // warmup
+      SparkEntry.queries(q)(spark, warmDir).count() // warmup
       (1 to reps).foreach { r =>
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(q)(spark, sfDir).count()

@@ -98,6 +98,16 @@ final class Graph(val nodes: Seq[Node]) {
         "non-incremental graphs")
     blockSources.foreach { case (src, blocks) =>
       require(blocks.nonEmpty, s"block source $src has no blocks") }
+    // validate EVERY id that post-sink logging will touch BEFORE wiring or
+    // materializing anything: a bad id must fail here, where nothing has
+    // happened yet — failing at the post-sink append would leave the sink's
+    // output durable but the blocks unmarked, a half-committed run that
+    // re-materializes on every retry and never completes
+    blockSources.foreach { case (src, blocks) =>
+      log.validateSourceId(src)
+      blocks.foreach { case (bid, _) => log.validateBlockId(bid) }
+    }
+    topoOrder.foreach(n => log.validateNodeId(n.id))
     val fresh: Map[String, Seq[(String, DataFrame)]] = blockSources.map {
       case (src, blocks) =>
         val seen = log.consumedBlocks(src)
@@ -156,22 +166,36 @@ final class RunLog(dir: String) {
   Files.createDirectories(consumedDir)
   private var seq = runs.lastOption.map(_._1).getOrElse(0L) // survive reopen
 
-  // ids are stored in tab/comma/newline-delimited text AND used as file
-  // names under the ledger dir; reject ids that would corrupt the format
-  // (silent lineage corruption → re-consumption) or escape the directory
-  // (path separators: '../runs.log' as a source id must not resolve
-  // outside the ledger)
-  private def checkId(kind: String, id: String): Unit =
+  // Two id classes with different hazards: source and node ids become FILE
+  // NAMES under the ledger dir (watermarks/<node>, consumed/<source>), so
+  // they must not contain path separators ('../runs.log' must not resolve
+  // outside the ledger). Block ids are only ever CONTENT — comma-joined in
+  // runs.log lines, newline-delimited in the consumed ledger — so they may
+  // contain '/' (the natural shape for path-derived block ids like
+  // 'events/dt=2024-08-01/part-0') and need only the delimiter check.
+  private def checkFileId(kind: String, id: String): Unit =
     require(id.nonEmpty &&
         !id.exists(c => c == '\t' || c == '\n' || c == '\r' || c == ',' ||
           c == '/' || c == '\\'),
       s"$kind id is empty or contains a delimiter/path character " +
         s"(tab/newline/comma/slash): '$id'")
+  private def checkContentId(kind: String, id: String): Unit =
+    require(id.nonEmpty &&
+        !id.exists(c => c == '\t' || c == '\n' || c == '\r' || c == ','),
+      s"$kind id is empty or contains a delimiter character " +
+        s"(tab/newline/comma): '$id'")
+
+  /** Validation hooks so callers (Graph.runIncremental) can reject bad ids
+    * EAGERLY — before any sink materializes — instead of discovering them
+    * at post-sink logging time, which would leave a half-committed run. */
+  def validateNodeId(id: String): Unit = checkFileId("node", id)
+  def validateSourceId(id: String): Unit = checkFileId("source", id)
+  def validateBlockId(id: String): Unit = checkContentId("block", id)
 
   /** Record a node run; `consumed` = source block ids this run drew on. */
   def append(nodeId: String, consumed: Seq[String] = Nil): Unit = synchronized {
-    checkId("node", nodeId)
-    consumed.foreach(checkId("block", _))
+    checkFileId("node", nodeId)
+    consumed.foreach(checkContentId("block", _))
     seq += 1
     Files.writeString(runsPath, s"$seq\t$nodeId\t${consumed.mkString(",")}\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
@@ -192,7 +216,7 @@ final class RunLog(dir: String) {
 
   /** Block ids a source has already had consumed (never re-processed). */
   def consumedBlocks(sourceId: String): Set[String] = {
-    checkId("source", sourceId)
+    checkFileId("source", sourceId)
     val p = consumedDir.resolve(sourceId)
     if (!Files.exists(p)) Set.empty
     else Files.readAllLines(p).asScala.filter(_.nonEmpty).toSet
@@ -200,8 +224,8 @@ final class RunLog(dir: String) {
 
   /** Mark blocks consumed (append-only ledger, idempotent re-adds). */
   def markConsumed(sourceId: String, blockIds: Seq[String]): Unit = synchronized {
-    checkId("source", sourceId)
-    blockIds.foreach(checkId("block", _))
+    checkFileId("source", sourceId)
+    blockIds.foreach(checkContentId("block", _))
     Files.writeString(consumedDir.resolve(sourceId),
       blockIds.mkString("", "\n", "\n"),
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
@@ -209,12 +233,12 @@ final class RunLog(dir: String) {
 
   /** Persisted high-watermark for a node's incremental consumption. */
   def setWatermark(nodeId: String, value: String): Unit = {
-    checkId("node", nodeId)
+    checkFileId("node", nodeId)
     Files.writeString(wmDir.resolve(nodeId), value)
   }
 
   def watermark(nodeId: String): Option[String] = {
-    checkId("node", nodeId)
+    checkFileId("node", nodeId)
     val p = wmDir.resolve(nodeId)
     if (Files.exists(p)) Some(Files.readString(p)) else None
   }

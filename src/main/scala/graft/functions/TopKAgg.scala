@@ -3,6 +3,9 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
+/** One scored entry of a [[TopKAgg]] buffer. */
+final case class Scored(score: Double, id: Long)
+
 /** Mergeable bounded top-k as a typed [[Aggregator]]: each buffer holds at
   * most k (score, id) entries ordered by (score DESC, id ASC — the id
   * tie-break makes results deterministic under quantized scores).
@@ -16,8 +19,6 @@ import org.apache.spark.sql.expressions.Aggregator
   * corpus and shuffling kilobytes. Same result set — the window spelling
   * stays as the ANSI oracle.
   */
-final case class Scored(score: Double, id: Long)
-
 class TopKAgg(k: Int)
     extends Aggregator[Scored, Array[Scored], Array[Scored]] {
   require(k > 0, s"k must be positive (got $k)")

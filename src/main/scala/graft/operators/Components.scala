@@ -56,7 +56,10 @@ object Components {
     var last = labelSum(labels)
     var iter = 0
     var converged = labels.isEmpty
-    while (iter < maxIter && !converged) {
+    // a diameter-d graph needs d label-moving rounds plus ONE no-change
+    // round to OBSERVE the fixpoint, so allow maxIter+1 total rounds:
+    // maxIter == diameter must succeed, not spuriously report divergence
+    while (iter <= maxIter && !converged) {
       val msgs = sym.join(labels.withColumnRenamed("id", "s"), "s")
         .select(col("d").as("id"), col("comp"))
         .groupBy("id").agg(min("comp").as("nc"))
@@ -75,8 +78,8 @@ object Components {
       labels = next
       iter += 1
     }
-    require(converged, s"connectedComponents did not converge in $maxIter " +
-      "rounds — graph diameter exceeds maxIter (raise it, or use a " +
+    require(converged, s"connectedComponents did not converge with maxIter=" +
+      s"$maxIter — graph diameter exceeds maxIter (raise it, or use a " +
       "star-contraction variant for chain-like graphs)")
     labels
   }

@@ -67,18 +67,26 @@ object Dedup {
       .select("da", "db").distinct()
   }
 
-  /** Word n-gram shingles of a whitespace-tokenized text column (contiguous
-    * n-token windows joined by a single space; a doc shorter than n tokens
-    * yields its whole token sequence as one shingle). The decontamination
+  /** Raw word n-grams of a whitespace-tokenized text column: contiguous
+    * n-token windows joined by a single space, duplicates KEPT (a doc
+    * shorter than n tokens yields its whole token sequence as one gram).
+    * Single source of truth for the gram construction — [[wordShingles]]
+    * (distinct, decontamination) and `TextAnalysis.repetitionRatio`
+    * (duplicate-fraction) both derive from it, so short-doc and
+    * empty-token edge semantics cannot drift apart. */
+  def wordGrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"gram width must be >= 1 (got $n)")
+    val ws = split(text, " ")
+    transform(
+      sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
+      i => array_join(slice(ws, i, lit(n)), " "))
+  }
+
+  /** Word n-gram shingle SET (distinct [[wordGrams]]). The decontamination
     * unit: eval benchmarks leak into training corpora as verbatim runs of
     * tokens, which single-token or char-3-gram overlap can't pin down. */
-  def wordShingles(text: Column, n: Int): Column = {
-    require(n >= 1, s"shingle width must be >= 1 (got $n)")
-    val ws = split(text, " ")
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
-      i => array_join(slice(ws, i, lit(n)), " ")))
-  }
+  def wordShingles(text: Column, n: Int): Column =
+    array_distinct(wordGrams(text, n))
 
   /** Benchmark decontamination: drop every `train` row sharing at least one
     * word n-gram shingle with any `bench` row — the standard eval-leakage

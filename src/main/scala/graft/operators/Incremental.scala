@@ -58,6 +58,9 @@ object Incremental {
     * chosen so a watermark taken between two equal-timestamp rows never
     * loses the second one. The runner persists the watermark; the predicate
     * pushes down to the scan (partition pruning at scale). */
+  def sinceWatermark(df: DataFrame, tsCol: String, watermark: Column): DataFrame =
+    df.filter(col(tsCol) >= watermark)
+
   /** Incremental maintenance of an ADDITIVE aggregate: fold a fresh
     * block's per-key partials into the accumulated ones by summing —
     * new_total = old + delta, no rescan of history. Works for any
@@ -73,7 +76,4 @@ object Incremental {
       .groupBy(keys.map(col): _*)
       .agg(sum(sums.head).as(sums.head),
         sums.tail.map(c => sum(c).as(c)): _*)
-
-  def sinceWatermark(df: DataFrame, tsCol: String, watermark: Column): DataFrame =
-    df.filter(col(tsCol) >= watermark)
 }

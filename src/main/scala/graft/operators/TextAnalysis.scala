@@ -97,11 +97,7 @@ object TextAnalysis {
     * double so the score is bit-identical across engines. Narrow per-row
     * expression — no shuffle. */
   def repetitionRatio(text: Column, n: Int = 2): Column = {
-    require(n >= 1, s"n-gram width must be >= 1 (got $n)")
-    val ws = split(text, " ")
-    val grams = transform(
-      sequence(lit(1), greatest(size(ws) - (n - 1), lit(1))),
-      i => array_join(slice(ws, i, lit(n)), " "))
+    val grams = Dedup.wordGrams(text, n) // shared gram construction
     floor((lit(1.0) - size(array_distinct(grams)) / size(grams).cast("double"))
       * 10000 + 0.5) / 10000
   }

@@ -10,10 +10,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Layout {
 
+  // listFiles() returns null (not empty) for unreadable or vanished dirs —
+  // surface those as empty rather than NPE mid-walk
+  private def children(f: java.io.File): Seq[java.io.File] =
+    Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+
+  private def requireDir(dir: String): Unit =
+    require(new java.io.File(dir).isDirectory,
+      s"not a readable directory: $dir")
+
   /** Total on-disk bytes of a parquet directory's data files. */
   def dataBytes(dir: String): Long = {
+    requireDir(dir)
     def walk(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles().map(walk).sum
+      if (f.isDirectory) children(f).map(walk).sum
       else if (f.getName.endsWith(".parquet")) f.length
       else 0L
     walk(new java.io.File(dir))
@@ -21,8 +31,9 @@ object Layout {
 
   /** Number of parquet data files under `dir` (recursive). */
   def dataFiles(dir: String): Int = {
+    requireDir(dir)
     def walk(f: java.io.File): Int =
-      if (f.isDirectory) f.listFiles().map(walk).sum
+      if (f.isDirectory) children(f).map(walk).sum
       else if (f.getName.endsWith(".parquet")) 1 else 0
     walk(new java.io.File(dir))
   }

@@ -16,10 +16,12 @@ class ComponentsSpec extends SparkSpec {
     assert(m === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
-  test("chain graph converges within diameter rounds") {
-    // 0-1-2-…-9 path: worst case for hash-min (diameter 9)
+  test("chain graph converges with maxIter == diameter exactly") {
+    // 0-1-2-…-9 path: worst case for hash-min (diameter 9); the loop runs
+    // maxIter+1 rounds so diameter == maxIter is sufficient (the +1 is the
+    // no-change round that OBSERVES the fixpoint)
     val chain = (0L until 9L).map(i => (i, i + 1))
-    val m = comps(chain)
+    val m = comps(chain, maxIter = 9)
     assert(m.size === 10 && m.values.forall(_ == 0L))
   }
 
