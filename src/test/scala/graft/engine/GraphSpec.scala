@@ -169,6 +169,30 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](log.append("", Seq("b")))
   }
 
+  test("runIncremental rejects bad ids BEFORE the sink materializes") {
+    val dir = Files.createTempDirectory("grafteager").toString
+    val g = new Graph(Seq(Node("out", Seq("ev"), m => m("ev"))))
+    var sinkRan = false
+    // a comma block id would corrupt the runs.log lineage field — it must
+    // fail at validation time, not after the sink has written durably
+    intercept[IllegalArgumentException] {
+      g.runIncremental(Map("ev" -> Seq("b,1" -> Seq(1).toDF("x"))),
+        new RunLog(dir), sink = _ => sinkRan = true)
+    }
+    assert(!sinkRan, "sink must not run for an invalid block id")
+  }
+
+  test("path-derived block ids ('/' in content, not file names) are accepted") {
+    val dir = Files.createTempDirectory("graftpathblk").toString
+    val log = new RunLog(dir)
+    val g = new Graph(Seq(Node("out", Seq("ev"), m => m("ev"))))
+    val bid = "events/dt=2024-08-01/part-0" // the natural file-source shape
+    val r = g.runIncremental(Map("ev" -> Seq(bid -> Seq(1).toDF("x"))), log)
+    assert(r("out").count() == 1)
+    assert(log.consumedBlocks("ev") === Set(bid))
+    assert(log.lineage.head._3 === Seq(bid))
+  }
+
   test("RunLog seq and consumed ledger survive reopen") {
     val dir = Files.createTempDirectory("graftreopen").toString
     val log1 = new RunLog(dir)
