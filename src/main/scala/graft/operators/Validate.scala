@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality constraint checks as Catalyst plans — the dbt-test /
+  * expectations layer of a pipeline, declared so each check is a filter,
+  * aggregate, or anti-join the optimizer plans like any query: nothing
+  * collects to the driver, checks compose into one pass where possible,
+  * and a 100 TB validation run costs what the underlying scans cost.
+  *
+  * Each check returns a one-row (check, violations) frame; [[report]]
+  * unions them — a tiny driver-side plan of counts, NOT the violating
+  * rows themselves (at scale, dump violating-row samples separately with
+  * `.limit(n)` on the same predicates).
+  */
+object Validate {
+
+  /** Rows where `c` is null. */
+  def notNull(df: DataFrame, c: String): DataFrame =
+    one(s"not_null($c)", df.filter(col(c).isNull))
+
+  /** Rows violating a boolean expectation. */
+  def expect(df: DataFrame, name: String, predicate: Column): DataFrame =
+    one(s"expect($name)", df.filter(!coalesce(predicate, lit(false))))
+
+  /** Keys appearing more than once (duplicate-key violations, counted as
+    * the number of EXTRA rows beyond one per key). */
+  def uniqueKey(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .agg(coalesce(sum(col("__n") - 1), lit(0L))
+        .as("violations"))
+      .select(lit(s"unique(${keys.mkString(",")})").as("check"),
+        col("violations"))
+
+  /** Child rows whose `childKey` has no match in `parent.parentKey`
+    * (referential-integrity violations; null child keys don't count —
+    * pair with [[notNull]] when they must). */
+  def refIntegrity(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame =
+    one(s"ref($childKey->$parentKey)",
+      child.filter(col(childKey).isNotNull)
+        .join(parent.select(col(parentKey).as(childKey)).distinct(),
+          Seq(childKey), "left_anti"))
+
+  private def one(name: String, violating: DataFrame): DataFrame =
+    violating.agg(count(lit(1)).as("violations"))
+      .select(lit(name).as("check"), col("violations"))
+
+  /** Union the per-check count frames into one (check, violations)
+    * report, ordered by check name. */
+  def report(checks: Seq[DataFrame]): DataFrame = {
+    require(checks.nonEmpty, "report needs at least one check")
+    checks.reduce(_.unionByName(_)).orderBy("check")
+  }
+}

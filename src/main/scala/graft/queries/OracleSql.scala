@@ -260,6 +260,25 @@ object OracleSql {
         "SELECT cal.user_id, cal.\"day\", coalesce(c, 0) c, coalesce(v, 0.0) v " +
         "FROM cal LEFT JOIN daily ON cal.user_id = daily.user_id AND cal.\"day\" = daily.\"day\" " +
         "ORDER BY cal.user_id, cal.\"day\""),
+    // forward fill: densify via generate_series, carry last non-null
+    // forward (IGNORE NULLS window, identical frame semantics)
+    "q_locf" ->
+      ("WITH daily AS (SELECT user_id, CAST(ts AS DATE) \"day\", round(sum(\"value\"), 2) v " +
+        "FROM events WHERE user_id < 5 GROUP BY user_id, \"day\"), " +
+        "cal AS (SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) \"day\" " +
+        "FROM (SELECT user_id, min(\"day\") d0, max(\"day\") d1 FROM daily GROUP BY user_id) s), " +
+        "dense AS (SELECT cal.user_id, cal.\"day\", v FROM cal LEFT JOIN daily ON cal.user_id = daily.user_id AND cal.\"day\" = daily.\"day\") " +
+        "SELECT user_id, \"day\", v IS NULL gap, " +
+        "last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY \"day\" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) v " +
+        "FROM dense ORDER BY user_id, \"day\""),
+    // constraint-check report: counts only, every check a plain aggregate
+    "q_validate" ->
+      ("SELECT \"check\", violations FROM (" +
+        "SELECT 'expect(qty<=30)' \"check\", count(*) violations FROM lineitem WHERE NOT coalesce(l_quantity <= 30, FALSE) " +
+        "UNION ALL SELECT 'not_null(l_orderkey)', count(*) FROM lineitem WHERE l_orderkey IS NULL " +
+        "UNION ALL SELECT 'ref(l_orderkey->o_orderkey)', count(*) FROM lineitem WHERE l_orderkey IS NOT NULL AND l_orderkey NOT IN (SELECT o_orderkey FROM orders) " +
+        "UNION ALL SELECT 'unique(c_custkey)', CAST(coalesce(sum(n - 1), 0) AS BIGINT) FROM (SELECT count(*) n FROM customer GROUP BY c_custkey) t" +
+        ") z ORDER BY \"check\""),
     // funnel: conditional-min firsts compared at µs granularity (CAST to
     // TIMESTAMP truncates DuckDB's ns to match Spark's rebuilt µs ts)
     "q_funnel" ->

@@ -541,6 +541,48 @@ object Queries {
       .orderBy("user_id", "day")
   }
 
+  /** Forward fill (last observation carried forward) — the other canonical
+    * resample mode: densify each user's daily series (same single-pass
+    * map-lookup shape as [[qGapfill]]) leaving gaps NULL, then
+    * `last(ignoreNulls)` over a per-user ordered window carries the prior
+    * observation forward. No leading nulls by construction: the span
+    * starts at each user's first observed day. Window partitions by the
+    * high-cardinality user key — shards cleanly at scale. */
+  private val qLocf: Q = (s, sf) => {
+    val daily = t(s, sf, "events")
+      .filter(col("user_id") < 5)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round(sum("value"), 2).as("v"))
+    val dense = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"),
+        map_from_arrays(collect_list("day"), collect_list("v")).as("obs"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("day"), col("obs"))
+      .select(col("user_id"), col("day"),
+        element_at(col("obs"), col("day")).as("v"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense
+      .select(col("user_id"), col("day"), col("v").isNull.as("gap"),
+        last("v", ignoreNulls = true).over(w).as("v"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Data-quality report: dbt-style constraint checks (expectation,
+    * not-null, referential integrity, unique key) declared as plans and
+    * unioned into one (check, violations) frame — each check is a
+    * filter/anti-join/aggregate Catalyst plans like any query. */
+  private val qValidate: Q = (s, sf) => {
+    val li = t(s, sf, "lineitem")
+    graft.operators.Validate.report(Seq(
+      graft.operators.Validate.expect(li, "qty<=30", col("l_quantity") <= 30),
+      graft.operators.Validate.notNull(li, "l_orderkey"),
+      graft.operators.Validate.refIntegrity(li, "l_orderkey",
+        t(s, sf, "orders"), "o_orderkey"),
+      graft.operators.Validate.uniqueKey(t(s, sf, "customer"),
+        Seq("c_custkey"))))
+  }
+
   /** HLL++ approximate distinct — mergeable sketch, no exact-count shuffle
     * of raw user ids. No oracle: sketch estimates are engine-specific; the
     * unit test bounds the error vs the exact count instead. */
@@ -1093,6 +1135,8 @@ object Queries {
     "q_window_dist" -> qWindowDist,
     "q_histogram" -> qHistogram,
     "q_gapfill" -> qGapfill,
+    "q_locf" -> qLocf,
+    "q_validate" -> qValidate,
     "q_funnel" -> qFunnel,
     "q_retention" -> qRetention,
     "q_regression" -> qRegression,
