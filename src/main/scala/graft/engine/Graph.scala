@@ -222,6 +222,18 @@ final class RunLog(dir: String) {
     else Files.readAllLines(p).asScala.filter(_.nonEmpty).toSet
   }
 
+  /** Forget a source's consumed-block ledger — the BACKFILL switch: after
+    * a node-logic fix, resetting a source makes the next `runIncremental`
+    * reconsume every block (runs.log lineage is append-only and keeps the
+    * old runs' history; only the consumption ledger resets). Sinks must be
+    * idempotent per block — overwrite-by-partition or keep-newest merge —
+    * which the at-least-once contract already demands. */
+  def resetSource(sourceId: String): Unit = synchronized {
+    checkFileId("source", sourceId)
+    Files.deleteIfExists(consumedDir.resolve(sourceId))
+    ()
+  }
+
   /** Mark blocks consumed (append-only ledger, idempotent re-adds). */
   def markConsumed(sourceId: String, blockIds: Seq[String]): Unit = synchronized {
     checkFileId("source", sourceId)

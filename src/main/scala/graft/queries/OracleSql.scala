@@ -198,6 +198,16 @@ object OracleSql {
     // same floor-quantized score expression as q_quality
     "q_quota" ->
       "SELECT lang, r, doc_id, score FROM (SELECT lang, doc_id, score, row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) r FROM (SELECT lang, doc_id, floor((least(n_chars/400.0, 1.0)*0.5 + (len(list_filter(string_split(text,' '), w -> w IN ('the', 'a')))/CAST(len(string_split(text,' ')) AS DOUBLE))*0.3 + least(len(string_split(text,' '))/80.0, 1.0)*0.2)*10000 + 0.5)/10000 score FROM documents) s) t WHERE r <= 20 ORDER BY lang, r",
+    // bigram-LM cross-entropy: integer count ratios through ln, averaged
+    // and rounded to 3 dp (q_tfidf already pins cross-engine ln parity)
+    "q_bigram_lm" ->
+      ("WITH toks AS (SELECT doc_id, string_split(text, ' ') ws FROM documents), " +
+        "pos AS (SELECT doc_id, ws[i] w1, ws[i+1] w2 FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) i FROM toks) t), " +
+        "bc AS (SELECT w1, w2, count(*) cb FROM pos GROUP BY w1, w2), " +
+        "uc AS (SELECT w1, count(*) cu FROM pos GROUP BY w1) " +
+        "SELECT doc_id, count(*) nb, round(avg(-ln(cb/CAST(cu AS DOUBLE))), 3) ce " +
+        "FROM pos JOIN bc USING (w1, w2) JOIN uc USING (w1) " +
+        "GROUP BY doc_id ORDER BY doc_id LIMIT 100"),
     // group-mean imputation over deterministically planted nulls; both
     // engines average only observed values
     "q_impute" ->

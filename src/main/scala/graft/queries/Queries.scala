@@ -937,6 +937,33 @@ object Queries {
       .limit(100)
   }
 
+  /** Bigram-LM cross-entropy quality score (the CCNet/Gopher perplexity-
+    * proxy filter): a bigram model is "trained" as plain count aggregates
+    * over the corpus — c(w1,w2) and prefix count c(w1) — and each doc is
+    * scored by the average −ln c(w1,w2)/c(w1) over its bigrams. Training
+    * is two partial-agg shuffles; scoring joins the (small, vocab²-bounded)
+    * count tables back onto the bigram stream — at real vocabulary sizes
+    * the model tables broadcast and scoring runs at scan speed, the
+    * train-once / score-many shape of production quality filters. */
+  private val qBigramLm: Q = (s, sf) => {
+    val pos = t(s, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val bigramCounts = pos.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val prefixCounts = pos.groupBy("w1").agg(count(lit(1)).as("cu"))
+    pos.join(broadcast(bigramCounts), Seq("w1", "w2"))
+      .join(broadcast(prefixCounts), Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nb"),
+        round(avg(-log(col("cb") / col("cu"))), 3).as("ce"))
+      .orderBy("doc_id")
+      .limit(100)
+  }
+
   /** Gopher-rule filtering: the published rule-based quality gate (word
     * count, mean word length, alphabetic fraction, stopword floor) with
     * thresholds calibrated to the synthetic corpus so every rule binds.
@@ -1144,6 +1171,7 @@ object Queries {
     "q_topk_group" -> qTopkGroup,
     "q_gopher" -> qGopher,
     "q_impute" -> qImpute,
+    "q_bigram_lm" -> qBigramLm,
     "q_decontaminate" -> qDecontaminate,
     "q_pii_scrub" -> qPiiScrub,
     "q_repetition" -> qRepetition,

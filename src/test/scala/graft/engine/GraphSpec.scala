@@ -193,6 +193,21 @@ class GraphSpec extends SparkSpec {
     assert(log.lineage.head._3 === Seq(bid))
   }
 
+  test("resetSource backfills: blocks reconsume, lineage history remains") {
+    val dir = Files.createTempDirectory("graftbackfill").toString
+    val log = new RunLog(dir)
+    val g = new Graph(Seq(Node("out", Seq("ev"), m => m("ev"))))
+    val src = Map("ev" -> Seq("b1" -> Seq(1).toDF("x"), "b2" -> Seq(2).toDF("x")))
+    assert(g.runIncremental(src, log)("out").count() == 2)
+    assert(g.runIncremental(src, log).isEmpty) // all consumed → no-op
+    log.resetSource("ev")
+    val again = g.runIncremental(src, log) // backfill: full reconsumption
+    assert(again("out").count() == 2)
+    assert(log.consumedBlocks("ev") === Set("b1", "b2"))
+    // lineage keeps BOTH runs' rows — history is append-only
+    assert(log.lineage.count(_._2 == "out") == 2)
+  }
+
   test("RunLog seq and consumed ledger survive reopen") {
     val dir = Files.createTempDirectory("graftreopen").toString
     val log1 = new RunLog(dir)
