@@ -344,6 +344,17 @@ object OracleSql {
         "reach(id, r) AS (SELECT s, s FROM (SELECT DISTINCT s FROM sym) u UNION SELECT sym.t, reach.r FROM reach JOIN sym ON sym.s = reach.id), " +
         "cc AS (SELECT id, min(r) comp FROM reach GROUP BY id) " +
         "SELECT id doc_id, cc.comp, sz FROM cc JOIN (SELECT comp, count(*) sz FROM cc GROUP BY comp) z ON cc.comp = z.comp ORDER BY doc_id"),
+    // same closure; deliverable = corpus minus non-keeper cluster members
+    "q_dedup_apply" ->
+      ("WITH RECURSIVE d AS (SELECT doc_id, lang, list_distinct(string_split(text,' ')) toks FROM documents WHERE doc_id < 200), " +
+        "tok AS (SELECT doc_id, lang, len(toks) nt, unnest(toks) w FROM d), " +
+        "g AS (SELECT a.doc_id da, b.doc_id db, a.nt na, b.nt nb, count(*) inter FROM tok a JOIN tok b ON a.w=b.w AND a.lang=b.lang AND a.doc_id<b.doc_id GROUP BY 1,2,3,4), " +
+        "p AS (SELECT da, db FROM g WHERE inter/CAST(na+nb-inter AS DOUBLE) >= 0.9), " +
+        "sym AS (SELECT da s, db t FROM p UNION SELECT db, da FROM p), " +
+        "reach(id, r) AS (SELECT s, s FROM (SELECT DISTINCT s FROM sym) u UNION SELECT sym.t, reach.r FROM reach JOIN sym ON sym.s = reach.id), " +
+        "cc AS (SELECT id, min(r) comp FROM reach GROUP BY id), " +
+        "losers AS (SELECT id FROM cc WHERE id <> comp) " +
+        "SELECT count(*) kept, CAST(sum(doc_id) AS BIGINT) chk FROM d WHERE doc_id NOT IN (SELECT id FROM losers)"),
     // Bucket-blocked pairs: the 6-bit sign bucket (MSB-first, mirrors
     // Similarity.signBucket) gates the pair join exactly as the Spark plan.
     "q_embed_neardup" ->

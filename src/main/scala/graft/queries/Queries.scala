@@ -1068,6 +1068,21 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** The dedup DELIVERABLE: the cleaned corpus after cluster collapse —
+    * every clustered doc except its cluster keeper (min id) is dropped via
+    * one broadcast anti-join of the (tiny) non-keeper id set against the
+    * corpus. Pairs → clusters → cleaned corpus, end to end. */
+  private val qDedupApply: Q = (s, sf) => {
+    val docs = t(s, sf, "documents").filter(col("doc_id") < 200)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "lang", "text", 0.9)
+    val losers = Components.connectedComponents(pairs, "da", "db")
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("kept"),
+        sum(col("doc_id")).cast("bigint").as("chk"))
+  }
+
   /** SimHash signature buckets: most-populated 16-bit signatures. */
   private val qSimhash: Q = (s, sf) =>
     Dedup.simHash16(t(s, sf, "documents"), "doc_id", "text")
@@ -1177,5 +1192,6 @@ object Queries {
     "q_repetition" -> qRepetition,
     "q_skew_join" -> qSkewJoin,
     "q_simhash" -> qSimhash,
-    "q_dedup_cluster" -> qDedupCluster)
+    "q_dedup_cluster" -> qDedupCluster,
+    "q_dedup_apply" -> qDedupApply)
 }

@@ -88,6 +88,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial"), p) // map-side partial aggregation
   }
 
+  test("q_bigram_lm broadcasts the model tables onto the bigram stream") {
+    val p = plan("q_bigram_lm")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p) // scoring never shuffles the stream
+  }
+
   test("q_impute broadcasts the tiny segment means, no few-partition window") {
     val p = plan("q_impute")
     assert(p.contains("BroadcastHashJoin"), p)
