@@ -168,6 +168,68 @@ object Dedup {
       .filter(col("jac") >= tau)
   }
 
+  /** EXACT sub-quadratic set-similarity join by prefix filtering (the
+    * PPJoin family, Xiao et al., WWW'08): tokens are globally ordered by
+    * ascending document frequency (rarest first); a doc's PREFIX is its
+    * first |A| − ceil(τ·|A|) + 1 tokens in that order, and the prefix
+    * lemma guarantees two sets with Jaccard ≥ τ share at least one prefix
+    * token — so candidates come from an equi-join on PREFIX tokens only,
+    * then exact verification (the same zero-allocation sorted-hash merge
+    * as [[lshVerifiedPairs]]) keeps pairs with true Jaccard ≥ τ.
+    *
+    * Same result set as [[jaccardPairsBy]] — this is exact, not
+    * approximate — but the candidate join inverts only the RAREST tokens
+    * per doc: a corpus-wide stop-word never lands in anyone's prefix, so
+    * the Zipfian hot-token blowup of the naive inverted index cannot
+    * happen. The df table is one partial-agg aggregate; everything else is
+    * narrow per-doc work plus the (pruned) candidate equi-join. This is
+    * the scale path when EXACT near-dup semantics are required; MinHash-
+    * LSH remains the cheaper approximate alternative. */
+  def prefixFilteredPairs(df: DataFrame, idCol: String, groupCol: String,
+      textCol: String, tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1] (got $tau)")
+    val d = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      tokens(col(textCol)).as("toks"))
+    // global rarity order, ties broken by the token itself (total order —
+    // both the prefix construction and the lemma need determinism)
+    val dfreq = d.select(col("grp"), explode(col("toks")).as("w"))
+      .groupBy("grp", "w").agg(count(lit(1)).as("df"))
+    val ranked = d.select(col("id"), col("grp"), explode(col("toks")).as("w"))
+      .join(dfreq, Seq("grp", "w"))
+      .groupBy("id", "grp")
+      .agg(array_sort(collect_list(struct(col("df"), col("w")))).as("ordered"))
+      .select(col("id"), col("grp"),
+        expr("transform(ordered, e -> e.w)").as("toks"),
+        size(col("ordered")).as("nt"))
+    // α = ceil(τ·|A|) computed with a downward epsilon: float error can
+    // push an exact boundary (0.8 × 25) a hair above its integer, and a
+    // too-large α means a too-SHORT prefix — missed pairs, broken
+    // exactness. The epsilon can only lengthen the prefix (extra
+    // candidates, never missed ones).
+    val prefixed = ranked.withColumn("plen",
+      (col("nt") - ceil(col("nt") * tau - lit(1e-9)) + 1).cast("int"))
+    val pre = prefixed.select(col("id"), col("grp"),
+      explode(expr("slice(toks, 1, plen)")).as("w"))
+    val a = pre.select(col("id").as("da"), col("grp"), col("w"))
+    val b = pre.select(col("id").as("db"), col("grp").as("grp2"),
+      col("w").as("w2"))
+    val cands = a.join(b, col("grp") === col("grp2") && col("w") === col("w2") &&
+        col("da") < col("db"))
+      .select("da", "db").distinct()
+    // exact verification over per-doc sorted token hashes (computed once
+    // per doc, merged per pair allocation-free)
+    val hashed = ranked.select(col("id"),
+      array_sort(expr("transform(toks, w -> xxhash64(w))")).as("th"),
+      col("nt"))
+    val inter = graft.functions.VectorFunctions.intersectSizeSorted(col("ta"), col("tb"))
+    cands
+      .join(hashed.select(col("id").as("da"), col("th").as("ta"), col("nt").as("na")), "da")
+      .join(hashed.select(col("id").as("db"), col("th").as("tb"), col("nt").as("nb")), "db")
+      .select(col("da"), col("db"),
+        (inter / (col("na") + col("nb") - inter).cast("double")).as("jac"))
+      .filter(col("jac") >= tau)
+  }
+
   /** The composed scale path: MinHash-LSH candidate generation followed by
     * exact token-Jaccard verification of only those candidates. Sub-quadratic
     * end to end — the pair space is the LSH buckets' (the S-curve prunes

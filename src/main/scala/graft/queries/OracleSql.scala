@@ -34,6 +34,12 @@ object OracleSql {
       "p AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bands a JOIN bands b ON a.band_id=b.band_id AND a.bv=b.bv AND a.doc_id<b.doc_id)"
   }
 
+  // brute-force exact token Jaccard on the bounded corpus — ground truth
+  // for BOTH q_neardup (inverted-index plan) and q_neardup_prefix (prefix-
+  // filtered plan): exactness means one oracle serves both
+  private val exactNeardupSql: String =
+    "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text,' ')) toks FROM documents WHERE doc_id < 1000), tok AS (SELECT doc_id, lang, len(toks) nt, unnest(toks) w FROM d), g AS (SELECT a.doc_id da, b.doc_id db, a.nt na, b.nt nb, count(*) inter FROM tok a JOIN tok b ON a.w=b.w AND a.lang=b.lang AND a.doc_id<b.doc_id GROUP BY 1,2,3,4), j AS (SELECT da, db, inter/CAST(na+nb-inter AS DOUBLE) jac FROM g) SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk, round(avg(jac),4) aj FROM j WHERE jac >= 0.8"
+
   private val minhashSql: String =
     lshCandidateCtes + " SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk FROM p"
 
@@ -326,8 +332,10 @@ object OracleSql {
     // is exclusive, hence len+1. Spark's posexplode index is 0-based int.
     "q_chunk" ->
       "WITH s AS (SELECT doc_id, text, unnest(range(1, greatest(len(text),1)+1, 150)) st FROM documents) SELECT doc_id, CAST((st-1)//150 AS INTEGER) ci, substr(text, CAST(st AS INTEGER), 200) chunk FROM s ORDER BY doc_id, ci LIMIT 200",
-    "q_neardup" ->
-      "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text,' ')) toks FROM documents WHERE doc_id < 1000), tok AS (SELECT doc_id, lang, len(toks) nt, unnest(toks) w FROM d), g AS (SELECT a.doc_id da, b.doc_id db, a.nt na, b.nt nb, count(*) inter FROM tok a JOIN tok b ON a.w=b.w AND a.lang=b.lang AND a.doc_id<b.doc_id GROUP BY 1,2,3,4), j AS (SELECT da, db, inter/CAST(na+nb-inter AS DOUBLE) jac FROM g) SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk, round(avg(jac),4) aj FROM j WHERE jac >= 0.8",
+    "q_neardup" -> exactNeardupSql,
+    // prefix filtering is EXACT (same pairs by the prefix lemma) — the
+    // brute-force ground truth is literally the same oracle
+    "q_neardup_prefix" -> exactNeardupSql,
     "q_ngram_neardup" ->
       "WITH d AS (SELECT doc_id, lang, list_distinct(list_transform(range(1, greatest(len(text)-2, 1)+1), i -> substr(text, i, 3))) toks FROM documents WHERE doc_id < 200), tok AS (SELECT doc_id, lang, len(toks) nt, unnest(toks) w FROM d), g AS (SELECT a.doc_id da, b.doc_id db, a.nt na, b.nt nb, count(*) inter FROM tok a JOIN tok b ON a.w=b.w AND a.lang=b.lang AND a.doc_id<b.doc_id GROUP BY 1,2,3,4), j AS (SELECT da, db, inter/CAST(na+nb-inter AS DOUBLE) jac FROM g) SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk, round(avg(jac),4) aj FROM j WHERE jac >= 0.9",
     "q_simhash" -> simhashSql,

@@ -1068,6 +1068,19 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** EXACT sub-quadratic near-dup via prefix filtering (PPJoin family):
+    * same corpus, threshold, and ORACLE as q_neardup — the result set is
+    * identical by the prefix lemma — but candidates come from an equi-join
+    * on each doc's RAREST tokens only, so corpus-wide hot tokens never
+    * enter the pair join. The exact-semantics scale path; LSH remains the
+    * cheaper approximation. */
+  private val qNeardupPrefix: Q = (s, sf) =>
+    Dedup.prefixFilteredPairs(t(s, sf, "documents").filter(col("doc_id") < 1000),
+        "doc_id", "lang", "text", 0.8)
+      .agg(count(lit(1)).as("pairs"),
+        sum(col("da") + col("db")).as("chk"),
+        round(avg("jac"), 4).as("aj"))
+
   /** The dedup DELIVERABLE: the cleaned corpus after cluster collapse —
     * every clustered doc except its cluster keeper (min id) is dropped via
     * one broadcast anti-join of the (tiny) non-keeper id set against the
@@ -1193,5 +1206,6 @@ object Queries {
     "q_skew_join" -> qSkewJoin,
     "q_simhash" -> qSimhash,
     "q_dedup_cluster" -> qDedupCluster,
-    "q_dedup_apply" -> qDedupApply)
+    "q_dedup_apply" -> qDedupApply,
+    "q_neardup_prefix" -> qNeardupPrefix)
 }

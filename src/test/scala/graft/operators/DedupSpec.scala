@@ -119,4 +119,26 @@ class DedupSpec extends SparkSpec {
     assert(sigs(1L) != sigs(4L))
     assert(sigs.values.forall(s => s >= 0 && s < (1L << 16)))
   }
+
+  test("prefixFilteredPairs ≡ brute-force jaccardPairs (exactness, seeded random)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = ('a' to 'z').map(_.toString)
+    // random docs incl. duplicated texts so high-jac pairs exist
+    val base = (0 until 60).map { i =>
+      (i.toLong, if (i % 3 == 0) "g1" else "g2",
+        Seq.fill(4 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val withDups = base ++ base.take(12).map { case (id, g, t) =>
+      (id + 100L, g, t + " " + vocab(rnd.nextInt(vocab.size))) }
+    val df = withDups.toDF("doc_id", "lang", "text")
+    for (tau <- Seq(0.5, 0.8)) {
+      def norm(d: org.apache.spark.sql.DataFrame) = d
+        .select(col("da"), col("db"), round(col("jac"), 9))
+        .as[(Long, Long, Double)].collect().toSet
+      val brute = norm(Dedup.jaccardPairs(df, "doc_id", "lang", "text", tau))
+      val prefix = norm(Dedup.prefixFilteredPairs(df, "doc_id", "lang", "text", tau))
+      assert(prefix === brute, s"tau=$tau")
+    }
+  }
 }
