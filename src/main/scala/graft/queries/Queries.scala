@@ -937,6 +937,27 @@ object Queries {
       .limit(100)
   }
 
+  /** Sequence packing (concat-and-chunk): docs are packed in id order
+    * into fixed token-budget training sequences — seq k = the docs whose
+    * running token total starts in [k·B, (k+1)·B). The running sum is a
+    * window per language: packing is inherently sequential within its
+    * packing domain, so the domain (here lang; in production the
+    * shard/file) IS the shard key — each domain packs independently and
+    * in parallel, and no global order is ever imposed. */
+  private val qPack: Q = (s, sf) => {
+    val budget = 500
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, sf, "documents")
+      .select(col("lang"), col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("tk"))
+      .withColumn("seq_id",
+        floor((sum("tk").over(w) - col("tk")) / budget).cast("bigint"))
+      .groupBy("lang", "seq_id")
+      .agg(count(lit(1)).as("docs"), sum("tk").cast("bigint").as("toks"))
+      .orderBy("lang", "seq_id")
+  }
+
   /** Bigram-LM cross-entropy quality score (the CCNet/Gopher perplexity-
     * proxy filter): a bigram model is "trained" as plain count aggregates
     * over the corpus — c(w1,w2) and prefix count c(w1) — and each doc is
@@ -1200,6 +1221,7 @@ object Queries {
     "q_gopher" -> qGopher,
     "q_impute" -> qImpute,
     "q_bigram_lm" -> qBigramLm,
+    "q_pack" -> qPack,
     "q_decontaminate" -> qDecontaminate,
     "q_pii_scrub" -> qPiiScrub,
     "q_repetition" -> qRepetition,
