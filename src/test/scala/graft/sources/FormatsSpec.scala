@@ -24,6 +24,24 @@ class FormatsSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: ["), plan)
   }
 
+  test("csv and json write→read round-trips preserve values (csv types via header+inference)") {
+    val dir = Files.createTempDirectory("fmtrt").toString
+    val df = Seq((1L, "a,b", 2.5), (2L, "c\"d", -1.0), (3L, null, 0.0))
+      .toDF("id", "s", "v")
+    // csv: delimiter and quote characters in data must survive quoting
+    df.write.option("header", "true").csv(s"$dir/c")
+    val c = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$dir/c")
+    assert(c.as[(Long, String, Double)].collect().toSet ===
+      df.as[(Long, String, Double)].collect().toSet)
+    // json: self-describing values, null field absent from its record
+    df.write.json(s"$dir/j")
+    val j = spark.read.json(s"$dir/j")
+      .select(col("id"), col("s"), col("v")) // json reader orders fields alphabetically
+    assert(j.as[(Long, String, Double)].collect().toSet ===
+      df.as[(Long, String, Double)].collect().toSet)
+  }
+
   test("text source reads line-delimited corpora as a value column") {
     val dir = Files.createTempDirectory("grafttext").toString
     Seq("line one", "line two", "line three").toDF("value")
