@@ -70,6 +70,30 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe ANN top-k: exact cosine ranking restricted to the
+    * query's sign bucket AND every bucket at Hamming distance 1 from it —
+    * the standard recall-recovery technique (Lv et al., "Multi-Probe
+    * LSH", VLDB'07): a vector near a hyperplane lands on either side, so
+    * probing single-bit flips recovers the neighbors single-bucket search
+    * loses. The probe set (1 + bits buckets) is a broadcast IN-list over
+    * the bucket column — with buckets as partition columns that is
+    * (1+bits)/2^bits of the data read, still sub-linear, recall strictly
+    * ≥ the single-probe path (measured in SimilaritySpec). */
+  def annMultiProbeTopK(emb: DataFrame, idCol: String, embCol: String,
+      queryId: Long, k: Int, bits: Int = 3): DataFrame = {
+    val bucketed = emb.withColumn("bk", signBucket(embCol, bits))
+    val probes = (0 until bits).map(i => expr(s"qbk0 ^ ${1 << i}"))
+    val qb = bucketed.filter(col(idCol) === queryId)
+      .select(col(embCol).as("qe"), col("bk").as("qbk0"))
+      .select(col("qe"), array((col("qbk0") +: probes): _*).as("qbks"))
+    bucketed.filter(col(idCol) =!= queryId)
+      .join(broadcast(qb), array_contains(col("qbks"), col("bk")))
+      .select(col(idCol),
+        round(dot(embCol, "qe") / (norm(embCol) * norm("qe")), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Near-duplicate pairs (da < db) with cosine ≥ tau, bucket-blocked:
     * both sides carry their [[signBucket]] and the pair join is an
     * EQUI-join on the bucket with `da < db` as a residual — a plain

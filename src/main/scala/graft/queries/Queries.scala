@@ -770,6 +770,11 @@ object Queries {
   private val qAnnLsh: Q = (s, sf) =>
     Similarity.annBucketTopK(t(s, sf, "embeddings"), "vec_id", "embedding", 0L, 10)
 
+  /** Multi-probe ANN (query bucket + Hamming-1 probes): recall strictly ≥
+    * the single-probe path at (1+bits)/2^bits of the data read. */
+  private val qAnnMultiprobe: Q = (s, sf) =>
+    Similarity.annMultiProbeTopK(t(s, sf, "embeddings"), "vec_id", "embedding", 0L, 10)
+
   /** IVF ANN: Lloyd-trained coarse cells, search probes the 2 nearest of 8.
     * No oracle (iterative float centroid training is not reasonably
     * SQL-expressible); the driver records a rows-only check and IvfSpec
@@ -1189,6 +1194,7 @@ object Queries {
     "q_topk_terms" -> qTopkTerms,
     "q_cosine_topk" -> qCosineTopk,
     "q_ann_lsh" -> qAnnLsh,
+    "q_ann_multiprobe" -> qAnnMultiprobe,
     "q_cosine_ivf" -> qCosineIvf,
     "q_ann_ivf_fixed" -> qAnnIvfFixed,
     "q_embed_neardup" -> qEmbedNeardup,

@@ -44,6 +44,36 @@ class SimilaritySpec extends SparkSpec {
     assert(top == Set(1L))
   }
 
+  test("multi-probe recall >= single-bucket recall vs exact top-k (measured)") {
+    val emb = graft.sources.Tables.table(spark, sf001, "embeddings")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").as[Long].collect().toSet
+    val k = 10
+    val exact = ids(Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, k))
+    val single = ids(Similarity.annBucketTopK(emb, "vec_id", "embedding", 0L, k))
+    val multi = ids(Similarity.annMultiProbeTopK(emb, "vec_id", "embedding", 0L, k))
+    val rs = (single & exact).size
+    val rm = (multi & exact).size
+    // probing a superset of buckets can only add true neighbors back
+    assert(rm >= rs, s"multi-probe recall $rm < single-bucket $rs")
+    // the Hamming-1 probes must actually widen the candidate pool on this
+    // data (random unit vectors spread across all 8 sign buckets)
+    assert(rm > 0)
+  }
+
+  test("multi-probe includes the query bucket and all Hamming-1 buckets only") {
+    // 3 orthogonal axis vectors: buckets are knowable by hand
+    val q = Seq((0L, Array(1.0f, 1.0f, 1.0f)),   // bucket 111 = 7
+      (1L, Array(1.0f, 1.0f, -1.0f)),            // 110 = 6, Hamming 1
+      (2L, Array(-1.0f, 1.0f, 1.0f)),            // 011 = 3, Hamming 1
+      (3L, Array(-1.0f, -1.0f, 1.0f)),           // 001 = 1, Hamming 2 — excluded
+      (4L, Array(1.0f, -1.0f, 1.0f))             // 101 = 5, Hamming 1
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.annMultiProbeTopK(q, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 4L))
+  }
+
   test("signBucket packs sign bits MSB-first") {
     val b = vecs.select(col("vec_id"), Similarity.signBucket("embedding", 3).as("bk"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
