@@ -216,15 +216,32 @@ object Dedup {
     val cands = a.join(b, col("grp") === col("grp2") && col("w") === col("w2") &&
         col("da") < col("db"))
       .select("da", "db").distinct()
-    // exact verification over per-doc sorted token hashes (computed once
-    // per doc, merged per pair allocation-free)
-    val hashed = ranked.select(col("id"),
-      array_sort(expr("transform(toks, w -> xxhash64(w))")).as("th"),
-      col("nt"))
+    verifyPairsByHashedTokens(cands,
+      ranked.select(col("id"), col("toks")), tau)
+  }
+
+  /** Shared exact-verification stage for candidate (da, db) pairs: each
+    * doc's distinct token set is hashed to int64 ONCE (per document, not
+    * per pair), deduped (64-bit collisions must not desync the array
+    * against the set size) and sorted; a pair's |∩| is then a
+    * zero-allocation two-pointer merge (graft_intersect_size_sorted).
+    * The earlier per-pair HashSet form allocated ~1 KB of boxed garbage
+    * per candidate — at millions of candidates per task that GC churn,
+    * not the compares, dominated wall-clock. Jaccard over the hashed sets
+    * equals token Jaccard unless two distinct tokens collide in 64 bits
+    * (P ≈ vocab²/2⁶⁴ — negligible wherever exact verification is sane).
+    * Single source of truth for [[lshVerifiedPairs]] and
+    * [[prefixFilteredPairs]]. */
+  private def verifyPairsByHashedTokens(cands: DataFrame, docs: DataFrame,
+      tau: Double): DataFrame = {
+    val toks = docs.select(col("id").as("tid"),
+      array_sort(array_distinct(transform(col("toks"), w => xxhash64(w))))
+        .as("th"))
+      .withColumn("nt", size(col("th")))
     val inter = graft.functions.VectorFunctions.intersectSizeSorted(col("ta"), col("tb"))
     cands
-      .join(hashed.select(col("id").as("da"), col("th").as("ta"), col("nt").as("na")), "da")
-      .join(hashed.select(col("id").as("db"), col("th").as("tb"), col("nt").as("nb")), "db")
+      .join(toks.select(col("tid").as("da"), col("th").as("ta"), col("nt").as("na")), "da")
+      .join(toks.select(col("tid").as("db"), col("th").as("tb"), col("nt").as("nb")), "db")
       .select(col("da"), col("db"),
         (inter / (col("na") + col("nb") - inter).cast("double")).as("jac"))
       .filter(col("jac") >= tau)
@@ -241,27 +258,8 @@ object Dedup {
   def lshVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int, tau: Double): DataFrame = {
     val cands = lshCandidatePairs(df, idCol, textCol, numHashes, bands)
-    // Verification plan: hash each doc's distinct token set to int64 ONCE
-    // (per document, not per pair) and sort it; a pair's |∩| is then a
-    // zero-allocation two-pointer merge over two sorted long arrays
-    // (graft_intersect_size_sorted). The earlier per-pair HashSet
-    // (IntersectSize over string arrays) allocated ~1 KB of boxed garbage
-    // per candidate — at millions of candidates per task that GC churn,
-    // not the compares, dominated wall-clock. Jaccard is computed over the
-    // hashed sets: identical to token Jaccard unless two distinct tokens
-    // collide in 64 bits (P ≈ vocab²/2⁶⁴ — negligible at any corpus size
-    // where exact verification is sane).
-    val toks = df.select(col(idCol).as("tid"),
-      array_sort(array_distinct(transform(tokens(col(textCol)), w => xxhash64(w))))
-        .as("th"))
-      .withColumn("nt", size(col("th")))
-    val inter = graft.functions.VectorFunctions.intersectSizeSorted(col("ta"), col("tb"))
-    cands
-      .join(toks.select(col("tid").as("da"), col("th").as("ta"), col("nt").as("na")), "da")
-      .join(toks.select(col("tid").as("db"), col("th").as("tb"), col("nt").as("nb")), "db")
-      .select(col("da"), col("db"),
-        (inter / (col("na") + col("nb") - inter).cast("double")).as("jac"))
-      .filter(col("jac") >= tau)
+    verifyPairsByHashedTokens(cands,
+      df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks")), tau)
   }
 
   /** 16-bit SimHash over distinct tokens: token hash = first 60 bits of

@@ -972,12 +972,16 @@ object Queries {
     * the model tables broadcast and scoring runs at scan speed, the
     * train-once / score-many shape of production quality filters. */
   private val qBigramLm: Q = (s, sf) => {
+    // bigrams via zip_with over two length-guarded slices: a doc with < 2
+    // tokens yields empty slices and no bigrams — a sequence(1, size-1)
+    // formulation would go DESCENDING ([1,0]) on 1-token docs and throw
+    // under ANSI element_at (the oracle's end-exclusive range() is clean)
     val pos = t(s, sf, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws) - 1), " +
-          "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
-        .as("b"))
+        "zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)), " +
+          "slice(ws, 2, greatest(size(ws) - 1, 0)), " +
+          "(x, y) -> struct(x AS w1, y AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
     val bigramCounts = pos.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val prefixCounts = pos.groupBy("w1").agg(count(lit(1)).as("cu"))

@@ -10,33 +10,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Layout {
 
-  // listFiles() returns null (not empty) for unreadable or vanished dirs —
-  // surface those as empty rather than NPE mid-walk
-  private def children(f: java.io.File): Seq[java.io.File] =
-    Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-
-  private def requireDir(dir: String): Unit =
+  /** All parquet data files under `dir`, recursive — the single walk both
+    * metrics derive from. listFiles() returns null (not empty) for
+    * unreadable or vanished dirs; surface those as empty rather than NPE
+    * mid-walk, and reject a nonexistent root up front (a silent 0 would
+    * make compact() compute n=1 and fail later, confusingly, in the
+    * Spark read). */
+  private def parquetFiles(dir: String): Seq[java.io.File] = {
     require(new java.io.File(dir).isDirectory,
       s"not a readable directory: $dir")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).map(_.toSeq).getOrElse(Seq.empty).flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f)
+      else Seq.empty
+    walk(new java.io.File(dir))
+  }
 
   /** Total on-disk bytes of a parquet directory's data files. */
-  def dataBytes(dir: String): Long = {
-    requireDir(dir)
-    def walk(f: java.io.File): Long =
-      if (f.isDirectory) children(f).map(walk).sum
-      else if (f.getName.endsWith(".parquet")) f.length
-      else 0L
-    walk(new java.io.File(dir))
-  }
+  def dataBytes(dir: String): Long = parquetFiles(dir).map(_.length).sum
 
   /** Number of parquet data files under `dir` (recursive). */
-  def dataFiles(dir: String): Int = {
-    requireDir(dir)
-    def walk(f: java.io.File): Int =
-      if (f.isDirectory) children(f).map(walk).sum
-      else if (f.getName.endsWith(".parquet")) 1 else 0
-    walk(new java.io.File(dir))
-  }
+  def dataFiles(dir: String): Int = parquetFiles(dir).size
 
   /** Compact a parquet directory to ~`targetFileBytes` files: reads, then
     * rewrites to `outDir` with ceil(bytes/target) output files.

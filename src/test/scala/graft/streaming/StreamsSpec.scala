@@ -195,7 +195,7 @@ class StreamsSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("graftivm").toString
     val src = MemoryStream[Ev]
     val q = src.toDF().writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
         val partial = batch.groupBy("user_id")
           .agg(count(lit(1)).as("c"), sum("value").as("s"))
         val acc = new java.io.File(s"$out/totals")
@@ -204,10 +204,23 @@ class StreamsSpec extends SparkSpec {
           else Incremental.mergeAdditive(
             spark.read.parquet(s"$out/totals"), partial,
             Seq("user_id"), Seq("c", "s"))
-        // persist-then-write: totals is both input and output of the fold
-        val m = merged.persist(); m.count()
-        m.write.mode("overwrite").parquet(s"$out/totals")
-        m.unpersist()
+        // write-to-new-then-swap: the fold reads the old totals while
+        // writing a NEW directory, then an atomic move replaces the old —
+        // never overwrite the path a running plan is reading (a cache
+        // eviction mid-overwrite would recompute from truncated input)
+        val next = java.nio.file.Paths.get(s"$out/totals-$bid")
+        merged.write.parquet(next.toString)
+        val cur = java.nio.file.Paths.get(s"$out/totals")
+        if (acc.exists()) {
+          def rmRec(p: java.nio.file.Path): Unit = {
+            if (java.nio.file.Files.isDirectory(p))
+              java.nio.file.Files.list(p).forEach(rmRec(_))
+            java.nio.file.Files.delete(p)
+          }
+          rmRec(cur)
+        }
+        java.nio.file.Files.move(next, cur,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         ()
       }
       .start()
