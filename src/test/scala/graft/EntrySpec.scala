@@ -4,6 +4,18 @@ package graft
   * (no-oracle) is bounded against the exact count. */
 class EntrySpec extends SparkSpec {
 
+  test("inventory contract: every query has an oracle or a declared no-oracle bound") {
+    // queries without DuckDB oracles must be exactly the sketch/trained
+    // ops whose unit tests bound them — a new query key missing BOTH an
+    // oracle and a place in this set is a silent correctness-gate hole
+    val noOracleByDesign = Set("q_approx_distinct", "q_approx_percentile",
+      "q_cosine_ivf")
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
+      noOracleByDesign)
+    // and no oracle without a query (dangling SQL is never exercised)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("entry (flagship) returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

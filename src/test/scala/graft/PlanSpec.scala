@@ -88,6 +88,11 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial"), p) // map-side partial aggregation
   }
 
+  test("q_gapfill is single-pass: one scan, no self-join of the daily agg") {
+    val p = plan("q_gapfill")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+  }
+
   test("q_bigram_lm broadcasts the model tables onto the bigram stream") {
     val p = plan("q_bigram_lm")
     assert(p.contains("BroadcastHashJoin"), p)
