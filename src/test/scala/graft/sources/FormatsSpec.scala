@@ -52,6 +52,30 @@ class FormatsSpec extends SparkSpec {
       Set("line one", "line two", "line three"))
   }
 
+  test("PERMISSIVE json ingestion captures malformed records instead of failing") {
+    val dir = Files.createTempDirectory("fmtbad").toString
+    Files.write(java.nio.file.Paths.get(dir, "in.json"), java.util.Arrays.asList(
+      """{"id": 1, "v": "ok"}""",
+      """{"id": 2, "v": """,                 // truncated — malformed
+      """{"id": 3, "v": "also ok"}"""))
+    // Spark refuses projections touching ONLY the corrupt column on a raw
+    // json scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache the parse first
+    val df = spark.read
+      .schema("id LONG, v STRING, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$dir/in.json")
+      .cache()
+    val good = df.filter(col("_corrupt_record").isNull)
+      .select("id").as[Long].collect().toSet
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+      .select("_corrupt_record").as[String].collect()
+    df.unpersist()
+    assert(good === Set(1L, 3L))
+    // the raw malformed line is preserved for quarantine/debugging
+    assert(bad.length == 1 && bad.head.contains(""""id": 2"""))
+  }
+
   test("binaryFile source exposes payload bytes + metadata for media ingestion") {
     val dir = Files.createTempDirectory("graftbin").toString
     val payload = Array[Byte](1, 2, 3, 4, 5)
