@@ -123,6 +123,39 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(slow == out.map(_.getInt(1)).toSeq)
   }
 
+  test("GraftExtensions injects functions AND the rewrite via spark.sql.extensions") {
+    import org.apache.spark.sql.SparkSession
+    val oldDefault = SparkSession.getDefaultSession
+    val oldActive = SparkSession.getActiveSession
+    // a fresh session on the SAME SparkContext via the programmatic
+    // builder.withExtensions hook — the spark.sql.extensions STATIC conf
+    // only applies when the SparkContext is first created (the Verify/
+    // Bench/Time mains take that path in their own JVMs); on a shared
+    // test context it is silently ignored, so inject programmatically
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .withExtensions(new GraftExtensions())
+      .getOrCreate()
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("extrt").toString
+      Seq((1L, Seq("a", "b"), Seq("b", "c"))).toDF("id", "ta", "tb")
+        .write.mode("overwrite").parquet(dir)
+      val df = ext.read.parquet(dir)
+        .selectExpr("id", "size(array_intersect(ta, tb)) AS n")
+      // the injected optimizer rule fires without any session-local setup
+      assert(df.queryExecution.optimizedPlan.toString
+        .contains("graft_intersect_size"))
+      assert(df.collect().head.getInt(1) == 1)
+      // and the injected SQL functions resolve by name
+      assert(ext.sql("SELECT graft_intersect_size(array('x','y'), array('y')) n")
+        .collect().head.getInt(0) == 1)
+    } finally {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      oldDefault.foreach(SparkSession.setDefaultSession)
+      oldActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
   test("IntersectSizeRewrite end-to-end via experimental.extraOptimizations") {
     val dir = java.nio.file.Files.createTempDirectory("rewrite").toString
     Seq((1L, Seq("a", "b", "c"), Seq("b", "c", "d")), (2L, Seq("x"), Seq("y")))
