@@ -132,11 +132,13 @@ class VectorExpressionsSpec extends SparkSpec {
     // only applies when the SparkContext is first created (the Verify/
     // Bench/Time mains take that path in their own JVMs); on a shared
     // test context it is silently ignored, so inject programmatically
-    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-    val ext = SparkSession.builder()
-      .withExtensions(new GraftExtensions())
-      .getOrCreate()
     try {
+      // inside the try: a construction failure must still restore the
+      // cleared default/active sessions for the suites that follow
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      val ext = SparkSession.builder()
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
       val dir = java.nio.file.Files.createTempDirectory("extrt").toString
       Seq((1L, Seq("a", "b"), Seq("b", "c"))).toDF("id", "ta", "tb")
         .write.mode("overwrite").parquet(dir)

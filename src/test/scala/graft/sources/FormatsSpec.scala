@@ -66,14 +66,15 @@ class FormatsSpec extends SparkSpec {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(s"$dir/in.json")
       .cache()
-    val good = df.filter(col("_corrupt_record").isNull)
-      .select("id").as[Long].collect().toSet
-    val bad = df.filter(col("_corrupt_record").isNotNull)
-      .select("_corrupt_record").as[String].collect()
-    df.unpersist()
-    assert(good === Set(1L, 3L))
-    // the raw malformed line is preserved for quarantine/debugging
-    assert(bad.length == 1 && bad.head.contains(""""id": 2"""))
+    try {
+      val good = df.filter(col("_corrupt_record").isNull)
+        .select("id").as[Long].collect().toSet
+      val bad = df.filter(col("_corrupt_record").isNotNull)
+        .select("_corrupt_record").as[String].collect()
+      assert(good === Set(1L, 3L))
+      // the raw malformed line is preserved for quarantine/debugging
+      assert(bad.length == 1 && bad.head.contains(""""id": 2"""))
+    } finally df.unpersist()
   }
 
   test("binaryFile source exposes payload bytes + metadata for media ingestion") {
