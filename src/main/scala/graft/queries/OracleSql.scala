@@ -205,8 +205,10 @@ object OracleSql {
     "q_quota" ->
       "SELECT lang, r, doc_id, score FROM (SELECT lang, doc_id, score, row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) r FROM (SELECT lang, doc_id, floor((least(n_chars/400.0, 1.0)*0.5 + (len(list_filter(string_split(text,' '), w -> w IN ('the', 'a')))/CAST(len(string_split(text,' ')) AS DOUBLE))*0.3 + least(len(string_split(text,' '))/80.0, 1.0)*0.2)*10000 + 0.5)/10000 score FROM documents) s) t WHERE r <= 20 ORDER BY lang, r",
     // sequence packing: integer running sums → floor-div bucket, exact
+    // seq_id is CAST to BIGINT because the HUGEINT window sum makes `//`
+    // yield DECIMAL(38,0) → pandas float64, while Spark emits bigint
     "q_pack" ->
-      ("SELECT lang, seq_id, count(*) docs, CAST(sum(tk) AS BIGINT) toks FROM (" +
+      ("SELECT lang, CAST(seq_id AS BIGINT) seq_id, count(*) docs, CAST(sum(tk) AS BIGINT) toks FROM (" +
         "SELECT lang, doc_id, tk, " +
         "(sum(tk) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tk) // 500 seq_id " +
         "FROM (SELECT lang, doc_id, len(string_split(text, ' ')) tk FROM documents) d" +

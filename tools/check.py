@@ -2,14 +2,73 @@
 """Local replica of the driver's DuckDB-oracle gate.
 
 Usage: check.py <sfDir> <verifyOut>
+       check.py --selftest
 Loads each verifyOut/<name> parquet (Spark result), runs oracle_sql.json[name]
 in DuckDB over views on sfDir parquet, normalizes (sort cols by name, sort
-rows, stringify with rounding-stable repr) and diffs.
+rows, stringify with rounding-stable repr) and diffs. The driver's hash is
+dtype-sensitive (float64 0.0 != int64 0), so before value compare we also
+compare per-column dtype CLASSES (int/float/bool/ts/str) — the %.6g
+stringification alone rendered 0.0 and 0 identically and let a q_pack
+float64-vs-int64 divergence through in round 3.
 """
 import sys, json, glob, os
-import duckdb
 import pandas as pd
 import numpy as np
+
+
+def col_class(s: pd.Series) -> str:
+    """Collapse a column to the class the driver's hash distinguishes.
+
+    Width differences inside a kind (int32 vs int64) are NOT failures — both
+    engines vary widths per function; float-vs-int IS (q_pack round-3).
+    Parquet date32 reads back as object-of-datetime.date while DuckDB gives
+    datetime64 — the driver normalizes those, so both classify as "ts"."""
+    try:
+        k = np.dtype(s.dtype).kind
+    except TypeError:
+        k = "O"
+    cls = {"i": "int", "u": "int", "f": "float", "b": "bool",
+           "M": "ts", "m": "td"}.get(k, "obj")
+    if cls == "obj":
+        nn = s.dropna()
+        if len(nn) and hasattr(nn.iloc[0], "isoformat"):
+            return "ts"
+    return cls
+
+
+def dtype_diff(spark_df: pd.DataFrame, duck_df: pd.DataFrame):
+    """Per-column dtype-class mismatches for the shared column set."""
+    bad = []
+    for c in sorted(set(spark_df.columns) & set(duck_df.columns)):
+        ca, cb = col_class(spark_df[c]), col_class(duck_df[c])
+        # An all-NULL side may degrade int->float (pandas NaN) or ->obj;
+        # only flag when both sides actually hold values.
+        if ca != cb and spark_df[c].notna().any() and duck_df[c].notna().any():
+            bad.append(f"{c}: spark={spark_df[c].dtype}({ca}) duck={duck_df[c].dtype}({cb})")
+    return bad
+
+
+def selftest() -> int:
+    a = pd.DataFrame({"k": [1, 2], "v": np.array([0, 1], dtype="int64")})
+    b = pd.DataFrame({"k": [1, 2], "v": np.array([0.0, 1.0], dtype="float64")})
+    assert dtype_diff(a, b) == ["v: spark=int64(int) duck=float64(float)"], \
+        "dtype gate MUST catch int64 vs float64"
+    c = pd.DataFrame({"k": np.array([1, 2], dtype="int32"), "v": [0, 1]})
+    assert dtype_diff(a, c) == [], "int width difference must NOT fail"
+    d = pd.DataFrame({"k": [1, 2], "v": [np.nan, np.nan]})
+    assert dtype_diff(a, d) == [], "all-NULL column must NOT fail"
+    import datetime
+    e = pd.DataFrame({"k": [1, 2], "m": [datetime.date(2024, 1, 1)] * 2})
+    f = pd.DataFrame({"k": [1, 2], "m": pd.to_datetime(["2024-01-01"] * 2)})
+    assert dtype_diff(e, f) == [], "date-object vs datetime64 must NOT fail"
+    print("selftest OK: float64-vs-int64 fails; int-width, all-NULL, date-repr pass")
+    return 0
+
+
+if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+    sys.exit(selftest())
+
+import duckdb
 
 sf, out = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -47,6 +106,9 @@ for name in sorted(oracle):
     a, b = norm(spark_df), norm(duck_df)
     if list(a.columns) != list(b.columns):
         fails.append((name, f"COLS spark={list(a.columns)} duck={list(b.columns)}")); continue
+    bad_types = dtype_diff(spark_df, duck_df)
+    if bad_types:
+        fails.append((name, "DTYPE " + "; ".join(bad_types))); continue
     if len(a) != len(b):
         fails.append((name, f"ROWS spark={len(a)} duck={len(b)}")); continue
     if not a.equals(b):
