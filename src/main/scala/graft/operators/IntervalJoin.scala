@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval join without an equi key.
+  *
+  * Spark plans a plain `p.t >= i.start AND p.t < i.end` join as a
+  * BroadcastNestedLoopJoin (or cartesian): every point is tested against
+  * every interval — O(N·M) predicate evaluations, which is exactly the
+  * shape that dies first at scale. This operator restores an equi key by
+  * BINNING the shared numeric domain: each interval is exploded to the
+  * fixed-width bins it overlaps, each point falls in exactly one bin, and
+  * the pair join becomes a hash equi-join on the bin id plus a residual
+  * range filter. Work drops to O(N + M·spread + candidates), where
+  * `spread` = avg interval length / binWidth and `candidates` is the true
+  * output size plus same-bin near-misses.
+  *
+  * Scale shape (100 TB posture): both sides shuffle-hash on the bin id —
+  * fully partition-parallel, no nested loop, no broadcast of a big side.
+  * Because a point has exactly one bin, every (point, interval) pair meets
+  * at most once — no post-join dedup. Hot bins (many intervals overlapping
+  * one bin) are ordinary join skew: AQE's skew-join split applies, and
+  * callers can add real equi keys via `extraKeys` to sharpen partitioning.
+  *
+  * `binWidth` tuning: ≈ the median interval length. Much smaller → interval
+  * fan-out (M·spread rows); much larger → more same-bin false candidates
+  * for the residual filter. Both degrade gracefully, never to O(N·M).
+  *
+  * Domain: integral columns (e.g. epoch micros via `unix_micros`). Exact
+  * long arithmetic — no doubles anywhere in the bin math.
+  */
+object IntervalJoin {
+
+  /** Exact floor-division of an integral column by a positive constant
+    * (`pmod` keeps it correct for negative values; the subtraction makes
+    * the quotient exactly divisible, so the division is lossless). */
+  private def floorDiv(c: Column, w: Long): Column =
+    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+
+  /** Join `points` to the intervals of `intervals` that contain them:
+    * emits one row per (point, interval) pair with `startCol <= pointCol <
+    * endCol` (half-open), carrying all columns of both inputs.
+    *
+    * @param pointCol  integral column on `points` (e.g. epoch micros)
+    * @param startCol  integral inclusive lower bound on `intervals`
+    * @param endCol    integral exclusive upper bound on `intervals`
+    * @param binWidth  bin size in the columns' units; ≈ median interval
+    *                  length is a good default
+    * @param extraKeys optional (pointsCol, intervalsCol) equi-key pairs
+    *                  ANDed into the join (e.g. a tenant or user id)
+    */
+  def pointInInterval(
+      points: DataFrame, pointCol: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      binWidth: Long,
+      extraKeys: Seq[(String, String)] = Nil): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val p = points.withColumn("__pbin", floorDiv(col(pointCol), binWidth))
+    // Empty intervals (end <= start) match nothing; dropping them first
+    // also keeps `sequence` ascending (Spark would happily descend).
+    val iv = intervals
+      .where(col(endCol) > col(startCol))
+      .withColumn("__ibin", explode(sequence(
+        floorDiv(col(startCol), binWidth),
+        floorDiv(col(endCol) - 1, binWidth))))
+    val keys = ("__pbin", "__ibin") +: extraKeys
+    val cond = keys.map { case (pk, ik) => p(pk) === iv(ik) }.reduce(_ && _) &&
+      p(pointCol) >= iv(startCol) && p(pointCol) < iv(endCol)
+    p.join(iv, cond).drop("__pbin", "__ibin")
+  }
+}

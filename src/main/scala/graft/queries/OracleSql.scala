@@ -137,6 +137,13 @@ object OracleSql {
       "SELECT count(*) n FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
     "q_join_range" ->
       "SELECT count(*) n FROM lineitem JOIN orders ON l_orderkey=o_orderkey AND l_shipdate > o_orderdate",
+    // keyless point-in-interval: exact µs epochs (epoch_us ≡ Spark
+    // unix_micros after both engines truncate the parquet NANOS column)
+    "q_join_interval" ->
+      ("WITH w AS (SELECT event_id wid, epoch_us(ts) s_us FROM events WHERE event_type='error'), " +
+        "p AS (SELECT epoch_us(ts) pt FROM events WHERE event_type='view') " +
+        "SELECT wid, count(*) n_views FROM w JOIN p ON p.pt >= w.s_us AND p.pt < w.s_us + 3600000000 " +
+        "GROUP BY wid ORDER BY wid LIMIT 100"),
     "q_window_rank" ->
       "SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) r FROM orders) t WHERE r <= 2 ORDER BY o_custkey, r, o_orderkey LIMIT 100",
     "q_window_running" ->

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Components, Dedup, Incremental, Ivf, Sampling, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, Components, Dedup, Incremental, IntervalJoin, Ivf, Sampling, Similarity, Skew, TextAnalysis}
 
 /** The declared query inventory (SURVEY.md §2) as idiomatic DataFrame-API
   * plans. Each entry is `(spark, sfDir) => DataFrame` and has a matching
@@ -87,6 +87,24 @@ object Queries {
       .join(t(s, sf, "orders"),
         col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"))
       .agg(count(lit(1)).as("n"))
+
+  /** Keyless point-in-interval join — the shape stock Spark plans as a
+    * BroadcastNestedLoopJoin. [[IntervalJoin]] restores an equi key by
+    * binning (here: 1-hour bins = the interval length), so the plan is an
+    * ordinary shuffle hash/sort-merge join; exact µs-epoch arithmetic on
+    * both engines. Views are counted per platform-wide error window. */
+  private val qJoinInterval: Q = (s, sf) => {
+    val us = 3600L * 1000000
+    val ev = t(s, sf, "events")
+    val w = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("wid"), unix_micros(col("ts")).as("s_us"))
+      .withColumn("e_us", col("s_us") + us)
+    val p = ev.filter(col("event_type") === "view")
+      .select(unix_micros(col("ts")).as("pt"))
+    IntervalJoin.pointInInterval(p, "pt", w, "s_us", "e_us", us)
+      .groupBy("wid").agg(count(lit(1)).as("n_views"))
+      .orderBy("wid").limit(100)
+  }
 
   private val qCase: Q = (s, sf) =>
     t(s, sf, "orders")
@@ -1176,6 +1194,7 @@ object Queries {
     "q_join_semi" -> qJoinSemi,
     "q_join_anti" -> qJoinAnti,
     "q_join_range" -> qJoinRange,
+    "q_join_interval" -> qJoinInterval,
     "q_window_rank" -> qWindowRank,
     "q_window_running" -> qWindowRunning,
     "q_window_lag" -> qWindowLag,

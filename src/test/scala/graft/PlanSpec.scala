@@ -143,4 +143,10 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Exchange hashpartitioning"), s"$q shuffles: $p")
     }
   }
+
+  test("q_join_interval bins away the nested-loop: equi join only") {
+    val p = plan("q_join_interval")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
