@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Scaling-evidence run for the dedup/ANN flagships (round-3 verdict #4).
+  *
+  * The shipped testdata corpus has a 31-word vocabulary, which makes every
+  * doc pair a near-candidate — fine for correctness, pathological for
+  * scaling curves. This bench generates a REALISTIC corpus (Zipfian draws
+  * over a 20k-word vocab, ~80 tokens/doc, 5% planted near-dups, 3
+  * languages) and unit-norm-ish random embeddings (dim 64, 5% planted
+  * near-dup vectors) at 1×/3×/10× the sf0.1 row counts, then times
+  *
+  *   - `Dedup.lshVerifiedPairs`   (MinHash-LSH bands → exact verify)
+  *   - `Dedup.prefixFilteredPairs`(PPJoin exact, NO corpus bound here)
+  *   - `Similarity.cosinePairs`   (sign-bucket-blocked embedding pairs)
+  *
+  * on the full corpus at each size. Observed wall-time exponents
+  * (log-ratio between successive sizes) go into SCALING.md: sub-quadratic
+  * observed growth is the evidence behind the 100 TB plan-shape claims.
+  *
+  * Corpora are written to /tmp (testdata is read-only) and re-read from
+  * parquet so scans, not generation, are what's timed. All generation is
+  * hash-deterministic — no rand(), stable across runs/partitionings.
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val outRoot = args.headOption.getOrElse("/tmp/graft_scale")
+    val vocab = 20000
+    val tokensPerDoc = 80
+
+    // token k of doc i: Zipf-ish via inverse transform floor(V^u) with a
+    // hash-uniform u — pmf ∝ 1/rank, matching natural-language token skew
+    def zipfToken(doc: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) = {
+      val u = pmod(xxhash64(doc, k), lit(1000000)).cast("double") / 1000000.0
+      concat(lit("w"), floor(pow(lit(vocab.toDouble), u)).cast("long").cast("string"))
+    }
+
+    def genDocs(n: Long, path: String): Unit = {
+      val base = spark.range(n).select(
+        $"id".as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(tokensPerDoc - 1)),
+          k => zipfToken($"id", k)), " ").as("text"),
+        element_at(array(lit("en"), lit("de"), lit("fr")),
+          (pmod(xxhash64($"id", lit(7)), lit(3)) + 1).cast("int")).as("lang"))
+      // 5% near-dups: same tokens + 3 fresh ones appended (Jaccard ≈ 0.95
+      // on the distinct sets), same language, ids offset by n
+      val dups = base.filter(pmod($"doc_id", lit(20)) === 0)
+        .select(($"doc_id" + n).as("doc_id"),
+          concat($"text", lit(" zz1x zz2x zz3x")).as("text"), $"lang")
+      base.unionByName(dups)
+        .withColumn("source", lit("synb"))
+        .withColumn("n_chars", length($"text"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(path)
+    }
+
+    def genEmb(n: Long, path: String): Unit = {
+      val base = spark.range(n).select(
+        $"id".as("vec_id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          (pmod(xxhash64($"id", j), lit(2001)).cast("double") / 1000.0 - 1.0)
+            .cast("float")).as("embedding"))
+      val dups = base.filter(pmod($"vec_id", lit(20)) === 0)
+        .select(($"vec_id" + n).as("vec_id"),
+          transform($"embedding", x => x + lit(0.01f)).as("embedding"))
+      base.unionByName(dups).repartition(32)
+        .write.mode("overwrite").parquet(path)
+    }
+
+    def time(label: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"SCALE $label ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    }
+
+    // sf0.1 row counts × {1, 3, 10}
+    val docSizes = Seq(5000L, 15000L, 50000L)
+    val embSizes = Seq(2000L, 6000L, 20000L)
+
+    docSizes.foreach(n => genDocs(n, s"$outRoot/docs_$n"))
+    embSizes.foreach(n => genEmb(n, s"$outRoot/emb_$n"))
+    println("SCALE generated")
+
+    // warmup all three plan shapes on the smallest corpus
+    Dedup.lshVerifiedPairs(spark.read.parquet(s"$outRoot/docs_5000"),
+      "doc_id", "text", 8, 2, 0.8).count()
+    Dedup.prefixFilteredPairs(spark.read.parquet(s"$outRoot/docs_5000"),
+      "doc_id", "lang", "text", 0.8).count()
+    Similarity.cosinePairs(spark.read.parquet(s"$outRoot/emb_2000"),
+      "vec_id", "embedding", 0.9).count()
+
+    docSizes.foreach { n =>
+      val docs = spark.read.parquet(s"$outRoot/docs_$n")
+      time(s"lsh_verified_$n") {
+        Dedup.lshVerifiedPairs(docs, "doc_id", "text", 8, 2, 0.8)
+      }
+      time(s"prefix_exact_$n") {
+        Dedup.prefixFilteredPairs(docs, "doc_id", "lang", "text", 0.8)
+      }
+    }
+    embSizes.foreach { n =>
+      val emb = spark.read.parquet(s"$outRoot/emb_$n")
+      time(s"cosine_pairs_$n") {
+        Similarity.cosinePairs(emb, "vec_id", "embedding", 0.9)
+      }
+    }
+    spark.stop()
+  }
+}
