@@ -9,12 +9,13 @@ import org.apache.spark.sql.functions._
   * UDF — one iterator per partition, so codec state is initialized once per
   * partition, not per row).
   *
-  * Codecs: image (PNG/JPEG/BMP/GIF via the JDK's ImageIO) and audio (WAV
-  * PCM via javax.sound.sampled) decode are REAL — pure-JDK, no external
-  * libraries. Video remains STUBBED (no JDK video codec; `stubFeatures`
-  * derives deterministic fake features from the payload bytes) — swapping
-  * in a real decoder changes only the marked function body; the schema,
-  * encoders, partition batch shape, and error rows are the same.
+  * Codecs, all REAL and pure-JDK: image (PNG/JPEG/BMP/GIF via ImageIO),
+  * audio (WAV/AIFF PCM via javax.sound.sampled), and video (MJPEG-in-AVI
+  * via [[MjpegAvi]] + ImageIO — the one video format a bare JDK can
+  * decode; other codecs, e.g. H.264, still need a native library the
+  * container lacks and fail as error rows naming the handler). The only
+  * remaining stub is `stubFeatures`, a stand-in for MODEL INFERENCE
+  * (embedding extraction), which is out of engine scope by design.
   *
   * Scale: payloads never shuffle unless the caller joins/groups; feature
   * extraction is a narrow map over whatever partitioning the source has
@@ -31,10 +32,10 @@ object Multimodal {
 
   final case class Frame(id: Long, frameNo: Int, bytes: Array[Byte])
 
-  // ---- STUB ----------------------------------------------------------
-  // Real deployment: decode payload with an image/audio codec and run a
-  // feature extractor. Deterministic fake: a rolling hash of the bytes
-  // seeds each feature dimension.
+  // ---- STUB (model inference only) -----------------------------------
+  // Real deployment: run an embedding model over the DECODED media (the
+  // decode itself is real, below). Deterministic fake: a rolling hash of
+  // the bytes seeds each feature dimension.
   private def stubFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
     var h = 1125899906842597L
     val out = new Array[Float](dim)
@@ -128,10 +129,30 @@ object Multimodal {
         Left(s"undecodable audio payload: ${e.getMessage}")
     }
 
-  /** Decode every media row with the modality's codec — image and audio
-    * REAL (JDK codecs), anything else an error row. mapPartitions so a
-    * real deployment initializes its codec once per partition; narrow,
-    * partition-preserving, failures as data. */
+  /** REAL video decode, pure JDK ([[MjpegAvi]] demux + ImageIO per-frame
+    * JPEG): frame count, first-frame dimensions, and mean luma over ≤16
+    * evenly-spaced frames (so hour-long payloads cost O(1) frame decodes).
+    * Non-MJPEG video (H.264 etc.) and corrupt containers come back Left. */
+  def videoFeatures(payload: Array[Byte]): Either[String, (Int, Int, Long, Double)] =
+    MjpegAvi.decodeFrames(payload).flatMap { frames =>
+      if (frames.isEmpty) Left("AVI container holds no video frames")
+      else {
+        val stride = math.max(1, frames.length / 16)
+        val sampled = frames.indices.by(stride).map(i => imageFeatures(frames(i)))
+        sampled.collectFirst { case Left(e) => e } match {
+          case Some(err) => Left(s"undecodable frame (MJPG is the only JDK-decodable handler): $err")
+          case None =>
+            val lumas = sampled.collect { case Right((_, _, l)) => l }
+            val (w, h) = sampled.head match { case Right((fw, fh, _)) => (fw, fh); case _ => (0, 0) }
+            Right((w, h, frames.length.toLong, lumas.sum / lumas.size))
+        }
+      }
+    }
+
+  /** Decode every media row with the modality's codec — image, audio, and
+    * video all REAL (pure JDK), anything else an error row. mapPartitions
+    * so a real deployment initializes its codec once per partition;
+    * narrow, partition-preserving, failures as data. */
   def decodeMedia(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -149,10 +170,15 @@ object Multimodal {
             case Left(err) =>
               DecodedMedia(r.id, r.modality, ok = false, err, 0, 0, 0f, 0L, 0.0)
           }
+          case "video" => videoFeatures(r.payload) match {
+            case Right((w, h, frames, luma)) =>
+              DecodedMedia(r.id, r.modality, ok = true, "", w, h, 0f, frames, luma)
+            case Left(err) =>
+              DecodedMedia(r.id, r.modality, ok = false, err, 0, 0, 0f, 0L, 0.0)
+          }
           case other =>
             DecodedMedia(r.id, other, ok = false,
-              s"no codec for modality '$other' (video stays stubbed)",
-              0, 0, 0f, 0L, 0.0)
+              s"no codec for modality '$other'", 0, 0, 0f, 0L, 0.0)
         }
       }
     }
@@ -199,15 +225,32 @@ object Multimodal {
     }
   }
 
-  /** Sample every `stride`-th fixed-size chunk of a video payload as a
-    * "frame" (stub for a real frame decoder; keeps the 1→N generator
-    * shape: flatMap, no shuffle). */
+  /** Sample every `stride`-th fixed-size chunk of a payload as a raw byte
+    * "frame" — the generic 1→N splitter for codec-less blobs (flatMap, no
+    * shuffle). For real video frames use [[videoFrames]]. */
   def frameSample(media: Dataset[MediaRow], frameBytes: Int,
       stride: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
       r.payload.grouped(frameBytes).zipWithIndex.collect {
         case (chunk, idx) if idx % stride == 0 => Frame(r.id, idx, chunk)
+      }
+    }
+  }
+
+  /** REAL video frame sampling: demux each MJPEG-AVI payload and emit
+    * every `stride`-th frame's JPEG bytes (frameNo = position in the
+    * stream). Same 1→N flatMap shape — payloads never shuffle; corrupt
+    * containers yield no frames rather than failing the task (route
+    * through [[decodeMedia]] first when the error rows matter). */
+  def videoFrames(media: Dataset[MediaRow], stride: Int): Dataset[Frame] = {
+    require(stride > 0, s"stride must be positive, got $stride")
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      MjpegAvi.decodeFrames(r.payload) match {
+        case Right(frames) => frames.indices.by(stride)
+          .map(i => Frame(r.id, i, frames(i)))
+        case Left(_) => Nil
       }
     }
   }

@@ -67,7 +67,8 @@ class MultimodalSpec extends SparkSpec {
       MediaRow(10L, "image", pngBytes(8, 4, gray = 100), 0, 0),
       MediaRow(11L, "audio", wavBytes(8000f, amplitude = 16384, nFrames = 800), 0, 0),
       MediaRow(12L, "image", Array[Byte](1, 2, 3), 0, 0), // corrupt
-      MediaRow(13L, "video", Array[Byte](9, 9), 0, 0)     // stub-only modality
+      MediaRow(13L, "video", Array[Byte](9, 9), 0, 0),    // not a RIFF container
+      MediaRow(14L, "hologram", Array[Byte](9), 0, 0)     // unknown modality
     ).toDS()
     val d = Multimodal.decodeMedia(rows).collect().map(x => x.id -> x).toMap
     // PNG: dimensions + mean luma of the uniform gray fill
@@ -78,7 +79,58 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(d(11L).level - 16384.0 / 32768.0) < 1e-6)
     // corrupt and unsupported payloads become error ROWS, not task failures
     assert(!d(12L).ok && d(12L).error.nonEmpty)
-    assert(!d(13L).ok && d(13L).error.contains("video"))
+    assert(!d(13L).ok && d(13L).error.contains("RIFF"))
+    assert(!d(14L).ok && d(14L).error.contains("hologram"))
+  }
+
+  private def grayFrame(w: Int, h: Int, gray: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    img
+  }
+
+  test("decodeMedia: REAL video decode — MJPEG-in-AVI frames, count + luma") {
+    // 6 frames of uniform gray 60..160: mean luma ≈ 110/255 (JPEG is
+    // lossy, so compare loosely)
+    val avi = MjpegAvi.encodeImages((0 until 6).map(i => grayFrame(16, 12, 60 + i * 20)), fps = 5)
+    val rows = Seq(MediaRow(30L, "video", avi, 0, 0)).toDS()
+    val d = Multimodal.decodeMedia(rows).collect().head
+    assert(d.ok, d.error)
+    assert(d.width == 16 && d.height == 12 && d.frames == 6L)
+    assert(math.abs(d.level - 110.0 / 255.0) < 0.05)
+  }
+
+  test("MjpegAvi round-trips frame payloads and rejects corrupt containers") {
+    val jpegs = (0 until 3).map { i =>
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(grayFrame(8, 8, 40 * (i + 1)), "jpg", bos)
+      bos.toByteArray
+    }
+    val avi = MjpegAvi.encode(jpegs, 8, 8, fps = 10)
+    val back = MjpegAvi.decodeFrames(avi)
+    assert(back.isRight)
+    assert(back.toOption.get.map(_.toSeq) == jpegs.map(_.toSeq))
+    // truncating inside the movi list must yield Left, not throw
+    assert(MjpegAvi.decodeFrames(avi.take(avi.length - 5)).isLeft)
+    assert(MjpegAvi.decodeFrames("RIFFxxxxWAVE".getBytes("US-ASCII")).isLeft)
+  }
+
+  test("videoFrames: strided REAL frames; corrupt payloads yield none") {
+    val avi = MjpegAvi.encodeImages((0 until 5).map(i => grayFrame(8, 8, 30 + i * 30)), fps = 2)
+    val rows = Seq(
+      MediaRow(40L, "video", avi, 0, 0),
+      MediaRow(41L, "video", Array[Byte](1, 2, 3, 4), 0, 0)).toDS()
+    val frames = Multimodal.videoFrames(rows, stride = 2).collect()
+    assert(frames.map(f => (f.id, f.frameNo)).sorted.toSeq ==
+      Seq((40L, 0), (40L, 2), (40L, 4)))
+    // each sampled frame is a decodable JPEG at the muxed dimensions
+    frames.foreach { f =>
+      val dec = Multimodal.imageFeatures(f.bytes)
+      assert(dec.isRight)
+      assert(dec.toOption.get._1 == 8)
+    }
   }
 
   test("resizeImages: REAL bilinear resize re-encodes at target dims") {
