@@ -49,4 +49,50 @@ class SkewSpec extends SparkSpec {
       Skew.saltedJoin(left, dim, "k", "dk", salts = 4, joinType = "right")
     }
   }
+
+  test("AQE skew-split and saltedJoin agree on a hot-key join; salting spreads the hot key") {
+    // the two recommended paths for the same problem (Skew scaladoc): AQE's
+    // runtime split must actually fire on this shape, and the deterministic
+    // salted fallback must produce the identical row multiset without any
+    // single task holding the whole hot key
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // 90% of 200k rows carry key 1 -> one shuffle partition ~3 MB vs tiny rest
+      val left = spark.range(200000)
+        .select(when($"id" % 10 === 0, $"id" % 100).otherwise(1L).as("k"), $"id".as("i"))
+      val dim = spark.range(100).select($"id".as("dk"), concat(lit("n"), $"id").as("name"))
+
+      val aqe = left.join(dim, $"k" === $"dk")
+      // collect() (not count()) so THIS dataset's adaptive plan is the one
+      // that executes and finalizes — count() spawns its own plan
+      val nAqe = aqe.collect().length.toLong
+      val finalPlan = aqe.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"), s"AQE did not split the skewed partition:\n$finalPlan")
+
+      val salted = Skew.saltedJoin(left, dim, "k", "dk", salts = 8)
+      assert(salted.count() == nAqe)
+      // no single-task dominance: the hot key's rows span several tasks
+      val perPartition = salted.rdd
+        .mapPartitions(it => Iterator(it.size.toLong)).collect()
+      val share = perPartition.max.toDouble / perPartition.sum
+      assert(share < 0.6, s"one task still holds ${share * 100}%% of the join output")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
