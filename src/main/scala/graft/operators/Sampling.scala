@@ -60,4 +60,33 @@ object Sampling {
     sources.map { case (df, pct) => sampleByHash(df, keyCol, pct) }
       .reduce(_.unionByName(_))
   }
+
+  /** Temperature-scaled source mixing (the multilingual/multi-corpus
+    * rebalancing rule of Raffel et al. 2020 §3.4.3 / Conneau et al. 2020
+    * §3): sample group g at rate (n_min/n_g)^(1-alpha), so effective
+    * shares follow n_g^alpha — alpha = 1 keeps natural proportions,
+    * alpha → 0 approaches uniform across groups. The smallest group is
+    * kept whole; bigger groups are deterministically hash-downsampled.
+    *
+    * Scale shape: one tiny per-group count aggregate broadcast back onto
+    * the corpus; membership is then a narrow scan-speed filter — no
+    * shuffle of the data itself, stable under retries, and a row's fate
+    * never changes as OTHER groups grow (only its own group's count moves
+    * its threshold). alpha = 0.5 uses `sqrt` rather than `pow`: IEEE
+    * sqrt is correctly rounded where pow need not be, which keeps the
+    * threshold bit-identical across engines (the DuckDB oracle relies on
+    * this). */
+  def temperatureMix(df: DataFrame, keyCol: String, groupCol: String,
+      alpha: Double, buckets: Int = 10000): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1] (got $alpha)")
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min(col("__n")).as("__nmin"))
+    val ratio = col("__nmin").cast("double") / col("__n")
+    val rate = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1 - alpha)
+    val thresholds = counts.crossJoin(broadcast(nMin))
+      .select(col(groupCol), floor(rate * buckets).as("__thr"))
+    df.join(broadcast(thresholds), groupCol)
+      .filter(hashBucket(col(keyCol), buckets) < col("__thr"))
+      .drop("__thr")
+  }
 }

@@ -116,6 +116,19 @@ object Similarity {
       .filter(col("cos") >= tau)
   }
 
+  /** Semantic dedup clusters (SemDeDup, Abbas et al. 2023): embedding
+    * near-dup pairs from [[cosinePairs]] transitively closed into
+    * clusters by [[Components.dupClusters]] — one row per clustered
+    * vector with its cluster label (`comp`, the min member id = the
+    * conventional keeper) and cluster size. Downstream: anti-join
+    * non-keepers against the corpus, exactly like token-level
+    * `q_dedup_apply`. Both stages are the library's scale paths
+    * (bucket-blocked pair join; distributed hash-min propagation). */
+  def semanticDupClusters(emb: DataFrame, idCol: String, embCol: String,
+      tau: Double, bucketBits: Int = 6): DataFrame =
+    Components.dupClusters(
+      cosinePairs(emb, idCol, embCol, tau, bucketBits), "da", "db")
+
   /** All pairs (da < db) with cosine ≥ tau — the EXACT O(n²) form, which
     * plans as a nested-loop join. Verification-only: use it to score a
     * bounded candidate set (e.g. [[cosinePairs]] or LSH output), never a

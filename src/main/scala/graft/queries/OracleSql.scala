@@ -51,6 +51,13 @@ object OracleSql {
       "j AS (SELECT da, db, inter/CAST(na+nb-inter AS DOUBLE) jac FROM v) " +
       "SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk, round(avg(jac),4) aj FROM j WHERE jac >= 0.8"
 
+  // 6-bit sign-bucketed embedding cosine pairs (mirrors
+  // Similarity.cosinePairs): shared by q_embed_neardup and q_semdedup.
+  private val embedPairCtes: String =
+    "WITH b AS (SELECT vec_id, embedding, " +
+      (0 until 6).map(i => s"${1 << (5 - i)}*(CASE WHEN embedding[${i + 1}] > 0 THEN 1 ELSE 0 END)").mkString(" + ") +
+      " bk FROM embeddings), ev AS (SELECT vec_id, bk, unnest(embedding) v, generate_subscripts(embedding,1) i FROM b), d AS (SELECT a.vec_id da, c.vec_id db, sum(a.v*c.v) dot FROM ev a JOIN ev c ON a.i=c.i AND a.bk=c.bk AND a.vec_id<c.vec_id GROUP BY 1,2), n AS (SELECT vec_id, sqrt(sum(v*v)) nrm FROM ev GROUP BY vec_id), j AS (SELECT da, db, dot/(na.nrm*nb.nrm) cos FROM d JOIN n na ON da=na.vec_id JOIN n nb ON db=nb.vec_id)"
+
   val all: Map[String, String] = Map(
     "q_scan" ->
       "SELECT count(*) AS n FROM lineitem",
@@ -208,6 +215,15 @@ object OracleSql {
       "WITH b AS (SELECT doc_id, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100 bk FROM documents) SELECT CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val' ELSE 'test' END split, count(*) c, CAST(sum(doc_id) AS BIGINT) chk FROM b GROUP BY split ORDER BY split",
     "q_mix" ->
       "WITH b AS (SELECT doc_id, lang, CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100 bk FROM documents) SELECT lang, count(*) c, CAST(sum(doc_id) AS BIGINT) chk FROM (SELECT doc_id, lang FROM b WHERE lang = 'en' AND bk < 80 UNION ALL SELECT doc_id, lang FROM b WHERE lang <> 'en' AND bk < 20) t GROUP BY lang ORDER BY lang",
+    // temperature mixing at alpha=0.5: sqrt (not pow) is IEEE
+    // correctly-rounded, so floor(rate*10000) is bit-identical cross-engine
+    "q_temperature_mix" ->
+      ("WITH c AS (SELECT source, count(*) n FROM documents GROUP BY source), " +
+        "m AS (SELECT min(n) nmin FROM c), " +
+        "t AS (SELECT source, floor(sqrt(CAST(nmin AS DOUBLE)/n) * 10000) thr FROM c, m), " +
+        "k AS (SELECT doc_id, d.source FROM documents d JOIN t ON d.source = t.source " +
+        "WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 10000 < thr) " +
+        "SELECT source, count(*) kept, CAST(sum(doc_id) AS BIGINT) chk FROM k GROUP BY source ORDER BY source"),
     // same floor-quantized score expression as q_quality
     "q_quota" ->
       "SELECT lang, r, doc_id, score FROM (SELECT lang, doc_id, score, row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) r FROM (SELECT lang, doc_id, floor((least(n_chars/400.0, 1.0)*0.5 + (len(list_filter(string_split(text,' '), w -> w IN ('the', 'a')))/CAST(len(string_split(text,' ')) AS DOUBLE))*0.3 + least(len(string_split(text,' '))/80.0, 1.0)*0.2)*10000 + 0.5)/10000 score FROM documents) s) t WHERE r <= 20 ORDER BY lang, r",
@@ -382,9 +398,17 @@ object OracleSql {
     // Bucket-blocked pairs: the 6-bit sign bucket (MSB-first, mirrors
     // Similarity.signBucket) gates the pair join exactly as the Spark plan.
     "q_embed_neardup" ->
-      ("WITH b AS (SELECT vec_id, embedding, " +
-        (0 until 6).map(i => s"${1 << (5 - i)}*(CASE WHEN embedding[${i + 1}] > 0 THEN 1 ELSE 0 END)").mkString(" + ") +
-        " bk FROM embeddings), ev AS (SELECT vec_id, bk, unnest(embedding) v, generate_subscripts(embedding,1) i FROM b), d AS (SELECT a.vec_id da, c.vec_id db, sum(a.v*c.v) dot FROM ev a JOIN ev c ON a.i=c.i AND a.bk=c.bk AND a.vec_id<c.vec_id GROUP BY 1,2), n AS (SELECT vec_id, sqrt(sum(v*v)) nrm FROM ev GROUP BY vec_id), j AS (SELECT da, db, dot/(na.nrm*nb.nrm) cos FROM d JOIN n na ON da=na.vec_id JOIN n nb ON db=nb.vec_id) SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk, round(avg(cos),4) ac FROM j WHERE cos >= 0.4"),
+      (embedPairCtes + " SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk, round(avg(cos),4) ac FROM j WHERE cos >= 0.4"),
+    // SemDeDup: the same bucketed cosine pairs transitively closed into
+    // clusters (recursive min-reachable-id, as q_dedup_cluster)
+    "q_semdedup" ->
+      ("WITH RECURSIVE " + embedPairCtes.stripPrefix("WITH ") +
+        ", p AS (SELECT da, db FROM j WHERE cos >= 0.4), " +
+        "sym AS (SELECT da s, db t FROM p UNION SELECT db, da FROM p), " +
+        "reach(id, r) AS (SELECT s, s FROM (SELECT DISTINCT s FROM sym) u UNION SELECT sym.t, reach.r FROM reach JOIN sym ON sym.s = reach.id), " +
+        "cc AS (SELECT id, min(r) comp FROM reach GROUP BY id), " +
+        "z AS (SELECT comp, count(*) c FROM cc GROUP BY comp) " +
+        "SELECT count(DISTINCT cc.comp) clusters, count(*) clustered, CAST(max(z.c) AS BIGINT) max_sz, CAST(sum(cc.id) AS BIGINT) chk FROM cc JOIN z ON cc.comp = z.comp"),
     "q_ann_lsh" ->
       "WITH b AS (SELECT vec_id, embedding, 4*(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + 2*(CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) bk FROM embeddings), qb AS (SELECT bk FROM b WHERE vec_id=0), cand AS (SELECT b.vec_id, b.embedding FROM b, qb WHERE b.bk=qb.bk AND b.vec_id<>0), qv AS (SELECT u.i i, u.v v FROM (SELECT unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings WHERE vec_id=0) u), ev AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding,1) i FROM cand), d AS (SELECT ev.vec_id, sum(ev.v*qv.v) dot, sqrt(sum(ev.v*ev.v)) nrm FROM ev JOIN qv ON ev.i=qv.i GROUP BY ev.vec_id), nq AS (SELECT sqrt(sum(v*v)) n FROM qv) SELECT d.vec_id, round(d.dot/(d.nrm*nq.n),4) cos FROM d, nq ORDER BY cos DESC, d.vec_id LIMIT 10",
     // multi-probe: candidates from the query bucket XOR each single bit

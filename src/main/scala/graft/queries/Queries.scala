@@ -924,6 +924,16 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Temperature-scaled source mixing (effective shares ∝ n_g^α, α=0.5):
+    * the smallest source is kept whole, larger ones hash-downsampled at
+    * rate √(n_min/n_g) — per-source counts broadcast back onto the
+    * corpus, membership a narrow scan-speed filter. */
+  private val qTemperatureMix: Q = (s, sf) =>
+    Sampling.temperatureMix(t(s, sf, "documents"), "doc_id", "source", 0.5)
+      .groupBy("source")
+      .agg(count(lit(1)).as("kept"), sum("doc_id").as("chk"))
+      .orderBy("source")
+
   /** Per-domain quota: the top-20 docs per language by quality score —
     * window-ranked curation (quota sampling), quality from the
     * floor-quantized portable score. */
@@ -1116,6 +1126,18 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** SemDeDup (Abbas et al. 2023): embedding-level near-dup clusters —
+    * sign-bucketed cosine pairs (τ=0.4, the q_embed_neardup stage)
+    * transitively closed by distributed hash-min propagation. Output is
+    * the cluster census: how many clusters, how many vectors clustered,
+    * the largest cluster, and an id checksum. */
+  private val qSemdedup: Q = (s, sf) =>
+    Similarity.semanticDupClusters(t(s, sf, "embeddings"), "vec_id", "embedding", 0.4)
+      .agg(countDistinct("comp").as("clusters"),
+        count(lit(1)).as("clustered"),
+        max("sz").as("max_sz"),
+        sum("id").as("chk"))
+
   /** EXACT sub-quadratic near-dup via prefix filtering (PPJoin family):
     * same corpus, threshold, and ORACLE as q_neardup — the result set is
     * identical by the prefix lemma — but candidates come from an equi-join
@@ -1232,6 +1254,7 @@ object Queries {
     "q_split_assign" -> qSplitAssign,
     "q_chunk" -> qChunk,
     "q_mix" -> qMix,
+    "q_temperature_mix" -> qTemperatureMix,
     "q_quota" -> qQuota,
     "q_neardup" -> qNeardup,
     "q_ngram_neardup" -> qNgramNeardup,
@@ -1257,6 +1280,7 @@ object Queries {
     "q_skew_join" -> qSkewJoin,
     "q_simhash" -> qSimhash,
     "q_dedup_cluster" -> qDedupCluster,
+    "q_semdedup" -> qSemdedup,
     "q_dedup_apply" -> qDedupApply,
     "q_neardup_prefix" -> qNeardupPrefix)
 }

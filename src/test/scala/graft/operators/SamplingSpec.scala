@@ -62,4 +62,28 @@ class SamplingSpec extends SparkSpec {
       Sampling.splitColumn(col("id"), Seq("a" -> 50, "b" -> 40))
     }
   }
+
+  test("temperatureMix keeps the smallest group whole and flattens shares") {
+    // skewed groups: a=800, b=150, c=50
+    val g = rows.withColumn("grp",
+      when(col("id") < 800, "a").when(col("id") < 950, "b").otherwise("c"))
+    val kept = Sampling.temperatureMix(g, "id", "grp", alpha = 0.5)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("c") == 50L) // rate sqrt(50/50) = 1: smallest group intact
+    // expected rates: b -> sqrt(50/150) ≈ .577, a -> sqrt(50/800) ≈ .25
+    assert(kept("b") > 60 && kept("b") < 115, kept.toString)
+    assert(kept("a") > 140 && kept("a") < 260, kept.toString)
+    // shares flattened vs the raw 16:3:1 skew
+    assert(kept("a").toDouble / kept("c") < 6.0)
+  }
+
+  test("temperatureMix at alpha=1 keeps every row; membership is stable") {
+    val g = rows.withColumn("grp", when(col("id") < 900, "a").otherwise("b"))
+    assert(Sampling.temperatureMix(g, "id", "grp", alpha = 1.0).count() == 1000L)
+    val pick = Sampling.temperatureMix(g, "id", "grp", alpha = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(Sampling.temperatureMix(g, "id", "grp", alpha = 0.5)
+      .select("id").as[Long].collect().toSet == pick) // deterministic re-run
+  }
 }

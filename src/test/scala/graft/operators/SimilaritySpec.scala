@@ -79,4 +79,26 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(b(0L) == 4 && b(2L) == 2 && b(3L) == 0 && b(4L) == 6)
   }
+
+  test("semanticDupClusters groups planted near-identical vectors (SemDeDup)") {
+    // two tight families ({0,1,2} around +x, {10,11} around -x) plus a
+    // far-off singleton that must not join any cluster; members of a
+    // family share SIGNS on the bucketed dims (the operator's documented
+    // blocking assumption — near-identical vectors agree on sign bits)
+    def v(x: Float, y: Float, z: Float, w: Float) = Array(x, y, z, w)
+    val emb = Seq(
+      0L -> v(1f, 0.01f, 0.01f, 0f), 1L -> v(1f, 0.02f, 0.01f, 0f),
+      2L -> v(1f, 0.01f, 0.02f, 0f),
+      10L -> v(-1f, 0.01f, 0.01f, 0f), 11L -> v(-1f, 0.02f, 0.01f, 0f),
+      20L -> v(0.1f, -1f, 0.2f, 0.3f)
+    ).map { case (id, e) => (id, e) }.toDF("vec_id", "embedding")
+    val cc = Similarity.semanticDupClusters(emb, "vec_id", "embedding",
+        tau = 0.95, bucketBits = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cc.keySet == Set(0L, 1L, 2L, 10L, 11L)) // singleton 20 not clustered
+    assert(Set(0L, 1L, 2L).map(cc(_)._1).size == 1) // one label per family
+    assert(Set(10L, 11L).map(cc(_)._1).size == 1)
+    assert(cc(0L)._1 != cc(10L)._1) // families stay apart
+    assert(cc(0L)._2 == 3 && cc(10L)._2 == 2) // cluster sizes
+  }
 }
