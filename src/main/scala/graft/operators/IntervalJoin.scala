@@ -32,11 +32,13 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
-  /** Exact floor-division of an integral column by a positive constant
-    * (`pmod` keeps it correct for negative values; the subtraction makes
-    * the quotient exactly divisible, so the division is lossless). */
+  /** Exact floor-division of an integral column by a positive constant:
+    * `pmod` keeps it correct for negative values, the subtraction makes
+    * the numerator exactly divisible, and the division runs in DECIMAL —
+    * Spark's `/` on longs is double division, which silently rounds for
+    * |values| above 2^53 and would land a point in the wrong bin. */
   private def floorDiv(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+    ((c - pmod(c, lit(w))).cast("decimal(38,0)") / lit(w)).cast("long")
 
   /** Join `points` to the intervals of `intervals` that contain them:
     * emits one row per (point, interval) pair with `startCol <= pointCol <
@@ -49,21 +51,32 @@ object IntervalJoin {
     *                  length is a good default
     * @param extraKeys optional (pointsCol, intervalsCol) equi-key pairs
     *                  ANDed into the join (e.g. a tenant or user id)
+    * @param maxBinsPerInterval fan-out cap: an interval spanning more bins
+    *                  than this is EXCLUDED from the join (default 65536).
+    *                  One corrupt sentinel row (`end = Long.MaxValue`)
+    *                  would otherwise explode into a multi-billion-element
+    *                  `sequence` and kill the whole query; audit candidates
+    *                  beforehand with `end - start >= cap * binWidth` if
+    *                  dropped rows matter, or raise the cap deliberately.
     */
   def pointInInterval(
       points: DataFrame, pointCol: String,
       intervals: DataFrame, startCol: String, endCol: String,
       binWidth: Long,
-      extraKeys: Seq[(String, String)] = Nil): DataFrame = {
+      extraKeys: Seq[(String, String)] = Nil,
+      maxBinsPerInterval: Int = 65536): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(maxBinsPerInterval > 0,
+      s"maxBinsPerInterval must be positive, got $maxBinsPerInterval")
     val p = points.withColumn("__pbin", floorDiv(col(pointCol), binWidth))
     // Empty intervals (end <= start) match nothing; dropping them first
     // also keeps `sequence` ascending (Spark would happily descend).
+    val startBin = floorDiv(col(startCol), binWidth)
+    val endBin = floorDiv(col(endCol) - 1, binWidth)
     val iv = intervals
       .where(col(endCol) > col(startCol))
-      .withColumn("__ibin", explode(sequence(
-        floorDiv(col(startCol), binWidth),
-        floorDiv(col(endCol) - 1, binWidth))))
+      .where(endBin - startBin < maxBinsPerInterval)
+      .withColumn("__ibin", explode(sequence(startBin, endBin)))
     val keys = ("__pbin", "__ibin") +: extraKeys
     val cond = keys.map { case (pk, ik) => p(pk) === iv(ik) }.reduce(_ && _) &&
       p(pointCol) >= iv(startCol) && p(pointCol) < iv(endCol)

@@ -59,8 +59,11 @@ object MjpegAvi {
       fourCC("MJPG") ++ u32(width.toLong * height * 3) ++
       Array(0L, 0L, 0L, 0L).flatMap(u32))
     val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
-    val movi = list("movi",
-      jpegFrames.iterator.map(f => chunk("00dc", f)).foldLeft(Array.emptyByteArray)(_ ++ _))
+    // single-pass assembly: a foldLeft of array concats would copy the
+    // growing prefix once per frame (quadratic in frame count)
+    val moviBody = new ByteArrayOutputStream()
+    jpegFrames.foreach(f => moviBody.write(chunk("00dc", f)))
+    val movi = list("movi", moviBody.toByteArray)
     val body = fourCC("AVI ") ++ hdrl ++ movi
     fourCC("RIFF") ++ u32(body.length) ++ body
   }
@@ -77,8 +80,12 @@ object MjpegAvi {
     val end = math.min(avi.length.toLong, 8L + len(4))
     val frames = Vector.newBuilder[Array[Byte]]
 
-    // walk chunks in [off, limit); recurse into LISTs, collect ..dc/..db
-    def walk(off0: Long, limit: Long): Option[String] = {
+    // walk chunks in [off, limit); recurse into LISTs, collect ..dc/..db.
+    // depth-bounded: real AVI nests 2–3 levels; a crafted payload of
+    // nested LIST headers must yield Left, not a StackOverflowError (an
+    // Error, which the failures-as-data policy could never catch)
+    def walk(off0: Long, limit: Long, depth: Int): Option[String] = {
+      if (depth > 16) return Some("LIST nesting deeper than any real AVI")
       var off = off0
       while (off + 8 <= limit) {
         val id = cc(off.toInt)
@@ -88,7 +95,7 @@ object MjpegAvi {
           return Some(s"chunk '$id' size $sz overruns container")
         if (id == "LIST") {
           if (sz < 4) return Some("LIST chunk too short for a list type")
-          val sub = walk(dataStart + 4, dataStart + sz)
+          val sub = walk(dataStart + 4, dataStart + sz, depth + 1)
           if (sub.isDefined) return sub
         } else if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db"))) {
           frames += java.util.Arrays.copyOfRange(avi, dataStart.toInt, (dataStart + sz).toInt)
@@ -97,7 +104,7 @@ object MjpegAvi {
       }
       None
     }
-    walk(12, end) match {
+    walk(12, end, 0) match {
       case Some(err) => Left(s"corrupt AVI: $err")
       case None => Right(frames.result())
     }

@@ -137,7 +137,7 @@ object Multimodal {
     MjpegAvi.decodeFrames(payload).flatMap { frames =>
       if (frames.isEmpty) Left("AVI container holds no video frames")
       else {
-        val stride = math.max(1, frames.length / 16)
+        val stride = (frames.length + 15) / 16 // ceil: at most 16 decodes
         val sampled = frames.indices.by(stride).map(i => imageFeatures(frames(i)))
         sampled.collectFirst { case Left(e) => e } match {
           case Some(err) => Left(s"undecodable frame (MJPG is the only JDK-decodable handler): $err")

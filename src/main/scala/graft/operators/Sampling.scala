@@ -79,13 +79,19 @@ object Sampling {
   def temperatureMix(df: DataFrame, keyCol: String, groupCol: String,
       alpha: Double, buckets: Int = 10000): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha in (0,1] (got $alpha)")
-    val counts = df.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+    // NULL-group rows are excluded up front: they would otherwise form
+    // their own (typically tiny) group, become n_min, and deflate every
+    // real group's rate — while themselves vanishing in the equi-join.
+    // Filter nulls explicitly (or assign a sentinel group) before calling
+    // if they belong in the mix.
+    val known = df.where(col(groupCol).isNotNull)
+    val counts = known.groupBy(groupCol).agg(count(lit(1)).as("__n"))
     val nMin = counts.agg(min(col("__n")).as("__nmin"))
     val ratio = col("__nmin").cast("double") / col("__n")
     val rate = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1 - alpha)
     val thresholds = counts.crossJoin(broadcast(nMin))
       .select(col(groupCol), floor(rate * buckets).as("__thr"))
-    df.join(broadcast(thresholds), groupCol)
+    known.join(broadcast(thresholds), groupCol)
       .filter(hashBucket(col(keyCol), buckets) < col("__thr"))
       .drop("__thr")
   }

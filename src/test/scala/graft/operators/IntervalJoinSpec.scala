@@ -50,6 +50,29 @@ class IntervalJoinSpec extends SparkSpec {
     assert(IntervalJoin.pointInInterval(pts, "pt", ivs, "s", "e", 10L).isEmpty)
   }
 
+  test("bin math is exact beyond double precision (values near 2^62)") {
+    val base = (1L << 62) + 12345L
+    // points sit just inside / just outside an interval whose bounds are
+    // NOT representable as doubles — double division would misbin them
+    val pts = Seq((1L, base), (2L, base + 999L), (3L, base + 1000L))
+      .toDF("pid", "pt")
+    val ivs = Seq((10L, base, base + 1000L)).toDF("wid", "s", "e")
+    val got = IntervalJoin.pointInInterval(pts, "pt", ivs, "s", "e", 1000L)
+      .select("pid").as[Long].collect().toSet
+    assert(got == Set(1L, 2L)) // 3 is at the exclusive end bound
+  }
+
+  test("an oversized sentinel interval is excluded, not fatal") {
+    val pts = Seq((1L, 500L)).toDF("pid", "pt")
+    val ivs = Seq(
+      (10L, 0L, 1000L),             // sane: matches
+      (11L, 0L, Long.MaxValue)      // corrupt sentinel: would explode
+    ).toDF("wid", "s", "e")
+    val got = IntervalJoin.pointInInterval(pts, "pt", ivs, "s", "e", 100L)
+      .select("wid").as[Long].collect().toSeq
+    assert(got == Seq(10L)) // query survives; only the sane interval joins
+  }
+
   test("the plan is an equi join — no nested loop, no cartesian") {
     val pts = spark.range(100).select($"id".as("pid"), ($"id" * 7 % 500).as("pt"))
     val ivs = spark.range(20).select($"id".as("wid"), ($"id" * 25).as("s"),

@@ -115,6 +115,23 @@ class MultimodalSpec extends SparkSpec {
     // truncating inside the movi list must yield Left, not throw
     assert(MjpegAvi.decodeFrames(avi.take(avi.length - 5)).isLeft)
     assert(MjpegAvi.decodeFrames("RIFFxxxxWAVE".getBytes("US-ASCII")).isLeft)
+    // a crafted payload of deeply nested LISTs (sizes all consistent, so
+    // no overrun check trips) must yield Left via the depth bound, not
+    // blow the stack (StackOverflowError is uncatchable failures-as-data)
+    val n = 5000
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32le(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val sizes = (0 until n).map(k => 4 + 12 * (n - 1 - k)) // innermost = 4
+    bos.write("RIFF".getBytes("US-ASCII")); bos.write(u32le(12 + sizes(0)))
+    bos.write("AVI ".getBytes("US-ASCII"))
+    (0 until n).foreach { k =>
+      bos.write("LIST".getBytes("US-ASCII")); bos.write(u32le(sizes(k)))
+      bos.write("movi".getBytes("US-ASCII"))
+    }
+    val deep = MjpegAvi.decodeFrames(bos.toByteArray)
+    assert(deep.isLeft && deep.swap.toOption.get.contains("nesting"), deep.toString)
   }
 
   test("videoFrames: strided REAL frames; corrupt payloads yield none") {

@@ -78,6 +78,20 @@ class SamplingSpec extends SparkSpec {
     assert(kept("a").toDouble / kept("c") < 6.0)
   }
 
+  test("temperatureMix: a tiny NULL group cannot deflate real groups' rates") {
+    val g = rows.withColumn("grp",
+      when(col("id") < 5, lit(null: String)) // 5 null-group rows
+        .when(col("id") < 600, "a").otherwise("b"))
+    val kept = Sampling.temperatureMix(g, "id", "grp", alpha = 0.5)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // n_min must be b's 400, NOT the null group's 5: b stays whole and a
+    // keeps ~sqrt(400/595) ≈ 82%, instead of both collapsing to ~9%/11%
+    assert(kept("b") == 400L)
+    assert(kept("a") > 400L, kept.toString)
+    assert(!kept.contains(null)) // null-group rows are excluded, per doc
+  }
+
   test("temperatureMix at alpha=1 keeps every row; membership is stable") {
     val g = rows.withColumn("grp", when(col("id") < 900, "a").otherwise("b"))
     assert(Sampling.temperatureMix(g, "id", "grp", alpha = 1.0).count() == 1000L)

@@ -89,7 +89,7 @@ class SkewSpec extends SparkSpec {
       val perPartition = salted.rdd
         .mapPartitions(it => Iterator(it.size.toLong)).collect()
       val share = perPartition.max.toDouble / perPartition.sum
-      assert(share < 0.6, s"one task still holds ${share * 100}%% of the join output")
+      assert(share < 0.6, f"one task still holds ${share * 100}%.1f%% of the join output")
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
