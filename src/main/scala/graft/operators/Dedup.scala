@@ -44,10 +44,14 @@ object Dedup {
     df.select(col(idCol), sig.as("sig"))
   }
 
-  /** LSH banding over MinHash signatures: signature is cut into `bands`
-    * bands of `numHashes/bands` rows; docs sharing any (band, bandHash)
-    * bucket become candidate pairs. Returns distinct (da, db) with da<db. */
-  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+  /** LSH band index of a corpus batch: one (idCol, band_id, bv) row per doc
+    * per band, where bv is the md5 of that band's signature slice. This IS
+    * the persistable near-dup index — at scale it is written once per
+    * ingest batch (partitioned by band_id) and appended to, so matching a
+    * new batch never recomputes old docs' signatures. Both the whole-corpus
+    * pair join ([[lshCandidatePairs]]) and the delta mode
+    * ([[incrementalLshVerifiedPairs]]) are joins over these rows. */
+  def lshBands(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes): a remainder would " +
@@ -58,8 +62,15 @@ object Dedup {
       val parts = (0 until rows).map(r => s"element_at(sig, ${b * rows + r + 1})")
       expr(s"md5(concat_ws(':', ${parts.mkString(", ")}))")
     }
-    val banded = sigs
-      .select(col(idCol), posexplode(array(bandCols: _*)).as(Seq("band_id", "bv")))
+    sigs.select(col(idCol), posexplode(array(bandCols: _*)).as(Seq("band_id", "bv")))
+  }
+
+  /** LSH banding over MinHash signatures: signature is cut into `bands`
+    * bands of `numHashes/bands` rows; docs sharing any (band, bandHash)
+    * bucket become candidate pairs. Returns distinct (da, db) with da<db. */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int): DataFrame = {
+    val banded = lshBands(df, idCol, textCol, numHashes, bands)
     val a = banded.select(col(idCol).as("da"), col("band_id"), col("bv"))
     val b = banded.select(col(idCol).as("db"), col("band_id").as("band_id2"), col("bv").as("bv2"))
     a.join(b, col("band_id") === col("band_id2") && col("bv") === col("bv2") &&
@@ -260,6 +271,43 @@ object Dedup {
     val cands = lshCandidatePairs(df, idCol, textCol, numHashes, bands)
     verifyPairsByHashedTokens(cands,
       df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks")), tau)
+  }
+
+  /** Incremental (delta) near-dup: match a batch of NEW documents against
+    * an already-ingested corpus and against each other, without ever
+    * re-pairing old×old — the production mode at 100 TB, where the corpus
+    * is static and a daily increment arrives.
+    *
+    * Shape: the delta's band rows are joined against corpus∪delta band
+    * rows, so every emitted pair touches at least one new doc; old docs
+    * pay only the (band_id, bv) index probe, never a new signature or a
+    * mutual pair join. At scale `corpus`'s band rows come from the
+    * persisted [[lshBands]] index (and the verify stage's token hashes
+    * from a sibling token-hash index), making the per-batch cost
+    * O(|delta| + matched candidates) instead of O(|corpus|).
+    *
+    * Precondition: ids are disjoint across the two inputs (they share one
+    * id space — an id in both would pair with itself). Returns
+    * (da, db, jac) with jac ≥ tau, da < db, at least one side new;
+    * identical in content to filtering [[lshVerifiedPairs]] of the unioned
+    * corpus down to delta-touching pairs. */
+  def incrementalLshVerifiedPairs(corpus: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, numHashes: Int, bands: Int,
+      tau: Double): DataFrame = {
+    val corpusBands = lshBands(corpus, idCol, textCol, numHashes, bands)
+    val deltaBands = lshBands(delta, idCol, textCol, numHashes, bands)
+    val probe = deltaBands.select(col(idCol).as("nid"), col("band_id"), col("bv"))
+    val index = corpusBands.union(deltaBands)
+      .select(col(idCol).as("oid"), col("band_id").as("band_id2"), col("bv").as("bv2"))
+    val cands = probe.join(index,
+        col("band_id") === col("band_id2") && col("bv") === col("bv2") &&
+          col("nid") =!= col("oid"))
+      .select(least(col("nid"), col("oid")).as("da"),
+        greatest(col("nid"), col("oid")).as("db"))
+      .distinct()
+    val docs = corpus.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .union(delta.select(col(idCol).as("id"), tokens(col(textCol)).as("toks")))
+    verifyPairsByHashedTokens(cands, docs, tau)
   }
 
   /** 16-bit SimHash over distinct tokens: token hash = first 60 bits of

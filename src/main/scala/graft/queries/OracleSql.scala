@@ -51,6 +51,18 @@ object OracleSql {
       "j AS (SELECT da, db, inter/CAST(na+nb-inter AS DOUBLE) jac FROM v) " +
       "SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk, round(avg(jac),4) aj FROM j WHERE jac >= 0.8"
 
+  // Incremental near-dup ground truth: banding a doc is independent of the
+  // corpus/delta split, so the delta-probe result is exactly the full LSH
+  // pair set restricted to pairs touching a delta doc (doc_id % 10 = 0).
+  private val incrNeardupSql: String =
+    lshCandidateCtes +
+      ", pi AS (SELECT da, db FROM p WHERE da % 10 = 0 OR db % 10 = 0), " +
+      "v AS (SELECT da, db, len(list_filter(ta.toks, x -> list_contains(tb.toks, x))) inter, len(ta.toks) na, len(tb.toks) nb FROM pi JOIN d ta ON pi.da=ta.doc_id JOIN d tb ON pi.db=tb.doc_id), " +
+      "j AS (SELECT da, db, inter/CAST(na+nb-inter AS DOUBLE) jac FROM v) " +
+      "SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk, round(avg(jac),4) aj, " +
+      "CAST(sum(CASE WHEN da % 10 = 0 AND db % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) nn " +
+      "FROM j WHERE jac >= 0.8"
+
   // 6-bit sign-bucketed embedding cosine pairs (mirrors
   // Similarity.cosinePairs): shared by q_embed_neardup and q_semdedup.
   private val embedPairCtes: String =
@@ -207,6 +219,7 @@ object OracleSql {
       "SELECT lang, CASE WHEN len(list_filter(string_split(text,' '), w -> w IN ('the', 'a')))/CAST(len(string_split(text,' ')) AS DOUBLE) >= 0.05 THEN 'en' ELSE 'und' END pred, count(*) c FROM documents GROUP BY lang, pred ORDER BY lang, pred",
     "q_minhash_lsh" -> minhashSql,
     "q_neardup_lsh" -> lshVerifiedSql,
+    "q_neardup_incr" -> incrNeardupSql,
     "q_tfidf" ->
       "WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) w FROM documents), t AS (SELECT w, count(*) tf, count(DISTINCT doc_id) df FROM tok WHERE w <> '' GROUP BY w), n AS (SELECT CAST(count(*) AS DOUBLE) nd FROM documents) SELECT w, round(tf * ln(nd/df), 4) score FROM t, n ORDER BY score DESC, w LIMIT 15",
     // Portable md5 bucket (first 32 hash bits): Spark conv(...,16,10) ≡

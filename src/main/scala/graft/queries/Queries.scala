@@ -1110,6 +1110,23 @@ object Queries {
         sum(col("da") + col("db")).as("chk"),
         round(avg("jac"), 4).as("aj"))
 
+  /** Incremental near-dup: every tenth doc plays the newly-arrived batch,
+    * the rest the already-indexed corpus; pairs touching at least one new
+    * doc are found by probing the delta's band rows against the full band
+    * index — old×old pairs are never re-scored. nn counts new×new pairs
+    * (both sides in the delta). */
+  private val qNeardupIncr: Q = (s, sf) => {
+    val docs = t(s, sf, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    Dedup.incrementalLshVerifiedPairs(corpus, delta, "doc_id", "text", 8, 2, 0.8)
+      .agg(count(lit(1)).as("pairs"),
+        sum(col("da") + col("db")).as("chk"),
+        round(avg("jac"), 4).as("aj"),
+        sum(when(col("da") % 10 === 0 && col("db") % 10 === 0, 1L)
+          .otherwise(0L)).as("nn"))
+  }
+
   /** Duplicate-cluster assignment: near-dup pairs (within-language exact
     * token Jaccard ≥ 0.9 on a bounded corpus) transitively closed into
     * components by distributed hash-min label propagation — the stage that
@@ -1250,6 +1267,7 @@ object Queries {
     "q_lang_id" -> qLangId,
     "q_minhash_lsh" -> qMinhashLsh,
     "q_neardup_lsh" -> qNeardupLsh,
+    "q_neardup_incr" -> qNeardupIncr,
     "q_tfidf" -> qTfidf,
     "q_split_assign" -> qSplitAssign,
     "q_chunk" -> qChunk,

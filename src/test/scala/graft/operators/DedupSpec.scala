@@ -120,6 +120,33 @@ class DedupSpec extends SparkSpec {
     assert(sigs.values.forall(s => s >= 0 && s < (1L << 16)))
   }
 
+  test("incrementalLshVerifiedPairs ≡ full run filtered to delta-touching pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = ('a' to 'p').map(_.toString)
+    val base = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(3 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // duplicated texts straddling the split so old-old, new-old, and
+    // new-new high-jac pairs all exist
+    val all = (base ++ base.take(15).map { case (id, t) => (id + 100L, t) })
+      .toDF("doc_id", "text")
+    val delta = all.filter(col("doc_id") % 4 === 0)
+    val corpus = all.filter(col("doc_id") % 4 =!= 0)
+    def norm(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("da"), col("db"), round(col("jac"), 9))
+      .as[(Long, Long, Double)].collect().toSet
+    val incr = norm(Dedup.incrementalLshVerifiedPairs(
+      corpus, delta, "doc_id", "text", 8, 2, 0.6))
+    val full = norm(Dedup.lshVerifiedPairs(all, "doc_id", "text", 8, 2, 0.6))
+    val expected = full.filter(p => p._1 % 4 == 0 || p._2 % 4 == 0)
+    assert(incr === expected)
+    // and the delta mode must genuinely exclude old-old pairs
+    assert(full.exists(p => p._1 % 4 != 0 && p._2 % 4 != 0),
+      "fixture must contain old-old pairs for the exclusion to be meaningful")
+    assert(incr.forall(p => p._1 % 4 == 0 || p._2 % 4 == 0))
+  }
+
   test("prefixFilteredPairs ≡ brute-force jaccardPairs (exactness, seeded random)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
