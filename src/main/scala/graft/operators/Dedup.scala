@@ -273,6 +273,50 @@ object Dedup {
       df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks")), tau)
   }
 
+  /** Passage-level exact dedup (the CCNet / Lee et al. 2022 move):
+    * documents are cut into DISJOINT `width`-token passages; any passage
+    * whose exact content occurs in more than `maxDf` distinct documents is
+    * boilerplate (headers, footers, license blurbs, templated spans) and is
+    * dropped from every document; the survivors are stitched back in
+    * original order. Complements doc-level near-dup: near-dup keeps or
+    * drops whole documents, this removes the repeated SPANS that survive
+    * inside otherwise-unique documents.
+    *
+    * Scale shape (100 TB): no pair join anywhere — one shuffle to count
+    * per-passage document frequency (partial-agg combinable), then the
+    * corpus streams once against the hot-passage set and regroups by doc.
+    * No broadcast hint on the hot set: boilerplate is usually a tiny
+    * fraction (AQE will broadcast it) but is corpus-dependent — a
+    * template-heavy corpus should fall back to a shuffle join, not OOM
+    * the driver (same reasoning as [[decontaminate]]).
+    *
+    * Returns (idCol, text = cleaned doc, kept_passages, dropped_passages);
+    * a fully-boilerplate doc survives as an empty string, so the caller
+    * decides whether to drop it. */
+  def dropRepeatedPassages(df: DataFrame, idCol: String, textCol: String,
+      width: Int, maxDf: Long): DataFrame = {
+    require(width >= 1, s"passage width must be >= 1 (got $width)")
+    val ws = split(col(textCol), " ")
+    val nchunks = greatest(ceil(size(ws).cast("double") / width).cast("int"), lit(1))
+    val chunks = df.select(col(idCol).as("id"),
+      posexplode(transform(sequence(lit(0), nchunks - lit(1)),
+        i => array_join(slice(ws, i * width + lit(1), lit(width)), " ")))
+        .as(Seq("pos", "chunk")))
+    val hot = chunks.groupBy("chunk").agg(countDistinct("id").as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("chunk"), lit(true).as("__hot"))
+    chunks.join(hot, Seq("chunk"), "left")
+      .groupBy("id")
+      .agg(
+        array_sort(collect_list(when(col("__hot").isNull,
+          struct(col("pos"), col("chunk"))))).as("kept"),
+        sum(when(col("__hot").isNotNull, 1L).otherwise(0L)).as("dropped_passages"))
+      .select(col("id").as(idCol),
+        expr("array_join(transform(kept, e -> e.chunk), ' ')").as(textCol),
+        size(col("kept")).cast("bigint").as("kept_passages"),
+        col("dropped_passages"))
+  }
+
   /** Incremental (delta) near-dup: match a batch of NEW documents against
     * an already-ingested corpus and against each other, without ever
     * re-pairing old×old — the production mode at 100 TB, where the corpus

@@ -63,6 +63,20 @@ object OracleSql {
       "CAST(sum(CASE WHEN da % 10 = 0 AND db % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) nn " +
       "FROM j WHERE jac >= 0.8"
 
+  // Passage-level boilerplate removal (mirrors Dedup.dropRepeatedPassages):
+  // disjoint 8-token chunks, df > 2 across distinct docs = boilerplate,
+  // survivors stitched in order; coalesce('') matches Spark's empty
+  // collect_list → '' for fully-boilerplate docs.
+  private val passageDedupSql: String =
+    "WITH d AS (SELECT doc_id, string_split(text,' ') w FROM documents), " +
+      "s AS (SELECT doc_id, w, unnest(generate_series(1, CAST(ceil(len(w)/8.0) AS BIGINT))) seq FROM d), " +
+      "c AS (SELECT doc_id, seq, array_to_string(w[(seq-1)*8+1:seq*8], ' ') chunk FROM s), " +
+      "f AS (SELECT chunk FROM c GROUP BY chunk HAVING count(DISTINCT doc_id) > 2), " +
+      "k AS (SELECT c.doc_id, c.seq, c.chunk, f.chunk IS NOT NULL hot FROM c LEFT JOIN f ON c.chunk=f.chunk), " +
+      "r AS (SELECT doc_id, coalesce(array_to_string(list(chunk ORDER BY seq) FILTER (WHERE NOT hot), ' '), '') clean, " +
+      "count(*) FILTER (WHERE NOT hot) kept_c, count(*) FILTER (WHERE hot) drop_c FROM k GROUP BY doc_id) " +
+      "SELECT doc_id, kept_c, drop_c, md5(clean) h FROM r ORDER BY doc_id LIMIT 100"
+
   // 6-bit sign-bucketed embedding cosine pairs (mirrors
   // Similarity.cosinePairs): shared by q_embed_neardup and q_semdedup.
   private val embedPairCtes: String =
@@ -220,6 +234,7 @@ object OracleSql {
     "q_minhash_lsh" -> minhashSql,
     "q_neardup_lsh" -> lshVerifiedSql,
     "q_neardup_incr" -> incrNeardupSql,
+    "q_passage_dedup" -> passageDedupSql,
     "q_tfidf" ->
       "WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) w FROM documents), t AS (SELECT w, count(*) tf, count(DISTINCT doc_id) df FROM tok WHERE w <> '' GROUP BY w), n AS (SELECT CAST(count(*) AS DOUBLE) nd FROM documents) SELECT w, round(tf * ln(nd/df), 4) score FROM t, n ORDER BY score DESC, w LIMIT 15",
     // Portable md5 bucket (first 32 hash bits): Spark conv(...,16,10) ≡

@@ -1127,6 +1127,17 @@ object Queries {
           .otherwise(0L)).as("nn"))
   }
 
+  /** Passage-level boilerplate removal: disjoint 8-token passages occurring
+    * verbatim in more than 2 distinct docs are dropped from every doc; the
+    * md5 of the stitched-back text pins the surviving content exactly. */
+  private val qPassageDedup: Q = (s, sf) =>
+    Dedup.dropRepeatedPassages(t(s, sf, "documents"), "doc_id", "text", 8, 2L)
+      .select(col("doc_id"),
+        col("kept_passages").as("kept_c"),
+        col("dropped_passages").as("drop_c"),
+        md5(col("text")).as("h"))
+      .orderBy("doc_id").limit(100)
+
   /** Duplicate-cluster assignment: near-dup pairs (within-language exact
     * token Jaccard ≥ 0.9 on a bounded corpus) transitively closed into
     * components by distributed hash-min label propagation — the stage that
@@ -1268,6 +1279,7 @@ object Queries {
     "q_minhash_lsh" -> qMinhashLsh,
     "q_neardup_lsh" -> qNeardupLsh,
     "q_neardup_incr" -> qNeardupIncr,
+    "q_passage_dedup" -> qPassageDedup,
     "q_tfidf" -> qTfidf,
     "q_split_assign" -> qSplitAssign,
     "q_chunk" -> qChunk,

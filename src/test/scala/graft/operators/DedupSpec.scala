@@ -120,6 +120,39 @@ class DedupSpec extends SparkSpec {
     assert(sigs.values.forall(s => s >= 0 && s < (1L << 16)))
   }
 
+  test("dropRepeatedPassages drops cross-doc boilerplate spans, keeps order") {
+    // width=2 passages; "legal footer" appears in 3 docs → boilerplate at
+    // maxDf=2; "unique alpha"/"unique beta" etc. survive. Doc 4 is ALL
+    // boilerplate and must come back as the empty string, not vanish.
+    val d = Seq(
+      (1L, "unique alpha legal footer more words"),
+      (2L, "other stuff legal footer"),
+      (3L, "unique beta legal footer tail bit"),
+      (4L, "legal footer")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedPassages(d, "doc_id", "text", 2, 2L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("kept_passages"),
+          r.getAs[Long]("dropped_passages")))).toMap
+    assert(out(1L) == (("unique alpha more words", 2L, 1L)))
+    assert(out(2L) == (("other stuff", 1L, 1L)))
+    assert(out(3L) == (("unique beta tail bit", 2L, 1L)))
+    assert(out(4L) == (("", 0L, 1L))) // fully-boilerplate doc survives empty
+    assert(out.size == 4)
+  }
+
+  test("dropRepeatedPassages: odd-length tail passage is its own unit") {
+    // 5 tokens at width 2 → passages (a b)(c d)(e); the short tail "e" is
+    // compared as-is, and a repeated short tail is still boilerplate
+    val d = Seq(
+      (1L, "a b c d e"), (2L, "x y e"), (3L, "p q e")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropRepeatedPassages(d, "doc_id", "text", 2, 2L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out(1L) == "a b c d") // tail "e" (df=3) dropped
+    assert(out(2L) == "x y")
+  }
+
   test("incrementalLshVerifiedPairs ≡ full run filtered to delta-touching pairs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
