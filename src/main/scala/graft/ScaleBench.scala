@@ -114,6 +114,34 @@ object ScaleBench {
         Similarity.cosinePairs(emb, "vec_id", "embedding", 0.9)
       }
     }
+
+    // incremental mode: a FIXED 2.5k-doc delta batch (half of them
+    // near-dups of corpus docs, ids disjoint) probed against each corpus
+    // size, vs re-running the full near-dup over corpus ∪ delta — the
+    // daily-increment production question: what does a new batch cost as
+    // the indexed corpus grows?
+    val deltaDups = spark.read.parquet(s"$outRoot/docs_5000")
+      .filter($"doc_id" < 1250) // base ids shared by every corpus size
+      .select(($"doc_id" + 20000000L).as("doc_id"),
+        concat($"text", lit(" zz9x")).as("text"), $"lang", $"source", $"n_chars")
+    val deltaFresh = spark.range(1250).select(
+      ($"id" + 10000000L).as("doc_id"), // fresh hash stream: not near anything
+      array_join(transform(sequence(lit(0), lit(tokensPerDoc - 1)),
+        k => zipfToken($"id" + 10000000L, k)), " ").as("text"),
+      lit("en").as("lang"), lit("synb").as("source"), lit(0).as("n_chars"))
+    val delta = deltaFresh.unionByName(deltaDups)
+    Dedup.incrementalLshVerifiedPairs(
+      spark.read.parquet(s"$outRoot/docs_5000"), delta,
+      "doc_id", "text", 8, 2, 0.8).count() // warmup the delta plan shape
+    docSizes.foreach { n =>
+      val corpus = spark.read.parquet(s"$outRoot/docs_$n")
+      time(s"incr_delta_$n") {
+        Dedup.incrementalLshVerifiedPairs(corpus, delta, "doc_id", "text", 8, 2, 0.8)
+      }
+      time(s"full_rerun_$n") {
+        Dedup.lshVerifiedPairs(corpus.unionByName(delta), "doc_id", "text", 8, 2, 0.8)
+      }
+    }
     spark.stop()
   }
 }
