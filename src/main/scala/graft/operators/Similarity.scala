@@ -129,6 +129,35 @@ object Similarity {
     Components.dupClusters(
       cosinePairs(emb, idCol, embCol, tau, bucketBits), "da", "db")
 
+  /** Embedding-space decontamination: drop every `train` row whose vector
+    * sits within cosine ≥ tau of ANY `bench` vector — the semantic
+    * complement to the n-gram [[Dedup.decontaminate]]: paraphrased eval
+    * leakage shares no verbatim n-gram but still lands next to the
+    * benchmark in embedding space.
+    *
+    * Scale shape (100 TB): benchmarks are small by construction, so the
+    * bench vectors (+ precomputed norms) are BROADCAST and scoring is one
+    * narrow scan of the corpus — each executor scores its partitions
+    * against the in-memory bench matrix with the codegen'd dot product;
+    * the corpus itself never shuffles. Exact by construction (every
+    * train×bench pair is scored — no bucketing recall loss); the
+    * all-pairs form is safe precisely because one side is benchmark-
+    * sized. Returns the clean subset of `train`. */
+  def embeddingDecontaminate(train: DataFrame, bench: DataFrame,
+      idCol: String, embCol: String, tau: Double): DataFrame = {
+    val b = broadcast(bench.select(col(embCol).as("be"),
+      sqrt(VectorFunctions.norm2(col(embCol))).as("bn")))
+    val contaminated = train
+      .select(col(idCol), col(embCol), norm(embCol).as("tn"))
+      .crossJoin(b)
+      .filter(VectorFunctions.dotProduct(col(embCol), col("be")) /
+        (col("tn") * col("bn")) >= tau)
+      .select(idCol).distinct()
+    // contaminated-id set is usually tiny (AQE broadcasts it) but corpus-
+    // dependent — no hint, same reasoning as the n-gram decontaminate
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** All pairs (da < db) with cosine ≥ tau — the EXACT O(n²) form, which
     * plans as a nested-loop join. Verification-only: use it to score a
     * bounded candidate set (e.g. [[cosinePairs]] or LSH output), never a

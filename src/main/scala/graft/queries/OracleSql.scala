@@ -63,6 +63,17 @@ object OracleSql {
       "CAST(sum(CASE WHEN da % 10 = 0 AND db % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) nn " +
       "FROM j WHERE jac >= 0.8"
 
+  // Embedding decontamination (mirrors Similarity.embeddingDecontaminate):
+  // bench = vec_id % 50 = 0; train rows with cosine ≥ 0.3 to any bench
+  // vector dropped. Dot via the same unnest-join-sum as embedPairCtes.
+  private val embedDecontaminateSql: String =
+    "WITH ev AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings), " +
+      "n AS (SELECT vec_id, sqrt(sum(v*v)) nrm FROM ev GROUP BY vec_id), " +
+      "d AS (SELECT a.vec_id tid, b.vec_id bid, sum(a.v*b.v) dot FROM ev a JOIN ev b ON a.i=b.i WHERE a.vec_id % 50 <> 0 AND b.vec_id % 50 = 0 GROUP BY 1,2), " +
+      "bad AS (SELECT DISTINCT tid FROM d JOIN n na ON d.tid=na.vec_id JOIN n nb ON d.bid=nb.vec_id WHERE dot/(na.nrm*nb.nrm) >= 0.3) " +
+      "SELECT count(*) kept, CAST(sum(vec_id) AS BIGINT) chk FROM embeddings " +
+      "WHERE vec_id % 50 <> 0 AND vec_id NOT IN (SELECT tid FROM bad)"
+
   // Passage-level boilerplate removal (mirrors Dedup.dropRepeatedPassages):
   // disjoint 8-token chunks, df > 2 across distinct docs = boilerplate,
   // survivors stitched in order; coalesce('') matches Spark's empty
@@ -235,6 +246,7 @@ object OracleSql {
     "q_neardup_lsh" -> lshVerifiedSql,
     "q_neardup_incr" -> incrNeardupSql,
     "q_passage_dedup" -> passageDedupSql,
+    "q_embed_decontaminate" -> embedDecontaminateSql,
     "q_tfidf" ->
       "WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) w FROM documents), t AS (SELECT w, count(*) tf, count(DISTINCT doc_id) df FROM tok WHERE w <> '' GROUP BY w), n AS (SELECT CAST(count(*) AS DOUBLE) nd FROM documents) SELECT w, round(tf * ln(nd/df), 4) score FROM t, n ORDER BY score DESC, w LIMIT 15",
     // Portable md5 bucket (first 32 hash bits): Spark conv(...,16,10) ≡

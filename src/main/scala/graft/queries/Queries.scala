@@ -1127,6 +1127,18 @@ object Queries {
           .otherwise(0L)).as("nn"))
   }
 
+  /** Embedding-space decontamination: every 50th vector plays the eval
+    * benchmark; train vectors within cosine ≥ 0.3 of any bench vector are
+    * dropped (paraphrase-level leakage the n-gram filter can't see).
+    * Bench side broadcast, corpus never shuffles. */
+  private val qEmbedDecontaminate: Q = (s, sf) => {
+    val emb = t(s, sf, "embeddings")
+    val bench = emb.filter(col("vec_id") % 50 === 0)
+    val train = emb.filter(col("vec_id") % 50 =!= 0)
+    Similarity.embeddingDecontaminate(train, bench, "vec_id", "embedding", 0.3)
+      .agg(count(lit(1)).as("kept"), sum("vec_id").cast("bigint").as("chk"))
+  }
+
   /** Passage-level boilerplate removal: disjoint 8-token passages occurring
     * verbatim in more than 2 distinct docs are dropped from every doc; the
     * md5 of the stitched-back text pins the surviving content exactly. */
@@ -1280,6 +1292,7 @@ object Queries {
     "q_neardup_lsh" -> qNeardupLsh,
     "q_neardup_incr" -> qNeardupIncr,
     "q_passage_dedup" -> qPassageDedup,
+    "q_embed_decontaminate" -> qEmbedDecontaminate,
     "q_tfidf" -> qTfidf,
     "q_split_assign" -> qSplitAssign,
     "q_chunk" -> qChunk,

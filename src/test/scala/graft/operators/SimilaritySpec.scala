@@ -21,6 +21,25 @@ class SimilaritySpec extends SparkSpec {
     assert(top.last.getDouble(1) == -1.0)
   }
 
+  test("embeddingDecontaminate drops train vectors near any bench vector") {
+    val bench = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Array(0.99f, 0.1f, 0.0f)),   // near bench 100 → dropped
+      (2L, Array(0.0f, 1.0f, 0.0f)),    // orthogonal to both → kept
+      (3L, Array(0.1f, 0.0f, 0.95f)),   // near bench 101 → dropped
+      (4L, Array(-1.0f, 0.0f, 0.0f))    // anti-parallel → kept
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.embeddingDecontaminate(train, bench, "vec_id", "embedding", 0.8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L))
+    // full schema of the clean subset survives (it is a filter, not a projection)
+    assert(Similarity.embeddingDecontaminate(train, bench, "vec_id", "embedding", 0.8)
+      .columns.toSeq == train.columns.toSeq)
+  }
+
   test("cosinePairsExact scores every pair (verification path)") {
     val p = Similarity.cosinePairsExact(vecs, "vec_id", "embedding", -2.0)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
