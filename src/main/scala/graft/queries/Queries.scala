@@ -934,17 +934,26 @@ object Queries {
       .agg(count(lit(1)).as("kept"), sum("doc_id").as("chk"))
       .orderBy("source")
 
-  /** Per-domain quota: the top-20 docs per language by quality score —
-    * window-ranked curation (quota sampling), quality from the
-    * floor-quantized portable score. */
+  /** Per-domain quota: the top-20 docs per language by quality score
+    * (quota-sampling curation). Ranked with the mergeable
+    * [[graft.functions.TopKAgg]] Aggregator, NOT a window: with only a
+    * handful of languages, `row_number() OVER (PARTITION BY lang)` funnels
+    * the whole corpus through |langs| window tasks — a full per-language
+    * sort on one task at 100×. The aggregator partial-aggregates k=20
+    * entries per group per map task, so the shuffle carries k·|langs| rows
+    * regardless of corpus size. Same rows as the ANSI window oracle; the
+    * doc_id tie-break keeps quantized scores deterministic. */
   private val qQuota: Q = (s, sf) => {
-    val w = Window.partitionBy("lang")
-      .orderBy(col("score").desc, col("doc_id"))
+    val topk = udaf(new graft.functions.TopKAgg(20),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
     t(s, sf, "documents")
-      .withColumn("score", TextAnalysis.qualityScore("text", "n_chars"))
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") <= 20)
-      .select("lang", "r", "doc_id", "score")
+      .select(col("lang"),
+        TextAnalysis.qualityScore("text", "n_chars").as("score"), col("doc_id"))
+      .groupBy("lang")
+      .agg(topk(col("score"), col("doc_id")).as("tk"))
+      .select(col("lang"), posexplode(col("tk")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("r"),
+        col("col.id").as("doc_id"), col("col.score").as("score"))
       .orderBy("lang", "r")
   }
 

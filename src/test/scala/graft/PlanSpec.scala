@@ -111,6 +111,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q_quota partial-aggregates before the shuffle (no few-partition window)") {
+    val p = plan("q_quota")
+    assert(p.contains("partial_topkagg"), p) // map-side k-bounded buffers
+    assert(!p.contains("Window"), p)
+  }
+
   test("q_neardup_lsh: candidate + verify joins never go cartesian") {
     val p = plan("q_neardup_lsh")
     assert(!p.contains("CartesianProduct"), p)

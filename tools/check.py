@@ -26,7 +26,15 @@ def col_class(s: pd.Series) -> str:
     try:
         k = np.dtype(s.dtype).kind
     except TypeError:
-        k = "O"
+        # pandas extension dtypes (Int64 from a NULL-bearing DuckDB result,
+        # boolean, Float64) have no numpy dtype; classify by kind-API so
+        # they collapse to the same class as their numpy equivalents
+        # instead of spuriously failing as "obj" vs "int".
+        if pd.api.types.is_integer_dtype(s.dtype): k = "i"
+        elif pd.api.types.is_float_dtype(s.dtype): k = "f"
+        elif pd.api.types.is_bool_dtype(s.dtype): k = "b"
+        elif pd.api.types.is_datetime64_any_dtype(s.dtype): k = "M"
+        else: k = "O"
     cls = {"i": "int", "u": "int", "f": "float", "b": "bool",
            "M": "ts", "m": "td"}.get(k, "obj")
     if cls == "obj":
@@ -61,7 +69,9 @@ def selftest() -> int:
     e = pd.DataFrame({"k": [1, 2], "m": [datetime.date(2024, 1, 1)] * 2})
     f = pd.DataFrame({"k": [1, 2], "m": pd.to_datetime(["2024-01-01"] * 2)})
     assert dtype_diff(e, f) == [], "date-object vs datetime64 must NOT fail"
-    print("selftest OK: float64-vs-int64 fails; int-width, all-NULL, date-repr pass")
+    g = pd.DataFrame({"k": [1, 2], "v": pd.array([0, None], dtype="Int64")})
+    assert dtype_diff(a, g) == [], "nullable Int64 extension dtype must class as int"
+    print("selftest OK: float64-vs-int64 fails; int-width, all-NULL, date-repr, Int64-ext pass")
     return 0
 
 
