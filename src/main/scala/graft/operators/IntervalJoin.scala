@@ -34,11 +34,13 @@ object IntervalJoin {
 
   /** Exact floor-division of an integral column by a positive constant:
     * `pmod` keeps it correct for negative values, the subtraction makes
-    * the numerator exactly divisible, and the division runs in DECIMAL —
-    * Spark's `/` on longs is double division, which silently rounds for
-    * |values| above 2^53 and would land a point in the wrong bin. */
+    * the numerator exactly divisible, and subtraction AND division run in
+    * DECIMAL — Spark's `/` on longs is double division (silently rounds
+    * above 2^53), and a long subtraction underflows ANSI-fatally at
+    * c = Long.MinValue (pmod is positive), which a corrupt sentinel bound
+    * must not be able to trigger. */
   private def floorDiv(c: Column, w: Long): Column =
-    ((c - pmod(c, lit(w))).cast("decimal(38,0)") / lit(w)).cast("long")
+    ((c.cast("decimal(38,0)") - pmod(c, lit(w))) / lit(w)).cast("long")
 
   /** Join `points` to the intervals of `intervals` that contain them:
     * emits one row per (point, interval) pair with `startCol <= pointCol <
@@ -75,7 +77,15 @@ object IntervalJoin {
     val endBin = floorDiv(col(endCol) - 1, binWidth)
     val iv = intervals
       .where(col(endCol) > col(startCol))
-      .where(endBin - startBin < maxBinsPerInterval)
+      // Span check in DECIMAL: with both bounds corrupt (start near
+      // Long.MinValue, end near Long.MaxValue) the long subtraction
+      // endBin - startBin wraps NEGATIVE, passes a `< cap` filter, and the
+      // `sequence` then explodes — the exact failure this cap exists to
+      // prevent. end > start already guarantees endBin >= startBin
+      // mathematically, so the only way the long form goes negative is
+      // overflow; exact decimal arithmetic closes it.
+      .where(endBin.cast("decimal(38,0)") - startBin.cast("decimal(38,0)")
+        < lit(maxBinsPerInterval).cast("decimal(38,0)"))
       .withColumn("__ibin", explode(sequence(startBin, endBin)))
     val keys = ("__pbin", "__ibin") +: extraKeys
     val cond = keys.map { case (pk, ik) => p(pk) === iv(ik) }.reduce(_ && _) &&

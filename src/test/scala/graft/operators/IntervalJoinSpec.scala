@@ -66,7 +66,11 @@ class IntervalJoinSpec extends SparkSpec {
     val pts = Seq((1L, 500L)).toDF("pid", "pt")
     val ivs = Seq(
       (10L, 0L, 1000L),             // sane: matches
-      (11L, 0L, Long.MaxValue)      // corrupt sentinel: would explode
+      (11L, 0L, Long.MaxValue),     // corrupt sentinel: would explode
+      // BOTH bounds corrupt: endBin - startBin overflows Long and wraps
+      // NEGATIVE — a plain `span < cap` long filter would PASS it and the
+      // sequence explode/throw; the decimal span check must exclude it
+      (12L, Long.MinValue, Long.MaxValue)
     ).toDF("wid", "s", "e")
     val got = IntervalJoin.pointInInterval(pts, "pt", ivs, "s", "e", 100L)
       .select("wid").as[Long].collect().toSeq

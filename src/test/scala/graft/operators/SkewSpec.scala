@@ -95,4 +95,43 @@ class SkewSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("AQE skew-split fires on an interval-join hot bin") {
+    // hot-BIN shape (round-4 verdict #7): nearly all intervals overlap one
+    // bin, so the interval join's equi key is massively skewed — the same
+    // ordinary join skew the IntervalJoin scaladoc defers to AQE for.
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // 95% of points land in bin 0 ([0,1000)); the 10 intervals tile
+      // exactly that bin, so the bin-0 shuffle partition dwarfs the rest
+      val pts = spark.range(100000).select($"id".as("pid"),
+        when($"id" % 20 === 0, $"id" % 50000).otherwise($"id" % 1000).as("pt"))
+      val ivs = spark.range(10).select($"id".as("wid"),
+        ($"id" * 100).as("s"), ($"id" * 100 + 100).as("e"))
+      val joined = graft.operators.IntervalJoin.pointInInterval(
+        pts, "pt", ivs, "s", "e", 1000L)
+      val rows = joined.collect().length
+      assert(rows > 0)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not split the hot interval bin:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
