@@ -244,19 +244,40 @@ object Dedup {
     * Single source of truth for [[lshVerifiedPairs]] and
     * [[prefixFilteredPairs]]. */
   private def verifyPairsByHashedTokens(cands: DataFrame, docs: DataFrame,
+      tau: Double): DataFrame =
+    verifyPairsByTokenIndex(cands,
+      docs.select(col("id"),
+          array_sort(array_distinct(transform(col("toks"), w => xxhash64(w))))
+            .as("th"))
+        .withColumn("nt", size(col("th"))),
+      tau)
+
+  /** Verification against a PRE-BUILT token-hash index (id, th, nt) — the
+    * persisted-index form of [[verifyPairsByHashedTokens]]: at scale the
+    * corpus side's sorted hash arrays are written once at ingest
+    * ([[tokenHashIndex]]) and read back here, so verification never
+    * re-tokenizes old documents. */
+  private def verifyPairsByTokenIndex(cands: DataFrame, index: DataFrame,
       tau: Double): DataFrame = {
-    val toks = docs.select(col("id").as("tid"),
-      array_sort(array_distinct(transform(col("toks"), w => xxhash64(w))))
-        .as("th"))
-      .withColumn("nt", size(col("th")))
     val inter = graft.functions.VectorFunctions.intersectSizeSorted(col("ta"), col("tb"))
     cands
-      .join(toks.select(col("tid").as("da"), col("th").as("ta"), col("nt").as("na")), "da")
-      .join(toks.select(col("tid").as("db"), col("th").as("tb"), col("nt").as("nb")), "db")
+      .join(index.select(col("id").as("da"), col("th").as("ta"), col("nt").as("na")), "da")
+      .join(index.select(col("id").as("db"), col("th").as("tb"), col("nt").as("nb")), "db")
       .select(col("da"), col("db"),
         (inter / (col("na") + col("nb") - inter).cast("double")).as("jac"))
       .filter(col("jac") >= tau)
   }
+
+  /** The persistable verification-side index: one (idCol, th, nt) row per
+    * doc, th = sorted distinct int64 token hashes. Written once per ingest
+    * batch next to the [[lshBands]] index; [[incrementalLshVerifiedPairs]]'s
+    * indexed overload verifies candidates against these rows without ever
+    * re-tokenizing corpus documents. */
+  def tokenHashIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        array_sort(array_distinct(transform(tokens(col(textCol)),
+          w => xxhash64(w)))).as("th"))
+      .withColumn("nt", size(col("th")))
 
   /** The composed scale path: MinHash-LSH candidate generation followed by
     * exact token-Jaccard verification of only those candidates. Sub-quadratic
@@ -337,11 +358,36 @@ object Dedup {
     * corpus down to delta-touching pairs. */
   def incrementalLshVerifiedPairs(corpus: DataFrame, delta: DataFrame,
       idCol: String, textCol: String, numHashes: Int, bands: Int,
+      tau: Double): DataFrame =
+    // In-memory convenience form: derives both index sides in-plan. Note
+    // the delta is tokenized twice (band probe + verification) and its
+    // band rows are referenced twice (probe side and unioned index), so
+    // without a persist Spark recomputes the delta's signatures per
+    // reference — the delta is small by definition, so this costs ~2×
+    // delta-sized narrow work, never corpus-sized. The production path is
+    // the indexed overload below, fed from parquet written by [[lshBands]]
+    // / [[tokenHashIndex]], where nothing corpus-sized is ever recomputed.
+    incrementalLshVerifiedPairs(
+      lshBands(corpus, idCol, textCol, numHashes, bands),
+      tokenHashIndex(corpus, idCol, textCol),
+      delta, idCol, textCol, numHashes, bands, tau)
+
+  /** Indexed (production) form of [[incrementalLshVerifiedPairs]]: the
+    * corpus side arrives as the two PERSISTED index tables —
+    * `corpusBands` = (idCol, band_id, bv) rows written by [[lshBands]]
+    * (partitioned by band_id at ingest) and `corpusTokens` = (idCol, th,
+    * nt) rows written by [[tokenHashIndex]]. Per-batch work is then
+    * O(|delta| + matched candidates): old docs pay only the index probe
+    * and the candidate-id verification joins; no signature, band hash, or
+    * token hash of a corpus document is ever recomputed. */
+  def incrementalLshVerifiedPairs(corpusBands: DataFrame,
+      corpusTokens: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, numHashes: Int, bands: Int,
       tau: Double): DataFrame = {
-    val corpusBands = lshBands(corpus, idCol, textCol, numHashes, bands)
     val deltaBands = lshBands(delta, idCol, textCol, numHashes, bands)
     val probe = deltaBands.select(col(idCol).as("nid"), col("band_id"), col("bv"))
-    val index = corpusBands.union(deltaBands)
+    val index = corpusBands.select(col(idCol), col("band_id"), col("bv"))
+      .union(deltaBands.select(col(idCol), col("band_id"), col("bv")))
       .select(col(idCol).as("oid"), col("band_id").as("band_id2"), col("bv").as("bv2"))
     val cands = probe.join(index,
         col("band_id") === col("band_id2") && col("bv") === col("bv2") &&
@@ -349,9 +395,10 @@ object Dedup {
       .select(least(col("nid"), col("oid")).as("da"),
         greatest(col("nid"), col("oid")).as("db"))
       .distinct()
-    val docs = corpus.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .union(delta.select(col(idCol).as("id"), tokens(col(textCol)).as("toks")))
-    verifyPairsByHashedTokens(cands, docs, tau)
+    val idx = corpusTokens.select(col(idCol).as("id"), col("th"), col("nt"))
+      .union(tokenHashIndex(delta, idCol, textCol)
+        .select(col(idCol).as("id"), col("th"), col("nt")))
+    verifyPairsByTokenIndex(cands, idx, tau)
   }
 
   /** 16-bit SimHash over distinct tokens: token hash = first 60 bits of

@@ -95,4 +95,33 @@ object Sampling {
       .filter(hashBucket(col(keyCol), buckets) < col("__thr"))
       .drop("__thr")
   }
+
+  /** Sequence packing (concat-and-chunk): rows are packed in `orderCol`
+    * order into fixed token-budget training sequences — a row joins
+    * sequence k of its domain when its domain-running token total starts
+    * in [k·budget, (k+1)·budget). Appends `seq_id` to the input.
+    *
+    * The packing DOMAIN is a parameter: packing is inherently sequential
+    * WITHIN a domain (each row's sequence depends on the running sum of
+    * everything before it), so the domain is the unit of parallelism —
+    * domains pack independently, one window partition each, and no global
+    * order is ever imposed. In production the domain is the shard/file
+    * (thousands to millions of partitions — even partition-parallel at any
+    * scale); packing a whole corpus as ONE domain would serialize it and
+    * is the caller's deliberate choice, not a default. Integer token
+    * counts only — the running sum and floor-div are exact. */
+  def packSequences(df: DataFrame, domainCols: Seq[String], orderCol: String,
+      tokCol: Column, budget: Int): DataFrame = {
+    require(domainCols.nonEmpty,
+      "packSequences needs >= 1 domain column: an empty domain would pack " +
+        "the whole input through a single unpartitioned window")
+    require(budget > 0, s"budget must be positive (got $budget)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(domainCols.map(col): _*).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__tk", tokCol)
+      .withColumn("seq_id",
+        floor((sum("__tk").over(w) - col("__tk")) / budget).cast("bigint"))
+      .drop("__tk")
+  }
 }

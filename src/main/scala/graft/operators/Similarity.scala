@@ -94,6 +94,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Write `emb` partitioned by its [[signBucket]] — the ANN layout the
+    * scaladoc above promises: the bucket becomes a PARTITION column
+    * (`bk=<n>/` directories), so a probe's bucket filter prunes at file
+    * listing and a (1+bits)-bucket multi-probe reads (1+bits)/2^bits of
+    * the files. Written once at ingest; [[annMultiProbePruned]] is the
+    * read side. (Plan-asserted in PlanSpec: PartitionFilters + numFiles.) */
+  def writeBucketedEmbeddings(emb: DataFrame, embCol: String, bits: Int,
+      outDir: String): Unit =
+    emb.withColumn("bk", signBucket(embCol, bits))
+      .write.mode("overwrite").partitionBy("bk").parquet(outDir)
+
+  /** Multi-probe ANN top-k over a [[writeBucketedEmbeddings]] layout. The
+    * query VECTOR is a parameter (in production the query embedding
+    * arrives from outside the corpus), so its bucket and the Hamming-1
+    * probe set are computed driver-side as LITERALS — which is exactly
+    * what lets Catalyst turn the bucket filter into PartitionFilters and
+    * skip the other 2^bits − (1+bits) directories at file listing. Same
+    * ranking arithmetic as [[annMultiProbeTopK]]. */
+  def annMultiProbePruned(spark: org.apache.spark.sql.SparkSession,
+      dir: String, idCol: String, embCol: String,
+      queryVec: Array[Float], k: Int, bits: Int = 3): DataFrame = {
+    require(queryVec.length >= bits, s"query dim ${queryVec.length} < bits $bits")
+    val qbk = (0 until bits).map(i => if (queryVec(i) > 0) 1 << (bits - 1 - i) else 0).sum
+    val probes = qbk +: (0 until bits).map(i => qbk ^ (1 << i))
+    val qe = typedlit(queryVec)
+    val qn = math.sqrt(queryVec.map(x => x.toDouble * x).sum)
+    spark.read.parquet(dir)
+      .filter(col("bk").isin(probes: _*))
+      .select(col(idCol),
+        round(VectorFunctions.dotProduct(col(embCol), qe) /
+          (norm(embCol) * lit(qn)), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Near-duplicate pairs (da < db) with cosine ≥ tau, bucket-blocked:
     * both sides carry their [[signBucket]] and the pair join is an
     * EQUI-join on the bucket with `da < db` as a residual — a plain

@@ -73,6 +73,50 @@ object TextAnalysis {
       .limit(n)
   }
 
+  /** BM25 relevance scores of every document against a literal query —
+    * full-text ranked retrieval (Robertson-Spärck Jones probabilistic
+    * model with the Lucene `+1` idf so scores stay positive):
+    *
+    *   score(d, q) = Σ_{t∈q} ln(1 + (N − df(t) + ½)/(df(t) + ½)) ·
+    *                 tf(t,d)·(k1+1) / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+    *
+    * Scale shape (100 TB, the train-once/score-many pattern of
+    * `q_bigram_lm`): per-term tf and doc length are NARROW per-row
+    * expressions (`filter` over the token array — no explode, no token
+    * shuffle); the corpus statistics (N, Σdl, per-query-term df) are ONE
+    * partial-agg pass collapsing to a single broadcast row; scoring is a
+    * second narrow scan against that row. The corpus never shuffles —
+    * the only exchanges are the scalar-stats singleton and the final
+    * top-k TakeOrdered (plan-asserted in PlanSpec).
+    *
+    * Portability: tf/dl/df/N are exact integers, avgdl one double
+    * division, and every float step is spelled identically in the DuckDB
+    * oracle (ln parity pinned by q_tfidf); the returned score is
+    * floor-quantized to 4 dp like `qualityScore`. */
+  def bm25Scores(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Scores needs at least one query term")
+    val ws = split(col(textCol), " ")
+    val withTf = df.select(
+      col(idCol) +: size(ws).as("dl") +:
+        queryTerms.zipWithIndex.map { case (t, i) =>
+          size(filter(ws, w => w === lit(t))).as(s"tf$i")
+        }: _*)
+    val aggs = count(lit(1)).as("n") +: sum("dl").as("sdl") +:
+      queryTerms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = withTf.agg(aggs.head, aggs.tail: _*)
+    val avgdl = col("sdl").cast("double") / col("n")
+    val raw = queryTerms.indices.map { i =>
+      val idf = log(lit(1.0) +
+        (col("n") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      idf * (col(s"tf$i") * lit(k1 + 1)) /
+        (col(s"tf$i") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / avgdl))
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .select(col(idCol), (floor(raw * 10000 + lit(0.5)) / 10000.0).as("score"))
+  }
+
   /** PII scrub regexes — kept RE2-compatible (no backrefs/lookaround) so
     * the DuckDB oracle and any RE2-based engine reproduce them exactly. */
   val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"

@@ -245,8 +245,28 @@ object OracleSql {
     "q_minhash_lsh" -> minhashSql,
     "q_neardup_lsh" -> lshVerifiedSql,
     "q_neardup_incr" -> incrNeardupSql,
+    // identical semantics through the persisted band/token-hash index
+    "q_neardup_incr_indexed" -> incrNeardupSql,
     "q_passage_dedup" -> passageDedupSql,
     "q_embed_decontaminate" -> embedDecontaminateSql,
+    // BM25 with the Lucene +1 idf: tf/dl/df/N exact integers, avgdl one
+    // double division, every float step spelled exactly as the Spark side
+    // (left-assoc * /, ln parity pinned by q_tfidf), floor-quantized 4 dp
+    "q_bm25" ->
+      ("WITH d AS (SELECT doc_id, len(string_split(text,' ')) dl, " +
+        "len(list_filter(string_split(text,' '), w -> w = 'dup')) tf0, " +
+        "len(list_filter(string_split(text,' '), w -> w = 'vector')) tf1, " +
+        "len(list_filter(string_split(text,' '), w -> w = 'the')) tf2 FROM documents), " +
+        "s AS (SELECT count(*) n, CAST(sum(dl) AS DOUBLE) sdl, " +
+        "sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) df0, " +
+        "sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) df1, " +
+        "sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) df2 FROM d) " +
+        "SELECT doc_id, floor((" +
+        "ln(1.0 + (n - df0 + 0.5)/(df0 + 0.5)) * (tf0 * (1.2 + 1)) / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sdl/n))) + " +
+        "ln(1.0 + (n - df1 + 0.5)/(df1 + 0.5)) * (tf1 * (1.2 + 1)) / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sdl/n))) + " +
+        "ln(1.0 + (n - df2 + 0.5)/(df2 + 0.5)) * (tf2 * (1.2 + 1)) / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sdl/n)))" +
+        ")*10000 + 0.5)/10000 score " +
+        "FROM d, s ORDER BY score DESC, doc_id LIMIT 15"),
     "q_tfidf" ->
       "WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) w FROM documents), t AS (SELECT w, count(*) tf, count(DISTINCT doc_id) df FROM tok WHERE w <> '' GROUP BY w), n AS (SELECT CAST(count(*) AS DOUBLE) nd FROM documents) SELECT w, round(tf * ln(nd/df), 4) score FROM t, n ORDER BY score DESC, w LIMIT 15",
     // Portable md5 bucket (first 32 hash bits): Spark conv(...,16,10) ≡

@@ -892,6 +892,17 @@ object Queries {
   private val qTfidf: Q = (s, sf) =>
     TextAnalysis.tfIdfTopTerms(t(s, sf, "documents"), "doc_id", "text", 15)
 
+  /** BM25 ranked retrieval: every doc scored against a literal query
+    * ("dup vector the" — one rare, two common terms, so idf
+    * discrimination is visible), top 15. Corpus stats are one partial-agg
+    * pass broadcast back; scoring is a narrow scan — the corpus never
+    * shuffles (plan-asserted). */
+  private val qBm25: Q = (s, sf) =>
+    TextAnalysis.bm25Scores(t(s, sf, "documents"), "doc_id", "text",
+      Seq("dup", "vector", "the"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(15)
+
   /** Deterministic train/val/test assignment from an md5 key hash — stable
     * across runs, retries, engines, and corpus growth (a row's split never
     * changes when new rows arrive), unlike rand()-based splits. */
@@ -979,26 +990,21 @@ object Queries {
       .limit(100)
   }
 
-  /** Sequence packing (concat-and-chunk): docs are packed in id order
-    * into fixed token-budget training sequences — seq k = the docs whose
-    * running token total starts in [k·B, (k+1)·B). The running sum is a
-    * window per language: packing is inherently sequential within its
-    * packing domain, so the domain (here lang; in production the
-    * shard/file) IS the shard key — each domain packs independently and
-    * in parallel, and no global order is ever imposed. */
-  private val qPack: Q = (s, sf) => {
-    val budget = 500
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t(s, sf, "documents")
-      .select(col("lang"), col("doc_id"),
-        TextAnalysis.wsTokenCount(col("text")).as("tk"))
-      .withColumn("seq_id",
-        floor((sum("tk").over(w) - col("tk")) / budget).cast("bigint"))
+  /** Sequence packing (concat-and-chunk) via the domain-parameterized
+    * [[Sampling.packSequences]]: docs pack in id order into 500-token
+    * training sequences, independently per packing domain — here `lang`
+    * (what the testdata offers); in production the shard/file, i.e.
+    * thousands of parallel window partitions (the ≥32-domain case is
+    * exercised in SamplingSpec). */
+  private val qPack: Q = (s, sf) =>
+    Sampling.packSequences(
+      t(s, sf, "documents")
+        .select(col("lang"), col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("tk")),
+      Seq("lang"), "doc_id", col("tk"), 500)
       .groupBy("lang", "seq_id")
       .agg(count(lit(1)).as("docs"), sum("tk").cast("bigint").as("toks"))
       .orderBy("lang", "seq_id")
-  }
 
   /** Bigram-LM cross-entropy quality score (the CCNet/Gopher perplexity-
     * proxy filter): a bigram model is "trained" as plain count aggregates
@@ -1129,6 +1135,38 @@ object Queries {
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val delta = docs.filter(col("doc_id") % 10 === 0)
     Dedup.incrementalLshVerifiedPairs(corpus, delta, "doc_id", "text", 8, 2, 0.8)
+      .agg(count(lit(1)).as("pairs"),
+        sum(col("da") + col("db")).as("chk"),
+        round(avg("jac"), 4).as("aj"),
+        sum(when(col("da") % 10 === 0 && col("db") % 10 === 0, 1L)
+          .otherwise(0L)).as("nn"))
+  }
+
+  /** Same delta-vs-corpus near-dup, but through the PERSISTED index — the
+    * production mode: the corpus's band rows ([[Dedup.lshBands]],
+    * partitioned by band_id) and token-hash rows ([[Dedup.tokenHashIndex]])
+    * are written to parquet ONCE (here on first run, keyed by the sf dir;
+    * in production at ingest) and every subsequent batch reads them back —
+    * no corpus signature, band hash, or token hash is ever recomputed, so
+    * per-batch cost is O(|delta| + matched candidates). Output is
+    * identical to [[qNeardupIncr]] (same oracle). */
+  private val qNeardupIncrIndexed: Q = (s, sf) => {
+    val docs = t(s, sf, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val tag = sf.replaceAll("[^A-Za-z0-9.]", "_")
+    val ixDir = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_index_v1_$tag"
+    val done = new java.io.File(s"$ixDir/_GRAFT_INDEX_READY")
+    if (!done.exists()) {
+      Dedup.lshBands(corpus, "doc_id", "text", 8, 2)
+        .write.mode("overwrite").partitionBy("band_id").parquet(s"$ixDir/bands")
+      Dedup.tokenHashIndex(corpus, "doc_id", "text")
+        .write.mode("overwrite").parquet(s"$ixDir/tokens")
+      done.createNewFile()
+    }
+    Dedup.incrementalLshVerifiedPairs(
+      s.read.parquet(s"$ixDir/bands"), s.read.parquet(s"$ixDir/tokens"),
+      delta, "doc_id", "text", 8, 2, 0.8)
       .agg(count(lit(1)).as("pairs"),
         sum(col("da") + col("db")).as("chk"),
         round(avg("jac"), 4).as("aj"),
@@ -1300,9 +1338,11 @@ object Queries {
     "q_minhash_lsh" -> qMinhashLsh,
     "q_neardup_lsh" -> qNeardupLsh,
     "q_neardup_incr" -> qNeardupIncr,
+    "q_neardup_incr_indexed" -> qNeardupIncrIndexed,
     "q_passage_dedup" -> qPassageDedup,
     "q_embed_decontaminate" -> qEmbedDecontaminate,
     "q_tfidf" -> qTfidf,
+    "q_bm25" -> qBm25,
     "q_split_assign" -> qSplitAssign,
     "q_chunk" -> qChunk,
     "q_mix" -> qMix,

@@ -65,6 +65,45 @@ class PlanSpec extends SparkSpec {
     assert(since.count() > 0 && since.count() < all.count())
   }
 
+  test("bucket-partitioned ANN layout prunes to the probe buckets' files") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graftann").toString
+    val emb = graft.sources.Tables.table(spark, sf001, "embeddings")
+    val bits = 3
+    Similarity.writeBucketedEmbeddings(emb, "embedding", bits, s"$dir/emb")
+    val qv = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 7L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val pruned = Similarity.annMultiProbePruned(spark, s"$dir/emb",
+      "vec_id", "embedding", qv, 10, bits)
+    val rows = pruned.collect()
+    assert(rows.length == 10 && rows.head.getLong(0) == 7L) // finds itself at cos 1
+    // the probe-bucket filter must be a PartitionFilter (file-listing
+    // pruning), not a post-scan data filter
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [bk"), p)
+    assert(!p.contains("PushedFilters: [In(bk"), p)
+    // and pruning actually bites: the scan reads (1+bits)/2^bits of the
+    // layout's files — 4 of the 8 bucket directories
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val filesRead = scans.map(_.metrics("numFiles").value).sum
+    val filesTotal = graft.sources.Layout.dataFiles(s"$dir/emb")
+    assert(filesRead > 0 && filesRead < filesTotal,
+      s"filesRead=$filesRead filesTotal=$filesTotal")
+    val bucketDirs = new java.io.File(s"$dir/emb").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("bk="))
+    assert(bucketDirs == (1 << bits))
+    // exactly the 1 + bits probe directories' files are read, no more
+    val qbk = (0 until bits).map(i => if (qv(i) > 0) 1 << (bits - 1 - i) else 0).sum
+    val probes = (qbk +: (0 until bits).map(i => qbk ^ (1 << i))).toSet
+    val probeFiles = probes.toSeq
+      .filter(b => new java.io.File(s"$dir/emb/bk=$b").isDirectory)
+      .map(b => graft.sources.Layout.dataFiles(s"$dir/emb/bk=$b")).sum
+    assert(filesRead == probeFiles,
+      s"filesRead=$filesRead probeFiles=$probeFiles filesTotal=$filesTotal")
+  }
+
   test("q_embed_neardup pair join is bucket-blocked, never cartesian") {
     val p = plan("q_embed_neardup")
     assert(!p.contains("CartesianProduct"), p)
@@ -91,6 +130,14 @@ class PlanSpec extends SparkSpec {
   test("q_gapfill is single-pass: one scan, no self-join of the daily agg") {
     val p = plan("q_gapfill")
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+  }
+
+  test("q_bm25 scores at scan speed: broadcast stats, corpus never shuffles") {
+    val p = plan("q_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange"), p) // the single-row stats
+    assert(!p.contains("Exchange hashpartitioning"), p) // no corpus shuffle
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("q_bigram_lm broadcasts the model tables onto the bigram stream") {

@@ -178,6 +178,19 @@ class DedupSpec extends SparkSpec {
     assert(full.exists(p => p._1 % 4 != 0 && p._2 % 4 != 0),
       "fixture must contain old-old pairs for the exclusion to be meaningful")
     assert(incr.forall(p => p._1 % 4 == 0 || p._2 % 4 == 0))
+
+    // the persisted-index overload must be byte-identical to the
+    // in-memory form after a parquet round-trip of the two index tables
+    // (band rows partitioned by band_id, exactly as written at ingest)
+    val ix = java.nio.file.Files.createTempDirectory("graftix").toString
+    Dedup.lshBands(corpus, "doc_id", "text", 8, 2)
+      .write.mode("overwrite").partitionBy("band_id").parquet(s"$ix/bands")
+    Dedup.tokenHashIndex(corpus, "doc_id", "text")
+      .write.mode("overwrite").parquet(s"$ix/tokens")
+    val indexed = norm(Dedup.incrementalLshVerifiedPairs(
+      spark.read.parquet(s"$ix/bands"), spark.read.parquet(s"$ix/tokens"),
+      delta, "doc_id", "text", 8, 2, 0.6))
+    assert(indexed === expected)
   }
 
   test("prefixFilteredPairs ≡ brute-force jaccardPairs (exactness, seeded random)") {

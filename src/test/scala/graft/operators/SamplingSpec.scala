@@ -100,4 +100,37 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.temperatureMix(g, "id", "grp", alpha = 0.5)
       .select("id").as[Long].collect().toSet == pick) // deterministic re-run
   }
+
+  test("packSequences packs 40 domains independently and in parallel") {
+    import spark.implicits._
+    // 40 shard domains (the production shape: domain = shard/file, not a
+    // handful of languages), variable token counts, deterministic
+    val df = spark.range(2000).select(
+      (col("id") % 40).as("shard"), col("id").as("doc_id"),
+      (pmod(col("id") * 37 + 11, lit(90)) + 10).as("tk"))
+    val packed = Sampling.packSequences(df, Seq("shard"), "doc_id", col("tk"), 100)
+      .select($"shard", $"doc_id", $"tk", $"seq_id")
+      .as[(Long, Long, Long, Long)].collect()
+    // ≥32 domains, each packed
+    assert(packed.map(_._1).distinct.length == 40)
+    // reference: sequential per-domain packing computed driver-side
+    val expected = packed.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      var run = 0L
+      rows.sortBy(_._2).map { case (s, id, tk, _) =>
+        val seq = run / 100; run += tk; (s, id, seq)
+      }
+    }.toSet
+    assert(packed.map(t => (t._1, t._2, t._4)).toSet == expected)
+    // a domain's packing must not depend on other domains: packing one
+    // shard alone gives the same sequence ids
+    val solo = Sampling.packSequences(df.filter($"shard" === 7), Seq("shard"),
+      "doc_id", col("tk"), 100)
+      .select($"doc_id", $"seq_id").as[(Long, Long)].collect().toSet
+    assert(solo == packed.filter(_._1 == 7).map(t => (t._2, t._4)).toSet)
+    // and the window genuinely partition-parallelizes: 40 domains spread
+    // over all shuffle partitions, no single-task funnel
+    val parts = Sampling.packSequences(df, Seq("shard"), "doc_id", col("tk"), 100)
+      .select(spark_partition_id()).distinct().count()
+    assert(parts > 1, s"packing ran on $parts partition(s)")
+  }
 }

@@ -105,4 +105,25 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.chunks(col("text"), 2, 3) // gap between chunks
     }
   }
+
+  test("bm25Scores: rare-term doc outranks common-term doc; matches hand calc") {
+    val docs = Seq(
+      (1L, "rare word here"),        // has the rare query term
+      (2L, "common common word uh"), // has only the common query term
+      (3L, "word uh huh"),           // no query terms at all
+      (4L, "common word here uh")
+    ).toDF("doc_id", "text")
+    val scored = TextAnalysis.bm25Scores(docs, "doc_id", "text",
+        Seq("rare", "common"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // idf(rare: df=1) >> idf(common: df=2) over N=4 -> doc 1 wins
+    assert(scored(1L) > scored(2L) && scored(2L) > scored(4L),
+      scored.toString) // doc 2 has tf=2 of 'common', doc 4 tf=1
+    assert(scored(3L) == 0.0, scored.toString)
+    // hand-check doc 1: N=4, df=1, tf=1, dl=3, avgdl=(3+4+3+4)/4=3.5
+    val idf = math.log(1 + (4 - 1 + 0.5) / 1.5)
+    val expected = idf * (1 * (1.2 + 1)) / (1 + 1.2 * (0.25 + 0.75 * 3 / 3.5))
+    assert(scored(1L) == math.floor(expected * 10000 + 0.5) / 10000.0,
+      s"${scored(1L)} vs $expected")
+  }
 }
