@@ -283,6 +283,58 @@ class StreamsSpec extends SparkSpec {
     assert(second == 35.0) // block 2 consumed incrementally, block 1 not reread
   }
 
+  test("declared tumble/slide/sessionize match batch when events arrive as a file stream") {
+    // streaming parity on the REAL events table (round-4 verdict #8, not
+    // a MemoryStream toy): the table is staged as 4 block files, consumed
+    // as a file stream one file per micro-batch, and foreachBatch lands
+    // each block into an accumulating events layout; the DECLARED batch
+    // queries then run unchanged over the accumulated layout and must
+    // equal their run over the original table. This is the production
+    // micro-batch shape: stream in, land blocks, batch semantics hold.
+    import graft.queries.Queries
+    val dir = java.nio.file.Files.createTempDirectory("graftevblocks").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graftevckpt").toString
+    val acc = java.nio.file.Files.createTempDirectory("graftevacc").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // raw file: ts arrives as int64 nanos; blocks keep that physical type
+    // so the accumulated layout reads through Tables.table unchanged
+    val raw = spark.read.parquet(s"$sf001/events.parquet")
+    (0 until 4).foreach { i =>
+      raw.filter(pmod(col("event_id"), lit(4)) === i).coalesce(1)
+        .write.parquet(s"$dir/blk$i.parquet")
+    }
+    var batches = 0
+    val q = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*.parquet")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += 1
+        batch.write.mode("append").parquet(s"$acc/events.parquet")
+        ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches >= 4, s"expected one micro-batch per block file, got $batches")
+    // doubles compared with tolerance: the accumulated layout has a
+    // different file split, so float sums may differ in the last bit
+    def close(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Double, y: Double) => math.abs(x - y) < 1e-6
+      case (x, y) => x == y
+    }
+    for (name <- Seq("q_tumble", "q_slide", "q_sessionize")) {
+      val streamed = Queries.all(name)(spark, acc).collect()
+      val batch = Queries.all(name)(spark, sf001).collect()
+      assert(streamed.length == batch.length, s"$name row count")
+      streamed.zip(batch).foreach { case (s, b) =>
+        assert(s.length == b.length &&
+          (0 until s.length).forall(i => close(s.get(i), b.get(i))),
+          s"$name row mismatch: $s vs $b")
+      }
+    }
+  }
+
   test("streaming sessionization agrees with the batch operator on the same data") {
     val evs = Seq(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(10), 1, "a", 1.0),
       Ev(3, ts(100), 1, "a", 1.0), Ev(4, ts(110), 2, "a", 1.0))
