@@ -1154,7 +1154,12 @@ object Queries {
     val docs = t(s, sf, "documents")
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val delta = docs.filter(col("doc_id") % 10 === 0)
-    val tag = sf.replaceAll("[^A-Za-z0-9.]", "_")
+    // key the scratch index by source size+mtime too: /tmp outlives the
+    // JVM, and a regenerated documents.parquet must invalidate the index
+    // rather than silently serve stale band rows
+    val srcFile = new java.io.File(s"$sf/documents.parquet")
+    val tag = sf.replaceAll("[^A-Za-z0-9.]", "_") +
+      s"_${srcFile.length}_${srcFile.lastModified}"
     val ixDir = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_index_v1_$tag"
     val done = new java.io.File(s"$ixDir/_GRAFT_INDEX_READY")
     if (!done.exists()) {

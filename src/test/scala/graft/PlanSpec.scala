@@ -170,6 +170,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_neardup_incr_indexed probes parquet band rows, never cartesian") {
+    val p = plan("q_neardup_incr_indexed")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the corpus side of the candidate probe must come from the persisted
+    // index files, not be recomputed from documents: the plan reads the
+    // bands/tokens scratch layout
+    assert(p.contains("graft_lsh_index"), p)
+  }
+
   test("q_ann_ivf_fixed probes via a broadcast of the single query row") {
     val p = plan("q_ann_ivf_fixed")
     assert(p.contains("BroadcastExchange"), p)
