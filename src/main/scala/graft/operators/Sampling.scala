@@ -96,6 +96,16 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** Deterministic global training order: sort key = md5(seed:key). The
+    * "shuffle the corpus" step of a training run as a pure column — same
+    * order every run/retry/engine for a given seed, a different
+    * decorrelated order per seed (epoch reshuffles = seed bump). At scale
+    * ordering by it is one total sort (range-partitioned by Spark), and a
+    * top-k probe of the order is a TakeOrdered — no global window, no
+    * single-task funnel. */
+  def shuffleKey(key: Column, seed: String): Column =
+    md5(concat_ws(":", lit(seed), key.cast("string")))
+
   /** Sequence packing (concat-and-chunk): rows are packed in `orderCol`
     * order into fixed token-budget training sequences — a row joins
     * sequence k of its domain when its domain-running token total starts

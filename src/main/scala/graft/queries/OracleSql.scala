@@ -249,6 +249,16 @@ object OracleSql {
     "q_neardup_incr_indexed" -> incrNeardupSql,
     "q_passage_dedup" -> passageDedupSql,
     "q_embed_decontaminate" -> embedDecontaminateSql,
+    // the engine runs O(log depth) pointer doubling; the oracle is an
+    // ACTUAL recursive CTE — the equality pins log-round ≡ row-recursive
+    "q_tree_depth" ->
+      ("WITH RECURSIVE n AS (SELECT doc_id, doc_id // 2 parent FROM documents), " +
+        "d AS (SELECT doc_id, 0 AS depth FROM n WHERE doc_id = parent " +
+        "UNION ALL SELECT n.doc_id, d.depth + 1 FROM n JOIN d ON n.parent = d.doc_id WHERE n.doc_id <> n.parent) " +
+        "SELECT depth, count(*) c, CAST(sum(doc_id) AS BIGINT) chk FROM d GROUP BY depth ORDER BY depth"),
+    "q_shuffle" ->
+      ("SELECT doc_id, md5(concat_ws(':', 'ep1', CAST(doc_id AS VARCHAR))) sk " +
+        "FROM documents ORDER BY sk LIMIT 20"),
     // BM25 with the Lucene +1 idf: tf/dl/df/N exact integers, avgdl one
     // double division, every float step spelled exactly as the Spark side
     // (left-assoc * /, ln parity pinned by q_tfidf), floor-quantized 4 dp

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Components, Dedup, Incremental, IntervalJoin, Ivf, Sampling, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, Components, Dedup, Incremental, IntervalJoin, Iterate, Ivf, Sampling, Similarity, Skew, TextAnalysis}
 
 /** The declared query inventory (SURVEY.md §2) as idiomatic DataFrame-API
   * plans. Each entry is `(spark, sfDir) => DataFrame` and has a matching
@@ -903,6 +903,32 @@ object Queries {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(15)
 
+  /** Hierarchy flattening by the generic distributed fixpoint — the
+    * recursive-CTE workload, run as O(log depth) pointer-doubling rounds
+    * ([[operators.Iterate.treeDepth]]). The forest is derived from the
+    * corpus itself (parent = doc_id DIV 2, doc 0 the root — a binary
+    * tree ~log2(N) deep); output is the per-depth census. The DuckDB
+    * oracle computes the same depths with an actual WITH RECURSIVE —
+    * pinning that the log-round engine form ≡ the row-at-a-time
+    * recursive semantics. */
+  private val qTreeDepth: Q = (s, sf) => {
+    val nodes = t(s, sf, "documents")
+      .select(col("doc_id"), expr("doc_id div 2").as("parent"))
+    Iterate.treeDepth(nodes, "doc_id", "parent")
+      .groupBy("depth")
+      .agg(count(lit(1)).as("c"), sum("doc_id").as("chk"))
+      .orderBy("depth")
+  }
+
+  /** Deterministic corpus shuffle (training order): the first 20 docs of
+    * the md5(seed:id) order. Epoch reshuffles = seed bump; the probe is a
+    * TakeOrdered, the full materialization one range-partitioned sort. */
+  private val qShuffle: Q = (s, sf) =>
+    t(s, sf, "documents")
+      .select(col("doc_id"), Sampling.shuffleKey(col("doc_id"), "ep1").as("sk"))
+      .orderBy("sk")
+      .limit(20)
+
   /** Deterministic train/val/test assignment from an md5 key hash — stable
     * across runs, retries, engines, and corpus growth (a row's split never
     * changes when new rows arrive), unlike rand()-based splits. */
@@ -1349,6 +1375,8 @@ object Queries {
     "q_tfidf" -> qTfidf,
     "q_bm25" -> qBm25,
     "q_split_assign" -> qSplitAssign,
+    "q_tree_depth" -> qTreeDepth,
+    "q_shuffle" -> qShuffle,
     "q_chunk" -> qChunk,
     "q_mix" -> qMix,
     "q_temperature_mix" -> qTemperatureMix,
