@@ -47,10 +47,13 @@ object Dedup {
   /** LSH band index of a corpus batch: one (idCol, band_id, bv) row per doc
     * per band, where bv is the md5 of that band's signature slice. This IS
     * the persistable near-dup index — at scale it is written once per
-    * ingest batch (partitioned by band_id) and appended to, so matching a
-    * new batch never recomputes old docs' signatures. Both the whole-corpus
-    * pair join ([[lshCandidatePairs]]) and the delta mode
-    * ([[incrementalLshVerifiedPairs]]) are joins over these rows. */
+    * ingest batch (partitioned by band_id, or BUCKETED on (band_id, bv)
+    * so delta probes join with the one exchange on the delta side only —
+    * BucketingSpec plan-asserts the corpus index is never reshuffled) and
+    * appended to, so matching a new batch never recomputes old docs'
+    * signatures. Both the whole-corpus pair join ([[lshCandidatePairs]])
+    * and the delta mode ([[incrementalLshVerifiedPairs]]) are joins over
+    * these rows. */
   def lshBands(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0,

@@ -34,4 +34,42 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("LSH band index bucketed on the probe key: delta probe never shuffles the corpus") {
+    // the 100 TB form of the persisted near-dup index: band rows written
+    // BUCKETED on the join key (band_id, bv), so a daily delta probe
+    // joins against them with the one exchange on the DELTA side only —
+    // the corpus-sized index is never reshuffled, batch after batch
+    import graft.operators.Dedup
+    import graft.sources.Tables
+    val docs = Tables.table(spark, sf001, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    spark.sql("DROP TABLE IF EXISTS b_bands")
+    Dedup.lshBands(corpus, "doc_id", "text", 8, 2)
+      .write.bucketBy(8, "band_id", "bv").sortBy("band_id", "bv")
+      .mode("overwrite").saveAsTable("b_bands")
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = Dedup.lshBands(delta, "doc_id", "text", 8, 2)
+        .select(col("doc_id").as("nid"), col("band_id"), col("bv"))
+      val index = spark.table("b_bands")
+        .select(col("doc_id").as("oid"), col("band_id").as("band_id2"),
+          col("bv").as("bv2"))
+      val cands = probe.join(index,
+        col("band_id") === col("band_id2") && col("bv") === col("bv2") &&
+          col("nid") =!= col("oid"))
+      val plan = cands.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // exactly one exchange — the delta side aligning to the index's
+      // bucketing; the bucketed scan feeds the join exchange-free
+      assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+        plan)
+      assert(cands.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+      spark.sql("DROP TABLE IF EXISTS b_bands")
+    }
+  }
 }
