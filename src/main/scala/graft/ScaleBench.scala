@@ -166,6 +166,28 @@ object ScaleBench {
           delta, "doc_id", "text", 8, 2, 0.8)
       }
     }
+
+    // fixpoint tree depth: rounds grow with log(depth) = log(log-ish of n)
+    // for the binary forest, so wall time should be near-flat in n beyond
+    // per-round fixed cost; and BM25 is a narrow two-scan pipeline, so it
+    // should scale like the scan
+    import graft.operators.{Iterate, TextAnalysis}
+    import org.apache.spark.sql.functions.{col, expr}
+    Iterate.treeDepth(spark.read.parquet(s"$outRoot/docs_5000")
+      .select(col("doc_id"), expr("doc_id div 2").as("parent")),
+      "doc_id", "parent").count() // warmup
+    TextAnalysis.bm25Scores(spark.read.parquet(s"$outRoot/docs_5000"),
+      "doc_id", "text", Seq("w1", "w13", "w1337")).count() // warmup
+    docSizes.foreach { n =>
+      val docs = spark.read.parquet(s"$outRoot/docs_$n")
+      time(s"tree_depth_$n") {
+        Iterate.treeDepth(docs.select(col("doc_id"),
+          expr("doc_id div 2").as("parent")), "doc_id", "parent")
+      }
+      time(s"bm25_$n") {
+        TextAnalysis.bm25Scores(docs, "doc_id", "text", Seq("w1", "w13", "w1337"))
+      }
+    }
     spark.stop()
   }
 }
