@@ -62,6 +62,10 @@ object Bench {
         results.map(r => entry(r._1, r._2, r._3)).mkString("{", ",", "}")
       },"sf":"$sfDir","errors":$errors}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
+    // escaped where it is interpolated into the JSON line: a quote or
+    // backslash in the env-provided path must not yield an unparseable
+    // record (the exact failure this output format exists to avoid)
+    val detailPathJson = detailPath.replace("\\", "\\\\").replace("\"", "\\\"")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detailJson + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $detailPath: ${e.getMessage}") }
@@ -70,7 +74,7 @@ object Bench {
     val qs = results // keep sorted name order; errors always included as -1
       .filter(r => !r._3 || slowSet(r._1))
       .map(r => entry(r._1, r._2, r._3)).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errors,"detail":"$detailPath"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errors,"detail":"$detailPathJson"}""")
     spark.stop()
   }
 }

@@ -118,8 +118,12 @@ object Sampling {
     * order is ever imposed. In production the domain is the shard/file
     * (thousands to millions of partitions — even partition-parallel at any
     * scale); packing a whole corpus as ONE domain would serialize it and
-    * is the caller's deliberate choice, not a default. Integer token
-    * counts only — the running sum and floor-div are exact. */
+    * is the caller's deliberate choice, not a default. Non-negative
+    * integer token counts only — the running sum and the `div` bucketing
+    * are exact LONG arithmetic end to end (Spark's `/` is double
+    * division, which would silently misbin once a domain's running total
+    * passed 2^53 — the same hazard IntervalJoin's bin math guards
+    * against, and a divergence from the oracle's exact integer `//`). */
   def packSequences(df: DataFrame, domainCols: Seq[String], orderCol: String,
       tokCol: Column, budget: Int): DataFrame = {
     require(domainCols.nonEmpty,
@@ -130,8 +134,8 @@ object Sampling {
     val w = Window.partitionBy(domainCols.map(col): _*).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__tk", tokCol)
-      .withColumn("seq_id",
-        floor((sum("__tk").over(w) - col("__tk")) / budget).cast("bigint"))
-      .drop("__tk")
+      .withColumn("__run", sum("__tk").over(w) - col("__tk"))
+      .withColumn("seq_id", expr(s"__run div $budget").cast("bigint"))
+      .drop("__tk", "__run")
   }
 }

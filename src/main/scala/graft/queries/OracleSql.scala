@@ -261,7 +261,13 @@ object OracleSql {
         "FROM documents ORDER BY sk LIMIT 20"),
     // BM25 with the Lucene +1 idf: tf/dl/df/N exact integers, avgdl one
     // double division, every float step spelled exactly as the Spark side
-    // (left-assoc * /, ln parity pinned by q_tfidf), floor-quantized 4 dp
+    // (left-assoc * /, ln parity pinned by q_tfidf), floor-quantized 4 dp.
+    // DuckDB parses bare decimal literals as DECIMAL and keeps
+    // integer±decimal arithmetic exact — a different last-ulp than
+    // Spark's all-double pipeline (decimal 6.6 -> double is 1 ulp BELOW
+    // 3*2.2d). The idf ratio operands and the (k1+1) literal are
+    // therefore CAST to DOUBLE so both engines round at the same points;
+    // the x.5 cast inputs are double-exact, so the casts lose nothing.
     "q_bm25" ->
       ("WITH d AS (SELECT doc_id, len(string_split(text,' ')) dl, " +
         "len(list_filter(string_split(text,' '), w -> w = 'dup')) tf0, " +
@@ -272,9 +278,9 @@ object OracleSql {
         "sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) df1, " +
         "sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) df2 FROM d) " +
         "SELECT doc_id, floor((" +
-        "ln(1.0 + (n - df0 + 0.5)/(df0 + 0.5)) * (tf0 * (1.2 + 1)) / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sdl/n))) + " +
-        "ln(1.0 + (n - df1 + 0.5)/(df1 + 0.5)) * (tf1 * (1.2 + 1)) / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sdl/n))) + " +
-        "ln(1.0 + (n - df2 + 0.5)/(df2 + 0.5)) * (tf2 * (1.2 + 1)) / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sdl/n)))" +
+        "ln(1.0 + CAST(n - df0 + 0.5 AS DOUBLE)/CAST(df0 + 0.5 AS DOUBLE)) * (tf0 * (CAST(1.2 AS DOUBLE) + 1)) / (tf0 + 1.2 * (0.25 + 0.75 * dl / (sdl/n))) + " +
+        "ln(1.0 + CAST(n - df1 + 0.5 AS DOUBLE)/CAST(df1 + 0.5 AS DOUBLE)) * (tf1 * (CAST(1.2 AS DOUBLE) + 1)) / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sdl/n))) + " +
+        "ln(1.0 + CAST(n - df2 + 0.5 AS DOUBLE)/CAST(df2 + 0.5 AS DOUBLE)) * (tf2 * (CAST(1.2 AS DOUBLE) + 1)) / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sdl/n)))" +
         ")*10000 + 0.5)/10000 score " +
         "FROM d, s ORDER BY score DESC, doc_id LIMIT 15"),
     "q_tfidf" ->

@@ -1177,19 +1177,25 @@ object Queries {
     * per-batch cost is O(|delta| + matched candidates). Output is
     * identical to [[qNeardupIncr]] (same oracle). */
   private val qNeardupIncrIndexed: Q = (s, sf) => {
+    val numHashes = 8
+    val bands = 2
+    val splitMod = 10 // doc_id % splitMod == 0 plays the delta batch
     val docs = t(s, sf, "documents")
-    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-    val delta = docs.filter(col("doc_id") % 10 === 0)
-    // key the scratch index by source size+mtime too: /tmp outlives the
-    // JVM, and a regenerated documents.parquet must invalidate the index
-    // rather than silently serve stale band rows
+    val corpus = docs.filter(col("doc_id") % splitMod =!= 0)
+    val delta = docs.filter(col("doc_id") % splitMod === 0)
+    // key the scratch index by source size+mtime AND every parameter that
+    // shapes its content (hashes/bands/corpus split): /tmp outlives the
+    // JVM, and both a regenerated documents.parquet and a code-side
+    // parameter change must invalidate the index rather than silently
+    // serve incompatible band rows
     val srcFile = new java.io.File(s"$sf/documents.parquet")
     val tag = sf.replaceAll("[^A-Za-z0-9.]", "_") +
-      s"_${srcFile.length}_${srcFile.lastModified}"
+      s"_${srcFile.length}_${srcFile.lastModified}" +
+      s"_h${numHashes}b${bands}m$splitMod"
     val ixDir = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_index_v1_$tag"
     val done = new java.io.File(s"$ixDir/_GRAFT_INDEX_READY")
     if (!done.exists()) {
-      Dedup.lshBands(corpus, "doc_id", "text", 8, 2)
+      Dedup.lshBands(corpus, "doc_id", "text", numHashes, bands)
         .write.mode("overwrite").partitionBy("band_id").parquet(s"$ixDir/bands")
       Dedup.tokenHashIndex(corpus, "doc_id", "text")
         .write.mode("overwrite").parquet(s"$ixDir/tokens")
@@ -1197,7 +1203,7 @@ object Queries {
     }
     Dedup.incrementalLshVerifiedPairs(
       s.read.parquet(s"$ixDir/bands"), s.read.parquet(s"$ixDir/tokens"),
-      delta, "doc_id", "text", 8, 2, 0.8)
+      delta, "doc_id", "text", numHashes, bands, 0.8)
       .agg(count(lit(1)).as("pairs"),
         sum(col("da") + col("db")).as("chk"),
         round(avg("jac"), 4).as("aj"),

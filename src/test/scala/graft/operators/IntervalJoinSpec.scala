@@ -75,6 +75,18 @@ class IntervalJoinSpec extends SparkSpec {
     val got = IntervalJoin.pointInInterval(pts, "pt", ivs, "s", "e", 100L)
       .select("wid").as[Long].collect().toSeq
     assert(got == Seq(10L)) // query survives; only the sane interval joins
+
+    // binWidth=1 is the case where the LONG span subtraction actually
+    // wraps: endBin-startBin ≈ 2^64 > Long.MaxValue goes negative and
+    // would PASS a plain `span < cap` filter — only the decimal span
+    // check excludes it (at binWidth=100 the span still fits in a long,
+    // so the case above never exercises the wrap)
+    val got1Ids = IntervalJoin.pointInInterval(
+      Seq((1L, 25L)).toDF("pid", "pt"), "pt",
+      Seq((10L, 0L, 50L), (12L, Long.MinValue, Long.MaxValue)).toDF("wid", "s", "e"),
+      "s", "e", 1L)
+      .select("wid").as[Long].collect().toSeq
+    assert(got1Ids == Seq(10L))
   }
 
   test("the plan is an equi join — no nested loop, no cartesian") {
