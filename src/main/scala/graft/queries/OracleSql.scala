@@ -21,6 +21,27 @@ object OracleSql {
       "SELECT sig, count(*) c FROM sg GROUP BY sig ORDER BY c DESC, sig LIMIT 20"
   }
 
+  // Scaled-integer PageRank (Components.pageRank's recurrence, scale 10⁹,
+  // d = 85/100) on the symmetrized customer↔supplier graph, unrolled to
+  // five straight-line rounds. BIGINT ranks + floor-div sums are
+  // order-independent, so the iterative engine loop must match bit-exactly.
+  private val pagerankSql: String = {
+    val rounds = (1 to 5).map { i =>
+      s"p$i AS (SELECT n.id, CAST(150000000 + (85 * COALESCE(f.m, 0)) // 100 AS BIGINT) r " +
+        s"FROM n LEFT JOIN (SELECT e.d AS id, SUM(p${i - 1}.r // deg.dg) m " +
+        s"FROM p${i - 1} JOIN e ON e.s = p${i - 1}.id JOIN deg ON deg.s = p${i - 1}.id " +
+        "GROUP BY e.d) f ON f.id = n.id)"
+    }.mkString(", ")
+    "WITH oi AS (SELECT DISTINCT 2*o_custkey AS s, 2*l_suppkey+1 AS d " +
+      "FROM orders JOIN lineitem ON l_orderkey = o_orderkey), " +
+      "e AS (SELECT s, d FROM oi UNION ALL SELECT d AS s, s AS d FROM oi), " +
+      "deg AS (SELECT s, count(*) dg FROM e GROUP BY s), " +
+      "n AS (SELECT s AS id FROM e UNION SELECT d FROM e), " +
+      "p0 AS (SELECT id, CAST(1000000000 AS BIGINT) r FROM n), " +
+      rounds + " " +
+      "SELECT id, r AS \"rank\" FROM p5 ORDER BY r DESC, id LIMIT 20"
+  }
+
   // MinHash 8 hashes / 2 bands of 4 (mirrors Dedup.lshCandidatePairs;
   // banding tuned so the S-curve threshold ≈ 0.84 matches the τ=0.8 target).
   // Shared candidate CTEs: d (token sets) … p (distinct candidate pairs).
@@ -256,6 +277,9 @@ object OracleSql {
         "d AS (SELECT doc_id, 0 AS depth FROM n WHERE doc_id = parent " +
         "UNION ALL SELECT n.doc_id, d.depth + 1 FROM n JOIN d ON n.parent = d.doc_id WHERE n.doc_id <> n.parent) " +
         "SELECT depth, count(*) c, CAST(sum(doc_id) AS BIGINT) chk FROM d GROUP BY depth ORDER BY depth"),
+    // the engine iterates the scaled-integer recurrence; the oracle is the
+    // same five rounds unrolled straight-line — BIGINT ranks, bit-exact
+    "q_pagerank" -> pagerankSql,
     "q_shuffle" ->
       ("SELECT doc_id, md5(concat_ws(':', 'ep1', CAST(doc_id AS VARCHAR))) sk " +
         "FROM documents ORDER BY sk LIMIT 20"),

@@ -920,6 +920,25 @@ object Queries {
       .orderBy("depth")
   }
 
+  /** PageRank on the customer↔supplier trade graph (edges = distinct
+    * (custkey, suppkey) pairs through orders⨝lineitem, symmetrized; id
+    * spaces disjoint by even/odd encoding), 5 rounds of
+    * [[operators.Components.pageRank]]'s scaled-integer recurrence. Ranks
+    * are BIGINTs, so the DuckDB oracle — the same recurrence unrolled as
+    * five chained CTEs with `//` — must match bit for bit: the iterative
+    * engine loop is pinned against a straight-line relational spelling
+    * with no float tolerance at all. */
+  private val qPagerank: Q = (s, sf) => {
+    val oi = t(s, sf, "orders")
+      .join(t(s, sf, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("s"), (col("l_suppkey") * 2 + 1).as("d"))
+      .distinct()
+    val edges = oi.union(oi.select(col("d"), col("s")))
+    Components.pageRank(edges, "s", "d", iters = 5)
+      .orderBy(col("rank").desc, col("id"))
+      .limit(20)
+  }
+
   /** Deterministic corpus shuffle (training order): the first 20 docs of
     * the md5(seed:id) order. Epoch reshuffles = seed bump; the probe is a
     * TakeOrdered, the full materialization one range-partitioned sort. */
@@ -1382,6 +1401,7 @@ object Queries {
     "q_bm25" -> qBm25,
     "q_split_assign" -> qSplitAssign,
     "q_tree_depth" -> qTreeDepth,
+    "q_pagerank" -> qPagerank,
     "q_shuffle" -> qShuffle,
     "q_chunk" -> qChunk,
     "q_mix" -> qMix,

@@ -75,4 +75,58 @@ class ComponentsSpec extends SparkSpec {
       assert(comps(edges, maxIter = 64) === expected, s"density=$density")
     }
   }
+
+  // --- pageRank ---
+
+  private def pr(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Components.pageRank(edges.toDF("src", "dst"), iters = iters)
+      .as[(Long, Long)].collect().toMap
+
+  /** The same scaled-integer recurrence spelled single-threaded — the
+    * distributed loop must reproduce it EXACTLY (integer ranks admit no
+    * tolerance), same idea as the DuckDB oracle for q_pagerank. */
+  private def refPr(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var r = nodes.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => r(u) / deg(u) }.sum
+      }
+      r = nodes.map(n => n -> (150000000L + 85L * in.getOrElse(n, 0L) / 100L))
+        .toMap
+    }
+    r
+  }
+
+  test("pageRank: regular graphs are a fixed point at exactly `scale`") {
+    // bidirectional 4-ring: outdeg 2 everywhere and 2 | 10⁹, so each round
+    // redistributes mass with zero floor loss — ranks never move
+    val ring = (0L until 4L).flatMap(i => Seq((i, (i + 1) % 4), ((i + 1) % 4, i)))
+    assert(pr(ring, 7).values.toSet === Set(1000000000L))
+  }
+
+  test("pageRank: star centre outranks leaves; no-in-edge node gets base") {
+    // 1..4 -> 0 and 0 -> 1..4, plus 9 -> 0 with nothing pointing at 9
+    val star = (1L to 4L).flatMap(l => Seq((l, 0L), (0L, l))) :+ (9L, 0L)
+    val got = pr(star, 5)
+    assert(got === refPr(star, 5))
+    assert((1L to 4L).forall(l => got(0L) > got(l)))
+    assert(got(9L) === 150000000L)
+  }
+
+  test("pageRank: exact vs single-threaded recurrence on random digraphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 3) {
+      val n = 12
+      val edges = Seq.fill(40)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      assert(pr(edges, 5) === refPr(edges, 5), s"trial=$trial")
+    }
+  }
+
+  test("pageRank: zero iterations returns uniform initial mass") {
+    assert(pr(Seq((1L, 2L), (2L, 1L)), 0).values.toSet === Set(1000000000L))
+  }
 }
