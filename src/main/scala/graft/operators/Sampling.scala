@@ -17,13 +17,19 @@ import org.apache.spark.sql.functions._
   * versions. */
 object Sampling {
 
+  /** Raw 32-bit md5 key in [0, 2³²): the uniform underlying
+    * [[hashBucket]], exposed where a sampler needs a TOTAL ORDER on the
+    * hash (e.g. "k smallest/largest hashes per group" — a deterministic
+    * uniform k-sample) rather than a coarse bucket. */
+  def hashKey(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+
   /** Uniform bucket in [0, buckets): first 32 bits of md5(key as string).
     * Key is cast to string first so integer keys hash identically across
     * engines ("123" everywhere). */
   def hashBucket(key: Column, buckets: Int): Column = {
     require(buckets > 0, s"buckets must be positive (got $buckets)")
-    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
-      .cast("long") % buckets
+    hashKey(key) % buckets
   }
 
   /** Keep a deterministic `percent`% sample by key hash. */
@@ -137,5 +143,33 @@ object Sampling {
       .withColumn("__run", sum("__tk").over(w) - col("__tk"))
       .withColumn("seq_id", expr(s"__run div $budget").cast("bigint"))
       .drop("__tk", "__run")
+  }
+
+  /** Deterministic uniform k-per-stratum sample: each stratum keeps the k
+    * rows with the LARGEST md5 key hashes (hash order ≈ uniform random
+    * order, but stable across runs/retries/engines, and a kept row stays
+    * kept as its stratum grows only if its hash still clears the bar —
+    * the natural "rolling reservoir" under corpus growth).
+    *
+    * Built on the mergeable bounded [[graft.functions.TopKAgg]], NOT a
+    * row_number window: map tasks keep k rows per stratum and the shuffle
+    * carries k·|strata| rows regardless of corpus size — the same
+    * scale argument as q_topk_group vs q_quota's old window form. Returns
+    * (strata…, r, idCol, bk): rank 1..k in descending-hash order and the
+    * 32-bit key `bk` (exact in the Double score, cast back losslessly).
+    * Integral ids only — the id doubles as the deterministic tie-break. */
+  def stratifiedSample(df: DataFrame, idCol: String, k: Int,
+      strataCols: Seq[String]): DataFrame = {
+    require(strataCols.nonEmpty, "stratifiedSample needs >= 1 stratum column")
+    val topk = udaf(new graft.functions.TopKAgg(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    val sc = strataCols.map(col)
+    df.select(sc :+ hashKey(col(idCol)).cast("double").as("__hk")
+        :+ col(idCol).cast("long").as("__id"): _*)
+      .groupBy(sc: _*)
+      .agg(topk(col("__hk"), col("__id")).as("__tk"))
+      .select(sc :+ posexplode(col("__tk")): _*)
+      .select(sc :+ (col("pos") + 1).cast("int").as("r")
+        :+ col("col.id").as(idCol) :+ col("col.score").cast("long").as("bk"): _*)
   }
 }

@@ -73,6 +73,34 @@ object TextAnalysis {
       .limit(n)
   }
 
+  /** Per-document top-k TF-IDF keywords — the keyword-extraction /
+    * doc-tagging step of a curation pipeline. Corpus df counts collapse to
+    * a vocab-sized table broadcast back onto the per-doc tf rows; ranking
+    * is a row_number window partitioned BY DOCUMENT, which is the
+    * scale-safe window shape (partition cardinality = corpus size, width =
+    * distinct terms per doc — the opposite of the few-partition funnel
+    * q_quota's old per-lang window had). Scores are quantized to 4 dp
+    * BEFORE ranking so the (score DESC, term ASC) order ties identically
+    * in any engine. Returns (idCol, r, w, score). */
+  def keywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val tf = tok.groupBy("id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tok.select("id", "w").distinct()
+      .groupBy("w").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).cast("double").as("nd"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("score").desc, col("w"))
+    tf.join(broadcast(dfreq), "w").crossJoin(broadcast(nDocs))
+      .select(col("id"), col("w"),
+        round(col("tf") * log(col("nd") / col("df")), 4).as("score"))
+      .withColumn("r", row_number().over(win).cast("int"))
+      .where(col("r") <= k)
+      .select(col("id").as(idCol), col("r"), col("w"), col("score"))
+  }
+
   /** BM25 relevance scores of every document against a literal query —
     * full-text ranked retrieval (Robertson-Spärck Jones probabilistic
     * model with the Lucene `+1` idf so scores stay positive):

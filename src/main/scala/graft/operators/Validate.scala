@@ -53,4 +53,40 @@ object Validate {
     require(checks.nonEmpty, "report needs at least one check")
     checks.reduce(_.unionByName(_)).orderBy("check")
   }
+
+  /** Per-group z-score outliers of an INTEGRAL value column — the
+    * distribution-shift / anomaly screen of a quality pipeline (a doc
+    * whose length sits far outside its language×source cohort is suspect).
+    *
+    * Moments are EXACT integer sums (n, Σv, Σv²) — one partial-agg pass
+    * collapsing to |groups| rows broadcast back onto the scan, so the data
+    * itself never shuffles and the plan is the same train-once/score-many
+    * shape as the text scorers. mean/variance/z are then derived with a
+    * FIXED association, each double op correctly rounded from exact
+    * integer inputs — any engine spelling the same expressions reproduces
+    * the doubles bit-for-bit (the q_anomaly oracle does, with no
+    * tolerance). Sample variance (n−1); zero-variance groups are excluded
+    * up front — their members are definitionally non-outliers, and ±∞/NaN
+    * z-scores would otherwise leak engine-specific NaN-ordering semantics
+    * into the filter. Appends a `z` column, keeps rows with |z| > cut. */
+  def zOutliers(df: DataFrame, valueCol: String, cut: Double,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "zOutliers needs >= 1 group column")
+    require(cut > 0, s"cut must be positive (got $cut)")
+    val v = col(valueCol).cast("long")
+    val stats = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(v).as("__s"),
+        sum(v * v).as("__ss"))
+      .where(col("__n") > 1)
+      .select(groupCols.map(col) :+
+        (col("__s").cast("double") / col("__n")).as("__mean") :+
+        ((col("__ss").cast("double") -
+          col("__s").cast("double") * col("__s").cast("double") / col("__n"))
+          / (col("__n") - 1)).as("__var"): _*)
+      .where(col("__var") > 0)
+    df.join(broadcast(stats), groupCols)
+      .withColumn("z", (v.cast("double") - col("__mean")) / sqrt(col("__var")))
+      .where(abs(col("z")) > cut)
+      .drop("__mean", "__var")
+  }
 }

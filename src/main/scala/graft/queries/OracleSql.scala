@@ -280,6 +280,40 @@ object OracleSql {
     // the engine iterates the scaled-integer recurrence; the oracle is the
     // same five rounds unrolled straight-line — BIGINT ranks, bit-exact
     "q_pagerank" -> pagerankSql,
+    // engine = mergeable TopKAgg on the md5 key order; oracle = the ANSI
+    // row_number spelling of the same descending-hash sample
+    "q_stratified" ->
+      ("WITH b AS (SELECT lang, source, doc_id, CAST(concat('0x', " +
+        "substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) bk FROM documents), " +
+        "t AS (SELECT lang, source, doc_id, bk, row_number() OVER " +
+        "(PARTITION BY lang, source ORDER BY bk DESC, doc_id) r FROM b) " +
+        "SELECT lang, source, r, doc_id, bk FROM t WHERE r <= 10 " +
+        "ORDER BY lang, source, r"),
+    // quantize-then-rank: both engines order by the 4 dp score, so ties
+    // resolve identically (ln parity pinned by q_tfidf)
+    "q_keywords" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) w FROM documents), " +
+        "tq AS (SELECT doc_id, w, count(*) tf FROM tok WHERE w <> '' GROUP BY doc_id, w), " +
+        "d AS (SELECT w, count(DISTINCT doc_id) df FROM tok WHERE w <> '' GROUP BY w), " +
+        "n AS (SELECT CAST(count(*) AS DOUBLE) nd FROM documents), " +
+        "sc AS (SELECT doc_id, tq.w, round(tf * ln(nd/df), 4) score " +
+        "FROM tq JOIN d ON tq.w = d.w, n), " +
+        "rk AS (SELECT doc_id, w, score, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY score DESC, w) r FROM sc) " +
+        "SELECT doc_id, r, w, score FROM rk WHERE r <= 3 ORDER BY doc_id, r"),
+    // exact integer moments -> fixed-association doubles: no tolerance
+    "q_anomaly" ->
+      ("WITH st AS (SELECT lang, source, count(*) n, " +
+        "CAST(sum(n_chars) AS DOUBLE) s, " +
+        "CAST(sum(n_chars*n_chars) AS DOUBLE) ss " +
+        "FROM documents GROUP BY lang, source), " +
+        "m AS (SELECT lang, source, s/n mn, (ss - s*s/n)/(n-1) vr " +
+        "FROM st WHERE n > 1) " +
+        "SELECT doc_id, lang, source, n_chars, " +
+        "round((CAST(n_chars AS DOUBLE) - mn)/sqrt(vr), 4) z " +
+        "FROM documents JOIN m USING (lang, source) " +
+        "WHERE vr > 0 AND abs((CAST(n_chars AS DOUBLE) - mn)/sqrt(vr)) > 1.5 " +
+        "ORDER BY doc_id"),
     "q_shuffle" ->
       ("SELECT doc_id, md5(concat_ws(':', 'ep1', CAST(doc_id AS VARCHAR))) sk " +
         "FROM documents ORDER BY sk LIMIT 20"),

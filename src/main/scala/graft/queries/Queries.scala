@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Components, Dedup, Incremental, IntervalJoin, Iterate, Ivf, Sampling, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, Components, Dedup, Incremental, IntervalJoin, Iterate, Ivf, Sampling, Similarity, Skew, TextAnalysis, Validate}
 
 /** The declared query inventory (SURVEY.md §2) as idiomatic DataFrame-API
   * plans. Each entry is `(spark, sfDir) => DataFrame` and has a matching
@@ -939,6 +939,36 @@ object Queries {
       .limit(20)
   }
 
+  /** Deterministic uniform 10-per-stratum sample over lang×source by md5
+    * key order ([[operators.Sampling.stratifiedSample]]) — the mergeable
+    * TopKAgg keeps the shuffle at k·|strata| rows however big the corpus
+    * is; the ANSI row_number spelling stays as the oracle. */
+  private val qStratified: Q = (s, sf) =>
+    Sampling.stratifiedSample(t(s, sf, "documents"), "doc_id", 10,
+        Seq("lang", "source"))
+      .orderBy("lang", "source", "r")
+
+  /** Per-document top-3 TF-IDF keywords
+    * ([[operators.TextAnalysis.keywords]]): broadcast vocab stats + a
+    * per-document window (partition cardinality = corpus size — the
+    * scale-safe window shape). Quantize-then-rank makes the tie order
+    * engine-identical. */
+  private val qKeywords: Q = (s, sf) =>
+    TextAnalysis.keywords(t(s, sf, "documents"), "doc_id", "text", 3)
+      .orderBy("doc_id", "r")
+
+  /** Cohort z-score outliers on document length
+    * ([[operators.Validate.zOutliers]]): exact integer moments per
+    * lang×source broadcast back onto a narrow scan; the doubles derive
+    * from exact sums with fixed association, so the oracle matches with
+    * no float tolerance. */
+  private val qAnomaly: Q = (s, sf) =>
+    Validate.zOutliers(t(s, sf, "documents"), "n_chars", 1.5,
+        Seq("lang", "source"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        round(col("z"), 4).as("z"))
+      .orderBy("doc_id")
+
   /** Deterministic corpus shuffle (training order): the first 20 docs of
     * the md5(seed:id) order. Epoch reshuffles = seed bump; the probe is a
     * TakeOrdered, the full materialization one range-partitioned sort. */
@@ -1402,6 +1432,9 @@ object Queries {
     "q_split_assign" -> qSplitAssign,
     "q_tree_depth" -> qTreeDepth,
     "q_pagerank" -> qPagerank,
+    "q_stratified" -> qStratified,
+    "q_keywords" -> qKeywords,
+    "q_anomaly" -> qAnomaly,
     "q_shuffle" -> qShuffle,
     "q_chunk" -> qChunk,
     "q_mix" -> qMix,

@@ -133,4 +133,30 @@ class SamplingSpec extends SparkSpec {
       .select(spark_partition_id()).distinct().count()
     assert(parts > 1, s"packing ran on $parts partition(s)")
   }
+
+  test("stratifiedSample: k largest hashes per stratum, window-equivalent") {
+    val df = (0L until 200L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
+    val got = Sampling.stratifiedSample(df, "id", 5, Seq("g"))
+      .select("g", "r", "id", "bk")
+      .as[(String, Int, Long, Long)].collect().toSet
+    // reference: the ANSI window spelling of the same sample
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("g").orderBy(col("bk").desc, col("id"))
+    val ref = df.withColumn("bk", Sampling.hashKey(col("id")))
+      .withColumn("r", row_number().over(win).cast("int"))
+      .where(col("r") <= 5)
+      .select("g", "r", "id", "bk")
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(got === ref)
+    assert(got.groupBy(_._1).forall(_._2.size == 5))
+  }
+
+  test("stratifiedSample: short strata are returned whole, ranks dense") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
+    val got = Sampling.stratifiedSample(df, "id", 10, Seq("g"))
+      .select("g", "r", "id").as[(String, Int, Long)].collect()
+    assert(got.length === 3)
+    assert(got.filter(_._1 == "a").map(_._2).sorted.toSeq === Seq(1, 2))
+    assert(got.filter(_._1 == "b").map(_._2).toSeq === Seq(1))
+  }
 }

@@ -126,4 +126,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scored(1L) == math.floor(expected * 10000 + 0.5) / 10000.0,
       s"${scored(1L)} vs $expected")
   }
+
+  test("keywords: rare terms outrank ubiquitous ones per document") {
+    // 'the' appears in all 4 docs (idf = ln(1) = 0); each doc also has a
+    // private term — that term must rank first with score tf * ln(4)
+    val docs = Seq(
+      (1L, "the the alpha"), (2L, "the beta beta"),
+      (3L, "the gamma"), (4L, "the delta")).toDF("doc_id", "text")
+    val got = TextAnalysis.keywords(docs, "doc_id", "text", 2)
+      .as[(Long, Int, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)))
+      .toMap
+    val ln4 = BigDecimal(math.log(4.0)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val twoLn4 = BigDecimal(2 * math.log(4.0)).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L).head === ("alpha", ln4))
+    assert(got(2L).head === ("beta", twoLn4))
+    // second keyword is 'the' at score 0.0 everywhere it fits
+    assert(got(3L) === Seq(("gamma", ln4), ("the", 0.0)))
+    // ranks never exceed k and every doc appears
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    assert(got.values.forall(_.size <= 2))
+  }
 }

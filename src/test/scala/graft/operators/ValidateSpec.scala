@@ -36,4 +36,32 @@ class ValidateSpec extends SparkSpec {
       Validate.refIntegrity(df, "k", df, "k"))))
     assert(rep.values.forall(_ == 0L), rep.toString)
   }
+
+  test("zOutliers flags the planted outlier and only it") {
+    // group a: nine values at 100±1 plus one at 500 — a huge z; group b:
+    // constant (zero variance) so it must be excluded, not NaN-compared
+    val a = (0L until 9L).map(i => (i, "a", 99L + (i % 3))) :+ (9L, "a", 500L)
+    val b = (10L until 14L).map(i => (i, "b", 42L))
+    val df = (a ++ b).toDF("id", "g", "v")
+    val got = Validate.zOutliers(df, "v", 2.0, Seq("g"))
+      .select("id", "z").as[(Long, Double)].collect().toMap
+    assert(got.keySet === Set(9L))
+    assert(got(9L) > 2.0)
+    // the z value matches the exact-moments formula
+    val vs = a.map(_._3.toDouble)
+    val n = vs.length
+    val mean = vs.sum / n
+    val variance = (vs.map(x => x * x).sum - vs.sum * vs.sum / n) / (n - 1)
+    assert(math.abs(got(9L) - (500.0 - mean) / math.sqrt(variance)) < 1e-12)
+  }
+
+  test("zOutliers: cut bounds are respected in both tails") {
+    val rows = Seq((1L, "g", 0L), (2L, "g", 10L), (3L, "g", 10L),
+      (4L, "g", 10L), (5L, "g", 20L))
+    val got = Validate.zOutliers(rows.toDF("id", "g", "v"), "v", 1.2, Seq("g"))
+      .select("id", "z").as[(Long, Double)].collect().toMap
+    // symmetric data: 0 and 20 are mirrored outliers, the 10s are not
+    assert(got.keySet === Set(1L, 5L))
+    assert(got(1L) < -1.2 && got(5L) > 1.2)
+  }
 }
