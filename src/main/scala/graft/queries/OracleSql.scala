@@ -301,6 +301,14 @@ object OracleSql {
         "rk AS (SELECT doc_id, w, score, row_number() OVER " +
         "(PARTITION BY doc_id ORDER BY score DESC, w) r FROM sc) " +
         "SELECT doc_id, r, w, score FROM rk WHERE r <= 3 ORDER BY doc_id, r"),
+    // the sketch only finds CANDIDATES; the exact recount makes the
+    // result identical to the straight GROUP BY ... HAVING spelling
+    "q_heavy_hitters" ->
+      ("WITH tw AS (SELECT unnest(string_split(text,' ')) w FROM documents), " +
+        "tk AS (SELECT w FROM tw WHERE w <> ''), " +
+        "n AS (SELECT (count(*) + 29) // 30 thr FROM tk) " +
+        "SELECT w, count(*) c FROM tk GROUP BY w " +
+        "HAVING count(*) >= (SELECT thr FROM n) ORDER BY c DESC, w"),
     // exact integer moments -> fixed-association doubles: no tolerance
     "q_anomaly" ->
       ("WITH st AS (SELECT lang, source, count(*) n, " +

@@ -957,6 +957,34 @@ object Queries {
     TextAnalysis.keywords(t(s, sf, "documents"), "doc_id", "text", 3)
       .orderBy("doc_id", "r")
 
+  /** Exact heavy hitters by the classic two-pass sketch plan: pass 1
+    * folds the token stream into one ≤k Misra–Gries buffer per map task
+    * (mergeable [[graft.functions.MisraGriesAgg]] — the shuffle carries
+    * k-entry maps, never the vocabulary); pass 2 recounts ONLY the ≤k
+    * candidates exactly via a broadcast semi-join. With threshold
+    * ⌈n/30⌉ ≥ n/(k+1) (k = 64) the sketch provably misses no qualifying
+    * term, so the result is EXACT and the oracle is a plain GROUP BY …
+    * HAVING. (This 31-word corpus fits inside k, making the sketch
+    * degenerate-exact here; the eviction/merge machinery is
+    * property-tested on skewed streams in MisraGriesAggSpec.) */
+  private val qHeavyHitters: Q = (s, sf) => {
+    val mg = udaf(new graft.functions.MisraGriesAgg(64),
+      org.apache.spark.sql.Encoders.STRING)
+    val tok = t(s, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+    val cand = tok.agg(mg(col("w")).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.term").as("w"))
+    val thr = tok.agg(expr("(count(1) + 29) div 30").as("thr"))
+    tok.join(broadcast(cand), "w")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(thr))
+      .where(col("c") >= col("thr"))
+      .select(col("w"), col("c"))
+      .orderBy(col("c").desc, col("w"))
+  }
+
   /** Cohort z-score outliers on document length
     * ([[operators.Validate.zOutliers]]): exact integer moments per
     * lang×source broadcast back onto a narrow scan; the doubles derive
@@ -1435,6 +1463,7 @@ object Queries {
     "q_stratified" -> qStratified,
     "q_keywords" -> qKeywords,
     "q_anomaly" -> qAnomaly,
+    "q_heavy_hitters" -> qHeavyHitters,
     "q_shuffle" -> qShuffle,
     "q_chunk" -> qChunk,
     "q_mix" -> qMix,
