@@ -92,6 +92,53 @@ object Components {
       .select(col("id"), col("comp"), col("sz"))
   }
 
+  /** Triangle enumeration by the degree-ordered compact-forward join
+    * (Latapy 2008; the MapReduce form is Suri & Vassilvitskii, WWW'11):
+    * orient every undirected edge from its lower-(degree, id) endpoint to
+    * the higher one, build wedges only from each vertex's OUT-neighbors,
+    * and close them against the canonical edge set.
+    *
+    * Why the orientation matters at 100 TB: naive wedge-building at a hub
+    * of degree d makes d² candidates — one celebrity vertex in a
+    * power-law graph produces more wedges than the rest of the graph
+    * combined. Ordering by degree caps every vertex's out-degree at
+    * O(√m), so total wedges are O(m^{3/2}) (optimal for triangle
+    * listing) regardless of skew — the same hot-key discipline as the
+    * salted joins in [[Skew]], but obtained by orienting the data
+    * instead of salting it.
+    *
+    * Returns one row per triangle as (a, b, c), a < b < c by vertex id.
+    * Input edges are symmetrized/deduped and self-loops dropped, so
+    * either or both directions may be supplied. */
+  def triangles(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e0 = edges.select(col(srcCol).cast("long").as("x"),
+        col(dstCol).cast("long").as("y"))
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val deg = e0.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val aFirst = // true when a precedes b in the (degree, id) total order
+      col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = e0
+      .join(deg.select(col("v").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("w"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
+      .select(col("e1.u").as("u"), col("e1.w").as("x"), col("e2.w").as("y"))
+    // wedge tips are emitted in id order (x < y), so closing against the
+    // canonical a<b edge set is one equi-join, no orientation cases
+    wedges.join(e0.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
+      .select(least(col("u"), col("x")).as("a"),
+        (col("u") + col("x") + col("y") - least(col("u"), col("x"), col("y"))
+          - greatest(col("u"), col("x"), col("y"))).as("b"),
+        greatest(col("u"), col("y")).as("c"))
+  }
+
   /** PageRank over a directed edge list, run ENTIRELY in scaled integer
     * arithmetic — rank is a BIGINT in units of `scale⁻¹` (node mass starts
     * at `scale`), each round

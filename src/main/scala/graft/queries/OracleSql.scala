@@ -280,6 +280,18 @@ object OracleSql {
     // the engine iterates the scaled-integer recurrence; the oracle is the
     // same five rounds unrolled straight-line — BIGINT ranks, bit-exact
     "q_pagerank" -> pagerankSql,
+    // engine = degree-ordered compact-forward; oracle = naive a<b<c
+    // triple self-join — per-node counts are enumeration-invariant
+    "q_triangles" ->
+      ("WITH pp AS (SELECT DISTINCT x.l_partkey a, y.l_partkey b " +
+        "FROM lineitem x JOIN lineitem y " +
+        "ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey), " +
+        "tr AS (SELECT e1.a, e1.b, e2.b c FROM pp e1 " +
+        "JOIN pp e2 ON e2.a = e1.b " +
+        "JOIN pp e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        "nd AS (SELECT unnest([a, b, c]) node FROM tr) " +
+        "SELECT node, count(*) tri FROM nd GROUP BY node " +
+        "ORDER BY tri DESC, node LIMIT 15"),
     // engine = mergeable TopKAgg on the md5 key order; oracle = the ANSI
     // row_number spelling of the same descending-hash sample
     "q_stratified" ->

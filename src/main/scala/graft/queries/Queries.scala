@@ -939,6 +939,27 @@ object Queries {
       .limit(20)
   }
 
+  /** Per-part triangle participation in the co-purchase graph (parts
+    * sharing an order), top 15. The engine enumerates via the
+    * degree-ordered compact-forward join
+    * ([[operators.Components.triangles]] — wedge count O(m^1.5) under any
+    * skew); the oracle is the naive a<b<c triple self-join. Counts are
+    * orientation-invariant, so the two different enumeration strategies
+    * must agree exactly. */
+  private val qTriangles: Q = (s, sf) => {
+    val li = t(s, sf, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val e = li.as("x").join(li.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("src"), col("y.p").as("dst"))
+      .distinct()
+    Components.triangles(e)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+      .orderBy(col("tri").desc, col("node"))
+      .limit(15)
+  }
+
   /** Deterministic uniform 10-per-stratum sample over lang×source by md5
     * key order ([[operators.Sampling.stratifiedSample]]) — the mergeable
     * TopKAgg keeps the shuffle at k·|strata| rows however big the corpus
@@ -1460,6 +1481,7 @@ object Queries {
     "q_split_assign" -> qSplitAssign,
     "q_tree_depth" -> qTreeDepth,
     "q_pagerank" -> qPagerank,
+    "q_triangles" -> qTriangles,
     "q_stratified" -> qStratified,
     "q_keywords" -> qKeywords,
     "q_anomaly" -> qAnomaly,

@@ -212,4 +212,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_stratified partial-aggregates (no few-partition window)") {
+    val p = plan("q_stratified")
+    assert(p.contains("partial_topkagg"), p) // map-side k-bounded buffers
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_anomaly broadcasts the cohort moments onto a narrow scan") {
+    val p = plan("q_anomaly")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only hash shuffle is the tiny cohort-stats aggregate, never the
+    // documents themselves: every hashpartitioning key set is the cohort
+    assert(!p.contains("hashpartitioning(doc_id"), p)
+  }
+
+  test("q_heavy_hitters recounts candidates via broadcast, no vocab shuffle of raw rows") {
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), p) // candidate semi-join side
+    assert(p.contains("partial_misragriesagg") || p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_triangles / q_pagerank joins stay equi: never cartesian") {
+    Seq("q_triangles", "q_pagerank").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: $p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
+    }
+  }
 }

@@ -129,4 +129,41 @@ class ComponentsSpec extends SparkSpec {
   test("pageRank: zero iterations returns uniform initial mass") {
     assert(pr(Seq((1L, 2L), (2L, 1L)), 0).values.toSet === Set(1000000000L))
   }
+
+  // --- triangles ---
+
+  private def tris(edges: Seq[(Long, Long)]): Set[(Long, Long, Long)] =
+    Components.triangles(edges.toDF("src", "dst"))
+      .as[(Long, Long, Long)].collect().toSet
+
+  test("triangles: K4 has all four, C5 has none") {
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    assert(tris(k4) === Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L),
+      (2L, 3L, 4L)))
+    val c5 = (0L until 5L).map(i => (i, (i + 1) % 5))
+    assert(tris(c5) === Set.empty)
+  }
+
+  test("triangles: hub orientation, duplicate/reversed edges, self-loops") {
+    // star 0-{1..10} has no triangle until a rim edge closes one; noisy
+    // input (both directions, dups, a self-loop) must not change that
+    val star = (1L to 10L).map(l => (0L, l))
+    val noisy = star ++ star.map(_.swap) ++ Seq((1L, 2L), (2L, 1L), (3L, 3L))
+    assert(tris(noisy) === Set((0L, 1L, 2L)))
+  }
+
+  test("triangles: matches brute force on random graphs") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 0 until 3) {
+      val n = 14
+      val edges = (for (i <- 0L until n; j <- (i + 1) until n
+        if rnd.nextDouble() < 0.35) yield (i, j)).toSeq
+      val es = edges.toSet
+      val expected = (for {
+        a <- 0L until n; b <- (a + 1) until n; c <- (b + 1) until n
+        if es((a, b)) && es((b, c)) && es((a, c))
+      } yield (a, b, c)).toSet
+      assert(tris(edges) === expected, s"trial=$trial")
+    }
+  }
 }
