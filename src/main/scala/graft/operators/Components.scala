@@ -92,6 +92,34 @@ object Components {
       .select(col("id"), col("comp"), col("sz"))
   }
 
+  /** Single-source BFS distances over a directed edge list — the
+    * reachability / hop-count workload (the other canonical recursive-CTE
+    * shape next to [[Iterate.treeDepth]]'s hierarchy flattening), run as
+    * frontier-free min-relaxation on [[Iterate.fixpoint]]: each round
+    * unions the current distance frame with every out-neighbor at dist+1
+    * and takes the per-vertex min. Distances are exact integers, so the
+    * oracle (the same relaxation unrolled to ≥eccentricity rounds in
+    * straight-line SQL) must match bit-for-bit.
+    *
+    * Rounds needed = eccentricity of the source (tiny for the dense
+    * near-diameter graphs pipelines see); each round is one equi-join +
+    * one min-aggregate — plain shuffles, no driver-side frontier state.
+    * Unreached vertices are simply absent. Symmetrize the edge list for
+    * undirected reachability. */
+  def bfsDistances(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", source: Long = 0L,
+      maxIter: Int = 20): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("s"),
+      col(dstCol).cast("long").as("d")).distinct().localCheckpoint(true)
+    val init = e.sparkSession.range(1)
+      .select(lit(source).as("id"), lit(0L).as("dist"))
+    Iterate.fixpoint(init, maxIter) { cur =>
+      cur.union(cur.join(e, col("id") === col("s"))
+          .select(col("d").as("id"), (col("dist") + 1).as("dist")))
+        .groupBy("id").agg(min("dist").as("dist"))
+    }
+  }
+
   /** Triangle enumeration by the degree-ordered compact-forward join
     * (Latapy 2008; the MapReduce form is Suri & Vassilvitskii, WWW'11):
     * orient every undirected edge from its lower-(degree, id) endpoint to

@@ -42,6 +42,24 @@ object OracleSql {
       "SELECT id, r AS \"rank\" FROM p5 ORDER BY r DESC, id LIMIT 20"
   }
 
+  // BFS min-relaxation from node 2 unrolled to 6 rounds (eccentricity of
+  // the source on this graph is 4 at every shipped SF, measured) — the
+  // engine's fixpoint must reproduce the integer distances bit-exactly.
+  private val bfsSql: String = {
+    val rounds = (1 to 6).map { i =>
+      s"b$i AS (SELECT id, min(dist) dist FROM (SELECT id, dist FROM b${i - 1} " +
+        s"UNION ALL SELECT e.d, b${i - 1}.dist + 1 FROM b${i - 1} " +
+        s"JOIN e ON e.s = b${i - 1}.id) t GROUP BY id)"
+    }.mkString(", ")
+    "WITH oi AS (SELECT DISTINCT 2*o_custkey AS s, 2*l_suppkey+1 AS d " +
+      "FROM orders JOIN lineitem ON l_orderkey = o_orderkey), " +
+      "e AS (SELECT s, d FROM oi UNION ALL SELECT d AS s, s AS d FROM oi), " +
+      "b0 AS (SELECT CAST(2 AS BIGINT) id, CAST(0 AS BIGINT) dist), " +
+      rounds + " " +
+      "SELECT dist, count(*) c, CAST(sum(id) AS BIGINT) chk FROM b6 " +
+      "GROUP BY dist ORDER BY dist"
+  }
+
   // MinHash 8 hashes / 2 bands of 4 (mirrors Dedup.lshCandidatePairs;
   // banding tuned so the S-curve threshold ≈ 0.84 matches the τ=0.8 target).
   // Shared candidate CTEs: d (token sets) … p (distinct candidate pairs).
@@ -280,6 +298,8 @@ object OracleSql {
     // the engine iterates the scaled-integer recurrence; the oracle is the
     // same five rounds unrolled straight-line — BIGINT ranks, bit-exact
     "q_pagerank" -> pagerankSql,
+    // fixpoint min-relaxation vs 6 straight-line rounds — integer-exact
+    "q_bfs" -> bfsSql,
     // engine = degree-ordered compact-forward; oracle = naive a<b<c
     // triple self-join — per-node counts are enumeration-invariant
     "q_triangles" ->

@@ -928,17 +928,32 @@ object Queries {
     * five chained CTEs with `//` — must match bit for bit: the iterative
     * engine loop is pinned against a straight-line relational spelling
     * with no float tolerance at all. */
-  private val qPagerank: Q = (s, sf) => {
+  /** Symmetrized customer↔supplier trade graph: distinct (custkey,
+    * suppkey) pairs through orders⨝lineitem; id spaces kept disjoint by
+    * even/odd encoding. Shared by the graph queries. */
+  private def tradeEdges(s: SparkSession, sf: String): DataFrame = {
     val oi = t(s, sf, "orders")
       .join(t(s, sf, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("s"), (col("l_suppkey") * 2 + 1).as("d"))
       .distinct()
       .localCheckpoint(true) // feeds both union branches
-    val edges = oi.union(oi.select(col("d"), col("s")))
-    Components.pageRank(edges, "s", "d", iters = 5)
+    oi.union(oi.select(col("d"), col("s")))
+  }
+
+  private val qPagerank: Q = (s, sf) =>
+    Components.pageRank(tradeEdges(s, sf), "s", "d", iters = 5)
       .orderBy(col("rank").desc, col("id"))
       .limit(20)
-  }
+
+  /** Single-source hop distances on the trade graph from customer 1
+    * (node 2), as a per-distance census — the reachability workload on
+    * [[operators.Components.bfsDistances]]'s fixpoint min-relaxation.
+    * The oracle unrolls the same relaxation 6 rounds (> the measured
+    * eccentricity 4 at every shipped SF): integer distances, bit-exact. */
+  private val qBfs: Q = (s, sf) =>
+    Components.bfsDistances(tradeEdges(s, sf), "s", "d", source = 2L)
+      .groupBy("dist").agg(count(lit(1)).as("c"), sum("id").as("chk"))
+      .orderBy("dist")
 
   /** Per-part triangle participation in the co-purchase graph (parts
     * sharing an order), top 15. The engine enumerates via the
@@ -1483,6 +1498,7 @@ object Queries {
     "q_tree_depth" -> qTreeDepth,
     "q_pagerank" -> qPagerank,
     "q_triangles" -> qTriangles,
+    "q_bfs" -> qBfs,
     "q_stratified" -> qStratified,
     "q_keywords" -> qKeywords,
     "q_anomaly" -> qAnomaly,

@@ -130,6 +130,38 @@ class ComponentsSpec extends SparkSpec {
     assert(pr(Seq((1L, 2L), (2L, 1L)), 0).values.toSet === Set(1000000000L))
   }
 
+  // --- bfsDistances ---
+
+  test("bfs: chain with shortcut; unreachable nodes absent") {
+    // 0→1→2→3 plus shortcut 0→2; 9→0 leaves 9 unreachable FROM 0
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 2L), (9L, 0L))
+    val d = Components.bfsDistances(e.toDF("src", "dst"), source = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(d === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("bfs matches level-by-level reference on random digraphs") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 0 until 3) {
+      val n = 30
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val adj = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+      var dist = Map(0L -> 0L)
+      var frontier = Seq(0L)
+      var lvl = 0L
+      while (frontier.nonEmpty) {
+        lvl += 1
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Nil))
+          .filterNot(dist.contains).distinct
+        frontier.foreach(v => dist += v -> lvl)
+      }
+      val got = Components.bfsDistances(edges.toDF("src", "dst"), source = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(got === dist, s"trial=$trial")
+    }
+  }
+
   // --- triangles ---
 
   private def tris(edges: Seq[(Long, Long)]): Set[(Long, Long, Long)] =
