@@ -171,10 +171,10 @@ object Components {
       .join(adj.select(col("u").as("w"), col("nbr").as("nw")), Seq("w"))
       .select(col("u"), col("w"),
         explode(array_intersect(col("nu"), col("nw"))).as("t"))
-      .select(least(col("u"), col("w"), col("t")).as("a"),
-        (col("u") + col("w") + col("t") - least(col("u"), col("w"), col("t"))
-          - greatest(col("u"), col("w"), col("t"))).as("b"),
-        greatest(col("u"), col("w"), col("t")).as("c"))
+      // canonicalize by sorting the triple — a sum-minus-extremes middle
+      // would wrap int64 for hash-derived vertex ids near 2⁶²
+      .select(sort_array(array(col("u"), col("w"), col("t"))).as("s"))
+      .select(col("s")(0).as("a"), col("s")(1).as("b"), col("s")(2).as("c"))
   }
 
   /** PageRank over a directed edge list, run ENTIRELY in scaled integer

@@ -75,7 +75,10 @@ object TextAnalysis {
 
   /** Per-document top-k TF-IDF keywords — the keyword-extraction /
     * doc-tagging step of a curation pipeline. Corpus df counts collapse to
-    * a vocab-sized table broadcast back onto the per-doc tf rows; ranking
+    * a vocab-sized table equi-joined back onto the per-doc tf rows — NOT
+    * hint-broadcast: a web-scale vocabulary (URLs, typos, numbers) is
+    * unbounded, so the join is left to AQE, which broadcasts exactly when
+    * the built side is actually small. Ranking
     * is a row_number window partitioned BY DOCUMENT, which is the
     * scale-safe window shape (partition cardinality = corpus size, width =
     * distinct terms per doc — the opposite of the few-partition funnel
@@ -93,7 +96,7 @@ object TextAnalysis {
     val nDocs = df.agg(count(lit(1)).cast("double").as("nd"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("score").desc, col("w"))
-    tf.join(broadcast(dfreq), "w").crossJoin(broadcast(nDocs))
+    tf.join(dfreq, "w").crossJoin(broadcast(nDocs))
       .select(col("id"), col("w"),
         round(col("tf") * log(col("nd") / col("df")), 4).as("score"))
       .withColumn("r", row_number().over(win).cast("int"))

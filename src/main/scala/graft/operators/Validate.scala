@@ -74,9 +74,15 @@ object Validate {
     require(groupCols.nonEmpty, "zOutliers needs >= 1 group column")
     require(cut > 0, s"cut must be positive (got $cut)")
     val v = col(valueCol).cast("long")
+    // moments accumulate in decimal(38,0): sum(v*v) over a big group wraps
+    // a LongType sum silently (Spark's non-ANSI sum), which would corrupt
+    // the variance while the oracle's HUGEINT sum stays exact. The decimal
+    // square is taken on a decimal operand so the per-row product cannot
+    // wrap either; decimal→double rounds once, same as the oracle's cast.
+    val vd = v.cast("decimal(19,0)")
     val stats = df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("__n"), sum(v).as("__s"),
-        sum(v * v).as("__ss"))
+      .agg(count(lit(1)).as("__n"), sum(vd).as("__s"),
+        sum(vd * vd).as("__ss"))
       .where(col("__n") > 1)
       .select(groupCols.map(col) :+
         (col("__s").cast("double") / col("__n")).as("__mean") :+

@@ -920,14 +920,6 @@ object Queries {
       .orderBy("depth")
   }
 
-  /** PageRank on the customer↔supplier trade graph (edges = distinct
-    * (custkey, suppkey) pairs through orders⨝lineitem, symmetrized; id
-    * spaces disjoint by even/odd encoding), 5 rounds of
-    * [[operators.Components.pageRank]]'s scaled-integer recurrence. Ranks
-    * are BIGINTs, so the DuckDB oracle — the same recurrence unrolled as
-    * five chained CTEs with `//` — must match bit for bit: the iterative
-    * engine loop is pinned against a straight-line relational spelling
-    * with no float tolerance at all. */
   /** Symmetrized customer↔supplier trade graph: distinct (custkey,
     * suppkey) pairs through orders⨝lineitem; id spaces kept disjoint by
     * even/odd encoding. Shared by the graph queries. */
@@ -940,6 +932,12 @@ object Queries {
     oi.union(oi.select(col("d"), col("s")))
   }
 
+  /** PageRank on the trade graph, 5 rounds of
+    * [[operators.Components.pageRank]]'s scaled-integer recurrence. Ranks
+    * are BIGINTs, so the DuckDB oracle — the same recurrence unrolled as
+    * five chained CTEs with `//` — must match bit for bit: the iterative
+    * engine loop is pinned against a straight-line relational spelling
+    * with no float tolerance at all. */
   private val qPagerank: Q = (s, sf) =>
     Components.pageRank(tradeEdges(s, sf), "s", "d", iters = 5)
       .orderBy(col("rank").desc, col("id"))
@@ -965,10 +963,11 @@ object Queries {
   private val qTriangles: Q = (s, sf) => {
     val li = t(s, sf, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    // no .distinct() here: triangles canonicalizes and dedups internally,
+    // so a caller-side dedup would just add a second full shuffle
     val e = li.as("x").join(li.as("y"),
         col("x.o") === col("y.o") && col("x.p") < col("y.p"))
       .select(col("x.p").as("src"), col("y.p").as("dst"))
-      .distinct()
     Components.triangles(e)
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri"))
