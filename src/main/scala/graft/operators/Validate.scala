@@ -54,6 +54,40 @@ object Validate {
     checks.reduce(_.unionByName(_)).orderBy("check")
   }
 
+  /** Per-slice KL divergence of a categorical distribution against the
+    * whole corpus — the drift monitor of a training pipeline (is source X's
+    * language mix diverging from the corpus mix?). KL(p_slice ‖ p_corpus)
+    * = Σ_c p(c) · ln(p(c)/q(c)), categories with zero slice mass
+    * contribute 0.
+    *
+    * `cats` is the EXPLICIT category list, and the sum is the left-assoc
+    * fold over it in list order — not a SUM() aggregate over category
+    * rows. That is deliberate: aggregate summation order is
+    * engine-/partitioning-dependent, so a float SUM can differ in the
+    * last ulp between runs or engines, while a fixed-order expression
+    * tree reproduces bit-identically (the q_drift oracle spells the same
+    * chain and matches with no tolerance). Counts are exact integers via
+    * conditional aggregation — one partial-agg pass per slice plus one
+    * broadcast corpus row; nothing else shuffles. Categories outside
+    * `cats` are ignored (add a sentinel bucket to `cats` to track them). */
+  def klDrift(df: DataFrame, sliceCol: String, catCol: String,
+      cats: Seq[String]): DataFrame = {
+    require(cats.nonEmpty, "klDrift needs >= 1 category")
+    require(cats.distinct == cats, "klDrift categories must be distinct")
+    def cnt(c: String) = sum(when(col(catCol) === c, 1L).otherwise(0L))
+    val slice = df.groupBy(col(sliceCol))
+      .agg(count(lit(1)).as("n"), cats.map(c => cnt(c).as(s"c_$c")): _*)
+    val corpus = df.agg(count(lit(1)).as("nn"),
+      cats.map(c => cnt(c).as(s"g_$c")): _*)
+    def term(c: String) = {
+      val p = col(s"c_$c").cast("double") / col("n")
+      val q = col(s"g_$c").cast("double") / col("nn")
+      when(col(s"c_$c") > 0, p * log(p / q)).otherwise(lit(0.0))
+    }
+    slice.crossJoin(broadcast(corpus))
+      .select(col(sliceCol), cats.map(term).reduce(_ + _).as("kl"))
+  }
+
   /** Per-group z-score outliers of an INTEGRAL value column — the
     * distribution-shift / anomaly screen of a quality pipeline (a doc
     * whose length sits far outside its language×source cohort is suspect).

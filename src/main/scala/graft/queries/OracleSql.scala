@@ -42,6 +42,23 @@ object OracleSql {
       "SELECT id, r AS \"rank\" FROM p5 ORDER BY r DESC, id LIMIT 20"
   }
 
+  // KL drift: exact conditional counts; the five per-language terms are
+  // summed as one fixed-order left-assoc chain (not an aggregate SUM),
+  // matching the engine's expression tree bit-for-bit.
+  private val driftSql: String = {
+    val langs = Seq("en", "zh", "es", "de", "fr")
+    def cnts(p: String) = langs
+      .map(l => s"sum(CASE WHEN lang='$l' THEN 1 ELSE 0 END) ${p}_$l")
+      .mkString(", ")
+    val terms = langs.map { l =>
+      s"(CASE WHEN c_$l > 0 THEN (CAST(c_$l AS DOUBLE)/n) * " +
+        s"ln((CAST(c_$l AS DOUBLE)/n)/(CAST(g_$l AS DOUBLE)/nn)) ELSE 0 END)"
+    }.mkString(" + ")
+    s"WITH s AS (SELECT source, count(*) n, ${cnts("c")} FROM documents GROUP BY source), " +
+      s"g AS (SELECT count(*) nn, ${cnts("g")} FROM documents) " +
+      s"SELECT source, round($terms, 4) kl FROM s, g ORDER BY source"
+  }
+
   // BFS min-relaxation from node 2 unrolled to 6 rounds (eccentricity of
   // the source on this graph is 4 at every shipped SF, measured) — the
   // engine's fixpoint must reproduce the integer distances bit-exactly.
@@ -300,6 +317,8 @@ object OracleSql {
     "q_pagerank" -> pagerankSql,
     // fixpoint min-relaxation vs 6 straight-line rounds — integer-exact
     "q_bfs" -> bfsSql,
+    // fixed-order KL chain over the known language list — no tolerance
+    "q_drift" -> driftSql,
     // engine = degree-ordered compact-forward; oracle = naive a<b<c
     // triple self-join — per-node counts are enumeration-invariant
     "q_triangles" ->

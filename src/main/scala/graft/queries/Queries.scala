@@ -993,6 +993,18 @@ object Queries {
     TextAnalysis.keywords(t(s, sf, "documents"), "doc_id", "text", 3)
       .orderBy("doc_id", "r")
 
+  /** Language-mix drift per source vs the whole corpus
+    * ([[operators.Validate.klDrift]]): KL divergence from exact
+    * conditional counts, summed as a FIXED-ORDER expression chain over
+    * the five known languages (an aggregate SUM's float order is
+    * engine-dependent; the expression tree reproduces bit-identically,
+    * so the oracle matches at 4 dp with no tolerance games). */
+  private val qDrift: Q = (s, sf) =>
+    Validate.klDrift(t(s, sf, "documents"), "source", "lang",
+        Seq("en", "zh", "es", "de", "fr"))
+      .select(col("source"), round(col("kl"), 4).as("kl"))
+      .orderBy("source")
+
   /** Exact heavy hitters by the classic two-pass sketch plan: pass 1
     * folds the token stream into one ≤k Misra–Gries buffer per map task
     * (mergeable [[graft.functions.MisraGriesAgg]] — the shuffle carries
@@ -1502,6 +1514,7 @@ object Queries {
     "q_keywords" -> qKeywords,
     "q_anomaly" -> qAnomaly,
     "q_heavy_hitters" -> qHeavyHitters,
+    "q_drift" -> qDrift,
     "q_shuffle" -> qShuffle,
     "q_chunk" -> qChunk,
     "q_mix" -> qMix,

@@ -130,6 +130,15 @@ class ComponentsSpec extends SparkSpec {
     assert(pr(Seq((1L, 2L), (2L, 1L)), 0).values.toSet === Set(1000000000L))
   }
 
+  test("graph ops tolerate empty edge lists") {
+    val empty = spark.emptyDataset[(Long, Long)].toDF("src", "dst")
+    assert(Components.pageRank(empty).isEmpty)
+    assert(Components.triangles(empty).isEmpty)
+    // bfs: an isolated source is still at distance 0 of itself
+    assert(Components.bfsDistances(empty, source = 5L)
+      .as[(Long, Long)].collect().toMap === Map(5L -> 0L))
+  }
+
   // --- bfsDistances ---
 
   test("bfs: chain with shortcut; unreachable nodes absent") {

@@ -55,6 +55,30 @@ class ValidateSpec extends SparkSpec {
     assert(math.abs(got(9L) - (500.0 - mean) / math.sqrt(variance)) < 1e-12)
   }
 
+  test("klDrift: identical slices diverge zero; skew matches hand formula") {
+    // slice a: 3 en / 1 de; slice b: 1 en / 3 de; corpus: 4 en / 4 de
+    val df = (Seq.fill(3)("en") :+ "de").map(("a", _)) ++
+      (Seq.fill(3)("de") :+ "en").map(("b", _))
+    val got = Validate.klDrift(df.toDF("src", "lang"), "src", "lang",
+        Seq("en", "de")).as[(String, Double)].collect().toMap
+    val kl = 0.75 * math.log(0.75 / 0.5) + 0.25 * math.log(0.25 / 0.5)
+    assert(math.abs(got("a") - kl) < 1e-12 && math.abs(got("b") - kl) < 1e-12)
+    // uniform corpus: a slice with the corpus mix has zero divergence
+    val uni = Seq(("a", "en"), ("a", "de"), ("b", "en"), ("b", "de"))
+    val z = Validate.klDrift(uni.toDF("src", "lang"), "src", "lang",
+      Seq("en", "de")).as[(String, Double)].collect().toMap
+    assert(z.values.forall(_ == 0.0))
+  }
+
+  test("klDrift: categories absent from a slice contribute zero, not NaN") {
+    val df = Seq(("a", "en"), ("a", "en"), ("b", "en"), ("b", "de"))
+    val got = Validate.klDrift(df.toDF("src", "lang"), "src", "lang",
+        Seq("en", "de")).as[(String, Double)].collect().toMap
+    // slice a has no 'de': its KL is 1.0*ln(1.0/0.75), finite
+    assert(math.abs(got("a") - math.log(1.0 / 0.75)) < 1e-12)
+    assert(!got.values.exists(_.isNaN))
+  }
+
   test("zOutliers: cut bounds are respected in both tails") {
     val rows = Seq((1L, "g", 0L), (2L, "g", 10L), (3L, "g", 10L),
       (4L, "g", 10L), (5L, "g", 20L))
