@@ -92,6 +92,41 @@ object Components {
       .select(col("id"), col("comp"), col("sz"))
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007) for community
+    * detection, made DETERMINISTIC: every vertex starts labeled with its
+    * own id and each round adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label — the classic LPA
+    * "random tie" replaced with a total order so results are stable
+    * across runs, partitionings, and engines (synchronous LPA can
+    * oscillate on bipartite-ish structure, hence FIXED rounds rather
+    * than a fixpoint: `rounds` IS the semantic, and an oracle unrolls
+    * the same rounds straight-line).
+    *
+    * The per-vertex argmax is `max(struct(count, -label))` — a plain
+    * partial-aggregable max, no per-vertex window, no shuffle beyond the
+    * (vertex, label) count. Labels/ids must be non-negative (the
+    * negation trick turns smallest-label into largest-(-label)).
+    * Symmetrize the edge list for undirected communities; a vertex's own
+    * label does not vote (neighbors only, the standard rule). */
+  def labelPropagation(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", rounds: Int = 3): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0 (got $rounds)")
+    val e = edges.select(col(srcCol).cast("long").as("s"),
+      col(dstCol).cast("long").as("d")).distinct().localCheckpoint(true)
+    var labels = e.select(col("s").as("id")).union(e.select(col("d")))
+      .distinct().withColumn("lbl", col("id")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = e.join(labels.withColumnRenamed("id", "s"), "s")
+        .groupBy(col("d").as("id"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("id")
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("id"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   /** Single-source BFS distances over a directed edge list — the
     * reachability / hop-count workload (the other canonical recursive-CTE
     * shape next to [[Iterate.treeDepth]]'s hierarchy flattening), run as

@@ -59,6 +59,24 @@ object OracleSql {
       s"SELECT source, round($terms, 4) kl FROM s, g ORDER BY source"
   }
 
+  // deterministic synchronous LPA unrolled 3 rounds: the window argmax
+  // (count DESC, label ASC) is the ANSI spelling of the engine's
+  // max(struct(count, -label)) — integer labels, bit-exact.
+  private val communitiesSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"l$i AS (SELECT id, lbl FROM (SELECT e.d id, l${i - 1}.lbl, " +
+        s"row_number() OVER (PARTITION BY e.d ORDER BY count(*) DESC, l${i - 1}.lbl) rn " +
+        s"FROM l${i - 1} JOIN e ON e.s = l${i - 1}.id GROUP BY e.d, l${i - 1}.lbl) t " +
+        "WHERE rn = 1)"
+    }.mkString(", ")
+    "WITH oi AS (SELECT DISTINCT 2*o_custkey AS s, 2*l_suppkey+1 AS d " +
+      "FROM orders JOIN lineitem ON l_orderkey = o_orderkey), " +
+      "e AS (SELECT s, d FROM oi UNION ALL SELECT d AS s, s AS d FROM oi), " +
+      "n AS (SELECT s AS id FROM e UNION SELECT d FROM e), " +
+      "l0 AS (SELECT id, id lbl FROM n), " + rounds + " " +
+      "SELECT id, lbl FROM l3 ORDER BY id LIMIT 100"
+  }
+
   // BFS min-relaxation from node 2 unrolled to 6 rounds (eccentricity of
   // the source on this graph is 4 at every shipped SF, measured) — the
   // engine's fixpoint must reproduce the integer distances bit-exactly.
@@ -319,6 +337,8 @@ object OracleSql {
     "q_bfs" -> bfsSql,
     // fixed-order KL chain over the known language list — no tolerance
     "q_drift" -> driftSql,
+    // 3 unrolled LPA rounds, window argmax == struct-max — integer-exact
+    "q_communities" -> communitiesSql,
     // engine = degree-ordered compact-forward; oracle = naive a<b<c
     // triple self-join — per-node counts are enumeration-invariant
     "q_triangles" ->

@@ -943,6 +943,18 @@ object Queries {
       .orderBy(col("rank").desc, col("id"))
       .limit(20)
 
+  /** Community census of the trade graph after 3 synchronous
+    * label-propagation rounds ([[operators.Components.labelPropagation]]
+    * — deterministic LPA: most-frequent neighbor label, ties to the
+    * smallest). Fixed rounds ARE the semantic (synchronous LPA may
+    * oscillate), so the oracle unrolls the same 3 rounds with the ANSI
+    * row_number argmax while the engine uses the partial-aggregable
+    * max(struct(count, -label)) — integer labels, bit-exact. */
+  private val qCommunities: Q = (s, sf) =>
+    Components.labelPropagation(tradeEdges(s, sf), "s", "d", rounds = 3)
+      .orderBy("id")
+      .limit(100)
+
   /** Single-source hop distances on the trade graph from customer 1
     * (node 2), as a per-distance census — the reachability workload on
     * [[operators.Components.bfsDistances]]'s fixpoint min-relaxation.
@@ -1510,6 +1522,7 @@ object Queries {
     "q_pagerank" -> qPagerank,
     "q_triangles" -> qTriangles,
     "q_bfs" -> qBfs,
+    "q_communities" -> qCommunities,
     "q_stratified" -> qStratified,
     "q_keywords" -> qKeywords,
     "q_anomaly" -> qAnomaly,

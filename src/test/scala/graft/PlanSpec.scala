@@ -234,11 +234,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q_triangles / q_pagerank joins stay equi: never cartesian") {
-    Seq("q_triangles", "q_pagerank").foreach { q =>
+  test("q_triangles / q_pagerank / q_bfs joins stay equi: never cartesian") {
+    Seq("q_triangles", "q_pagerank", "q_bfs").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: $p")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: $p")
     }
+  }
+
+  test("q_drift broadcasts the one-row corpus counts; no category shuffle") {
+    val p = plan("q_drift")
+    assert(p.contains("BroadcastExchange"), p) // the corpus-totals row
+    // exactly one hash shuffle: the per-source conditional aggregate
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q_keywords windows per document, never a few-partition funnel") {
+    val p = plan("q_keywords")
+    // the only Window is partitioned by the document id — partition count
+    // scales with the corpus, the opposite of the q_quota funnel shape
+    assert(p.contains("Window"), p)
+    assert(p.contains("windowspecdefinition(id"), p)
   }
 }

@@ -171,6 +171,52 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  // --- labelPropagation ---
+
+  private def lpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
+    Components.labelPropagation(edges.toDF("src", "dst"), rounds = rounds)
+      .as[(Long, Long)].collect().toMap
+
+  /** Single-threaded reference of the same deterministic rule (most
+    * frequent in-neighbor label, ties to smallest) on symmetric graphs. */
+  private def lpaRef(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    var lbl = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      val in = e.groupBy(_._2)
+      lbl = in.map { case (v, es) =>
+        // toSeq BEFORE re-keying: a Map keyed by count would collapse
+        // labels with tied counts into one arbitrary survivor
+        val votes = es.groupBy(x => lbl(x._1)).toSeq.map { case (l, g) => (g.size, l) }
+        v -> votes.sortBy(t => (-t._1, t._2)).head._2
+      }
+    }
+    lbl
+  }
+
+  test("labelPropagation: two cliques with a bridge settle into two communities") {
+    def clique(vs: Seq[Long]) =
+      for (a <- vs; b <- vs if a != b) yield (a, b)
+    val edges = clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++
+      Seq((3L, 10L), (10L, 3L))
+    val got = lpa(edges, 3)
+    assert(got === lpaRef(edges, 3))
+    assert(Seq(0L, 1L, 2L).forall(v => got(v) == 0L))
+    assert(Seq(11L, 12L, 13L).forall(v => got(v) == 10L))
+  }
+
+  test("labelPropagation matches the reference on random symmetric graphs") {
+    val rnd = new scala.util.Random(53)
+    for (trial <- 0 until 3) {
+      val n = 16
+      val base = Seq.fill(40)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val edges = (base ++ base.map(_.swap)).distinct
+      assert(lpa(edges, 3) === lpaRef(edges, 3), s"trial=$trial")
+    }
+  }
+
   // --- triangles ---
 
   private def tris(edges: Seq[(Long, Long)]): Set[(Long, Long, Long)] =

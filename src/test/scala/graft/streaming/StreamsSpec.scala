@@ -357,4 +357,45 @@ class StreamsSpec extends SparkSpec {
       .map(r => (r.getTimestamp(0).getTime, r.getLong(2), r.getLong(3))).toSet
     assert(batch.subsetOf(stream + ((ts(999).getTime, 9L, 1L))) )
   }
+
+  test("streaming index maintenance: per-batch band/token appends == full recompute") {
+    // the ingest side of the persisted-index incremental dedup: each
+    // micro-batch of documents appends its LSH band rows + token-hash
+    // arrays to the index layout; a later delta probed against the
+    // STREAMED index must equal the in-memory form that derives the whole
+    // corpus in-plan. Closes the loop between Streams and
+    // Dedup.incrementalLshVerifiedPairs' production path.
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graftstreamidx").toString
+    def text(i: Long) = s"alpha bravo charlie delta echo tok$i tok${i + 1} " +
+      s"tok${i + 2} tok${i + 3} tok${i + 4} tok${i + 5} tok${i + 6}"
+    val corpus = (0L until 40L).map(i => (i, text(i)))
+    val src = MemoryStream[(Long, String)]
+    val q = src.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Dedup.lshBands(batch, "doc_id", "text", 8, 2)
+          .write.mode("append").parquet(s"$dir/bands")
+        Dedup.tokenHashIndex(batch, "doc_id", "text")
+          .write.mode("append").parquet(s"$dir/tokens")
+        ()
+      }
+      .start()
+    corpus.grouped(10).foreach { b => src.addData(b); q.processAllAvailable() }
+    q.stop()
+    // delta: near-dups of docs 3 and 17 (one token appended) + one fresh
+    val delta = Seq((103L, text(3) + " zzz"), (117L, text(17) + " zzz"),
+      (200L, "totally different words entirely unrelated content here"))
+      .toDF("doc_id", "text")
+    val viaIndex = Dedup.incrementalLshVerifiedPairs(
+      spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/tokens"),
+      delta, "doc_id", "text", 8, 2, 0.7)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    val inMem = Dedup.incrementalLshVerifiedPairs(
+      corpus.toDF("doc_id", "text"), delta, "doc_id", "text", 8, 2, 0.7)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(viaIndex === inMem)
+    assert(viaIndex.exists(p => p._1 == 3L || p._2 == 103L),
+      s"expected the planted near-dup pair, got $viaIndex")
+  }
 }
