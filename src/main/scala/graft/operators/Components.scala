@@ -92,6 +92,36 @@ object Components {
       .select(col("id"), col("comp"), col("sz"))
   }
 
+  /** Cheapest paths within a hop budget — `hops` rounds of Bellman–Ford
+    * relaxation over integer edge weights: dist'(v) = min(dist(v),
+    * min_{u→v}(dist(u) + w(u,v))). The hop bound IS the semantic (the
+    * cheapest cost using at most `hops` edges), which is what makes the
+    * result oracle-able: an unbounded Dijkstra needs up to |V|−1 rounds,
+    * but a fixed-round relaxation unrolls to straight-line SQL and the
+    * integer costs must match bit-for-bit. For full shortest paths pick
+    * hops ≥ the source's eccentricity (then the bound is vacuous).
+    *
+    * Parallel edges collapse to their cheapest; weights may be any
+    * integers (costs with ≤ hops edges are well-defined even negative).
+    * Same per-round shape as [[bfsDistances]]: one equi-join + one
+    * min-aggregate, lineage cut per round. Unreached vertices absent. */
+  def cheapestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, source: Long, hops: Int): DataFrame = {
+    require(hops >= 0, s"hops must be >= 0 (got $hops)")
+    val e = edges.select(col(srcCol).cast("long").as("s"),
+        col(dstCol).cast("long").as("d"), col(weightCol).cast("long").as("w"))
+      .groupBy("s", "d").agg(min("w").as("w")).localCheckpoint(true)
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("id"), lit(0L).as("dist"))
+    for (_ <- 1 to hops) {
+      dist = dist.union(dist.join(e, col("id") === col("s"))
+          .select(col("d").as("id"), (col("dist") + col("w")).as("dist")))
+        .groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007) for community
     * detection, made DETERMINISTIC: every vertex starts labeled with its
     * own id and each round adopts the most frequent label among its

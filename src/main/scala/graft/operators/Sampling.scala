@@ -145,6 +145,22 @@ object Sampling {
       .drop("__tk", "__run")
   }
 
+  /** Weighted-sampling key of Efraimidis & Spirakis (IPL 2006), in the
+    * exponential form: key = −ln(u)/w with u uniform in (0, 1] — the k
+    * SMALLEST keys are a weighted random sample WITHOUT replacement where
+    * each row's inclusion odds are proportional to `weight` (the keys are
+    * Exp(w) draws; the minimum of exponentials picks i with probability
+    * wᵢ/Σw, recursively). u derives from [[hashKey]], so the "random"
+    * sample is deterministic: same rows every run/retry/engine, and a
+    * row's key never changes as the corpus grows. u = (hash+1)/2³² stays
+    * strictly positive (ln 0 guard) and is EXACT in a double (integer
+    * over a power of two), so any engine spelling the same expression
+    * reproduces the keys bit-identically. Weights must be positive.
+    * Selecting the global top-k by this key is one TakeOrdered — no
+    * shuffle of the corpus. */
+  def weightedKey(key: Column, weight: Column): Column =
+    -log((hashKey(key) + 1).cast("double") / 4294967296.0) / weight
+
   /** Deterministic uniform k-per-stratum sample: each stratum keeps the k
     * rows with the LARGEST md5 key hashes (hash order ≈ uniform random
     * order, but stable across runs/retries/engines, and a kept row stays

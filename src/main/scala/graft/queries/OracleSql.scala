@@ -77,6 +77,24 @@ object OracleSql {
       "SELECT id, lbl FROM l3 ORDER BY id LIMIT 100"
   }
 
+  // 4 Bellman-Ford rounds from node 2, integer edge costs = per-pair
+  // lineitem counts; the hop budget is the semantic, so the unroll is
+  // exact, not an approximation of convergence.
+  private val ssspSql: String = {
+    val rounds = (1 to 4).map { i =>
+      s"s$i AS (SELECT id, min(dist) dist FROM (SELECT id, dist FROM s${i - 1} " +
+        s"UNION ALL SELECT e.d, s${i - 1}.dist + e.w FROM s${i - 1} " +
+        s"JOIN e ON e.s = s${i - 1}.id) t GROUP BY id)"
+    }.mkString(", ")
+    "WITH pc AS (SELECT 2*o_custkey AS s, 2*l_suppkey+1 AS d, count(*) w " +
+      "FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1, 2), " +
+      "e AS (SELECT s, d, CAST(w AS BIGINT) w FROM pc " +
+      "UNION ALL SELECT d, s, CAST(w AS BIGINT) FROM pc), " +
+      "s0 AS (SELECT CAST(2 AS BIGINT) id, CAST(0 AS BIGINT) dist), " +
+      rounds + " " +
+      "SELECT id, dist FROM s4 ORDER BY id LIMIT 100"
+  }
+
   // BFS min-relaxation from node 2 unrolled to 6 rounds (eccentricity of
   // the source on this graph is 4 at every shipped SF, measured) — the
   // engine's fixpoint must reproduce the integer distances bit-exactly.
@@ -335,6 +353,8 @@ object OracleSql {
     "q_pagerank" -> pagerankSql,
     // fixpoint min-relaxation vs 6 straight-line rounds — integer-exact
     "q_bfs" -> bfsSql,
+    // bounded-hop Bellman-Ford vs 4 straight-line rounds — integer-exact
+    "q_sssp" -> ssspSql,
     // fixed-order KL chain over the known language list — no tolerance
     "q_drift" -> driftSql,
     // 3 unrolled LPA rounds, window argmax == struct-max — integer-exact
@@ -351,6 +371,14 @@ object OracleSql {
         "nd AS (SELECT unnest([a, b, c]) node FROM tr) " +
         "SELECT node, count(*) tri FROM nd GROUP BY node " +
         "ORDER BY tri DESC, node LIMIT 15"),
+    // Efraimidis-Spirakis key spelled identically: u = (md5bits+1)/2^32 is
+    // double-exact, so ranking by the raw key agrees bit-for-bit
+    "q_weighted_sample" -> {
+      val k = "-ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,8)) " +
+        "AS BIGINT) + 1)/4294967296.0)/n_chars"
+      s"SELECT doc_id, n_chars, round($k, 8) k FROM documents " +
+        s"ORDER BY $k, doc_id LIMIT 20"
+    },
     // engine = mergeable TopKAgg on the md5 key order; oracle = the ANSI
     // row_number spelling of the same descending-hash sample
     "q_stratified" ->

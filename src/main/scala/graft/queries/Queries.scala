@@ -955,6 +955,23 @@ object Queries {
       .orderBy("id")
       .limit(100)
 
+  /** Cheapest trade routes within 4 hops from customer 1: edge cost =
+    * lineitem count of the (customer, supplier) pair, 4 Bellman–Ford
+    * rounds ([[operators.Components.cheapestPaths]] — the hop budget is
+    * the semantic, which is what keeps the oracle straight-line). Integer
+    * costs, bit-exact against the unrolled relaxation. */
+  private val qSssp: Q = (s, sf) => {
+    val pc = t(s, sf, "orders")
+      .join(t(s, sf, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("s"), (col("l_suppkey") * 2 + 1).as("d"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint(true) // feeds both union branches
+    val e = pc.union(pc.select(col("d"), col("s"), col("w")))
+    Components.cheapestPaths(e, "s", "d", "w", source = 2L, hops = 4)
+      .orderBy("id")
+      .limit(100)
+  }
+
   /** Single-source hop distances on the trade graph from customer 1
     * (node 2), as a per-distance census — the reachability workload on
     * [[operators.Components.bfsDistances]]'s fixpoint min-relaxation.
@@ -986,6 +1003,19 @@ object Queries {
       .orderBy(col("tri").desc, col("node"))
       .limit(15)
   }
+
+  /** Length-weighted sample: 20 docs drawn with probability ∝ n_chars by
+    * the Efraimidis–Spirakis key ([[operators.Sampling.weightedKey]]) —
+    * importance sampling for curation, deterministic under the md5
+    * uniform. Ranking uses the raw key (bit-identical cross-engine);
+    * the emitted key is rounded for display only. */
+  private val qWeightedSample: Q = (s, sf) =>
+    t(s, sf, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        Sampling.weightedKey(col("doc_id"), col("n_chars")).as("k"))
+      .orderBy(col("k"), col("doc_id"))
+      .limit(20)
+      .select(col("doc_id"), col("n_chars"), round(col("k"), 8).as("k"))
 
   /** Deterministic uniform 10-per-stratum sample over lang×source by md5
     * key order ([[operators.Sampling.stratifiedSample]]) — the mergeable
@@ -1522,8 +1552,10 @@ object Queries {
     "q_pagerank" -> qPagerank,
     "q_triangles" -> qTriangles,
     "q_bfs" -> qBfs,
+    "q_sssp" -> qSssp,
     "q_communities" -> qCommunities,
     "q_stratified" -> qStratified,
+    "q_weighted_sample" -> qWeightedSample,
     "q_keywords" -> qKeywords,
     "q_anomaly" -> qAnomaly,
     "q_heavy_hitters" -> qHeavyHitters,

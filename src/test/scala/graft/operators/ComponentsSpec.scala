@@ -171,6 +171,32 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  // --- cheapestPaths ---
+
+  private def sssp(edges: Seq[(Long, Long, Long)], source: Long,
+      hops: Int): Map[Long, Long] =
+    Components.cheapestPaths(edges.toDF("src", "dst", "w"), "src", "dst", "w",
+      source, hops).as[(Long, Long)].collect().toMap
+
+  test("cheapestPaths relaxes through cheaper multi-hop routes") {
+    // direct 0->3 costs 10; the 0->1->2->3 route costs 3
+    val e = Seq((0L, 3L, 10L), (0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L))
+    assert(sssp(e, 0L, 3) === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // parallel edges collapse to the cheapest
+    assert(sssp(e :+ ((0L, 1L, 7L)), 0L, 3) ===
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("cheapestPaths honors the hop budget as the semantic") {
+    // with only 1 hop the expensive direct edge is the best available;
+    // 3 hops unlock the cheap route — both answers are CORRECT for their
+    // budget, which is exactly why the bounded form is oracle-able
+    val e = Seq((0L, 3L, 10L), (0L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 1L))
+    assert(sssp(e, 0L, 1) === Map(0L -> 0L, 1L -> 1L, 3L -> 10L))
+    assert(sssp(e, 0L, 2) === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 10L))
+    assert(sssp(e, 0L, 3)(3L) === 3L)
+  }
+
   // --- labelPropagation ---
 
   private def lpa(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =

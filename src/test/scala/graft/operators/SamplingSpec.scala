@@ -134,6 +134,27 @@ class SamplingSpec extends SparkSpec {
     assert(parts > 1, s"packing ran on $parts partition(s)")
   }
 
+  test("weightedKey: inclusion odds track the weights; scaling is order-invariant") {
+    // 1000 rows, weight 9 for multiples of 3 and 1 otherwise: expected
+    // share of weight-9 rows in a small sample ~ (333*9)/(333*9+667) = 0.82
+    val df = (0L until 1000L).map(i => (i, if (i % 3 == 0) 9L else 1L))
+      .toDF("id", "w")
+    val top = df.select(col("id"), Sampling.weightedKey(col("id"), col("w")).as("k"))
+      .orderBy("k").limit(100).select("id").as[Long].collect()
+    val heavy = top.count(_ % 3 == 0)
+    assert(heavy > 60 && heavy < 100, s"heavy=$heavy of 100")
+    // multiplying every weight by a constant rescales all keys equally:
+    // the selected sample (and its order) must not change
+    val top2 = df.select(col("id"),
+        Sampling.weightedKey(col("id"), col("w") * 1000).as("k"))
+      .orderBy("k").limit(100).select("id").as[Long].collect()
+    assert(top.toSeq === top2.toSeq)
+    // determinism across evaluations
+    val again = df.select(col("id"), Sampling.weightedKey(col("id"), col("w")).as("k"))
+      .orderBy("k").limit(100).select("id").as[Long].collect()
+    assert(top.toSeq === again.toSeq)
+  }
+
   test("stratifiedSample: k largest hashes per stratum, window-equivalent") {
     val df = (0L until 200L).map(i => (i, s"g${i % 3}")).toDF("id", "g")
     val got = Sampling.stratifiedSample(df, "id", 5, Seq("g"))
