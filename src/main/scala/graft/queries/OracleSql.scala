@@ -655,6 +655,11 @@ object OracleSql {
     // multi-probe: candidates from the query bucket XOR each single bit
     "q_ann_multiprobe" ->
       "WITH b AS (SELECT vec_id, embedding, 4*(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + 2*(CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) bk FROM embeddings), qb AS (SELECT bk FROM b WHERE vec_id=0), probes AS (SELECT bk FROM qb UNION SELECT xor(bk, 1) FROM qb UNION SELECT xor(bk, 2) FROM qb UNION SELECT xor(bk, 4) FROM qb), cand AS (SELECT b.vec_id, b.embedding FROM b JOIN probes ON b.bk = probes.bk WHERE b.vec_id<>0), qv AS (SELECT u.i i, u.v v FROM (SELECT unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings WHERE vec_id=0) u), ev AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding,1) i FROM cand), d AS (SELECT ev.vec_id, sum(ev.v*qv.v) dot, sqrt(sum(ev.v*ev.v)) nrm FROM ev JOIN qv ON ev.i=qv.i GROUP BY ev.vec_id), nq AS (SELECT sqrt(sum(v*v)) n FROM qv) SELECT d.vec_id, round(d.dot/(d.nrm*nq.n),4) cos FROM d, nq ORDER BY cos DESC, d.vec_id LIMIT 10",
+    // PQ ANN (mirrors Pq.searchPq): code Hamming == per-dim sign
+    // disagreements (the 8x8 sign codes tile all 64 dims), shortlist 50
+    // by (ham, id), exact-cosine re-rank top 10.
+    "q_ann_pq" ->
+      "WITH qv AS (SELECT generate_subscripts(embedding,1) i, unnest(embedding) v FROM embeddings WHERE vec_id=0), ev AS (SELECT vec_id, generate_subscripts(embedding,1) i, unnest(embedding) v FROM embeddings WHERE vec_id<>0), h AS (SELECT ev.vec_id, CAST(sum(CASE WHEN (ev.v>0) <> (qv.v>0) THEN 1 ELSE 0 END) AS BIGINT) ham FROM ev JOIN qv ON ev.i=qv.i GROUP BY ev.vec_id), sl AS (SELECT vec_id, ham FROM h ORDER BY ham, vec_id LIMIT 50), d AS (SELECT ev.vec_id, sum(ev.v*qv.v) dot, sqrt(sum(ev.v*ev.v)) nrm FROM ev JOIN sl ON ev.vec_id=sl.vec_id JOIN qv ON ev.i=qv.i GROUP BY ev.vec_id), nq AS (SELECT sqrt(sum(v*v)) n FROM qv) SELECT d.vec_id, sl.ham, round(d.dot/(d.nrm*nq.n),4) cos FROM d JOIN sl ON d.vec_id=sl.vec_id, nq ORDER BY cos DESC, d.vec_id LIMIT 10",
     // Fixed axis-aligned IVF (mirrors Ivf.searchFixed): cell = argmax of
     // the first 8 dims (ties -> smallest dim), probes = query's top-2 dims.
     "q_ann_ivf_fixed" ->

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Components, Dedup, Incremental, IntervalJoin, Iterate, Ivf, Sampling, Similarity, Skew, TextAnalysis, Validate}
+import graft.operators.{AsOfJoin, Components, Dedup, Incremental, IntervalJoin, Iterate, Ivf, Pq, Sampling, Similarity, Skew, TextAnalysis, Validate}
 
 /** The declared query inventory (SURVEY.md §2) as idiomatic DataFrame-API
   * plans. Each entry is `(spark, sfDir) => DataFrame` and has a matching
@@ -811,6 +811,15 @@ object Queries {
     Ivf.searchFixed(t(s, sf, "embeddings"), "vec_id", "embedding",
       queryId = 0L, k = 10, cells = 8, nprobe = 2)
 
+  /** PQ-compressed ANN (sign-orthant codebooks, 8×8-dim subspaces =
+    * 32× compression): integer code-distance shortlist over the code
+    * table, exact cosine re-rank of the 50-row shortlist. The oracle
+    * verifies the code Hamming from the raw floats (per-dim sign
+    * disagreements) — a different formulation of the same integer. */
+  private val qAnnPq: Q = (s, sf) =>
+    Pq.searchPq(t(s, sf, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10, m = 8, subDim = 8, shortlist = 50)
+
   /** Embedding-cosine near-duplicate pairs over the WHOLE corpus,
     * bucket-blocked: the pair join is an equi-join on the 6-bit sign
     * bucket (plan-asserted non-cartesian in PlanSpec), so the pair space
@@ -1533,6 +1542,7 @@ object Queries {
     "q_ann_multiprobe" -> qAnnMultiprobe,
     "q_cosine_ivf" -> qCosineIvf,
     "q_ann_ivf_fixed" -> qAnnIvfFixed,
+    "q_ann_pq" -> qAnnPq,
     "q_embed_neardup" -> qEmbedNeardup,
     "q_dedup_exact" -> qDedupExact,
     "q_fingerprint" -> qFingerprint,
