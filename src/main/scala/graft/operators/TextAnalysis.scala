@@ -205,6 +205,30 @@ object TextAnalysis {
       nStop.as("nstop"), pass.as("pass"))
   }
 
+  /** Linear text-quality classifier scoring — the mechanical shape of the
+    * fastText-style quality filter every LLM data pipeline runs (CCNet,
+    * Wenzek et al. LREC 2020; classifier architecture of Joulin et al.
+    * 2017): featurize each document at scan speed, dot the feature vector
+    * with literal weights (a trained model's coefficients, broadcast into
+    * the plan), squash with a sigmoid. The features are exact integer
+    * ratios (word count, mean word length, stopword ratio, distinct-word
+    * ratio), so the only libm steps are ln/exp — quantized to 4 dp like
+    * q_bigram_lm's cross-entropy for engine portability. Scoring 100 TB
+    * is a narrow per-row scan: no shuffle, no state, weights in the plan. */
+  def classifierScore(textCol: String, bias: Double, wLnWc: Double,
+      wMwl: Double, wStop: Double, wUniq: Double): Column = {
+    val ws = split(col(textCol), " ")
+    val nw = size(ws).cast("double")
+    val mwl = aggregate(transform(ws, w => length(w)), lit(0),
+      (acc, x) => acc + x).cast("double") / nw
+    val stop = expr(
+      s"size(filter(split($textCol, ' '), w -> w IN $stopwordList))") / nw
+    val uniq = size(array_distinct(ws)).cast("double") / nw
+    val z = lit(bias) + lit(wLnWc) * log(nw) + lit(wMwl) * mwl +
+      lit(wStop) * stop + lit(wUniq) * uniq
+    floor(lit(1.0) / (lit(1.0) + exp(-z)) * 10000 + 0.5) / 10000
+  }
+
   /** Fixed-size character chunks with overlap (context-window prep):
     * chunk i covers [1 + i·stride, … + size); the last chunks are shorter.
     * Narrow per-row expression — chunking 100 TB is scan-speed work. */

@@ -330,6 +330,10 @@ object OracleSql {
     "q_token_count" ->
       "SELECT doc_id, len(string_split(text,' ')) wt, len(regexp_extract_all(text,'[a-z]+')) rt FROM documents ORDER BY doc_id LIMIT 100",
     // floor-quantized (not round) so the score is bit-identical x-engine.
+    // Linear classifier: same weights/features as TextAnalysis.classifierScore;
+    // keep computed FROM the quantized score (both engines gate post-floor).
+    "q_classify" ->
+      "SELECT doc_id, score, (score >= 0.5) AS keep FROM (SELECT doc_id, floor((1.0/(1.0+exp(-(-2.0 + 0.6*ln(CAST(len(string_split(text,' ')) AS DOUBLE)) - 0.4*(list_sum(list_transform(string_split(text,' '), w -> len(w)))/CAST(len(string_split(text,' ')) AS DOUBLE)) + 8.0*(len(list_filter(string_split(text,' '), w -> w IN ('the', 'a')))/CAST(len(string_split(text,' ')) AS DOUBLE)) + 1.5*(len(list_distinct(string_split(text,' ')))/CAST(len(string_split(text,' ')) AS DOUBLE))))))*10000 + 0.5)/10000 score FROM documents) ORDER BY doc_id LIMIT 100",
     "q_quality" ->
       "SELECT doc_id, floor((least(n_chars/400.0, 1.0)*0.5 + (len(list_filter(string_split(text,' '), w -> w IN ('the', 'a')))/CAST(len(string_split(text,' ')) AS DOUBLE))*0.3 + least(len(string_split(text,' '))/80.0, 1.0)*0.2)*10000 + 0.5)/10000 score FROM documents ORDER BY doc_id LIMIT 100",
     "q_lang_id" ->

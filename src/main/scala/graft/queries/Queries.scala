@@ -851,6 +851,18 @@ object Queries {
       .orderBy("doc_id")
       .limit(100)
 
+  /** Model-scoring plumbing: a linear quality classifier (fastText-filter
+    * shape) with literal trained weights, sigmoid score, threshold gate.
+    * Narrow per-row scan — the weights live in the plan. */
+  private val qClassify: Q = (s, sf) =>
+    t(s, sf, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.classifierScore("text", bias = -2.0, wLnWc = 0.6,
+          wMwl = -0.4, wStop = 8.0, wUniq = 1.5).as("score"))
+      .withColumn("keep", col("score") >= 0.5)
+      .orderBy("doc_id")
+      .limit(100)
+
   private val qQuality: Q = (s, sf) =>
     t(s, sf, "documents")
       .select(col("doc_id"), TextAnalysis.qualityScore("text", "n_chars").as("score"))
@@ -1548,6 +1560,7 @@ object Queries {
     "q_fingerprint" -> qFingerprint,
     "q_token_count" -> qTokenCount,
     "q_quality" -> qQuality,
+    "q_classify" -> qClassify,
     "q_lang_id" -> qLangId,
     "q_minhash_lsh" -> qMinhashLsh,
     "q_neardup_lsh" -> qNeardupLsh,

@@ -149,4 +149,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.keySet === Set(1L, 2L, 3L, 4L))
     assert(got.values.forall(_.size <= 2))
   }
+
+  test("classifierScore reproduces the sigmoid of hand-computed features") {
+    // doc 1: "the cat sat on a mat" -> nw=6, charsum=15, mwl=2.5,
+    // stop=2/6, uniq=1.0
+    val z = -2.0 + 0.6 * math.log(6) - 0.4 * 2.5 + 8.0 * (2.0 / 6) + 1.5 * 1.0
+    val want = math.floor(1.0 / (1.0 + math.exp(-z)) * 10000 + 0.5) / 10000
+    val got = docs.filter(col("doc_id") === 1L)
+      .select(TextAnalysis.classifierScore("text", -2.0, 0.6, -0.4, 8.0, 1.5))
+      .head.getDouble(0)
+    assert(got == want)
+    // scores are monotone in stopword weight on an all-stopword doc
+    val lo = docs.filter(col("doc_id") === 3L)
+      .select(TextAnalysis.classifierScore("text", -2.0, 0.6, -0.4, 0.0, 1.5))
+      .head.getDouble(0)
+    val hi = docs.filter(col("doc_id") === 3L)
+      .select(TextAnalysis.classifierScore("text", -2.0, 0.6, -0.4, 8.0, 1.5))
+      .head.getDouble(0)
+    assert(lo < hi && hi > 0.99) // stop ratio 1.0 with w=8 saturates
+  }
 }
