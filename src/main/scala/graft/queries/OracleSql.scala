@@ -406,6 +406,18 @@ object OracleSql {
         "SELECT doc_id, r, w, score FROM rk WHERE r <= 3 ORDER BY doc_id, r"),
     // the sketch only finds CANDIDATES; the exact recount makes the
     // result identical to the straight GROUP BY ... HAVING spelling
+    // CMS grid rebuilt with plain GROUP BYs: cell (j,h) = count of tokens
+    // hashing there; estimate = min over j of the probe's cells (0 when a
+    // probed cell is empty). Same md5-60-bit-mod-64 arithmetic as CmsAgg.
+    "q_cms" ->
+      ("WITH tok AS (SELECT w FROM (SELECT unnest(string_split(text,' ')) w FROM documents) WHERE w <> ''), " +
+        "jj AS (SELECT unnest([0,1,2]) j), " +
+        "cells AS (SELECT jj.j, CAST(concat('0x', substr(md5(concat(jj.j, ':', tok.w)),1,15)) AS BIGINT) % 64 h, count(*) c FROM tok, jj GROUP BY 1, 2), " +
+        "probes AS (SELECT unnest(['the','scan','merge','key','zzzz']) w), " +
+        "pe AS (SELECT p.w, jj.j, CAST(concat('0x', substr(md5(concat(jj.j, ':', p.w)),1,15)) AS BIGINT) % 64 h FROM probes p, jj), " +
+        "est AS (SELECT pe.w, CAST(min(coalesce(c.c, 0)) AS BIGINT) est FROM pe LEFT JOIN cells c ON pe.j=c.j AND pe.h=c.h GROUP BY pe.w), " +
+        "ex AS (SELECT w, count(*) c FROM tok GROUP BY w) " +
+        "SELECT est.w, est.est, CAST(coalesce(ex.c, 0) AS BIGINT) exact FROM est LEFT JOIN ex ON est.w=ex.w ORDER BY est.w"),
     "q_heavy_hitters" ->
       ("WITH tw AS (SELECT unnest(string_split(text,' ')) w FROM documents), " +
         "tk AS (SELECT w FROM tw WHERE w <> ''), " +

@@ -1078,6 +1078,36 @@ object Queries {
     * HAVING. (This 31-word corpus fits inside k, making the sketch
     * degenerate-exact here; the eviction/merge machinery is
     * property-tested on skewed streams in MisraGriesAggSpec.) */
+  /** Count–Min point-frequency estimation ([[graft.functions.CmsAgg]]):
+    * fold the token stream into a mergeable 3×64 counter grid — fixed KBs
+    * of shuffle state however large the vocabulary — then answer five
+    * probe words from the grid, min over rows of the probed cells,
+    * computed IN-plan against the broadcast 1-row sketch with the same
+    * md5 cell arithmetic the aggregator used. `est ≥ exact` always
+    * (counters only over-count; property-tested in CmsAggSpec); the
+    * deliberately narrow 64-cell grid forces real collisions here so the
+    * overcount path is exercised, not just the happy case. */
+  private val qCms: Q = (s, sf) => {
+    val cms = udaf(new graft.functions.CmsAgg(3, 64),
+      org.apache.spark.sql.Encoders.STRING)
+    val tok = t(s, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+    val sketch = tok.agg(cms(col("w")).as("sk"))
+    val probes = s.range(1).select(
+      explode(typedlit(Seq("the", "scan", "merge", "key", "zzzz"))).as("w"))
+    val est = probes.crossJoin(broadcast(sketch))
+      .select(col("w"), (0 until 3).map { j =>
+        expr(s"element_at(sk, CAST($j * 64 + CAST(conv(substr(md5(" +
+          s"concat('$j:', w)), 1, 15), 16, 10) AS BIGINT) % 64 + 1 AS INT))")
+      }.reduce(least(_, _)).as("est"))
+    val exact = tok.groupBy("w").agg(count(lit(1)).as("exact"))
+    est.join(exact, Seq("w"), "left")
+      .select(col("w"), col("est"),
+        coalesce(col("exact"), lit(0L)).as("exact"))
+      .orderBy("w")
+  }
+
   private val qHeavyHitters: Q = (s, sf) => {
     val mg = udaf(new graft.functions.MisraGriesAgg(64),
       org.apache.spark.sql.Encoders.STRING)
@@ -1582,6 +1612,7 @@ object Queries {
     "q_keywords" -> qKeywords,
     "q_anomaly" -> qAnomaly,
     "q_heavy_hitters" -> qHeavyHitters,
+    "q_cms" -> qCms,
     "q_drift" -> qDrift,
     "q_shuffle" -> qShuffle,
     "q_chunk" -> qChunk,
