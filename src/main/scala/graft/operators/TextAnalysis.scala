@@ -205,6 +205,25 @@ object TextAnalysis {
       nStop.as("nstop"), pass.as("pass"))
   }
 
+  /** One BPE training scan (Sennrich, Haddow, Birch, "Neural Machine
+    * Translation of Rare Words with Subword Units", ACL 2016): the
+    * frequency of every ADJACENT symbol pair across the corpus, ranked —
+    * the statistic whose argmax is the next merge in byte-pair-encoding
+    * tokenizer induction. Character-level here (the first BPE iteration,
+    * where every symbol is still one char); iterated training re-runs the
+    * scan on re-segmented text. One narrow explode + one pair-key shuffle
+    * — counting pairs over 100 TB is exactly a word-count. Ties rank by
+    * pair text so the ordering is engine-portable. */
+  def bpeMergeCandidates(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) >= 2) // sequence(1, len-1) needs len ≥ 2
+      .select(explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("pair"))
+      .limit(k)
+
   /** Linear text-quality classifier scoring — the mechanical shape of the
     * fastText-style quality filter every LLM data pipeline runs (CCNet,
     * Wenzek et al. LREC 2020; classifier architecture of Joulin et al.

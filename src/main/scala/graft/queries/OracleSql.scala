@@ -330,6 +330,9 @@ object OracleSql {
     "q_token_count" ->
       "SELECT doc_id, len(string_split(text,' ')) wt, len(regexp_extract_all(text,'[a-z]+')) rt FROM documents ORDER BY doc_id LIMIT 100",
     // floor-quantized (not round) so the score is bit-identical x-engine.
+    // BPE merge scan: adjacent char pairs of every >=2-char token, counted.
+    "q_bpe_merges" ->
+      "WITH tok AS (SELECT w FROM (SELECT unnest(string_split(text,' ')) w FROM documents) WHERE len(w) >= 2), p AS (SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, CAST(i AS INT), 2))) pair FROM tok) SELECT pair, CAST(count(*) AS BIGINT) c FROM p GROUP BY pair ORDER BY c DESC, pair LIMIT 10",
     // Linear classifier: same weights/features as TextAnalysis.classifierScore;
     // keep computed FROM the quantized score (both engines gate post-floor).
     "q_classify" ->

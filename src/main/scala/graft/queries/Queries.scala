@@ -851,6 +851,12 @@ object Queries {
       .orderBy("doc_id")
       .limit(100)
 
+  /** Tokenizer induction: top-10 BPE merge candidates (adjacent symbol
+    * pairs by corpus frequency) — one explode + one pair-key shuffle,
+    * [[operators.TextAnalysis.bpeMergeCandidates]]. */
+  private val qBpeMerges: Q = (s, sf) =>
+    TextAnalysis.bpeMergeCandidates(t(s, sf, "documents"), "text", 10)
+
   /** Model-scoring plumbing: a linear quality classifier (fastText-filter
     * shape) with literal trained weights, sigmoid score, threshold gate.
     * Narrow per-row scan — the weights live in the plan. */
@@ -1591,6 +1597,7 @@ object Queries {
     "q_token_count" -> qTokenCount,
     "q_quality" -> qQuality,
     "q_classify" -> qClassify,
+    "q_bpe_merges" -> qBpeMerges,
     "q_lang_id" -> qLangId,
     "q_minhash_lsh" -> qMinhashLsh,
     "q_neardup_lsh" -> qNeardupLsh,

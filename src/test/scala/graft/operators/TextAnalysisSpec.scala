@@ -150,6 +150,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.values.forall(_.size <= 2))
   }
 
+  test("bpeMergeCandidates counts adjacent char pairs, skipping 1-char tokens") {
+    val d = Seq((1L, "aab ab x aab", 12L)).toDF("doc_id", "text", "n_chars")
+    // aab -> aa, ab; ab -> ab; x skipped; aab -> aa, ab  => ab:3, aa:2
+    val got = TextAnalysis.bpeMergeCandidates(d, "text", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("ab", 3L), ("aa", 2L)))
+  }
+
   test("classifierScore reproduces the sigmoid of hand-computed features") {
     // doc 1: "the cat sat on a mat" -> nw=6, charsum=15, mwl=2.5,
     // stop=2/6, uniq=1.0
