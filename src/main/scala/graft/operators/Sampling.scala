@@ -174,6 +174,48 @@ object Sampling {
     * (strata…, r, idCol, bk): rank 1..k in descending-hash order and the
     * 32-bit key `bk` (exact in the Double score, cast back losslessly).
     * Integral ids only — the id doubles as the deterministic tie-break. */
+  /** DSIR importance weighting (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): score each raw
+    * document by how target-like its hashed-unigram distribution is —
+    * weight(doc) = mean over its tokens of ln(p̂_target(b) / p̂_raw(b)),
+    * where b is the token's md5 hash bucket and both distributions are
+    * add-α smoothed bucket frequencies (α = 0.5, so raw-only buckets
+    * score finite). Resampling then keeps the top-weighted docs.
+    *
+    * Scale shape — the train-once/score-many plan of q_bigram_lm: both
+    * count tables are ≤ `buckets` rows (TINY by construction — that is
+    * DSIR's point), broadcast onto the token stream; scoring is one
+    * narrow join + one per-doc aggregate. The target side is typically a
+    * small curated corpus; here the `lang = targetLang` slice stands in.
+    * Weight is rounded to 3 dp (sum-order tolerance, house convention).
+    * Returns (idCol, ntok, w) for every document. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      targetCol: String, targetVal: String, buckets: Int): DataFrame = {
+    val alpha = 0.5
+    val tok = df.select(col(idCol), col(targetCol),
+        explode(split(col(textCol), " ")).as("tw"))
+      .where(col("tw") =!= "")
+      .select(col(idCol), col(targetCol),
+        (expr("CAST(conv(substr(md5(tw), 1, 15), 16, 10) AS BIGINT)")
+          % buckets).as("b"))
+    val ct = tok.where(col(targetCol) === targetVal)
+      .groupBy("b").agg(count(lit(1)).as("c"))
+    val cr = tok.groupBy("b").agg(count(lit(1)).as("c"))
+    val nt = tok.where(col(targetCol) === targetVal)
+      .agg(count(lit(1)).as("n"))
+    val nr = tok.agg(count(lit(1)).as("n"))
+    val lr = cr.as("cr")
+      .join(ct.as("ct"), Seq("b"), "left")
+      .crossJoin(broadcast(nt.select(col("n").as("tn"))))
+      .crossJoin(broadcast(nr.select(col("n").as("rn"))))
+      .select(col("b"), log(
+        ((coalesce(col("ct.c"), lit(0L)) + alpha) / (col("tn") + alpha * buckets)) /
+          ((col("cr.c") + alpha) / (col("rn") + alpha * buckets))).as("r"))
+    tok.join(broadcast(lr), Seq("b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("ntok"), round(avg(col("r")), 3).as("w"))
+  }
+
   def stratifiedSample(df: DataFrame, idCol: String, k: Int,
       strataCols: Seq[String]): DataFrame = {
     require(strataCols.nonEmpty, "stratifiedSample needs >= 1 stratum column")

@@ -330,6 +330,16 @@ object OracleSql {
     "q_token_count" ->
       "SELECT doc_id, len(string_split(text,' ')) wt, len(regexp_extract_all(text,'[a-z]+')) rt FROM documents ORDER BY doc_id LIMIT 100",
     // floor-quantized (not round) so the score is bit-identical x-engine.
+    // DSIR: add-0.5-smoothed hashed-unigram log ratio (target = lang 'en'),
+    // averaged per doc, rounded 3 dp; same md5-60-bit bucket as the engine.
+    "q_dsir" ->
+      ("WITH tok AS (SELECT doc_id, lang, CAST(concat('0x', substr(md5(w),1,15)) AS BIGINT) % 128 b FROM (SELECT doc_id, lang, unnest(string_split(text,' ')) w FROM documents) WHERE w <> ''), " +
+        "ct AS (SELECT b, count(*) c FROM tok WHERE lang='en' GROUP BY b), " +
+        "cr AS (SELECT b, count(*) c FROM tok GROUP BY b), " +
+        "nt AS (SELECT count(*) n FROM tok WHERE lang='en'), " +
+        "nr AS (SELECT count(*) n FROM tok), " +
+        "lr AS (SELECT cr.b, ln(((coalesce(ct.c,0)+0.5)/(nt.n+64.0)) / ((cr.c+0.5)/(nr.n+64.0))) r FROM cr LEFT JOIN ct ON cr.b=ct.b, nt, nr) " +
+        "SELECT tok.doc_id, CAST(count(*) AS BIGINT) ntok, round(avg(lr.r), 3) w FROM tok JOIN lr ON tok.b=lr.b GROUP BY tok.doc_id ORDER BY w DESC, tok.doc_id LIMIT 20"),
     // BPE merge scan: adjacent char pairs of every >=2-char token, counted.
     "q_bpe_merges" ->
       "WITH tok AS (SELECT w FROM (SELECT unnest(string_split(text,' ')) w FROM documents) WHERE len(w) >= 2), p AS (SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, CAST(i AS INT), 2))) pair FROM tok) SELECT pair, CAST(count(*) AS BIGINT) c FROM p GROUP BY pair ORDER BY c DESC, pair LIMIT 10",

@@ -851,6 +851,17 @@ object Queries {
       .orderBy("doc_id")
       .limit(100)
 
+  /** DSIR data selection ([[operators.Sampling.dsirWeights]]): top-20
+    * most target-like docs by hashed-unigram importance weight, the
+    * `lang = 'en'` slice standing in for the curated target corpus.
+    * Both model tables are ≤128 rows and broadcast; scoring is a narrow
+    * join — the train-once/score-many shape. */
+  private val qDsir: Q = (s, sf) =>
+    Sampling.dsirWeights(t(s, sf, "documents"), "doc_id", "text",
+        "lang", "en", buckets = 128)
+      .orderBy(col("w").desc, col("doc_id"))
+      .limit(20)
+
   /** Tokenizer induction: top-10 BPE merge candidates (adjacent symbol
     * pairs by corpus frequency) — one explode + one pair-key shuffle,
     * [[operators.TextAnalysis.bpeMergeCandidates]]. */
@@ -1598,6 +1609,7 @@ object Queries {
     "q_quality" -> qQuality,
     "q_classify" -> qClassify,
     "q_bpe_merges" -> qBpeMerges,
+    "q_dsir" -> qDsir,
     "q_lang_id" -> qLangId,
     "q_minhash_lsh" -> qMinhashLsh,
     "q_neardup_lsh" -> qNeardupLsh,

@@ -180,4 +180,21 @@ class SamplingSpec extends SparkSpec {
     assert(got.filter(_._1 == "a").map(_._2).sorted.toSeq === Seq(1, 2))
     assert(got.filter(_._1 == "b").map(_._2).toSeq === Seq(1))
   }
+
+  test("dsirWeights ranks target-vocabulary docs above off-target docs") {
+    // target slice speaks {aa bb}; raw background speaks {qq rr}. Doc 10
+    // is a raw doc written in target vocabulary -> must outscore doc 11.
+    val docs = Seq(
+      (1L, "t", "aa bb aa bb"), (2L, "t", "bb aa bb aa"),
+      (10L, "r", "aa bb aa bb"), (11L, "r", "qq rr qq rr"),
+      (12L, "r", "qq rr qq rr")
+    ).toDF("doc_id", "grp", "text")
+    val w = Sampling.dsirWeights(docs, "doc_id", "text", "grp", "t", 32)
+      .select("doc_id", "w").as[(Long, Double)].collect().toMap
+    assert(w(10L) > w(11L))
+    assert(w(10L) == w(1L)) // identical token stream -> identical weight
+    assert(w(11L) == w(12L))
+    // every token of doc 11 is raw-only: its smoothed ratio is < 1 -> w < 0
+    assert(w(11L) < 0 && w(10L) > 0)
+  }
 }
