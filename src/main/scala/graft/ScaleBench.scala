@@ -188,6 +188,28 @@ object ScaleBench {
         TextAnalysis.bm25Scores(docs, "doc_id", "text", Seq("w1", "w13", "w1337"))
       }
     }
+
+    // PQ ANN: stage 1 is an integer-code scan + TakeOrdered, stage 2 a
+    // shortlist-sized join — wall time should track the scan; and DSIR is
+    // two bounded-table aggregates + a broadcast-scored token stream, the
+    // bigram-LM shape, so it should scale like the token explode
+    import graft.operators.{Pq, Sampling}
+    Pq.searchPq(spark.read.parquet(s"$outRoot/emb_2000"),
+      "vec_id", "embedding", 0L, 10).count() // warmup
+    Sampling.dsirWeights(spark.read.parquet(s"$outRoot/docs_5000"),
+      "doc_id", "text", "lang", "en", 128).count() // warmup
+    embSizes.foreach { n =>
+      val emb = spark.read.parquet(s"$outRoot/emb_$n")
+      time(s"pq_search_$n") {
+        Pq.searchPq(emb, "vec_id", "embedding", 0L, 10)
+      }
+    }
+    docSizes.foreach { n =>
+      val docs = spark.read.parquet(s"$outRoot/docs_$n")
+      time(s"dsir_$n") {
+        Sampling.dsirWeights(docs, "doc_id", "text", "lang", "en", 128)
+      }
+    }
     spark.stop()
   }
 }

@@ -205,6 +205,37 @@ object TextAnalysis {
       nStop.as("nstop"), pass.as("pass"))
   }
 
+  /** Content-defined chunking (the LBFS/rsync boundary trick — Muthitacharoen
+    * et al., SOSP 2001): a chunk boundary falls wherever the hash of the
+    * `window`-char sliding window ≡ 0 mod `modulus`, so boundaries are a
+    * function of LOCAL content — insert one char and only the chunks
+    * around the edit change, unlike fixed-stride chunking where every
+    * downstream chunk shifts. That stability is what makes CDC the
+    * standard pre-chunker for storage/corpus dedup. Expected chunk length
+    * ≈ `modulus` chars. Hashing is the library's portable md5 convention
+    * (a production rolling Rabin/gear hash is O(1) per position; md5 here
+    * keeps the boundary decision engine-portable and oracle-able).
+    * Narrow per-row work: chunking 100 TB runs at scan speed.
+    * Returns (idCol, i, h, l): chunk index, md5-prefix fingerprint, length. */
+  def cdcChunkRows(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, modulus: Int = 64): DataFrame = {
+    val bounds =
+      s"filter(sequence($window, length($textCol)), i -> " +
+        s"CAST(conv(substr(md5(substr($textCol, i - $window + 1, $window)), " +
+        s"1, 15), 16, 10) AS BIGINT) % $modulus = 0)"
+    df.select(col(idCol), col(textCol),
+        expr(s"concat(array(0), $bounds, IF(size($bounds) > 0 AND " +
+          s"element_at($bounds, -1) = length($textCol), " +
+          s"array(), array(length($textCol))))").as("bb"))
+      .select(col(idCol), posexplode(expr(
+        s"filter(zip_with(slice(bb, 1, size(bb) - 1), " +
+          s"slice(bb, 2, size(bb) - 1), " +
+          s"(a, b) -> substr($textCol, a + 1, b - a)), c -> c != '')"))
+        .as(Seq("i", "c")))
+      .select(col(idCol), col("i"),
+        substring(md5(col("c")), 1, 16).as("h"), length(col("c")).as("l"))
+  }
+
   /** One BPE training scan (Sennrich, Haddow, Birch, "Neural Machine
     * Translation of Rare Words with Subword Units", ACL 2016): the
     * frequency of every ADJACENT symbol pair across the corpus, ranked —

@@ -330,6 +330,14 @@ object OracleSql {
     "q_token_count" ->
       "SELECT doc_id, len(string_split(text,' ')) wt, len(regexp_extract_all(text,'[a-z]+')) rt FROM documents ORDER BY doc_id LIMIT 100",
     // floor-quantized (not round) so the score is bit-identical x-engine.
+    // CDC: boundary where md5-60bit(8-char window) % 64 == 0; chunks are
+    // the spans between boundaries (0 and len appended), empties dropped.
+    "q_cdc_chunk" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 10), " +
+        "b AS (SELECT doc_id, text, list_filter(range(8, len(text)+1), i -> CAST(concat('0x', substr(md5(substr(text, CAST(i-7 AS INT), 8)),1,15)) AS BIGINT) % 64 = 0) bs FROM d), " +
+        "bb AS (SELECT doc_id, text, list_concat(list_concat([CAST(0 AS BIGINT)], bs), CASE WHEN len(bs) > 0 AND bs[-1] = len(text) THEN CAST([] AS BIGINT[]) ELSE [len(text)] END) bb FROM b), " +
+        "ch AS (SELECT doc_id, list_filter(list_transform(range(1, len(bb)), i -> substr(text, CAST(bb[i]+1 AS INT), CAST(bb[i+1]-bb[i] AS INT))), c -> c <> '') cs FROM bb) " +
+        "SELECT doc_id, generate_subscripts(cs, 1) - 1 i, substr(md5(unnest(cs)),1,16) h, len(unnest(cs)) l FROM ch ORDER BY doc_id, i"),
     // DSIR: add-0.5-smoothed hashed-unigram log ratio (target = lang 'en'),
     // averaged per doc, rounded 3 dp; same md5-60-bit bucket as the engine.
     "q_dsir" ->

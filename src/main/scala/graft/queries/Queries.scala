@@ -851,6 +851,15 @@ object Queries {
       .orderBy("doc_id")
       .limit(100)
 
+  /** Content-defined chunking rows for the first 10 docs
+    * ([[operators.TextAnalysis.cdcChunkRows]]): boundaries are local
+    * hash decisions, so chunk fingerprints are stable under edits —
+    * the storage/corpus-dedup pre-chunker. */
+  private val qCdcChunk: Q = (s, sf) =>
+    TextAnalysis.cdcChunkRows(
+        t(s, sf, "documents").filter(col("doc_id") < 10), "doc_id", "text")
+      .orderBy("doc_id", "i")
+
   /** DSIR data selection ([[operators.Sampling.dsirWeights]]): top-20
     * most target-like docs by hashed-unigram importance weight, the
     * `lang = 'en'` slice standing in for the curated target corpus.
@@ -1610,6 +1619,7 @@ object Queries {
     "q_classify" -> qClassify,
     "q_bpe_merges" -> qBpeMerges,
     "q_dsir" -> qDsir,
+    "q_cdc_chunk" -> qCdcChunk,
     "q_lang_id" -> qLangId,
     "q_minhash_lsh" -> qMinhashLsh,
     "q_neardup_lsh" -> qNeardupLsh,

@@ -256,4 +256,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p)
     assert(p.contains("windowspecdefinition(id"), p)
   }
+
+  test("q_ann_pq shortlists with a TakeOrdered over the code scan") {
+    val p = plan("q_ann_pq")
+    // stage 1 is integer code distance + top-N: no global sort, and the
+    // shortlist re-rank join must not be a shuffle of the corpus
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_cms partial-aggregates the sketch map-side (fixed-size buffers)") {
+    val p = plan("q_cms")
+    assert(p.contains("partial_cmsagg"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_dsir broadcasts the bucket model onto the token stream") {
+    val p = plan("q_dsir")
+    assert(p.contains("BroadcastHashJoin"), p) // lr table join
+    assert(!p.contains("SortMergeJoin"), p) // the stream never shuffles to score
+  }
 }

@@ -150,6 +150,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.values.forall(_.size <= 2))
   }
 
+  test("cdcChunkRows: chunks tile the text and boundaries are edit-local") {
+    // deterministic pseudo-random text long enough for several boundaries
+    // (java.util.Random LCG is seed-stable across JVMs)
+    def syn(seed: Int, n: Int): String = {
+      val r = new scala.util.Random(seed)
+      (0 until n).map(_ => ('a' + r.nextInt(26)).toChar).mkString
+    }
+    val base = syn(3, 800)
+    val docs = Seq((1L, base, 0L), (2L, base + "XYZ", 0L), (3L, "", 0L),
+      (4L, "tiny", 0L)).toDF("doc_id", "text", "n_chars")
+    val rows = TextAnalysis.cdcChunkRows(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val byDoc = rows.groupBy(_._1)
+    // chunks tile: lengths sum to the doc length, indices dense from 0
+    assert(byDoc(1L).map(_._4).sum == 800)
+    assert(byDoc(1L).map(_._2).sorted.toSeq == byDoc(1L).indices.toSeq)
+    assert(byDoc(1L).size > 2, s"expected several chunks, got ${byDoc(1L).size}")
+    // empty text -> no chunks; short text -> one whole-text chunk
+    assert(!byDoc.contains(3L))
+    assert(byDoc(4L).map(r => (r._2, r._4)).toSeq == Seq((0, 4)))
+    // edit locality: appending to doc 1 leaves every chunk except the
+    // last with an identical fingerprint (boundaries are local decisions)
+    val h1 = byDoc(1L).sortBy(_._2).map(_._3)
+    val h2 = byDoc(2L).sortBy(_._2).map(_._3)
+    assert(h1.init.toSeq == h2.take(h1.size - 1).toSeq)
+  }
+
   test("bpeMergeCandidates counts adjacent char pairs, skipping 1-char tokens") {
     val d = Seq((1L, "aab ab x aab", 12L)).toDF("doc_id", "text", "n_chars")
     // aab -> aa, ab; ab -> ab; x skipped; aab -> aa, ab  => ab:3, aa:2
