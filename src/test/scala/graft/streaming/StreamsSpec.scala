@@ -398,4 +398,29 @@ class StreamsSpec extends SparkSpec {
     assert(viaIndex.exists(p => p._1 == 3L || p._2 == 103L),
       s"expected the planted near-dup pair, got $viaIndex")
   }
+
+  test("streaming sketch upkeep: per-batch CMS sums equal the batch sketch") {
+    // frequency monitoring over a stream: fold each micro-batch into a
+    // CMS and merge grids additively — CmsAgg.merge is elementwise sum,
+    // so streamed upkeep is exact (same invariant as the band index)
+    import graft.functions.CmsAgg
+    implicit val sqlCtx = spark.sqlContext
+    val agg = udaf(new CmsAgg(3, 32), org.apache.spark.sql.Encoders.STRING)
+    val state = new java.util.concurrent.atomic.AtomicReference[Array[Long]](
+      Array.fill(3 * 32)(0L))
+    val src = MemoryStream[String]
+    val q = src.toDF().toDF("w").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val sk = batch.agg(agg(col("w"))).head.getSeq[Long](0).toArray
+        state.updateAndGet(cur => cur.zip(sk).map { case (a, b) => a + b })
+        ()
+      }.start()
+    src.addData("scan", "merge", "scan"); q.processAllAvailable()
+    src.addData("key", "scan"); q.processAllAvailable()
+    q.stop()
+    val whole = Seq("scan", "merge", "scan", "key", "scan").toDF("w")
+      .agg(agg(col("w"))).head.getSeq[Long](0).toArray
+    assert(state.get.toSeq == whole.toSeq)
+    assert(whole.sum == 3L * 5) // every arrival lands d times
+  }
 }
