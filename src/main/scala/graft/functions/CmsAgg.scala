@@ -55,14 +55,28 @@ class CmsAgg(d: Int, w: Int)
 
 object CmsAgg {
 
+  // MessageDigest is stateful and not thread-safe; reduce() runs once per
+  // token, so the instance is reused per task thread rather than
+  // re-created (getInstance + hex formatting per call was the hot-path
+  // allocation the aggregator's fixed-state pitch forbids)
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("MD5")
+  }
+
   /** Row-`j` cell of `term`: leading 60 bits of md5("j:term") mod w —
     * exactly `conv(substr(md5(concat('j:', term)), 1, 15), 16, 10) % w`
     * in Spark SQL and `CAST(concat('0x', substr(md5(...),1,15)) AS
-    * BIGINT) % w` in DuckDB, which is what keeps the sketch oracle-able. */
+    * BIGINT) % w` in DuckDB (the oracle identity, pinned in CmsAggSpec).
+    * The first 15 hex chars are the top 60 bits of the big-endian first
+    * 8 digest bytes, read directly — no hex-string round-trip. */
   def cell(j: Int, term: String, w: Int): Int = {
-    val hex = MessageDigest.getInstance("MD5")
-      .digest(s"$j:$term".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    (java.lang.Long.parseLong(hex.substring(0, 15), 16) % w).toInt
+    val d = md5.get()
+    d.reset()
+    val b = d.digest(s"$j:$term".getBytes("UTF-8"))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (b(i) & 0xffL); i += 1 }
+    ((h >>> 4) % w).toInt
   }
 }

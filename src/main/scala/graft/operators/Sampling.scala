@@ -174,6 +174,21 @@ object Sampling {
     * (strata…, r, idCol, bk): rank 1..k in descending-hash order and the
     * 32-bit key `bk` (exact in the Double score, cast back losslessly).
     * Integral ids only — the id doubles as the deterministic tie-break. */
+  def stratifiedSample(df: DataFrame, idCol: String, k: Int,
+      strataCols: Seq[String]): DataFrame = {
+    require(strataCols.nonEmpty, "stratifiedSample needs >= 1 stratum column")
+    val topk = udaf(new graft.functions.TopKAgg(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
+    val sc = strataCols.map(col)
+    df.select(sc :+ hashKey(col(idCol)).cast("double").as("__hk")
+        :+ col(idCol).cast("long").as("__id"): _*)
+      .groupBy(sc: _*)
+      .agg(topk(col("__hk"), col("__id")).as("__tk"))
+      .select(sc :+ posexplode(col("__tk")): _*)
+      .select(sc :+ (col("pos") + 1).cast("int").as("r")
+        :+ col("col.id").as(idCol) :+ col("col.score").cast("long").as("bk"): _*)
+  }
+
   /** DSIR importance weighting (Xie et al., "Data Selection for Language
     * Models via Importance Resampling", NeurIPS 2023): score each raw
     * document by how target-like its hashed-unigram distribution is —
@@ -201,9 +216,10 @@ object Sampling {
     val ct = tok.where(col(targetCol) === targetVal)
       .groupBy("b").agg(count(lit(1)).as("c"))
     val cr = tok.groupBy("b").agg(count(lit(1)).as("c"))
-    val nt = tok.where(col(targetCol) === targetVal)
-      .agg(count(lit(1)).as("n"))
-    val nr = tok.agg(count(lit(1)).as("n"))
+    // totals are sums of the tiny bucket tables — never re-explode the
+    // corpus for a scalar the model tables already carry
+    val nt = ct.agg(coalesce(sum("c"), lit(0L)).as("n")) // empty target -> 0, not NULL
+    val nr = cr.agg(coalesce(sum("c"), lit(0L)).as("n"))
     val lr = cr.as("cr")
       .join(ct.as("ct"), Seq("b"), "left")
       .crossJoin(broadcast(nt.select(col("n").as("tn"))))
@@ -214,20 +230,5 @@ object Sampling {
     tok.join(broadcast(lr), Seq("b"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("ntok"), round(avg(col("r")), 3).as("w"))
-  }
-
-  def stratifiedSample(df: DataFrame, idCol: String, k: Int,
-      strataCols: Seq[String]): DataFrame = {
-    require(strataCols.nonEmpty, "stratifiedSample needs >= 1 stratum column")
-    val topk = udaf(new graft.functions.TopKAgg(k),
-      org.apache.spark.sql.Encoders.product[graft.functions.Scored])
-    val sc = strataCols.map(col)
-    df.select(sc :+ hashKey(col(idCol)).cast("double").as("__hk")
-        :+ col(idCol).cast("long").as("__id"): _*)
-      .groupBy(sc: _*)
-      .agg(topk(col("__hk"), col("__id")).as("__tk"))
-      .select(sc :+ posexplode(col("__tk")): _*)
-      .select(sc :+ (col("pos") + 1).cast("int").as("r")
-        :+ col("col.id").as(idCol) :+ col("col.score").cast("long").as("bk"): _*)
   }
 }

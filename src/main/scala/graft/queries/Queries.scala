@@ -1104,6 +1104,24 @@ object Queries {
     * HAVING. (This 31-word corpus fits inside k, making the sketch
     * degenerate-exact here; the eviction/merge machinery is
     * property-tested on skewed streams in MisraGriesAggSpec.) */
+  private val qHeavyHitters: Q = (s, sf) => {
+    val mg = udaf(new graft.functions.MisraGriesAgg(64),
+      org.apache.spark.sql.Encoders.STRING)
+    val tok = t(s, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(col("w") =!= "")
+    val cand = tok.agg(mg(col("w")).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.term").as("w"))
+    val thr = tok.agg(expr("(count(1) + 29) div 30").as("thr"))
+    tok.join(broadcast(cand), "w")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(thr))
+      .where(col("c") >= col("thr"))
+      .select(col("w"), col("c"))
+      .orderBy(col("c").desc, col("w"))
+  }
+
   /** Count–Min point-frequency estimation ([[graft.functions.CmsAgg]]):
     * fold the token stream into a mergeable 3×64 counter grid — fixed KBs
     * of shuffle state however large the vocabulary — then answer five
@@ -1132,24 +1150,6 @@ object Queries {
       .select(col("w"), col("est"),
         coalesce(col("exact"), lit(0L)).as("exact"))
       .orderBy("w")
-  }
-
-  private val qHeavyHitters: Q = (s, sf) => {
-    val mg = udaf(new graft.functions.MisraGriesAgg(64),
-      org.apache.spark.sql.Encoders.STRING)
-    val tok = t(s, sf, "documents")
-      .select(explode(split(col("text"), " ")).as("w"))
-      .where(col("w") =!= "")
-    val cand = tok.agg(mg(col("w")).as("sk"))
-      .select(explode(col("sk")).as("e"))
-      .select(col("e.term").as("w"))
-    val thr = tok.agg(expr("(count(1) + 29) div 30").as("thr"))
-    tok.join(broadcast(cand), "w")
-      .groupBy("w").agg(count(lit(1)).as("c"))
-      .crossJoin(broadcast(thr))
-      .where(col("c") >= col("thr"))
-      .select(col("w"), col("c"))
-      .orderBy(col("c").desc, col("w"))
   }
 
   /** Cohort z-score outliers on document length
