@@ -420,4 +420,45 @@ object Dedup {
         (0 until 16).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(0L))
           .reduce(_ + _).as("sig"))
   }
+
+  /** Duplicate text SPANS at arbitrary alignment (the exact-substring
+    * dedup of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022 — there via a suffix array; here the
+    * Spark-shaped equivalent): hash every `k`-token sliding window, keep
+    * windows whose hash occurs more than once in the corpus (including
+    * within one document), and merge each document's overlapping-or-
+    * touching duplicated windows into MAXIMAL spans. Complements
+    * [[passageDedup]] (delimiter-aligned passages) and the Jaccard
+    * near-dup family (whole-document similarity): this finds the
+    * verbatim 8-gram-and-longer repeats wherever they start.
+    *
+    * Scale shape: one window-hash shuffle (word-count), one equi-join of
+    * positions against the >1 hash set, and a per-DOCUMENT window for
+    * the span merge (partition cardinality = corpus size — the
+    * q_keywords shape, never a few-partition funnel). Returns
+    * (idCol, sp, ln): span start token offset and token length. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val win = df
+      .select(col(idCol), split(col(textCol), " ").as("ws"))
+      .where(size(col("ws")) >= k)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(ws) - $k), p -> " +
+          s"md5(array_join(slice(ws, p + 1, $k), ' ')))"))
+        .as(Seq("p", "h")))
+    val dup = win.groupBy("h").agg(count(lit(1)).as("n")).where(col("n") > 1)
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(idCol).orderBy("p")
+    win.join(dup, "h")
+      .select(col(idCol), col("p"))
+      // a window at p extends coverage to p + k; the next duplicated
+      // window starts a NEW span only if it begins past that coverage
+      .withColumn("brk",
+        when(lag("p", 1).over(byDoc).isNull ||
+          col("p") > lag("p", 1).over(byDoc) + k, 1).otherwise(0))
+      .withColumn("sid", sum("brk").over(byDoc))
+      .groupBy(col(idCol), col("sid"))
+      .agg(min("p").as("sp"), (max("p") + k - min("p")).as("ln"))
+      .select(col(idCol), col("sp"), col("ln"))
+  }
 }

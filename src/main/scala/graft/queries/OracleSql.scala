@@ -330,6 +330,17 @@ object OracleSql {
     "q_token_count" ->
       "SELECT doc_id, len(string_split(text,' ')) wt, len(regexp_extract_all(text,'[a-z]+')) rt FROM documents ORDER BY doc_id LIMIT 100",
     // floor-quantized (not round) so the score is bit-identical x-engine.
+    // Duplicate spans: 8-token window hashes occurring >1 time corpus-wide,
+    // merged per doc into maximal spans (break when p > prev + 8).
+    "q_dup_spans" ->
+      ("WITH ws AS (SELECT doc_id, string_split(text,' ') w FROM documents), " +
+        "win AS (SELECT doc_id, CAST(unnest(range(0, greatest(len(w)-7, 0))) AS INT) p, w FROM ws), " +
+        "h AS (SELECT doc_id, p, md5(array_to_string(w[CAST(p+1 AS INT):CAST(p+8 AS INT)], ' ')) hh FROM win), " +
+        "dup AS (SELECT hh FROM h GROUP BY hh HAVING count(*) > 1), " +
+        "d AS (SELECT h.doc_id, h.p FROM h JOIN dup ON h.hh = dup.hh), " +
+        "m AS (SELECT doc_id, p, CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 8 THEN 1 ELSE 0 END brk FROM d), " +
+        "s AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) sid FROM m) " +
+        "SELECT doc_id, CAST(min(p) AS INT) sp, CAST(max(p) + 8 - min(p) AS INT) ln FROM s GROUP BY doc_id, sid ORDER BY doc_id, sp"),
     // CDC: boundary where md5-60bit(8-char window) % 64 == 0; chunks are
     // the spans between boundaries (0 and len appended), empties dropped.
     "q_cdc_chunk" ->

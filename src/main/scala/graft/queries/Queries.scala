@@ -851,6 +851,14 @@ object Queries {
       .orderBy("doc_id")
       .limit(100)
 
+  /** Arbitrary-alignment duplicate spans ([[operators.Dedup
+    * .duplicateSpans]], the Lee et al. 2022 exact-substring semantic):
+    * maximal token spans whose 8-token windows all repeat corpus-wide.
+    * One word-count shuffle + a per-document merge window. */
+  private val qDupSpans: Q = (s, sf) =>
+    Dedup.duplicateSpans(t(s, sf, "documents"), "doc_id", "text", 8)
+      .orderBy("doc_id", "sp")
+
   /** Content-defined chunking rows for the first 10 docs
     * ([[operators.TextAnalysis.cdcChunkRows]]): boundaries are local
     * hash decisions, so chunk fingerprints are stable under edits —
@@ -1620,6 +1628,7 @@ object Queries {
     "q_bpe_merges" -> qBpeMerges,
     "q_dsir" -> qDsir,
     "q_cdc_chunk" -> qCdcChunk,
+    "q_dup_spans" -> qDupSpans,
     "q_lang_id" -> qLangId,
     "q_minhash_lsh" -> qMinhashLsh,
     "q_neardup_lsh" -> qNeardupLsh,

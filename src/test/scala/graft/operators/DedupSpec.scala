@@ -214,4 +214,33 @@ class DedupSpec extends SparkSpec {
       assert(prefix === brute, s"tau=$tau")
     }
   }
+
+  test("duplicateSpans finds maximal cross-doc verbatim spans at any alignment") {
+    // a 5-token phrase planted mid-doc at DIFFERENT offsets; k=3 windows
+    val phrase = "p1 p2 p3 p4 p5"
+    val docs = Seq(
+      (1L, s"a1 a2 $phrase a3 a4"),          // phrase at tokens 2..6
+      (2L, s"b1 b2 b3 b4 $phrase"),          // phrase at tokens 4..8
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9")     // no duplicated window
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // each doc reports ONE maximal span covering exactly the 5 phrase tokens
+    assert(spans == Set((1L, 2, 5), (2L, 4, 5)))
+  }
+
+  test("duplicateSpans merges within-doc repeats and adjacent windows") {
+    // the same 3-token phrase twice in ONE doc, separated by one token:
+    // windows at 0 and 4 -> 4 <= 0 + 3 is false -> two separate spans
+    val docs = Seq((1L, "x1 x2 x3 gap x1 x2 x3")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spans == Set((1L, 0, 3), (1L, 4, 3)))
+    // overlapping duplicated windows fuse into one maximal span: the
+    // repeat "y1 y2 y3 y4" gives windows 0,1 and 5,6 -> spans of length 4
+    val d2 = Seq((2L, "y1 y2 y3 y4 gap y1 y2 y3 y4")).toDF("doc_id", "text")
+    val s2 = Dedup.duplicateSpans(d2, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(s2 == Set((2L, 0, 4), (2L, 5, 4)))
+  }
 }
