@@ -261,4 +261,80 @@ object Multimodal {
       docId: String = "doc_id", vecId: String = "vec_id"): DataFrame =
     docs.join(embeddings, col(docId) === col(vecId))
       .select(col(docId), struct(col("text"), col("lang"), col("embedding")).as("mm"))
+
+  /** Perceptual image hash (difference hash, "dHash"): REAL decode,
+    * bilinear resample to a 9×8 luma grid, bit (r,c) set iff
+    * gray(r,c) < gray(r,c+1) — 64 bits capturing the gradient STRUCTURE,
+    * so re-encoding, resizing, and uniform brightness shifts leave the
+    * hash (nearly) unchanged while different images differ in ~32 bits.
+    * The image analogue of the text simHash16. Corrupt payloads are
+    * Left — failures stay data. */
+  def dHash(payload: Array[Byte]): Either[String, Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) Left("undecodable image payload")
+      else {
+        val s = new java.awt.image.BufferedImage(9, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = s.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, 9, 8, null)
+        g.dispose()
+        def gray(x: Int, y: Int): Double = {
+          val rgb = s.getRGB(x, y)
+          0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+        }
+        var h = 0L
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            if (gray(c, r) < gray(c + 1, r)) h |= 1L << (r * 8 + c)
+            c += 1
+          }
+          r += 1
+        }
+        Right(h)
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Left(s"corrupt image payload: ${e.getMessage}")
+    }
+
+  /** Image near-duplicate pairs by perceptual-hash Hamming distance —
+    * the image-dedup step of a multimodal corpus pipeline. Hashes are
+    * one narrow decode pass ([[dHash]], payloads never shuffle); the
+    * pair join is BANDED, never all-pairs: the 64-bit hash splits into
+    * 4 × 16-bit bands, and two hashes within Hamming ≤ 3 must agree on
+    * at least one whole band (pigeonhole: 3 differing bits cannot touch
+    * all 4 bands), so candidates come from a plain equi-join on
+    * (band index, band value) — the same LSH-banding shape as the text
+    * MinHash path, 2^16 blocking keys per band at any corpus size.
+    * Candidates are verified by exact popcount; requires maxHamming ≤ 3
+    * for exactness. Undecodable images are silently absent (their
+    * failure rows live in [[decodeMedia]]'s output, not here). */
+  def imageNearDups(media: Dataset[MediaRow], maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banding guarantees exactness only for maxHamming <= 3 (got $maxHamming)")
+    import media.sparkSession.implicits._
+    val hashes = media.filter(_.modality == "image")
+      .mapPartitions(_.flatMap(r => dHash(r.payload).toOption.map(h => (r.id, h))))
+      .toDF("id", "h")
+    val bands = hashes.select(col("id"), col("h"),
+      explode(expr("transform(sequence(0, 3), b -> " +
+        "struct(b AS bi, shiftright(h, b * 16) & 65535 AS bv))")).as("bd"))
+      .select(col("id"), col("h"), col("bd.bi"), col("bd.bv"))
+    val a = bands.select(col("id").as("ida"), col("h").as("ha"),
+      col("bi"), col("bv"))
+    val b = bands.select(col("id").as("idb"), col("h").as("hb"),
+      col("bi").as("bi2"), col("bv").as("bv2"))
+    a.join(b, col("bi") === col("bi2") && col("bv") === col("bv2") &&
+        col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        expr("CAST(bit_count(ha ^ hb) AS INT)").as("ham"))
+      .distinct()
+      .where(col("ham") <= maxHamming)
+  }
 }

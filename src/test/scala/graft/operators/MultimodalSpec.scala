@@ -190,4 +190,46 @@ class MultimodalSpec extends SparkSpec {
     val mm = out.head.getStruct(1)
     assert(mm.getString(0) == "hello" && mm.getString(1) == "en")
   }
+
+  // horizontal gradient PNG: dHash is built from left-right luma steps
+  private def gradientPng(w: Int, h: Int, from: Int, to: Int,
+      jpeg: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = from + (to - from) * x / math.max(w - 1, 1)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, if (jpeg) "jpg" else "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash is stable under resize/re-encode/brightness; differs across structure") {
+    def h(b: Array[Byte]) = Multimodal.dHash(b).toOption.get
+    val base = h(gradientPng(64, 48, 20, 220))
+    val resized = h(gradientPng(128, 96, 20, 220)) // same structure, 2x size
+    val brighter = h(gradientPng(64, 48, 50, 250)) // uniform shift
+    val reenc = h(gradientPng(64, 48, 20, 220, jpeg = true))
+    val reversed = h(gradientPng(64, 48, 220, 20)) // opposite gradient
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(base == resized)
+    assert(ham(base, brighter) <= 2, s"brightness moved ${ham(base, brighter)} bits")
+    assert(ham(base, reenc) <= 2, s"jpeg re-encode moved ${ham(base, reenc)} bits")
+    assert(ham(base, reversed) >= 32, s"reversed only ${ham(base, reversed)} bits away")
+    assert(Multimodal.dHash(Array[Byte](1, 2, 3)).isLeft)
+  }
+
+  test("imageNearDups pairs perceptual twins via banded join, skips corrupt rows") {
+    val rows = Seq(
+      MediaRow(1L, "image", gradientPng(64, 48, 20, 220), 0, 0),
+      MediaRow(2L, "image", gradientPng(128, 96, 20, 220), 0, 0), // resized twin
+      MediaRow(3L, "image", gradientPng(64, 48, 220, 20), 0, 0),  // reversed
+      MediaRow(4L, "image", Array[Byte](1, 2, 3), 0, 0),          // corrupt
+      MediaRow(5L, "audio", Array[Byte](1), 0, 0)                 // not an image
+    ).toDS().repartition(2)
+    val pairs = Multimodal.imageNearDups(rows, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 0)))
+  }
 }
