@@ -129,4 +129,23 @@ object Validate {
       .where(abs(col("z")) > cut)
       .drop("__mean", "__var")
   }
+
+  /** Winsorization — clip `valCol` to its per-group exact interpolated
+    * [lo, hi] percentiles (the standard outlier-robust cleaning pass;
+    * Dixon & Tukey's trimming family). Same shape as [[zOutliers]]: one
+    * tiny per-group quantile aggregate broadcast back onto a narrow
+    * clip — the data never shuffles. Exact percentile needs each group's
+    * sorted values on one task; at 100 TB swap in approx_percentile for
+    * the quantile table and keep the identical clip stage. */
+  def winsorize(df: DataFrame, groupCol: String, valCol: String,
+      lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1 (got $lo, $hi)")
+    val q = df.groupBy(groupCol)
+      .agg(expr(s"percentile($valCol, $lo)").as("__plo"),
+        expr(s"percentile($valCol, $hi)").as("__phi"))
+    df.join(broadcast(q), Seq(groupCol))
+      .withColumn(valCol,
+        greatest(least(col(valCol), col("__phi")), col("__plo")))
+      .drop("__plo", "__phi")
+  }
 }

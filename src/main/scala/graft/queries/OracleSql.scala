@@ -457,6 +457,13 @@ object OracleSql {
         "SELECT w, count(*) c FROM tk GROUP BY w " +
         "HAVING count(*) >= (SELECT thr FROM n) ORDER BY c DESC, w"),
     // exact integer moments -> fixed-association doubles: no tolerance
+    // Winsorize: DuckDB quantile_cont == Spark percentile (q_percentile
+    // precedent); clip then re-average, floats rounded 3 dp.
+    "q_winsorize" ->
+      ("WITH q AS (SELECT event_type, quantile_cont(value, 0.05) plo, quantile_cont(value, 0.95) phi FROM events GROUP BY event_type), " +
+        "r AS (SELECT event_type, round(avg(value), 3) avg_raw FROM events GROUP BY event_type), " +
+        "w AS (SELECT e.event_type, greatest(least(e.value, q.phi), q.plo) v FROM events e JOIN q ON e.event_type = q.event_type) " +
+        "SELECT w.event_type, CAST(count(*) AS BIGINT) n, r.avg_raw, round(avg(w.v), 3) avg_wins FROM w JOIN r ON w.event_type = r.event_type GROUP BY w.event_type, r.avg_raw ORDER BY w.event_type"),
     "q_anomaly" ->
       ("WITH st AS (SELECT lang, source, count(*) n, " +
         "CAST(sum(n_chars) AS DOUBLE) s, " +

@@ -1172,6 +1172,21 @@ object Queries {
         round(col("z"), 4).as("z"))
       .orderBy("doc_id")
 
+  /** Winsorized event values ([[operators.Validate.winsorize]]): clip
+    * per-type values to exact [p05, p95], compare means before/after.
+    * Broadcast quantile table + narrow clip — no data shuffle. */
+  private val qWinsorize: Q = (s, sf) => {
+    val ev = t(s, sf, "events").select(col("event_type"), col("value"))
+    val raw = ev.groupBy("event_type")
+      .agg(round(avg("value"), 3).as("avg_raw"))
+    Validate.winsorize(ev, "event_type", "value", 0.05, 0.95)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(avg("value"), 3).as("avg_wins"))
+      .join(raw, "event_type")
+      .select(col("event_type"), col("n"), col("avg_raw"), col("avg_wins"))
+      .orderBy("event_type")
+  }
+
   /** Deterministic corpus shuffle (training order): the first 20 docs of
     * the md5(seed:id) order. Epoch reshuffles = seed bump; the probe is a
     * TakeOrdered, the full materialization one range-partitioned sort. */
@@ -1649,6 +1664,7 @@ object Queries {
     "q_weighted_sample" -> qWeightedSample,
     "q_keywords" -> qKeywords,
     "q_anomaly" -> qAnomaly,
+    "q_winsorize" -> qWinsorize,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_cms" -> qCms,
     "q_drift" -> qDrift,

@@ -88,4 +88,21 @@ class ValidateSpec extends SparkSpec {
     assert(got.keySet === Set(1L, 5L))
     assert(got(1L) < -1.2 && got(5L) > 1.2)
   }
+
+  test("winsorize clips each group to its own exact percentiles") {
+    // g: 1..10 -> p10 = 1.9, p90 = 9.1 (interpolated); h stays untouched
+    val rows = ((1 to 10).map(i => ("g", i.toDouble)) :+ ("h", 100.0) :+ ("h", 200.0))
+      .toDF("grp", "value")
+    val w = Validate.winsorize(rows, "grp", "value", 0.1, 0.9)
+      .groupBy("grp")
+      .agg(org.apache.spark.sql.functions.min("value"),
+        org.apache.spark.sql.functions.max("value"),
+        org.apache.spark.sql.functions.count("value"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(w("g") == ((1.9, 9.1, 10L))) // tails clipped TO the percentile
+    assert(w("h") == ((110.0, 190.0, 2L))) // 2-point group: interpolation between them
+    // row count and schema preserved: it is a value rewrite, not a filter
+    assert(Validate.winsorize(rows, "grp", "value", 0.1, 0.9).columns.toSeq
+      == rows.columns.toSeq)
+  }
 }
