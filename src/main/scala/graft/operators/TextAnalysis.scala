@@ -255,6 +255,37 @@ object TextAnalysis {
       .orderBy(col("c").desc, col("pair"))
       .limit(k)
 
+  /** The BPE APPLY step (the tokenizer-side complement of
+    * [[bpeMergeCandidates]]): segment each word to characters, then
+    * rewrite adjacent "x y" → "xy" once per merge, in rank order — one
+    * left-to-right non-overlapping replace-all pass per merge, the
+    * deterministic single-pass reading of Sennrich et al.'s apply loop
+    * (literal `replace` has identical semantics in Spark and DuckDB,
+    * which is what keeps the segmentation oracle-able). Returns the
+    * array of segmented words, each a space-separated token string.
+    * Narrow per-row expression — tokenizing 100 TB is scan-speed work,
+    * with the merge table baked into the plan as literals. */
+  def bpeSegment(textCol: String, merges: Seq[(String, String)]): Column = {
+    require(merges.forall { case (x, y) =>
+      (x + y).forall(c => c.isLetterOrDigit) },
+      "merge symbols must be alphanumeric (they are spliced into SQL text)")
+    val body = merges.foldLeft(
+      "concat(' ', trim(regexp_replace(w, '(.)', '$1 ')), ' ')") {
+      case (acc, (x, y)) => s"replace($acc, ' $x $y ', ' $x$y ')"
+    }
+    expr(s"transform(split($textCol, ' '), w -> trim($body))")
+  }
+
+  /** Tokens per document under a BPE merge list: character count vs
+    * post-merge segment count (each merge that binds saves one token). */
+  def bpeTokenCounts(textCol: String, merges: Seq[(String, String)]): (Column, Column) = {
+    val segs = bpeSegment(textCol, merges)
+    val nChar = length(regexp_replace(col(textCol), " ", ""))
+    val nBpe = aggregate(
+      segs, lit(0), (acc, s) => acc + size(split(s, " ")))
+    (nChar, nBpe)
+  }
+
   /** Linear text-quality classifier scoring — the mechanical shape of the
     * fastText-style quality filter every LLM data pipeline runs (CCNet,
     * Wenzek et al. LREC 2020; classifier architecture of Joulin et al.

@@ -359,6 +359,16 @@ object OracleSql {
         "nr AS (SELECT count(*) n FROM tok), " +
         "lr AS (SELECT cr.b, ln(((coalesce(ct.c,0)+0.5)/(nt.n+64.0)) / ((cr.c+0.5)/(nr.n+64.0))) r FROM cr LEFT JOIN ct ON cr.b=ct.b, nt, nr) " +
         "SELECT tok.doc_id, CAST(count(*) AS BIGINT) ntok, round(avg(lr.r), 3) w FROM tok JOIN lr ON tok.b=lr.b GROUP BY tok.doc_id ORDER BY w DESC, tok.doc_id LIMIT 20"),
+    // BPE apply: char-segment each word, one replace-all pass per merge
+    // (er, in, ow) in rank order; count segments. replace() is literal,
+    // left-to-right, non-overlapping in both engines.
+    "q_bpe_apply" ->
+      ("SELECT doc_id, len(replace(text, ' ', '')) n_char, " +
+        "CAST(list_sum(list_transform(list_transform(string_split(text, ' '), " +
+        "w -> trim(replace(replace(replace(concat(' ', trim(regexp_replace(w, '(.)', '\\1 ', 'g')), ' '), " +
+        "' e r ', ' er '), ' i n ', ' in '), ' o w ', ' ow '))), " +
+        "s -> len(string_split(s, ' ')))) AS BIGINT) n_bpe " +
+        "FROM documents ORDER BY doc_id LIMIT 100"),
     // BPE merge scan: adjacent char pairs of every >=2-char token, counted.
     "q_bpe_merges" ->
       "WITH tok AS (SELECT w FROM (SELECT unnest(string_split(text,' ')) w FROM documents) WHERE len(w) >= 2), p AS (SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, CAST(i AS INT), 2))) pair FROM tok) SELECT pair, CAST(count(*) AS BIGINT) c FROM p GROUP BY pair ORDER BY c DESC, pair LIMIT 10",

@@ -885,6 +885,19 @@ object Queries {
   private val qBpeMerges: Q = (s, sf) =>
     TextAnalysis.bpeMergeCandidates(t(s, sf, "documents"), "text", 10)
 
+  /** Tokenizer APPLY ([[operators.TextAnalysis.bpeSegment]]): per-doc
+    * token counts under the top-3 corpus merges from q_bpe_merges
+    * (er, in, ow — baked as literals, the trained-artifact pattern).
+    * nbpe < nchar exactly where merges bind. */
+  private val qBpeApply: Q = (s, sf) => {
+    val (nc, nb) = TextAnalysis.bpeTokenCounts("text",
+      Seq(("e", "r"), ("i", "n"), ("o", "w")))
+    t(s, sf, "documents")
+      .select(col("doc_id"), nc.as("n_char"), nb.as("n_bpe"))
+      .orderBy("doc_id")
+      .limit(100)
+  }
+
   /** Model-scoring plumbing: a linear quality classifier (fastText-filter
     * shape) with literal trained weights, sigmoid score, threshold gate.
     * Narrow per-row scan — the weights live in the plan. */
@@ -1641,6 +1654,7 @@ object Queries {
     "q_quality" -> qQuality,
     "q_classify" -> qClassify,
     "q_bpe_merges" -> qBpeMerges,
+    "q_bpe_apply" -> qBpeApply,
     "q_dsir" -> qDsir,
     "q_cdc_chunk" -> qCdcChunk,
     "q_dup_spans" -> qDupSpans,

@@ -177,6 +177,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(h1.init.toSeq == h2.take(h1.size - 1).toSeq)
   }
 
+  test("bpeSegment applies merges in rank order, one replace-all pass each") {
+    val d = Seq((1L, "lower win", 9L)).toDF("doc_id", "text", "n_chars")
+    val segs = d.select(TextAnalysis.bpeSegment("text",
+      Seq(("e", "r"), ("i", "n"), ("o", "w"))).as("s"))
+      .head.getSeq[String](0)
+    // lower: l o w e r -> er binds, then ow -> "l ow er"; win: w i n -> "w in"
+    assert(segs == Seq("l ow er", "w in"))
+    val (nc, nb) = TextAnalysis.bpeTokenCounts("text",
+      Seq(("e", "r"), ("i", "n"), ("o", "w")))
+    val r = d.select(nc, nb).head
+    assert(r.getInt(0) == 8 && r.getInt(1) == 5) // 8 chars -> 3+2 tokens
+    // merge ordering matters: (w,e) before (e,r) consumes the e first
+    val alt = d.select(TextAnalysis.bpeSegment("text",
+      Seq(("w", "e"), ("e", "r"))).as("s")).head.getSeq[String](0)
+    assert(alt.head == "l o we r")
+  }
+
   test("bpeMergeCandidates counts adjacent char pairs, skipping 1-char tokens") {
     val d = Seq((1L, "aab ab x aab", 12L)).toDF("doc_id", "text", "n_chars")
     // aab -> aa, ab; ab -> ab; x skipped; aab -> aa, ab  => ab:3, aa:2
