@@ -210,6 +210,18 @@ object ScaleBench {
         Sampling.dsirWeights(docs, "doc_id", "text", "lang", "en", 128)
       }
     }
+
+    // duplicate spans: one window-hash shuffle + a per-document merge
+    // window — should scale like the window-hash word-count. The 5%
+    // planted near-dups share long verbatim prefixes, so spans exist.
+    Dedup.duplicateSpans(spark.read.parquet(s"$outRoot/docs_5000"),
+      "doc_id", "text", 8).count() // warmup
+    docSizes.foreach { n =>
+      val docs = spark.read.parquet(s"$outRoot/docs_$n")
+      time(s"dup_spans_$n") {
+        Dedup.duplicateSpans(docs, "doc_id", "text", 8)
+      }
+    }
     spark.stop()
   }
 }

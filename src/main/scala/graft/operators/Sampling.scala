@@ -102,6 +102,23 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** Epoch upsampling — the other half of corpus mixing: high-value
+    * groups are REPEATED `reps(group)` times (the "books ×3, web ×1"
+    * training-mix move; Gao et al. 2020's Pile epochs), each copy tagged
+    * with an `epoch` number so downstream shuffling can decorrelate
+    * copies (shuffleKey(seed = epoch)). A narrow row generator —
+    * explode(sequence) per row, no join, no shuffle; at 100 TB the
+    * blow-up happens at scan speed and only the written bytes grow.
+    * Unlisted groups default to 1 epoch. */
+  def upsample(df: DataFrame, groupCol: String,
+      reps: Map[String, Int]): DataFrame = {
+    require(reps.values.forall(_ >= 1), s"epoch counts must be >= 1 (got $reps)")
+    val repCol = reps.foldLeft(lit(1)) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    df.withColumn("epoch", explode(sequence(lit(1), repCol)))
+  }
+
   /** Deterministic global training order: sort key = md5(seed:key). The
     * "shuffle the corpus" step of a training run as a pure column — same
     * order every run/retry/engine for a given seed, a different

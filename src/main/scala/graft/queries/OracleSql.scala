@@ -467,6 +467,11 @@ object OracleSql {
         "SELECT w, count(*) c FROM tk GROUP BY w " +
         "HAVING count(*) >= (SELECT thr FROM n) ORDER BY c DESC, w"),
     // exact integer moments -> fixed-association doubles: no tolerance
+    // Upsample: epoch = unnest(range(1, reps+1)), reps by lang.
+    "q_upsample" ->
+      ("SELECT lang, epoch, CAST(count(*) AS BIGINT) n, CAST(sum(doc_id) AS BIGINT) chk FROM " +
+        "(SELECT lang, doc_id, CAST(unnest(range(1, (CASE lang WHEN 'en' THEN 3 WHEN 'de' THEN 2 ELSE 1 END) + 1)) AS INT) epoch FROM documents) " +
+        "GROUP BY lang, epoch ORDER BY lang, epoch"),
     // Winsorize: DuckDB quantile_cont == Spark percentile (q_percentile
     // precedent); clip then re-average, floats rounded 3 dp.
     "q_winsorize" ->

@@ -1200,6 +1200,15 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** Epoch upsampling ([[operators.Sampling.upsample]]): en ×3, de ×2,
+    * rest ×1 — census per (lang, epoch) proves exact copy counts. */
+  private val qUpsample: Q = (s, sf) =>
+    Sampling.upsample(t(s, sf, "documents"), "lang",
+        Map("en" -> 3, "de" -> 2))
+      .groupBy("lang", "epoch")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("chk"))
+      .orderBy("lang", "epoch")
+
   /** Deterministic corpus shuffle (training order): the first 20 docs of
     * the md5(seed:id) order. Epoch reshuffles = seed bump; the probe is a
     * TakeOrdered, the full materialization one range-partitioned sort. */
@@ -1679,6 +1688,7 @@ object Queries {
     "q_keywords" -> qKeywords,
     "q_anomaly" -> qAnomaly,
     "q_winsorize" -> qWinsorize,
+    "q_upsample" -> qUpsample,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_cms" -> qCms,
     "q_drift" -> qDrift,

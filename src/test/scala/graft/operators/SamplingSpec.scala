@@ -181,6 +181,17 @@ class SamplingSpec extends SparkSpec {
     assert(got.filter(_._1 == "b").map(_._2).toSeq === Seq(1))
   }
 
+  test("upsample repeats each group exactly reps times with dense epoch tags") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
+      .toDF("id", "g")
+    val up = Sampling.upsample(df, "g", Map("a" -> 3, "b" -> 2))
+      .select("id", "g", "epoch").as[(Long, String, Int)].collect()
+    assert(up.length == 2 * 3 + 1 * 2 + 1)
+    assert(up.filter(_._1 == 1L).map(_._3).sorted.toSeq == Seq(1, 2, 3))
+    assert(up.filter(_._1 == 3L).map(_._3).sorted.toSeq == Seq(1, 2))
+    assert(up.filter(_._1 == 4L).map(_._3).toSeq == Seq(1)) // default 1 epoch
+  }
+
   test("dsirWeights ranks target-vocabulary docs above off-target docs") {
     // target slice speaks {aa bb}; raw background speaks {qq rr}. Doc 10
     // is a raw doc written in target vocabulary -> must outscore doc 11.
