@@ -87,8 +87,7 @@ object Multimodal {
           var x = 0
           while (x < w) {
             val rgb = img.getRGB(x, y)
-            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-              0.114 * (rgb & 0xff)
+            sum += luma(rgb)
             n += 1; x += sx
           }
           y += sy
@@ -187,7 +186,11 @@ object Multimodal {
   /** REAL image resize, pure JDK (headless BufferedImage + Graphics2D,
     * bilinear): decode → scale to `w`×`h` → re-encode PNG. Corrupt
     * payloads become Left — failures stay data. */
-  def resizeImage(payload: Array[Byte], w: Int, h: Int): Either[String, Array[Byte]] =
+  /** Decode + bilinear-resample to `w`×`h` RGB — the one shared
+    * decode/scale path, so hashing and resizing can never silently
+    * diverge on alpha/hint handling. */
+  private def decodeScaled(payload: Array[Byte], w: Int,
+      h: Int): Either[String, java.awt.image.BufferedImage] =
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null) Left("undecodable image payload")
@@ -199,13 +202,23 @@ object Multimodal {
           java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
         g.drawImage(img, 0, 0, w, h, null)
         g.dispose()
-        val buf = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(out, "png", buf)
-        Right(buf.toByteArray)
+        Right(out)
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
         Left(s"corrupt image payload: ${e.getMessage}")
+    }
+
+  /** ITU-R 601 luma of a packed RGB pixel. */
+  private def luma(rgb: Int): Double =
+    0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+      0.114 * (rgb & 0xff)
+
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Either[String, Array[Byte]] =
+    decodeScaled(payload, w, h).map { out =>
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", buf)
+      buf.toByteArray
     }
 
   /** Resize every image row to a uniform `w`×`h` (the thumbnail /
@@ -270,37 +283,19 @@ object Multimodal {
     * The image analogue of the text simHash16. Corrupt payloads are
     * Left — failures stay data. */
   def dHash(payload: Array[Byte]): Either[String, Long] =
-    try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      if (img == null) Left("undecodable image payload")
-      else {
-        val s = new java.awt.image.BufferedImage(9, 8,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        val g = s.createGraphics()
-        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-        g.drawImage(img, 0, 0, 9, 8, null)
-        g.dispose()
-        def gray(x: Int, y: Int): Double = {
-          val rgb = s.getRGB(x, y)
-          0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-            0.114 * (rgb & 0xff)
+    decodeScaled(payload, 9, 8).map { s =>
+      var h = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (luma(s.getRGB(c, r)) < luma(s.getRGB(c + 1, r)))
+            h |= 1L << (r * 8 + c)
+          c += 1
         }
-        var h = 0L
-        var r = 0
-        while (r < 8) {
-          var c = 0
-          while (c < 8) {
-            if (gray(c, r) < gray(c + 1, r)) h |= 1L << (r * 8 + c)
-            c += 1
-          }
-          r += 1
-        }
-        Right(h)
+        r += 1
       }
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        Left(s"corrupt image payload: ${e.getMessage}")
+      h
     }
 
   /** Image near-duplicate pairs by perceptual-hash Hamming distance —
@@ -334,7 +329,9 @@ object Multimodal {
         col("ida") < col("idb"))
       .select(col("ida"), col("idb"),
         expr("CAST(bit_count(ha ^ hb) AS INT)").as("ham"))
-      .distinct()
+      // filter BEFORE the dedup shuffle: ham is a pure function of the
+      // pair, so band-collision candidates above the cut never shuffle
       .where(col("ham") <= maxHamming)
+      .distinct()
   }
 }

@@ -136,16 +136,23 @@ object Validate {
     * tiny per-group quantile aggregate broadcast back onto a narrow
     * clip — the data never shuffles. Exact percentile needs each group's
     * sorted values on one task; at 100 TB swap in approx_percentile for
-    * the quantile table and keep the identical clip stage. */
+    * the quantile table and keep the identical clip stage.
+    *
+    * A VALUE REWRITE, never a filter: every input row survives. NULL
+    * group keys don't equi-join their quantile row and NULL values must
+    * stay NULL (Spark's least/greatest SKIP null arguments rather than
+    * propagate, which would silently rewrite NULL to the p-hi bound) —
+    * both cases pass through unclipped. */
   def winsorize(df: DataFrame, groupCol: String, valCol: String,
       lo: Double, hi: Double): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1 (got $lo, $hi)")
     val q = df.groupBy(groupCol)
       .agg(expr(s"percentile($valCol, $lo)").as("__plo"),
         expr(s"percentile($valCol, $hi)").as("__phi"))
-    df.join(broadcast(q), Seq(groupCol))
+    df.join(broadcast(q), Seq(groupCol), "left")
       .withColumn(valCol,
-        greatest(least(col(valCol), col("__phi")), col("__plo")))
+        when(col(valCol).isNull || col("__plo").isNull, col(valCol))
+          .otherwise(greatest(least(col(valCol), col("__phi")), col("__plo"))))
       .drop("__plo", "__phi")
   }
 }

@@ -329,7 +329,6 @@ object OracleSql {
       "SELECT doc_id, substr(md5(text),1,16) fp, substr(md5(array_to_string((string_split(text,' '))[1:3],' ')),1,16) sh FROM documents ORDER BY doc_id LIMIT 100",
     "q_token_count" ->
       "SELECT doc_id, len(string_split(text,' ')) wt, len(regexp_extract_all(text,'[a-z]+')) rt FROM documents ORDER BY doc_id LIMIT 100",
-    // floor-quantized (not round) so the score is bit-identical x-engine.
     // Duplicate spans: 8-token window hashes occurring >1 time corpus-wide,
     // merged per doc into maximal spans (break when p > prev + 8).
     "q_dup_spans" ->
@@ -376,6 +375,7 @@ object OracleSql {
     // keep computed FROM the quantized score (both engines gate post-floor).
     "q_classify" ->
       "SELECT doc_id, score, (score >= 0.5) AS keep FROM (SELECT doc_id, floor((1.0/(1.0+exp(-(-2.0 + 0.6*ln(CAST(len(string_split(text,' ')) AS DOUBLE)) - 0.4*(list_sum(list_transform(string_split(text,' '), w -> len(w)))/CAST(len(string_split(text,' ')) AS DOUBLE)) + 8.0*(len(list_filter(string_split(text,' '), w -> w IN ('the', 'a')))/CAST(len(string_split(text,' ')) AS DOUBLE)) + 1.5*(len(list_distinct(string_split(text,' ')))/CAST(len(string_split(text,' ')) AS DOUBLE))))))*10000 + 0.5)/10000 score FROM documents) ORDER BY doc_id LIMIT 100",
+    // floor-quantized (not round) so the score is bit-identical x-engine.
     "q_quality" ->
       "SELECT doc_id, floor((least(n_chars/400.0, 1.0)*0.5 + (len(list_filter(string_split(text,' '), w -> w IN ('the', 'a')))/CAST(len(string_split(text,' ')) AS DOUBLE))*0.3 + least(len(string_split(text,' '))/80.0, 1.0)*0.2)*10000 + 0.5)/10000 score FROM documents ORDER BY doc_id LIMIT 100",
     "q_lang_id" ->
@@ -466,7 +466,6 @@ object OracleSql {
         "n AS (SELECT (count(*) + 29) // 30 thr FROM tk) " +
         "SELECT w, count(*) c FROM tk GROUP BY w " +
         "HAVING count(*) >= (SELECT thr FROM n) ORDER BY c DESC, w"),
-    // exact integer moments -> fixed-association doubles: no tolerance
     // Upsample: epoch = unnest(range(1, reps+1)), reps by lang.
     "q_upsample" ->
       ("SELECT lang, epoch, CAST(count(*) AS BIGINT) n, CAST(sum(doc_id) AS BIGINT) chk FROM " +
@@ -479,6 +478,7 @@ object OracleSql {
         "r AS (SELECT event_type, round(avg(value), 3) avg_raw FROM events GROUP BY event_type), " +
         "w AS (SELECT e.event_type, greatest(least(e.value, q.phi), q.plo) v FROM events e JOIN q ON e.event_type = q.event_type) " +
         "SELECT w.event_type, CAST(count(*) AS BIGINT) n, r.avg_raw, round(avg(w.v), 3) avg_wins FROM w JOIN r ON w.event_type = r.event_type GROUP BY w.event_type, r.avg_raw ORDER BY w.event_type"),
+    // exact integer moments -> fixed-association doubles: no tolerance
     "q_anomaly" ->
       ("WITH st AS (SELECT lang, source, count(*) n, " +
         "CAST(sum(n_chars) AS DOUBLE) s, " +

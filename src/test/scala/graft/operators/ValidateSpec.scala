@@ -105,4 +105,16 @@ class ValidateSpec extends SparkSpec {
     assert(Validate.winsorize(rows, "grp", "value", 0.1, 0.9).columns.toSeq
       == rows.columns.toSeq)
   }
+
+  test("winsorize passes NULL groups and NULL values through untouched") {
+    val rows = Seq[(Option[String], Option[Double])](
+      (Some("g"), Some(1.0)), (Some("g"), Some(2.0)), (Some("g"), Some(100.0)),
+      (Some("g"), None),  // null VALUE: must stay null, not become p-hi
+      (None, Some(42.0))  // null GROUP: must survive, unclipped
+    ).toDF("grp", "value")
+    val out = Validate.winsorize(rows, "grp", "value", 0.1, 0.9).collect()
+    assert(out.length == rows.count()) // a value rewrite, never a filter
+    assert(out.exists(r => r.isNullAt(0) && r.getDouble(1) == 42.0))
+    assert(out.count(r => !r.isNullAt(0) && r.isNullAt(1)) == 1)
+  }
 }
