@@ -286,6 +286,44 @@ object TextAnalysis {
     (nChar, nBpe)
   }
 
+  /** Iterated BPE TRAINING (Sennrich et al. ACL'16, the full loop):
+    * `iters` rounds of count-adjacent-pairs → take the argmax merge
+    * (ties → lexicographic, so the vocabulary is engine-deterministic) →
+    * re-segment the working corpus with it. Each round is ONE pair-count
+    * aggregate (word-count shape) plus a narrow replace; the trained
+    * state — the merge list itself — is a handful of driver-side rows,
+    * exactly like Ivf.train's centroids. 100 TB cost: `iters` sequential
+    * scans, each at shuffle-of-pair-counts scale, state O(iters).
+    * Returns one row per learned merge: (rank, x, y, c). */
+  def bpeTrain(df: DataFrame, textCol: String, iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var seg = df.select(explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+      .select(expr(
+        "concat(' ', trim(regexp_replace(w, '(.)', '$1 ')), ' ')").as("s"))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (i <- 1 to iters) {
+      val top = seg.select(split(trim(col("s")), " ").as("t"))
+        .select(explode(expr(
+          "zip_with(slice(t, 1, greatest(size(t) - 1, 0)), " +
+            "slice(t, 2, greatest(size(t) - 1, 0)), " +
+            "(a, b) -> struct(a AS x, b AS y))")).as("p"))
+        .groupBy("p.x", "p.y").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("x"), col("y"))
+        .limit(1).collect()
+      top.headOption.foreach { r =>
+        val (x, y, c) = (r.getString(0), r.getString(1), r.getLong(2))
+        require((x + y).forall(_.isLetterOrDigit),
+          s"non-alphanumeric symbols in corpus; cannot splice merge ($x, $y)")
+        merges += ((i, x, y, c))
+        seg = seg.select(
+          expr(s"replace(s, ' $x $y ', ' $x$y ')").as("s"))
+      }
+    }
+    merges.result().toDF("rank", "x", "y", "c")
+  }
+
   /** Linear text-quality classifier scoring — the mechanical shape of the
     * fastText-style quality filter every LLM data pipeline runs (CCNet,
     * Wenzek et al. LREC 2020; classifier architecture of Joulin et al.

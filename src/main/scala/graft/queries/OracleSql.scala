@@ -21,6 +21,27 @@ object OracleSql {
       "SELECT sig, count(*) c FROM sg GROUP BY sig ORDER BY c DESC, sig LIMIT 20"
   }
 
+  // Iterated BPE training unrolled to 3 rounds: each round counts
+  // adjacent segment pairs, takes the (count desc, x, y) argmax via
+  // scalar subqueries, and re-segments with replace() — the same
+  // left-to-right non-overlapping literal replace the engine uses.
+  private val bpeTrainSql: String = {
+    val s0 = "s0 AS (SELECT concat(' ', trim(regexp_replace(w, '(.)', '\\1 ', 'g')), ' ') s " +
+      "FROM (SELECT unnest(string_split(text, ' ')) w FROM documents) WHERE w <> '')"
+    val rounds = (1 to 3).map { i =>
+      val prev = s"s${i - 1}"
+      s"p$i AS (SELECT t[i] x, t[i+1] y, count(*) c FROM " +
+        s"(SELECT t, CAST(unnest(range(1, len(t))) AS INT) i FROM " +
+        s"(SELECT string_split(trim(s), ' ') t FROM $prev)) GROUP BY 1, 2), " +
+        s"m$i AS (SELECT x, y, CAST(c AS BIGINT) c FROM p$i ORDER BY c DESC, x, y LIMIT 1), " +
+        s"s$i AS (SELECT replace(s, ' ' || (SELECT x FROM m$i) || ' ' || (SELECT y FROM m$i) || ' ', " +
+        s"' ' || (SELECT x FROM m$i) || (SELECT y FROM m$i) || ' ') s FROM $prev)"
+    }.mkString(", ")
+    val out = (1 to 3)
+      .map(i => s"SELECT $i rank, x, y, c FROM m$i").mkString(" UNION ALL ")
+    s"WITH $s0, $rounds $out ORDER BY rank"
+  }
+
   // Scaled-integer PageRank (Components.pageRank's recurrence, scale 10⁹,
   // d = 85/100) on the symmetrized customer↔supplier graph, unrolled to
   // five straight-line rounds. BIGINT ranks + floor-div sums are
@@ -368,6 +389,7 @@ object OracleSql {
         "' e r ', ' er '), ' i n ', ' in '), ' o w ', ' ow '))), " +
         "s -> len(string_split(s, ' ')))) AS BIGINT) n_bpe " +
         "FROM documents ORDER BY doc_id LIMIT 100"),
+    "q_bpe_train" -> bpeTrainSql,
     // BPE merge scan: adjacent char pairs of every >=2-char token, counted.
     "q_bpe_merges" ->
       "WITH tok AS (SELECT w FROM (SELECT unnest(string_split(text,' ')) w FROM documents) WHERE len(w) >= 2), p AS (SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, CAST(i AS INT), 2))) pair FROM tok) SELECT pair, CAST(count(*) AS BIGINT) c FROM p GROUP BY pair ORDER BY c DESC, pair LIMIT 10",

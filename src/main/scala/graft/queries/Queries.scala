@@ -898,6 +898,14 @@ object Queries {
       .limit(100)
   }
 
+  /** Iterated BPE training ([[operators.TextAnalysis.bpeTrain]]): the
+    * first 3 learned merges with their counts — each round's argmax
+    * feeds the next round's segmentation. Oracle unrolls the identical
+    * 3 rounds with scalar-subquery merges. */
+  private val qBpeTrain: Q = (s, sf) =>
+    TextAnalysis.bpeTrain(t(s, sf, "documents"), "text", iters = 3)
+      .orderBy("rank")
+
   /** Model-scoring plumbing: a linear quality classifier (fastText-filter
     * shape) with literal trained weights, sigmoid score, threshold gate.
     * Narrow per-row scan — the weights live in the plan. */
@@ -1664,6 +1672,7 @@ object Queries {
     "q_classify" -> qClassify,
     "q_bpe_merges" -> qBpeMerges,
     "q_bpe_apply" -> qBpeApply,
+    "q_bpe_train" -> qBpeTrain,
     "q_dsir" -> qDsir,
     "q_cdc_chunk" -> qCdcChunk,
     "q_dup_spans" -> qDupSpans,

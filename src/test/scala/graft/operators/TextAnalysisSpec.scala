@@ -177,6 +177,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(h1.init.toSeq == h2.take(h1.size - 1).toSeq)
   }
 
+  test("bpeTrain learns merges whose second round sees the first round's symbol") {
+    // corpus: "abc" x3, "abd" x2 -> round 1 argmax is (a,b) with c=5;
+    // round 2 pairs are then (ab,c) x3 vs (ab,d) x2 -> (ab,c)
+    val d = Seq((1L, "abc abc abc abd abd", 19L)).toDF("doc_id", "text", "n_chars")
+    val got = TextAnalysis.bpeTrain(d, "text", iters = 2)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "a", "b", 5L), (2, "ab", "c", 3L)))
+  }
+
   test("bpeSegment applies merges in rank order, one replace-all pass each") {
     val d = Seq((1L, "lower win", 9L)).toDF("doc_id", "text", "n_chars")
     val segs = d.select(TextAnalysis.bpeSegment("text",
