@@ -461,4 +461,46 @@ object Dedup {
       .agg(min("p").as("sp"), (max("p") + k - min("p")).as("ln"))
       .select(col(idCol), col("sp"), col("ln"))
   }
+
+  /** REMOVAL companion of [[duplicateSpans]] (the rest of the Lee et al.
+    * recipe): for each duplicated `k`-token window hash, the KEEPER is
+    * the corpus-minimal occurrence (smallest (doc, position) — encoded
+    * as one integer key so both engines compare identically); every
+    * occurrence in OTHER documents is cut, and each document's text is
+    * rebuilt without the tokens its cut windows cover. The keeper
+    * document keeps its text whole (within-doc repeats survive — one
+    * copy per hash is the contract, and it lives there).
+    *
+    * Scale shape: the window-hash word-count, a keeper aggregate, one
+    * equi-join back, then a NARROW per-row rebuild (each doc's cut set
+    * rides along as a small array; the index-aware `transform` drops
+    * covered tokens in one pass). Returns every input row with `clean`
+    * (rebuilt text) alongside the original columns. */
+  def removeDuplicateWindows(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val win = df
+      .select(col(idCol), split(col(textCol), " ").as("ws"))
+      .where(size(col("ws")) >= k)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(ws) - $k), p -> " +
+          s"md5(array_join(slice(ws, p + 1, $k), ' ')))"))
+        .as(Seq("p", "h")))
+    // one integer orders (doc, p) lexicographically: p < 100000 per doc
+    val keepers = win
+      .groupBy("h")
+      .agg(count(lit(1)).as("n"),
+        // integer div, not `/` (double division loses exactness past 2^53)
+        expr(s"CAST(min($idCol * 100000 + p) div 100000 AS BIGINT)").as("kdoc"))
+      .where(col("n") > 1)
+    val cuts = win.join(keepers, "h")
+      .where(col(idCol) =!= col("kdoc"))
+      .groupBy(idCol).agg(collect_set(col("p")).as("__cut"))
+    df.join(cuts, Seq(idCol), "left")
+      .withColumn("clean",
+        when(col("__cut").isNull, col(textCol)).otherwise(expr(
+          s"array_join(filter(transform(split($textCol, ' '), (tok, i) -> " +
+            s"IF(exists(__cut, p -> i >= p AND i < p + $k), NULL, tok)), " +
+            "t -> t IS NOT NULL), ' ')")))
+      .drop("__cut")
+  }
 }

@@ -361,6 +361,18 @@ object OracleSql {
         "m AS (SELECT doc_id, p, CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 8 THEN 1 ELSE 0 END brk FROM d), " +
         "s AS (SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) sid FROM m) " +
         "SELECT doc_id, CAST(min(p) AS INT) sp, CAST(max(p) + 8 - min(p) AS INT) ln FROM s GROUP BY doc_id, sid ORDER BY doc_id, sp"),
+    // Dup-window scrub: keeper = min(doc*100000+p) per dup hash; a token
+    // survives unless a cut (non-keeper) window covers it.
+    "q_dup_scrub" ->
+      ("WITH ws AS (SELECT doc_id, string_split(text,' ') w FROM documents), " +
+        "win AS (SELECT doc_id, CAST(unnest(range(0, greatest(len(w)-7, 0))) AS INT) p, w FROM ws), " +
+        "hh AS (SELECT doc_id, p, md5(array_to_string(w[CAST(p+1 AS INT):CAST(p+8 AS INT)], ' ')) h FROM win), " +
+        "dup AS (SELECT h, CAST(min(doc_id * 100000 + p) // 100000 AS BIGINT) kdoc FROM hh GROUP BY h HAVING count(*) > 1), " +
+        "cut AS (SELECT DISTINCT hh.doc_id, hh.p FROM hh JOIN dup ON hh.h = dup.h WHERE hh.doc_id <> dup.kdoc), " +
+        "tok AS (SELECT doc_id, CAST(generate_subscripts(w, 1) - 1 AS INT) i, unnest(w) tv FROM ws), " +
+        "keep AS (SELECT t.doc_id, t.i, NOT EXISTS (SELECT 1 FROM cut c WHERE c.doc_id = t.doc_id AND t.i >= c.p AND t.i < c.p + 8) kept FROM tok t), " +
+        "agg AS (SELECT doc_id, count(*) nb, sum(CASE WHEN kept THEN 1 ELSE 0 END) na FROM keep GROUP BY doc_id) " +
+        "SELECT CAST(sum(CASE WHEN na < nb THEN 1 ELSE 0 END) AS BIGINT) docs_changed, CAST(sum(nb) AS BIGINT) toks_before, CAST(sum(na) AS BIGINT) toks_after FROM agg"),
     // CDC: boundary where md5-60bit(8-char window) % 64 == 0; chunks are
     // the spans between boundaries (0 and len appended), empties dropped.
     "q_cdc_chunk" ->

@@ -859,6 +859,21 @@ object Queries {
     Dedup.duplicateSpans(t(s, sf, "documents"), "doc_id", "text", 8)
       .orderBy("doc_id", "sp")
 
+  /** Duplicate-window removal census ([[operators.Dedup
+    * .removeDuplicateWindows]]): docs changed + token totals before and
+    * after scrubbing every cross-doc duplicated 8-window outside its
+    * keeper document. */
+  private val qDupScrub: Q = (s, sf) => {
+    val clean = Dedup.removeDuplicateWindows(
+      t(s, sf, "documents"), "doc_id", "text", 8)
+    clean.select(
+        size(split(col("text"), " ")).as("nb"),
+        when(col("clean") === "", 0)
+          .otherwise(size(split(col("clean"), " "))).as("na"))
+      .agg(sum(when(col("na") < col("nb"), 1L).otherwise(0L)).as("docs_changed"),
+        sum("nb").as("toks_before"), sum("na").as("toks_after"))
+  }
+
   /** Content-defined chunking rows for the first 10 docs
     * ([[operators.TextAnalysis.cdcChunkRows]]): boundaries are local
     * hash decisions, so chunk fingerprints are stable under edits —
@@ -1676,6 +1691,7 @@ object Queries {
     "q_dsir" -> qDsir,
     "q_cdc_chunk" -> qCdcChunk,
     "q_dup_spans" -> qDupSpans,
+    "q_dup_scrub" -> qDupScrub,
     "q_lang_id" -> qLangId,
     "q_minhash_lsh" -> qMinhashLsh,
     "q_neardup_lsh" -> qNeardupLsh,

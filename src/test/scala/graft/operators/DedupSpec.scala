@@ -229,6 +229,25 @@ class DedupSpec extends SparkSpec {
     assert(spans == Set((1L, 2, 5), (2L, 4, 5)))
   }
 
+  test("removeDuplicateWindows scrubs non-keeper copies, keeps the keeper whole") {
+    val phrase = "p1 p2 p3 p4 p5"
+    val docs = Seq(
+      (1L, s"a1 a2 $phrase a3 a4"),       // keeper of the phrase windows
+      (2L, s"b1 b2 b3 b4 $phrase"),       // cross-doc copy -> scrubbed
+      (3L, "x1 x2 x3 gap x1 x2 x3"),      // within-doc repeat only -> whole
+      (4L, "c1 c2 c3 c4 c5 c6 c7 c8")     // untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateWindows(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == s"a1 a2 $phrase a3 a4") // keeper keeps its copy
+    assert(out(2L) == "b1 b2 b3 b4")          // phrase tokens 4..8 cut
+    assert(out(3L) == "x1 x2 x3 gap x1 x2 x3")
+    assert(out(4L) == "c1 c2 c3 c4 c5 c6 c7 c8")
+    // schema: original columns + clean
+    assert(Dedup.removeDuplicateWindows(docs, "doc_id", "text", 3)
+      .columns.toSeq == Seq("doc_id", "text", "clean"))
+  }
+
   test("duplicateSpans merges within-doc repeats and adjacent windows") {
     // the same 3-token phrase twice in ONE doc, separated by one token:
     // windows at 0 and 4 -> 4 <= 0 + 3 is false -> two separate spans
