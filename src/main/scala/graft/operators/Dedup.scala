@@ -437,15 +437,22 @@ object Dedup {
     * the span merge (partition cardinality = corpus size — the
     * q_keywords shape, never a few-partition funnel). Returns
     * (idCol, sp, ln): span start token offset and token length. */
-  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
-    val win = df
-      .select(col(idCol), split(col(textCol), " ").as("ws"))
+  /** (idCol, p, h): md5 of every `k`-token sliding window — the shared
+    * windowing of [[duplicateSpans]] and [[removeDuplicateWindows]], in
+    * one place so the two Lee-et-al companions can never disagree on
+    * what a window is. */
+  private def windowHashes(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol), split(col(textCol), " ").as("ws"))
       .where(size(col("ws")) >= k)
       .select(col(idCol), posexplode(expr(
         s"transform(sequence(0, size(ws) - $k), p -> " +
           s"md5(array_join(slice(ws, p + 1, $k), ' ')))"))
         .as(Seq("p", "h")))
+
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val win = windowHashes(df, idCol, textCol, k)
     val dup = win.groupBy("h").agg(count(lit(1)).as("n")).where(col("n") > 1)
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(idCol).orderBy("p")
@@ -478,19 +485,20 @@ object Dedup {
     * (rebuilt text) alongside the original columns. */
   def removeDuplicateWindows(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val win = df
-      .select(col(idCol), split(col(textCol), " ").as("ws"))
-      .where(size(col("ws")) >= k)
-      .select(col(idCol), posexplode(expr(
-        s"transform(sequence(0, size(ws) - $k), p -> " +
-          s"md5(array_join(slice(ws, p + 1, $k), ' ')))"))
-        .as(Seq("p", "h")))
-    // one integer orders (doc, p) lexicographically: p < 100000 per doc
+    val win = windowHashes(df, idCol, textCol, k)
+    // one integer orders (doc, p) lexicographically. The encoding needs
+    // p < 100000 and id >= 0 (and widens int ids before multiplying) —
+    // violated assumptions RAISE rather than silently electing a keeper
+    // that holds no occurrence; integer div, not `/` (double division
+    // loses exactness past 2^53)
     val keepers = win
       .groupBy("h")
       .agg(count(lit(1)).as("n"),
-        // integer div, not `/` (double division loses exactness past 2^53)
-        expr(s"CAST(min($idCol * 100000 + p) div 100000 AS BIGINT)").as("kdoc"))
+        expr(s"CAST(min(IF(p >= 100000 OR $idCol < 0, " +
+          s"CAST(raise_error('removeDuplicateWindows: keeper encoding " +
+          s"needs 0 <= $idCol and token position < 100000') AS BIGINT), " +
+          s"CAST($idCol AS BIGINT) * 100000 + p)) div 100000 AS BIGINT)")
+          .as("kdoc"))
       .where(col("n") > 1)
     val cuts = win.join(keepers, "h")
       .where(col(idCol) =!= col("kdoc"))

@@ -265,12 +265,16 @@ object TextAnalysis {
     * array of segmented words, each a space-separated token string.
     * Narrow per-row expression — tokenizing 100 TB is scan-speed work,
     * with the merge table baked into the plan as literals. */
+  /** Char-spaced seed segmentation of a word `w` (" l o w e r ") — the
+    * single starting point for BPE apply AND train, so the two can never
+    * diverge on how a word becomes symbols. */
+  private val bpeSeed = "concat(' ', trim(regexp_replace(w, '(.)', '$1 ')), ' ')"
+
   def bpeSegment(textCol: String, merges: Seq[(String, String)]): Column = {
     require(merges.forall { case (x, y) =>
       (x + y).forall(c => c.isLetterOrDigit) },
       "merge symbols must be alphanumeric (they are spliced into SQL text)")
-    val body = merges.foldLeft(
-      "concat(' ', trim(regexp_replace(w, '(.)', '$1 ')), ' ')") {
+    val body = merges.foldLeft(bpeSeed) {
       case (acc, (x, y)) => s"replace($acc, ' $x $y ', ' $x$y ')"
     }
     expr(s"transform(split($textCol, ' '), w -> trim($body))")
@@ -300,8 +304,7 @@ object TextAnalysis {
     import spark.implicits._
     var seg = df.select(explode(split(col(textCol), " ")).as("w"))
       .where(col("w") =!= "")
-      .select(expr(
-        "concat(' ', trim(regexp_replace(w, '(.)', '$1 ')), ' ')").as("s"))
+      .select(expr(bpeSeed).as("s"))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (i <- 1 to iters) {
       val top = seg.select(split(trim(col("s")), " ").as("t"))
@@ -314,11 +317,11 @@ object TextAnalysis {
         .limit(1).collect()
       top.headOption.foreach { r =>
         val (x, y, c) = (r.getString(0), r.getString(1), r.getLong(2))
-        require((x + y).forall(_.isLetterOrDigit),
-          s"non-alphanumeric symbols in corpus; cannot splice merge ($x, $y)")
         merges += ((i, x, y, c))
-        seg = seg.select(
-          expr(s"replace(s, ' $x $y ', ' $x$y ')").as("s"))
+        // the merge strings travel as literal Columns, never spliced into
+        // SQL text — any corpus symbol (quotes, punctuation) is safe
+        seg = seg.select(call_function("replace", col("s"),
+          lit(s" $x $y "), lit(s" $x$y ")).as("s"))
       }
     }
     merges.result().toDF("rank", "x", "y", "c")

@@ -510,7 +510,7 @@ object OracleSql {
     "q_winsorize" ->
       ("WITH q AS (SELECT event_type, quantile_cont(value, 0.05) plo, quantile_cont(value, 0.95) phi FROM events GROUP BY event_type), " +
         "r AS (SELECT event_type, round(avg(value), 3) avg_raw FROM events GROUP BY event_type), " +
-        "w AS (SELECT e.event_type, greatest(least(e.value, q.phi), q.plo) v FROM events e JOIN q ON e.event_type = q.event_type) " +
+        "w AS (SELECT e.event_type, CASE WHEN e.value IS NULL OR q.plo IS NULL THEN e.value ELSE greatest(least(e.value, q.phi), q.plo) END v FROM events e LEFT JOIN q ON e.event_type = q.event_type) " +
         "SELECT w.event_type, CAST(count(*) AS BIGINT) n, r.avg_raw, round(avg(w.v), 3) avg_wins FROM w JOIN r ON w.event_type = r.event_type GROUP BY w.event_type, r.avg_raw ORDER BY w.event_type"),
     // exact integer moments -> fixed-association doubles: no tolerance
     "q_anomaly" ->

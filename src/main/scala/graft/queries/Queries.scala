@@ -868,7 +868,10 @@ object Queries {
       t(s, sf, "documents"), "doc_id", "text", 8)
     clean.select(
         size(split(col("text"), " ")).as("nb"),
-        when(col("clean") === "", 0)
+        // untouched docs keep nb exactly (incl. the empty-text edge where
+        // split("") = [""]); a doc scrubbed down to nothing counts 0
+        when(col("clean") === col("text"), size(split(col("text"), " ")))
+          .when(col("clean") === "", 0)
           .otherwise(size(split(col("clean"), " "))).as("na"))
       .agg(sum(when(col("na") < col("nb"), 1L).otherwise(0L)).as("docs_changed"),
         sum("nb").as("toks_before"), sum("na").as("toks_after"))
