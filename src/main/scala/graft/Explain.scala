@@ -10,7 +10,8 @@ object Explain {
     val sf = "/root/testdata/sf0.001"
     args.foreach { q =>
       println(s"===== $q =====")
-      println(graft.queries.Queries.all(q)(spark, sf).queryExecution.executedPlan.toString.take(3500))
+      println(graft.queries.Queries.all(q)(spark, sf).queryExecution.executedPlan.toString.take(
+        sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_CHARS", "3500").toInt))
     }
     spark.stop()
   }

@@ -277,4 +277,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p) // lr table join
     assert(!p.contains("SortMergeJoin"), p) // the stream never shuffles to score
   }
+
+  test("q_dup_spans merges per document, never a cartesian pair join") {
+    val p = plan("q_dup_spans")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the span merge windows BY DOCUMENT — corpus-cardinality partitions
+    assert(p.contains("windowspecdefinition(doc_id"), p)
+  }
+
+  test("q_dup_scrub joins on hash/id only: no pair explosion, no window") {
+    val p = plan("q_dup_scrub")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // rebuild is a narrow per-row transform (the operator NAME appears in
+    // a raise_error literal, so match the window-function node, not "Window")
+    assert(!p.contains("windowspecdefinition"), p)
+  }
+
+  test("q_winsorize broadcasts the quantile table; data never shuffles to clip") {
+    val p = plan("q_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
