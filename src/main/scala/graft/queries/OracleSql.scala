@@ -575,6 +575,14 @@ object OracleSql {
     // sequence packing: integer running sums → floor-div bucket, exact
     // seq_id is CAST to BIGINT because the HUGEINT window sum makes `//`
     // yield DECIMAL(38,0) → pandas float64, while Spark emits bigint
+    // Packed-sequence content fingerprint: same bucketing as q_pack,
+    // string_agg in doc order == Spark's array_sort(struct)+array_join.
+    "q_pack_text" ->
+      ("SELECT lang, CAST(seq_id AS BIGINT) seq_id, count(*) docs, substr(md5(string_agg(text, chr(10) ORDER BY doc_id)), 1, 16) fp FROM (" +
+        "SELECT lang, doc_id, text, " +
+        "(sum(tk) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tk) // 500 seq_id " +
+        "FROM (SELECT lang, doc_id, text, len(string_split(text, ' ')) tk FROM documents) d" +
+        ") GROUP BY lang, seq_id ORDER BY lang, seq_id"),
     "q_pack" ->
       ("SELECT lang, CAST(seq_id AS BIGINT) seq_id, count(*) docs, CAST(sum(tk) AS BIGINT) toks FROM (" +
         "SELECT lang, doc_id, tk, " +

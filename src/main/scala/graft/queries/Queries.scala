@@ -1347,6 +1347,24 @@ object Queries {
       .agg(count(lit(1)).as("docs"), sum("tk").cast("bigint").as("toks"))
       .orderBy("lang", "seq_id")
 
+  /** Packed-sequence CONTENT integrity: the same packing as q_pack but
+    * fingerprinting each training sequence's materialized text (docs
+    * joined by newline in id order, md5-prefixed) — the artifact a
+    * pipeline actually writes, pinned byte-identical cross-engine. */
+  private val qPackText: Q = (s, sf) =>
+    Sampling.packSequences(
+        t(s, sf, "documents").select(col("lang"), col("doc_id"), col("text"),
+          TextAnalysis.wsTokenCount(col("text")).as("tk")),
+        Seq("lang"), "doc_id", col("tk"), 500)
+      .groupBy("lang", "seq_id")
+      .agg(count(lit(1)).as("docs"),
+        collect_list(struct(col("doc_id"), col("text"))).as("__dt"))
+      .select(col("lang"), col("seq_id"), col("docs"),
+        substring(md5(expr(
+          "array_join(transform(array_sort(__dt), s -> s.text), '\n')")),
+          1, 16).as("fp"))
+      .orderBy("lang", "seq_id")
+
   /** Bigram-LM cross-entropy quality score (the CCNet/Gopher perplexity-
     * proxy filter): a bigram model is "trained" as plain count aggregates
     * over the corpus — c(w1,w2) and prefix count c(w1) — and each doc is
@@ -1717,6 +1735,7 @@ object Queries {
     "q_anomaly" -> qAnomaly,
     "q_winsorize" -> qWinsorize,
     "q_upsample" -> qUpsample,
+    "q_pack_text" -> qPackText,
     "q_heavy_hitters" -> qHeavyHitters,
     "q_cms" -> qCms,
     "q_drift" -> qDrift,
