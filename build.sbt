@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the ONE bench/verify JSON line out of the run's stdout
+// tail. sbt's default LoggedOutput prefixes every forked-process line with
+// "[info] " / "[error] ", which made the line unparseable every round since
+// r02 — StdoutOutput inherits the parent's raw stdout/stderr instead.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

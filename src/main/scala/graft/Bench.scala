@@ -30,6 +30,20 @@ object Bench {
       // artifact with zero signal — say so loudly
       System.err.println(s"[bench] WARNING: $warmFailures/${names.size} warmup " +
         s"queries failed against $warmDir; timings may absorb JIT warmup")
+    // Storage isolation: the iterative queries cut lineage with eager
+    // localCheckpoint, whose MEMORY_AND_DISK blocks are reclaimed only when
+    // the async ContextCleaner notices the RDD refs are gone — in a 137-query
+    // suite the blocks pile up and round 5 measured q_triangles at 10.3 s
+    // in-suite vs 4.6 s isolated (memory pressure + GC, not the plan).
+    // Synchronously dropping every persisted RDD and cached plan between
+    // queries charges each query its own storage, like System.gc() below
+    // charges it its own garbage.
+    def releaseStorage(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+    }
+    releaseStorage() // warmup leftovers
     val results = names.map { name =>
       // GC isolation: the queries run alphabetically in one shared JVM, so
       // a heavy query's garbage (millions of candidate-pair rows) was
@@ -37,6 +51,7 @@ object Bench {
       // round 4 showed untouched queries (q_quota, q_pack, q_regex) regress
       // 3-7x purely from sitting downstream of the new dedup block. A full
       // GC before each timed window charges every query its own garbage.
+      releaseStorage()
       System.gc()
       val t0 = System.nanoTime()
       val ok =

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import Checkpoint.CutOps
 
 /** Connected components over an edge list — the final stage of fuzzy
   * deduplication: near-dup PAIRS (from LSH/Jaccard/SimHash) are only
@@ -24,11 +25,12 @@ import org.apache.spark.sql.functions._
   *    of Kiveris et al., "Connected Components in MapReduce and Beyond"
   *    (SoCC'14), which this implementation deliberately omits — dedup
   *    graphs don't need it and it triples the per-round shuffle count;
-  *  - per round the loop materializes labels via eager `localCheckpoint`
-  *    to truncate lineage (an iterative DataFrame otherwise re-plans a
-  *    growing tree each round). On a real cluster with executor loss risk,
-  *    set a checkpoint dir and swap in reliable `checkpoint` — same code
-  *    shape, durable shuffle files;
+  *  - per round the loop materializes labels via [[Checkpoint.cut]] to
+  *    truncate lineage (an iterative DataFrame otherwise re-plans a
+  *    growing tree each round): eager `localCheckpoint` by default; on a
+  *    real cluster with executor-loss risk set
+  *    `graft.checkpoint.reliable=true` plus a checkpoint dir and every
+  *    round durably `checkpoint`s instead — same code shape;
   *  - convergence is detected from `sum(labels)`: labels only ever
   *    decrease, so an unchanged sum ⟺ no label moved — one cheap
   *    aggregate per round instead of a self-join diff.
@@ -45,9 +47,9 @@ object Components {
     val e = edges.select(col(srcCol).cast("long").as("s"),
       col(dstCol).cast("long").as("d"))
     val sym = e.union(e.select(col("d").as("s"), col("s").as("d")))
-      .distinct().localCheckpoint(true)
+      .distinct().cut
     var labels = sym.select(col("s").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(true)
+      .withColumn("comp", col("id")).cut
     // decimal(38,0) sum: exact and unoverflowable for any vertex count ×
     // id range (sum(long) could wrap — or throw under ANSI — at extreme n)
     def labelSum(df: DataFrame): java.math.BigDecimal =
@@ -66,7 +68,7 @@ object Components {
       val next = labels.join(msgs, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
+        .cut
       val s = labelSum(next)
       converged = s.compareTo(last) == 0
       last = s
@@ -110,14 +112,14 @@ object Components {
     require(hops >= 0, s"hops must be >= 0 (got $hops)")
     val e = edges.select(col(srcCol).cast("long").as("s"),
         col(dstCol).cast("long").as("d"), col(weightCol).cast("long").as("w"))
-      .groupBy("s", "d").agg(min("w").as("w")).localCheckpoint(true)
+      .groupBy("s", "d").agg(min("w").as("w")).cut
     var dist = e.sparkSession.range(1)
       .select(lit(source).as("id"), lit(0L).as("dist"))
     for (_ <- 1 to hops) {
       dist = dist.union(dist.join(e, col("id") === col("s"))
           .select(col("d").as("id"), (col("dist") + col("w")).as("dist")))
         .groupBy("id").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
+        .cut
     }
     dist
   }
@@ -137,22 +139,31 @@ object Components {
     * (vertex, label) count. Labels/ids must be non-negative (the
     * negation trick turns smallest-label into largest-(-label)).
     * Symmetrize the edge list for undirected communities; a vertex's own
-    * label does not vote (neighbors only, the standard rule). */
+    * label does not vote (neighbors only, the standard rule).
+    *
+    * TOTAL labeling: a vertex that receives no votes in a round (no
+    * in-edges on a directed input) KEEPS its current label via a left
+    * join back onto the full node set — source-only vertices stay in the
+    * output instead of silently vanishing after round 1. On a symmetrized
+    * edge list every vertex votes every round, so this join changes
+    * nothing there. */
   def labelPropagation(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", rounds: Int = 3): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0 (got $rounds)")
     val e = edges.select(col(srcCol).cast("long").as("s"),
-      col(dstCol).cast("long").as("d")).distinct().localCheckpoint(true)
+      col(dstCol).cast("long").as("d")).distinct().cut
     var labels = e.select(col("s").as("id")).union(e.select(col("d")))
-      .distinct().withColumn("lbl", col("id")).localCheckpoint(true)
+      .distinct().withColumn("lbl", col("id")).cut
     for (_ <- 1 to rounds) {
-      labels = e.join(labels.withColumnRenamed("id", "s"), "s")
+      val votes = e.join(labels.withColumnRenamed("id", "s"), "s")
         .groupBy(col("d").as("id"), col("lbl"))
         .agg(count(lit(1)).as("c"))
         .groupBy("id")
         .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
-        .select(col("id"), (-col("m.nl")).as("lbl"))
-        .localCheckpoint(true)
+        .select(col("id"), (-col("m.nl")).as("vl"))
+      labels = labels.join(votes, Seq("id"), "left")
+        .select(col("id"), coalesce(col("vl"), col("lbl")).as("lbl"))
+        .cut
     }
     labels
   }
@@ -175,7 +186,7 @@ object Components {
       dstCol: String = "dst", source: Long = 0L,
       maxIter: Int = 20): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("s"),
-      col(dstCol).cast("long").as("d")).distinct().localCheckpoint(true)
+      col(dstCol).cast("long").as("d")).distinct().cut
     val init = e.sparkSession.range(1)
       .select(lit(source).as("id"), lit(0L).as("dist"))
     Iterate.fixpoint(init, maxIter) { cur =>
@@ -213,7 +224,7 @@ object Components {
       .where(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
-      .distinct().localCheckpoint(true)
+      .distinct().cut
     val deg = e0.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("dg"))
     val aFirst = // true when a precedes b in the (degree, id) total order
@@ -223,7 +234,7 @@ object Components {
       .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
       .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
         when(aFirst, col("b")).otherwise(col("a")).as("w"))
-      .localCheckpoint(true) // consumed by the adjacency agg AND the probe
+      .cut // consumed by the adjacency agg AND the probe
     // edge-iterator form: a triangle π-ordered v1→v2→v3 is found exactly
     // once, at edge (v1,v2), as v3 ∈ N⁺(v1) ∩ N⁺(v2). Intersecting
     // adjacency ARRAYS per edge emits only true triangles — the wedge
@@ -267,8 +278,8 @@ object Components {
     * edge list with the rank frame on the source vertex, one map-side
     * partial SUM by destination, one left join back onto the node set —
     * all plain Catalyst shuffles, no driver-side graph state; lineage is
-    * cut per round with eager `localCheckpoint` like
-    * [[connectedComponents]] (swap in reliable `checkpoint` on clusters
+    * cut per round with [[Checkpoint.cut]] like [[connectedComponents]]
+    * (set `graft.checkpoint.reliable=true` + a checkpoint dir on clusters
     * with executor-loss risk). Overflow headroom: `dampNum · Σ inflow`
     * must stay under 2⁶³ — at scale 10⁹ that allows ~10⁸ nodes of mass
     * into one vertex; shrink `scale` if the graph is bigger and hotter. */
@@ -285,11 +296,11 @@ object Components {
     // degree-annotated join, and the node set — without this an expensive
     // upstream (a join deriving the edges) would run for each consumer
     val e = edges.select(col(srcCol).cast("long").as("s"),
-      col(dstCol).cast("long").as("d")).distinct().localCheckpoint(true)
+      col(dstCol).cast("long").as("d")).distinct().cut
     val ew = e.join(e.groupBy("s").agg(count(lit(1)).as("deg")), "s")
-      .localCheckpoint(true)
+      .cut
     val nodes = e.select(col("s").as("id")).union(e.select(col("d").as("id")))
-      .distinct().localCheckpoint(true)
+      .distinct().cut
     val base = (dampDen - dampNum) * (scale / dampDen)
     var pr = nodes.withColumn("rank", lit(scale))
     for (_ <- 1 to iters) {
@@ -300,7 +311,7 @@ object Components {
         .select(col("id"),
           (lit(base) + expr(s"($dampNum * coalesce(m, 0L)) div $dampDen"))
             .as("rank"))
-        .localCheckpoint(true)
+        .cut
     }
     pr
   }

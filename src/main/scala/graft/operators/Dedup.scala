@@ -487,16 +487,19 @@ object Dedup {
       k: Int): DataFrame = {
     val win = windowHashes(df, idCol, textCol, k)
     // one integer orders (doc, p) lexicographically. The encoding needs
-    // p < 100000 and id >= 0 (and widens int ids before multiplying) —
-    // violated assumptions RAISE rather than silently electing a keeper
-    // that holds no occurrence; integer div, not `/` (double division
-    // loses exactness past 2^53)
+    // p < 100000 and 0 <= id <= Long.MaxValue/100000 (ids above that would
+    // wrap id*100000 past int64 and could elect a wrong keeper; int ids are
+    // widened before multiplying) — violated assumptions RAISE rather than
+    // silently electing a keeper that holds no occurrence; integer div,
+    // not `/` (double division loses exactness past 2^53)
+    val maxId = Long.MaxValue / 100000
     val keepers = win
       .groupBy("h")
       .agg(count(lit(1)).as("n"),
-        expr(s"CAST(min(IF(p >= 100000 OR $idCol < 0, " +
+        expr(s"CAST(min(IF(p >= 100000 OR $idCol < 0 OR $idCol > ${maxId}L, " +
           s"CAST(raise_error('removeDuplicateWindows: keeper encoding " +
-          s"needs 0 <= $idCol and token position < 100000') AS BIGINT), " +
+          s"needs 0 <= $idCol <= ${maxId} and token position < 100000') " +
+          s"AS BIGINT), " +
           s"CAST($idCol AS BIGINT) * 100000 + p)) div 100000 AS BIGINT)")
           .as("kdoc"))
       .where(col("n") > 1)

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import Checkpoint.CutOps
 
 /** Generic distributed fixpoint iteration — the engine's iterative /
   * recursive surface (what a recursive CTE compiles to in engines that
@@ -12,10 +13,11 @@ import org.apache.spark.sql.functions._
   * monotone labels admit a cheaper sum-based convergence test); `fixpoint`
   * generalises the loop shape to any step whose result reaches a fixed
   * point: hierarchy flattening ([[treeDepth]]), closure computations,
-  * iterative refinement. Per round: lineage is truncated with an eager
-  * `localCheckpoint` (an iterative plan otherwise re-plans a growing tree
+  * iterative refinement. Per round: lineage is truncated with
+  * [[Checkpoint.cut]] (an iterative plan otherwise re-plans a growing tree
   * every round — the classic iterative-DataFrame trap); on a cluster with
-  * executor-loss risk swap in reliable `checkpoint`.
+  * executor-loss risk set `graft.checkpoint.reliable=true` + a checkpoint
+  * dir for durable cuts.
   *
   * Convergence = unchanged (count, Σ xxhash64(row)) digest: one cheap
   * aggregate per round instead of a two-sided anti-join diff. The digest
@@ -41,12 +43,12 @@ object Iterate {
           .cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO))).head
       (r.getLong(0), r.getDecimal(1))
     }
-    var cur = init.localCheckpoint(true)
+    var cur = init.cut
     var last = digest(cur)
     var iter = 0
     var converged = false
     while (iter <= maxIter && !converged) {
-      val next = step(cur).localCheckpoint(true)
+      val next = step(cur).cut
       val d = digest(next)
       converged = d._1 == last._1 && d._2.compareTo(last._2) == 0
       last = d

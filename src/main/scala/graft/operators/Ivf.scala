@@ -32,6 +32,15 @@ object Ivf {
     * (first occurrence on ties → the smaller cell id). Cell ids are the
     * 0-based positions of `centroids`. */
   def cellOf(centroids: Centroids, embCol: String): Column = {
+    // one literal distance expression per centroid: codegen size grows
+    // linearly with k, which is fine for coarse IVF (k ≤ a few hundred
+    // cells) but would blow the JIT/codegen budget in the thousands — at
+    // that point rewrite as a single array-of-arrays literal folded with
+    // aggregate()/zip_with instead of k inlined expressions
+    require(centroids.length <= 256,
+      s"cellOf supports at most 256 centroids (got ${centroids.length}) — " +
+        "codegen embeds one distance expression per centroid; use an " +
+        "array-literal rewrite for finer quantizers")
     val ds = array(centroids.map { case (_, c) => dist2Lit(embCol, c) }: _*)
     (array_position(ds, array_min(ds)) - 1).cast("int")
   }

@@ -115,9 +115,19 @@ object Validate {
     // wrap either; decimal→double rounds once, same as the oracle's cast.
     val vd = v.cast("decimal(19,0)")
     val stats = df.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("__n"), sum(vd).as("__s"),
+      .agg(count(lit(1)).as("__n"), count(vd).as("__nv"), sum(vd).as("__s"),
         sum(vd * vd).as("__ss"))
       .where(col("__n") > 1)
+      // overflow fails LOUDLY: sum(decimal(38,0)) past 38 digits yields
+      // NULL under non-ANSI Spark, and a NULL moment would silently drop
+      // the whole group at the __var filter (all its rows become
+      // non-outliers) while an exact-arithmetic oracle keeps it — a silent
+      // cross-engine divergence. A group with values present must have
+      // non-NULL moments, or the job stops here.
+      .withColumn("__ss",
+        when(col("__nv") > 0 && (col("__s").isNull || col("__ss").isNull),
+          raise_error(lit("zOutliers: moment sum overflowed decimal(38,0)" +
+            " — rescale the value column"))).otherwise(col("__ss")))
       .select(groupCols.map(col) :+
         (col("__s").cast("double") / col("__n")).as("__mean") :+
         ((col("__ss").cast("double") -

@@ -232,6 +232,22 @@ class ComponentsSpec extends SparkSpec {
     assert(Seq(11L, 12L, 13L).forall(v => got(v) == 10L))
   }
 
+  test("labelPropagation is TOTAL on directed inputs: source-only vertices " +
+      "keep their label instead of vanishing") {
+    // 9 only ever SENDS (9→0); with votes left-joined back onto the full
+    // node set it must survive all rounds carrying its own label, and the
+    // adopted labels downstream must match the kept-label semantics
+    val edges = Seq((9L, 0L), (0L, 1L), (1L, 0L))
+    val got = lpa(edges, 3)
+    assert(got.keySet === Set(0L, 1L, 9L))
+    assert(got(9L) === 9L) // no votes ever arrive at 9 — label carried
+    // 0 gets votes from {9, 1} each round, 1 from {0}: round 1 → 0 takes
+    // min(9's 9, 1's 1)=1 (tie count 1 ↦ smallest), 1 takes 0 … the pair
+    // {0,1} keeps swapping; whatever the unrolled value, every vertex is
+    // present and labels are drawn from the initial id set
+    assert(got.values.toSet.subsetOf(Set(0L, 1L, 9L)))
+  }
+
   test("labelPropagation matches the reference on random symmetric graphs") {
     val rnd = new scala.util.Random(53)
     for (trial <- 0 until 3) {

@@ -248,6 +248,24 @@ class DedupSpec extends SparkSpec {
       .columns.toSeq == Seq("doc_id", "text", "clean"))
   }
 
+  test("removeDuplicateWindows: ids past the encoding bound RAISE, never " +
+      "mis-elect a keeper") {
+    // id*100000 would wrap int64 for ids > Long.MaxValue/100000 — the
+    // guard must fail loudly instead of silently electing a wrong keeper
+    val phrase = "p1 p2 p3 p4 p5"
+    val big = Long.MaxValue / 100000 + 1
+    val docs = Seq((big, s"a1 $phrase"), (big + 1, s"b1 $phrase"))
+      .toDF("doc_id", "text")
+    // raise_error surfaces as SparkRuntimeException (USER_RAISED_EXCEPTION)
+    val e = intercept[Exception](
+      Dedup.removeDuplicateWindows(docs, "doc_id", "text", 3).collect())
+    assert(e.getMessage.contains("keeper encoding"))
+    // the bound itself is still fine
+    val ok = Seq((Long.MaxValue / 100000, s"a1 $phrase"), (1L, s"b1 $phrase"))
+      .toDF("doc_id", "text")
+    assert(Dedup.removeDuplicateWindows(ok, "doc_id", "text", 3).count() == 2)
+  }
+
   test("duplicateSpans merges within-doc repeats and adjacent windows") {
     // the same 3-token phrase twice in ONE doc, separated by one token:
     // windows at 0 and 4 -> 4 <= 0 + 3 is false -> two separate spans

@@ -50,6 +50,19 @@ class IvfSpec extends SparkSpec {
     assert(cells == Map(0L -> 0, 1L -> 1, 2L -> 0))
   }
 
+  test("cellOf enforces the codegen k-bound (≤ 256 literal distances)") {
+    // one inlined distance expression per centroid: fine for coarse IVF,
+    // unbounded k would blow the codegen budget — the guard names the
+    // array-literal rewrite for finer quantizers
+    val toMany: Ivf.Centroids =
+      Array.tabulate(257)(i => (i, Array(i.toFloat)))
+    val e = intercept[IllegalArgumentException](
+      Ivf.cellOf(toMany, "embedding"))
+    assert(e.getMessage.contains("256"))
+    // 256 exactly is allowed
+    Ivf.cellOf(toMany.take(256), "embedding")
+  }
+
   test("searchFixed probes the query's top cells and ranks by cosine") {
     // cell structure on dims 0..2; query's top-2 dims are 0 and 1
     val d = Seq(

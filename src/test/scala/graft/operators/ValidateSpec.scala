@@ -79,6 +79,25 @@ class ValidateSpec extends SparkSpec {
     assert(!got.values.exists(_.isNaN))
   }
 
+  test("zOutliers: Σv² overflow RAISES instead of silently dropping the group") {
+    // two values near Long.MaxValue: each square ≈ 8.5e37 fits decimal(38,0)
+    // but their sum ≈ 1.7e38 overflows → NULL under non-ANSI Spark; before
+    // the guard that NULL silently excluded the whole group at __var > 0
+    // while an exact-arithmetic oracle kept it — now it fails loudly
+    val big = Long.MaxValue - 1
+    val df = Seq((1L, "g", big), (2L, "g", big - 7)).toDF("id", "g", "v")
+    // under ANSI (the Spark 4 default) the decimal sum itself throws; the
+    // guard exists for non-ANSI sessions where the sum silently NULLs —
+    // exercise THAT path explicitly, then restore
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val e = intercept[Exception](
+        Validate.zOutliers(df, "v", 2.0, Seq("g")).collect())
+      assert(e.getMessage.contains("overflowed"))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("zOutliers: cut bounds are respected in both tails") {
     val rows = Seq((1L, "g", 0L), (2L, "g", 10L), (3L, "g", 10L),
       (4L, "g", 10L), (5L, "g", 20L))
