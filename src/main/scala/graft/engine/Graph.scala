@@ -151,6 +151,37 @@ final class Graph(val nodes: Seq[Node]) {
   }
 }
 
+/** DataSet TIME TRAVEL over the run log — the reference's "state of a
+  * node as of run N" semantic, reconstructed from lineage alone: every
+  * run records which source blocks a node consumed, so the node's
+  * accumulated input at any historical run is exactly the union of the
+  * blocks recorded at or before it. Replaying the node's (pure) pipe over
+  * that union reproduces its historical output deterministically — no
+  * stored snapshots, no copies; the block parquet IS the history. At
+  * 100 TB the snapshot costs the consumed blocks' scan, never the
+  * backlog's, and the union is metadata-only plan wiring. */
+object Snapshot {
+
+  /** The union of every source block `nodeId` had consumed by run `seq`
+    * (inclusive), per `log`'s lineage; `blocks` maps block id → frame.
+    * Frames union by name with missing columns allowed, mirroring
+    * [[Graph.runIncremental]]'s delta union, so schema evolution across
+    * blocks replays identically. Raises if the node had consumed nothing
+    * by `seq` or a consumed block's frame is missing. */
+  def asOf(log: RunLog, nodeId: String, blocks: Map[String, DataFrame],
+      seq: Long): DataFrame = {
+    val ids = log.lineage
+      .filter { case (s, id, _) => s <= seq && id == nodeId }
+      .flatMap(_._3).distinct
+    require(ids.nonEmpty,
+      s"node '$nodeId' had consumed no blocks at or before run $seq")
+    val missing = ids.filterNot(blocks.contains)
+    require(missing.isEmpty,
+      s"no frame supplied for consumed block(s): ${missing.mkString(", ")}")
+    ids.map(blocks).reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+}
+
 /** Append-only run log + high-watermark store + consumed-block ledger —
   * the reference's metadata DB reduced to its three jobs: which node ran
   * with which input blocks (lineage / idempotent re-run bookkeeping), the

@@ -311,15 +311,27 @@ object Multimodal {
     * for exactness. Undecodable images are silently absent (their
     * failure rows live in [[decodeMedia]]'s output, not here). */
   def imageNearDups(media: Dataset[MediaRow], maxHamming: Int): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"banding guarantees exactness only for maxHamming <= 3 (got $maxHamming)")
     import media.sparkSession.implicits._
     val hashes = media.filter(_.modality == "image")
       .mapPartitions(_.flatMap(r => dHash(r.payload).toOption.map(h => (r.id, h))))
       .toDF("id", "h")
-    val bands = hashes.select(col("id"), col("h"),
-      explode(expr("transform(sequence(0, 3), b -> " +
-        "struct(b AS bi, shiftright(h, b * 16) & 65535 AS bv))")).as("bd"))
+    hammingNearDups(hashes, "id", "h", maxHamming)
+  }
+
+  /** The banded pair stage of [[imageNearDups]], over an ALREADY-HASHED
+    * (id, 64-bit hash) table — split out so the join logic is usable (and
+    * oracle-checkable, q_image_neardup) independently of the decode:
+    * 4 × 16-bit bands gate a plain equi-join (pigeonhole: ≤ 3 differing
+    * bits cannot touch all 4 bands), candidates verified by exact
+    * xor-popcount. Returns (ida, idb, ham), ida < idb. */
+  def hammingNearDups(hashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"banding guarantees exactness only for maxHamming <= 3 (got $maxHamming)")
+    val bands = hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
+      .select(col("id"), col("h"),
+        explode(expr("transform(sequence(0, 3), b -> " +
+          "struct(b AS bi, shiftright(h, b * 16) & 65535 AS bv))")).as("bd"))
       .select(col("id"), col("h"), col("bd.bi"), col("bd.bv"))
     val a = bands.select(col("id").as("ida"), col("h").as("ha"),
       col("bi"), col("bv"))

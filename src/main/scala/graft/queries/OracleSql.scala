@@ -209,6 +209,46 @@ object OracleSql {
       " bk FROM embeddings), ev AS (SELECT vec_id, bk, unnest(embedding) v, generate_subscripts(embedding,1) i FROM b), d AS (SELECT a.vec_id da, c.vec_id db, sum(a.v*c.v) dot FROM ev a JOIN ev c ON a.i=c.i AND a.bk=c.bk AND a.vec_id<c.vec_id GROUP BY 1,2), n AS (SELECT vec_id, sqrt(sum(v*v)) nrm FROM ev GROUP BY vec_id), j AS (SELECT da, db, dot/(na.nrm*nb.nrm) cos FROM d JOIN n na ON da=na.vec_id JOIN n nb ON db=nb.vec_id)"
 
   val all: Map[String, String] = Map(
+    // exact decimal money math (scales 2→4→6 carry every digit; no
+    // rounding exists to diverge); outputs are scaled-integer cents and
+    // the decimal's canonical string — both engine-portable bit-for-bit
+    "q_decimal" ->
+      ("WITH d AS (SELECT l_returnflag, l_linestatus, " +
+        "CAST(l_extendedprice AS DECIMAL(12,2)) price, " +
+        "CAST(l_discount AS DECIMAL(12,2)) disc, " +
+        "CAST(l_tax AS DECIMAL(12,2)) tax FROM lineitem), " +
+        "e AS (SELECT *, CAST(price * (1 - disc) AS DECIMAL(18,4)) disc_price FROM d), " +
+        "f AS (SELECT *, CAST(disc_price * (1 + tax) AS DECIMAL(18,6)) charge FROM e) " +
+        "SELECT l_returnflag, l_linestatus, count(*) n, " +
+        "CAST(sum(price) AS VARCHAR) sum_price_dec, " +
+        "CAST(sum(price) * 100 AS BIGINT) sum_price_cents, " +
+        "CAST(sum(disc_price) * 10000 AS BIGINT) sum_disc_e4, " +
+        "CAST(sum(charge) * 1000000 AS BIGINT) sum_charge_e6, " +
+        "CAST(CAST(sum(price) * 100 AS BIGINT) // count(*) AS BIGINT) avg_cents " +
+        "FROM f GROUP BY 1, 2 ORDER BY 1, 2"),
+    // the SAME banding/xor-popcount the Spark pair stage runs, spelled
+    // relationally: 4 × 16-bit bands as blocking keys, exact Hamming
+    // verify, distinct pairs, histogram by distance
+    "q_image_neardup" ->
+      ("WITH h AS (SELECT doc_id id, " +
+        "xor(CAST(concat('0x', substr(md5(CAST(doc_id//5 AS VARCHAR)),1,15)) AS BIGINT), " +
+        "CAST(1 AS BIGINT) << CAST(doc_id%4 AS INT)) h " +
+        "FROM documents WHERE doc_id < 500), " +
+        "b AS (SELECT id, h, bb.b, (h >> (bb.b*16)) & 65535 bv " +
+        "FROM h, (SELECT unnest(range(0,4)) b) bb), " +
+        "p AS (SELECT DISTINCT a.id ida, a.h ha, c.id idb, c.h hb " +
+        "FROM b a JOIN b c ON a.b=c.b AND a.bv=c.bv AND a.id<c.id), " +
+        "j AS (SELECT ida, idb, CAST(bit_count(xor(ha,hb)) AS INT) ham " +
+        "FROM p WHERE bit_count(xor(ha,hb)) <= 3) " +
+        "SELECT ham, count(*) pairs, CAST(sum(ida+idb) AS BIGINT) chk " +
+        "FROM j GROUP BY ham ORDER BY ham"),
+    // as-of run 2 the dedupe DataSet has consumed blocks b0, b1 =
+    // event_id mod 3 residues {0, 1} — the keep-newest pipe over exactly
+    // that subset
+    "q_snapshot" ->
+      ("SELECT count(*) n, round(sum(value),2) s FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn " +
+        "FROM events WHERE event_id % 3 < 2) t WHERE rn=1"),
     "q_scan" ->
       "SELECT count(*) AS n FROM lineitem",
     "q_scan_events" ->

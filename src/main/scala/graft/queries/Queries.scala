@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Components, Dedup, Incremental, IntervalJoin, Iterate, Ivf, Pq, Sampling, Similarity, Skew, TextAnalysis, Validate}
+import graft.operators.{AsOfJoin, Components, Dedup, Incremental, IntervalJoin, Iterate, Ivf, Multimodal, Pq, Sampling, Similarity, Skew, TextAnalysis, Validate}
+import graft.engine.{Graph, Node, RunLog, Snapshot}
 
 /** The declared query inventory (SURVEY.md §2) as idiomatic DataFrame-API
   * plans. Each entry is `(spark, sfDir) => DataFrame` and has a matching
@@ -1631,9 +1632,89 @@ object Queries {
       .orderBy(col("c").desc, col("sig"))
       .limit(20)
 
+  // ------------------------------------------------- round-6 additions
+
+  /** Money-grade DECIMAL aggregation — the enterprise type pattern:
+    * prices land as DECIMAL(12,2) at the scan and every derived figure
+    * stays in EXACT decimal scales (2 → 4 → 6 digits: a product of
+    * 2-decimal values has at most 4/6 decimals, so NO rounding happens
+    * anywhere). Decimal sums are order-independent where double sums
+    * drift in the last ulp under re-ordering — which is why money
+    * pipelines aggregate decimals, not doubles. Declared outputs are the
+    * scaled-integer cents plus the decimal's string rendering (both
+    * bit-exact cross-engine; the comparison harness's pandas bridge
+    * collapses decimal COLUMNS to float64, so the exact renderings are
+    * what gets hashed); the decimal types themselves are pinned in
+    * EntrySpec. avg is integer-cents floor division — a fixed,
+    * engine-portable rounding contract. */
+  private val qDecimal: Q = (s, sf) =>
+    t(s, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_extendedprice").cast("decimal(12,2)").as("price"),
+        col("l_discount").cast("decimal(12,2)").as("disc"),
+        col("l_tax").cast("decimal(12,2)").as("tax"))
+      .withColumn("disc_price", expr("CAST(price * (1 - disc) AS DECIMAL(18,4))"))
+      .withColumn("charge", expr("CAST(disc_price * (1 + tax) AS DECIMAL(18,6))"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum("price").cast("string").as("sum_price_dec"),
+        (sum("price") * 100).cast("long").as("sum_price_cents"),
+        (sum("disc_price") * 10000).cast("long").as("sum_disc_e4"),
+        (sum("charge") * 1000000).cast("long").as("sum_charge_e6"),
+        expr("CAST(CAST(sum(price) * 100 AS BIGINT) div count(1) AS BIGINT)")
+          .as("avg_cents"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** The image-dedup PAIR stage ([[Multimodal.hammingNearDups]] — the
+    * banded Hamming-≤3 join behind dHash near-dup), oracle-checked over a
+    * hash table both engines derive identically: 60-bit md5 hashes per
+    * 5-doc group with a planted 1-bit perturbation per member, so
+    * same-group pairs sit at Hamming 0/2 and cross-group pairs at ~30.
+    * The real decode→dHash path stays unit-tested (MultimodalSpec — binary
+    * payloads are not oracle-able); THIS row pins the join: band
+    * extraction, pigeonhole blocking, xor-popcount verify, histogram. */
+  private val qImageNeardup: Q = (s, sf) => {
+    val hashes = t(s, sf, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id").as("id"),
+        expr("CAST(conv(substr(md5(CAST(doc_id div 5 AS STRING)), 1, 15), " +
+          "16, 10) AS BIGINT) ^ shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(doc_id % 4 AS INT))").as("h"))
+    Multimodal.hammingNearDups(hashes, "id", "h", maxHamming = 3)
+      .groupBy("ham")
+      .agg(count(lit(1)).as("pairs"), sum(col("ida") + col("idb")).as("chk"))
+      .orderBy("ham")
+  }
+
+  /** DataSet TIME TRAVEL ([[Snapshot.asOf]]): replay a 3-block ingest
+    * history through [[Graph.runIncremental]] (one block per run, lineage
+    * recorded in a [[RunLog]]), then reconstruct the dedupe DataSet AS OF
+    * run 2 — the union of exactly the blocks consumed by then, with the
+    * keep-newest pipe re-applied. Deterministic: the block split is
+    * event_id mod 3 and run 2 has consumed residues {0, 1}, which is the
+    * subset the oracle spells directly. No stored snapshots — lineage +
+    * block parquet IS the history. */
+  private val qSnapshot: Q = (s, sf) => {
+    val ev = t(s, sf, "events")
+    val blk = (0 to 2).map(i => s"b$i" -> ev.filter(col("event_id") % 3 === i)).toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val log = new RunLog(dir)
+    val g = new Graph(Seq(Node("ds", Seq("src"), up => up("src"))))
+    val arrival = Seq("b0", "b1", "b2")
+    for (i <- 1 to 3) // i-th run sees one more block; consumes just the new one
+      g.runIncremental(Map("src" -> arrival.take(i).map(b => b -> blk(b))), log)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Snapshot.asOf(log, "ds", blk, seq = 2L)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"))
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_decimal" -> qDecimal,
+    "q_image_neardup" -> qImageNeardup,
+    "q_snapshot" -> qSnapshot,
     "q_scan" -> qScan,
     "q_scan_events" -> qScanEvents,
     "q_project" -> qProject,

@@ -51,6 +51,24 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("q_decimal: money stays decimal-typed in-plan; renderings agree") {
+    // the DECLARED outputs are exact integer/string renderings (the
+    // compare harness collapses decimal columns to float64) — this test
+    // pins what the renderings stand for: the in-plan money math is
+    // decimal-typed at the contract scales, and the string rendering is
+    // the same number as the cents column
+    val df = SparkEntry.queries("q_decimal")(spark, sf001)
+    val plan = df.queryExecution.analyzed.toString
+    Seq("decimal(12,2)", "decimal(18,4)", "decimal(18,6)").foreach(t =>
+      assert(plan.contains(t), s"$t missing from analyzed plan"))
+    df.collect().foreach { r =>
+      val dec = new java.math.BigDecimal(r.getAs[String]("sum_price_dec"))
+      assert(dec.scale == 2, s"rendering not scale-2: $dec")
+      assert(dec.movePointRight(2).longValueExact ==
+        r.getAs[Long]("sum_price_cents"))
+    }
+  }
+
   test("schema evolution: later blocks with new columns merge on read") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions.col

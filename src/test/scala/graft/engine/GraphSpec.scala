@@ -53,6 +53,44 @@ class GraphSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters: [isnotnull(part"), scan)
   }
 
+  test("Snapshot.asOf replays a 3-block history to each historical state") {
+    val dir = Files.createTempDirectory("graftsnap").toString
+    val log = new RunLog(dir)
+    val blk = Map(
+      "b0" -> Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      "b1" -> Seq((3L, "c")).toDF("id", "v"),
+      "b2" -> Seq((4L, "d"), (5L, "e")).toDF("id", "v"))
+    val g = new Graph(Seq(Node("ds", Seq("src"), up => up("src"))))
+    val arrival = Seq("b0", "b1", "b2")
+    for (i <- 1 to 3)
+      g.runIncremental(Map("src" -> arrival.take(i).map(b => b -> blk(b))), log)
+    def ids(seq: Long) = Snapshot.asOf(log, "ds", blk, seq)
+      .select("id").as[Long].collect().toSet
+    assert(ids(1L) === Set(1L, 2L))
+    assert(ids(2L) === Set(1L, 2L, 3L))
+    assert(ids(3L) === Set(1L, 2L, 3L, 4L, 5L))
+    assert(ids(99L) === Set(1L, 2L, 3L, 4L, 5L)) // beyond history = latest
+    // before any run, or for an unknown node, there is nothing to rebuild
+    intercept[IllegalArgumentException](Snapshot.asOf(log, "ds", blk, 0L))
+    intercept[IllegalArgumentException](Snapshot.asOf(log, "nope", blk, 3L))
+    // a consumed block whose frame is missing must raise, not silently shrink
+    intercept[IllegalArgumentException](
+      Snapshot.asOf(log, "ds", blk - "b1", 3L))
+  }
+
+  test("Snapshot.asOf unions evolved block schemas like the delta path") {
+    val dir = Files.createTempDirectory("graftsnapevo").toString
+    val log = new RunLog(dir)
+    val b0 = Seq((1L, "x")).toDF("id", "v")
+    val b1 = Seq((2L, "y", 9L)).toDF("id", "v", "extra") // later schema
+    val g = new Graph(Seq(Node("ds", Seq("src"), up => up("src"))))
+    g.runIncremental(Map("src" -> Seq("b0" -> b0)), log)
+    g.runIncremental(Map("src" -> Seq("b0" -> b0, "b1" -> b1)), log)
+    val snap = Snapshot.asOf(log, "ds", Map("b0" -> b0, "b1" -> b1), 2L)
+    assert(snap.columns.toSet === Set("id", "v", "extra"))
+    assert(snap.where(col("id") === 1L).select("extra").head.isNullAt(0))
+  }
+
   test("cycles are detected") {
     val g = new Graph(Seq(
       Node("a", Seq("b"), m => m("b")),

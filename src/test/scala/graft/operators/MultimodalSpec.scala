@@ -232,4 +232,36 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(pairs == Set((1L, 2L, 0)))
   }
+
+  test("hammingNearDups: exact recall at ham ≤ 3, cut at 4, no cartesian") {
+    import org.apache.spark.sql.functions.col
+    // base hash plus planted perturbations at growing Hamming distance
+    val base = 0x0123456789abcdL // 60-bit, positive
+    val hashes = Seq(
+      1L -> base,
+      2L -> (base ^ 1L),                       // ham 1 from base
+      3L -> (base ^ (1L << 17) ^ (1L << 33)),  // ham 2
+      4L -> (base ^ 7L),                       // ham 3 (one band)
+      // ham 4 from base: one bit per band, bits {8,24,40,56} disjoint
+      // from every other planted perturbation so no pairing dips ≤ 3
+      5L -> (base ^ 0x0100010001000100L),
+      6L -> (~base | Long.MinValue)            // far away, negative
+    ).toDF("id", "h")
+    val got = Multimodal.hammingNearDups(hashes, "id", "h", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // every pair among {1,2,3,4} is within ham 3+3; exact distances:
+    assert(got.contains((1L, 2L, 1)) && got.contains((1L, 3L, 2)) &&
+      got.contains((1L, 4L, 3)))
+    // id 5 differs from base in ALL FOUR bands (pigeonhole bound is the
+    // contract: ham 4 has no banding guarantee and this one is unfindable)
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+    assert(!got.exists(p => p._1 == 6L || p._2 == 6L))
+    // the plan must be a banded equi-join, never a cartesian product
+    val plan = Multimodal.hammingNearDups(hashes, "id", "h", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), plan)
+    // maxHamming > 3 breaks the pigeonhole exactness and must raise
+    intercept[IllegalArgumentException](
+      Multimodal.hammingNearDups(hashes, "id", "h", 4))
+  }
 }
