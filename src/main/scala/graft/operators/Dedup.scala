@@ -155,7 +155,31 @@ object Dedup {
     * a well-defined, engine-portable semantic. With a cap the join fan-out
     * is bounded by maxDf per (group, token) bucket. */
   def jaccardPairsBy(df: DataFrame, idCol: String, groupCol: String,
-      tokensExpr: Column, tau: Double, maxDf: Option[Long] = None): DataFrame = {
+      tokensExpr: Column, tau: Double, maxDf: Option[Long] = None): DataFrame =
+    pairCounts(df, idCol, groupCol, tokensExpr, maxDf)
+      .select(col("da"), col("db"),
+        (col("inter") / (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
+      .filter(col("jac") >= tau)
+
+  /** Asymmetric CONTAINMENT near-dup pairs: max-containment
+    * |A∩B| / min(|A|,|B|) ≥ τ — the metric that catches a document
+    * SUBSUMED by another (quotes, excerpts, page-within-site), which
+    * Jaccard misses whenever the sizes differ a lot (a 50-token doc fully
+    * contained in a 500-token doc has Jaccard ≤ 0.1 but containment 1.0).
+    * Same inverted-index core (and `maxDf` hot-token cap semantics) as
+    * [[jaccardPairsBy]]; returns (da, db, cont). */
+  def containmentPairs(df: DataFrame, idCol: String, groupCol: String,
+      textCol: String, tau: Double, maxDf: Option[Long] = None): DataFrame =
+    pairCounts(df, idCol, groupCol, tokens(col(textCol)), maxDf)
+      .select(col("da"), col("db"),
+        (col("inter") / least(col("na"), col("nb")).cast("double")).as("cont"))
+      .filter(col("cont") >= tau)
+
+  /** Shared inverted-index pair core of [[jaccardPairsBy]] and
+    * [[containmentPairs]]: (da, db, na, nb, inter) for every same-group
+    * pair sharing ≥ 1 (surviving) token. */
+  private def pairCounts(df: DataFrame, idCol: String, groupCol: String,
+      tokensExpr: Column, maxDf: Option[Long]): DataFrame = {
     val d = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
       tokensExpr.as("toks"))
     val base = d.select(col("id"), col("grp"), size(col("toks")).as("nt"),
@@ -177,9 +201,6 @@ object Dedup {
         col("da") < col("db"))
       .groupBy("da", "db", "na", "nb")
       .agg(count(lit(1)).as("inter"))
-      .select(col("da"), col("db"),
-        (col("inter") / (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
-      .filter(col("jac") >= tau)
   }
 
   /** EXACT sub-quadratic set-similarity join by prefix filtering (the
@@ -449,6 +470,38 @@ object Dedup {
         s"transform(sequence(0, size(ws) - $k), p -> " +
           s"md5(array_join(slice(ws, p + 1, $k), ' ')))"))
         .as(Seq("p", "h")))
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS algorithm): hash every `k`-token window, then
+    * from each run of `w` consecutive window hashes select the MINIMUM —
+    * the selected set is the document's fingerprint. Guarantees: every
+    * match of length ≥ k + w − 1 tokens between two documents shares at
+    * least one selected fingerprint (detection), and the density of
+    * selected hashes is ~2/(w+1) (compression) — the principled way to
+    * subsample content hashes without losing long matches, vs naive
+    * "every j-th hash" which alignment shifts defeat.
+    *
+    * Shape: the k-gram hashing is [[windowHashes]] (shared with the Lee
+    * et al. span family, so "window" means the same thing everywhere);
+    * the w-window min is a per-document ROWS frame — partition
+    * cardinality = corpus size, the scale-safe window shape. Hashes are
+    * the library's portable 60-bit md5 ints, so an oracle can rebuild the
+    * selection exactly. Returns distinct (idCol, fp). */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k > 0 && w > 0, s"need positive window sizes (got k=$k w=$w)")
+    import org.apache.spark.sql.expressions.Window
+    val hv = windowHashes(df, idCol, textCol, k)
+      .select(col(idCol), col("p"),
+        expr("CAST(conv(substr(h, 1, 15), 16, 10) AS BIGINT)").as("hv"))
+    // frame = this window-start and the w−1 following; count < w marks the
+    // ragged tail frames (not full winnowing windows), which are dropped
+    val frame = Window.partitionBy(idCol).orderBy("p").rowsBetween(0, w - 1)
+    hv.select(col(idCol), min("hv").over(frame).as("fp"),
+        count(lit(1)).over(frame).as("cw"))
+      .where(col("cw") === w)
+      .select(col(idCol), col("fp")).distinct()
+  }
 
   def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {

@@ -351,6 +351,30 @@ object TextAnalysis {
     floor(lit(1.0) / (lit(1.0) + exp(-z)) * 10000 + 0.5) / 10000
   }
 
+  /** Per-document token Shannon entropy in nats — the diversity signal
+    * that separates natural text from boilerplate/spam (a page of one
+    * repeated token has H = 0; n distinct tokens give H = ln n). Uses
+    * H = ln(n) − (1/n)·Σ cᵢ·ln(cᵢ) over per-token counts cᵢ.
+    *
+    * Cross-engine determinism: a float SUM's value depends on partition
+    * order, so each cᵢ·ln(cᵢ) term is floor-quantized to an INTEGER
+    * (×10⁶) first and the per-document sum runs in exact int64 — order-
+    * independent — with only the final fixed-order expression in floats
+    * (then 4-dp floor-quantized). The q_drift/q_anomaly playbook applied
+    * to an aggregate with unbounded groups. Shape: two word-count-style
+    * partial-agg shuffles ((doc, token) then doc); no windows, no joins.
+    * Returns (idCol, n_tok, ent). */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(idCol, "w").agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(sum("c").as("n_tok"),
+        sum(floor(col("c") * log(col("c")) * 1e6).cast("long")).as("s6"))
+      .select(col(idCol), col("n_tok"),
+        (floor((log(col("n_tok")) - col("s6") / 1e6 / col("n_tok")) * 1e4) /
+          1e4).as("ent"))
+
   /** Fixed-size character chunks with overlap (context-window prep):
     * chunk i covers [1 + i·stride, … + size); the last chunks are shorter.
     * Narrow per-row expression — chunking 100 TB is scan-speed work. */

@@ -208,7 +208,105 @@ object OracleSql {
       (0 until 6).map(i => s"${1 << (5 - i)}*(CASE WHEN embedding[${i + 1}] > 0 THEN 1 ELSE 0 END)").mkString(" + ") +
       " bk FROM embeddings), ev AS (SELECT vec_id, bk, unnest(embedding) v, generate_subscripts(embedding,1) i FROM b), d AS (SELECT a.vec_id da, c.vec_id db, sum(a.v*c.v) dot FROM ev a JOIN ev c ON a.i=c.i AND a.bk=c.bk AND a.vec_id<c.vec_id GROUP BY 1,2), n AS (SELECT vec_id, sqrt(sum(v*v)) nrm FROM ev GROUP BY vec_id), j AS (SELECT da, db, dot/(na.nrm*nb.nrm) cos FROM d JOIN n na ON da=na.vec_id JOIN n nb ON db=nb.vec_id)"
 
+  // Morton bit-spreading as a SQL expression ladder — the identical
+  // shift-or-mask chain Layout.spread16 runs (masks 0x00FF00FF /
+  // 0x0F0F0F0F / 0x33333333 / 0x55555555 in decimal).
+  private def spreadSql(e: String): String = {
+    val x0 = s"($e & 65535)"
+    val x1 = s"(($x0 | ($x0 << 8)) & 16711935)"
+    val x2 = s"(($x1 | ($x1 << 4)) & 252645135)"
+    val x3 = s"(($x2 | ($x2 << 2)) & 858993459)"
+    s"(($x3 | ($x3 << 1)) & 1431655765)"
+  }
+
+  private val zorderSql: String = {
+    val x = spreadSql("(o_custkey % 65536)")
+    val y = spreadSql(
+      "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))")
+    s"SELECT ($x | ($y << 1)) >> 16 AS cell, count(*) n FROM orders " +
+      "GROUP BY cell ORDER BY n DESC, cell LIMIT 50"
+  }
+
+  // Winnowing: same k=4-token window hashes as the engine (portable
+  // 60-bit md5 ints), min over each run of w=4 consecutive windows
+  // (ragged tail frames dropped via the frame row count), distinct.
+  private val winnowSql: String =
+    "WITH ws AS (SELECT doc_id, string_split(text,' ') w FROM documents WHERE len(string_split(text,' ')) >= 4), " +
+      "win AS (SELECT doc_id, CAST(unnest(range(0, len(w)-3)) AS INT) p, w FROM ws), " +
+      "h AS (SELECT doc_id, p, CAST(concat('0x', substr(md5(array_to_string(w[CAST(p+1 AS INT):CAST(p+4 AS INT)], ' ')),1,15)) AS BIGINT) hv FROM win), " +
+      "m AS (SELECT doc_id, min(hv) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) fp, " +
+      "count(*) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) cw FROM h), " +
+      "f AS (SELECT DISTINCT doc_id, fp FROM m WHERE cw = 4) " +
+      "SELECT doc_id, count(*) n_fp, min(fp) fp_min, max(fp) fp_max " +
+      "FROM f GROUP BY doc_id ORDER BY doc_id LIMIT 100"
+
+  // Containment |∩|/min(|A|,|B|): exactNeardupSql's inverted-index core
+  // with the asymmetric metric.
+  private val containmentSql: String =
+    "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text,' ')) toks FROM documents WHERE doc_id < 1000), " +
+      "tok AS (SELECT doc_id, lang, len(toks) nt, unnest(toks) w FROM d), " +
+      "g AS (SELECT a.doc_id da, b.doc_id db, a.nt na, b.nt nb, count(*) inter FROM tok a JOIN tok b ON a.w=b.w AND a.lang=b.lang AND a.doc_id<b.doc_id GROUP BY 1,2,3,4), " +
+      "j AS (SELECT da, db, inter/CAST(least(na, nb) AS DOUBLE) cont FROM g) " +
+      "SELECT count(*) pairs, CAST(sum(da+db) AS BIGINT) chk, round(avg(cont),4) ac FROM j WHERE cont >= 0.9"
+
+  // Per-doc token entropy: integer-quantized c·ln(c) terms summed in
+  // exact int64 (order-independent), fixed-order float tail, 4-dp floor.
+  private val entropySql: String =
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) w FROM documents), " +
+      "c AS (SELECT doc_id, w, count(*) c FROM tok WHERE w <> '' GROUP BY 1, 2), " +
+      "a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) n_tok, " +
+      "CAST(sum(CAST(floor(c*ln(c)*1e6) AS BIGINT)) AS BIGINT) s6 FROM c GROUP BY doc_id) " +
+      "SELECT doc_id, n_tok, floor((ln(n_tok) - s6/1e6/n_tok) * 1e4)/1e4 ent " +
+      "FROM a ORDER BY doc_id LIMIT 100"
+
   val all: Map[String, String] = Map(
+    // the bloom pre-filter is physical pruning only: no false negatives,
+    // and the exact semi join removes false positives — so the oracle is
+    // the PLAIN semi join (q_skew_join's oracle pattern)
+    "q_bloom_join" ->
+      ("SELECT c_mktsegment, count(*) n, round(sum(c_acctbal),2) bal " +
+        "FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders) " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    // bucketing is physical layout only: the oracle is the plain join
+    "q_bucket_join" ->
+      ("SELECT o_orderpriority, count(*) n, round(sum(l_extendedprice),2) rev " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q_mad" ->
+      ("WITH m AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) med " +
+        "FROM lineitem GROUP BY 1) " +
+        "SELECT l.l_returnflag, round(max(m.med),4) med, " +
+        "round(quantile_cont(abs(l.l_quantity - m.med), 0.5),4) mad " +
+        "FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag " +
+        "GROUP BY l.l_returnflag ORDER BY l.l_returnflag"),
+    // KS on the floor-quantized grid: integer cumulative counts over
+    // integer totals — every |ΔF| term bit-reproducible; 6-dp floor
+    "q_ks" ->
+      ("WITH e AS (SELECT event_type, CAST(floor(value) AS BIGINT) g FROM events), " +
+        "cb AS (SELECT g, count(*) nb FROM e GROUP BY g), " +
+        "ca AS (SELECT g, count(*) na FROM e WHERE event_type = 'click' GROUP BY g), " +
+        "grid AS (SELECT cb.g, coalesce(ca.na, 0) na, cb.nb FROM cb LEFT JOIN ca ON cb.g = ca.g), " +
+        "c AS (SELECT g, sum(na) OVER (ORDER BY g) cna, sum(nb) OVER (ORDER BY g) cnb FROM grid), " +
+        "t AS (SELECT CAST(sum(na) AS BIGINT) ta, CAST(sum(nb) AS BIGINT) tb FROM grid) " +
+        "SELECT max(ta) n_click, max(tb) n_all, " +
+        "floor(max(abs(cna/CAST(ta AS DOUBLE) - cnb/CAST(tb AS DOUBLE))) * 1e6)/1e6 ks " +
+        "FROM c, t"),
+    "q_posexplode" ->
+      ("SELECT doc_id, CAST(generate_subscripts(ws, 1) - 1 AS INT) i, unnest(ws) w " +
+        "FROM (SELECT doc_id, string_split(text,' ') ws FROM documents WHERE doc_id < 10) t " +
+        "ORDER BY doc_id, i LIMIT 500"),
+    "q_winnow" -> winnowSql,
+    "q_containment" -> containmentSql,
+    "q_entropy" -> entropySql,
+    "q_zorder" -> zorderSql,
+    "q_intersect_all" ->
+      ("SELECT nk, count(*) c FROM (SELECT c_nationkey nk FROM customer " +
+        "INTERSECT ALL SELECT s_nationkey nk FROM supplier) t " +
+        "GROUP BY nk ORDER BY nk"),
+    "q_except_all" ->
+      ("SELECT nk, count(*) c FROM (SELECT c_nationkey nk FROM customer " +
+        "EXCEPT ALL SELECT s_nationkey nk FROM supplier) t " +
+        "GROUP BY nk ORDER BY nk"),
     // exact decimal money math (scales 2→4→6 carry every digit; no
     // rounding exists to diverge); outputs are scaled-integer cents and
     // the decimal's canonical string — both engine-portable bit-for-bit

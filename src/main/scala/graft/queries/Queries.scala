@@ -4,8 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Components, Dedup, Incremental, IntervalJoin, Iterate, Ivf, Multimodal, Pq, Sampling, Similarity, Skew, TextAnalysis, Validate}
+import graft.operators.{AsOfJoin, Bloom, Components, Dedup, Incremental, IntervalJoin, Iterate, Ivf, Multimodal, Pq, Sampling, Similarity, Skew, TextAnalysis, Validate}
 import graft.engine.{Graph, Node, RunLog, Snapshot}
+import graft.sources.Layout
 
 /** The declared query inventory (SURVEY.md §2) as idiomatic DataFrame-API
   * plans. Each entry is `(spark, sfDir) => DataFrame` and has a matching
@@ -1709,12 +1710,179 @@ object Queries {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"))
   }
 
+  /** Bloom-filter pre-filtered semi join ([[Bloom.filteredSemiJoin]]):
+    * customers with ≥ 1 order, executed as bloom-over-order-keys →
+    * broadcast → narrow scan-side probe → exact semi join over survivors.
+    * The oracle is the PLAIN semi join (q_skew_join's pattern: the filter
+    * is physical pruning only — no false negatives exist and the exact
+    * join removes false positives). At 100 TB the probe drops
+    * non-matching fact rows at scan speed before the shuffle. */
+  private val qBloomJoin: Q = (s, sf) =>
+    Bloom.filteredSemiJoin(t(s, sf, "customer"), t(s, sf, "orders"),
+        "c_custkey", "o_custkey")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("bal"))
+      .orderBy("c_mktsegment")
+
+  /** Winnowing fingerprints ([[Dedup.winnowFingerprints]], Schleimer et
+    * al. SIGMOD'03): per-doc census of the selected min-hashes (k=4-token
+    * windows, w=4 selection windows). Portable 60-bit md5 hashes make the
+    * selection — not just its size — oracle-checkable (min/max pin the
+    * actual fingerprint values). */
+  private val qWinnow: Q = (s, sf) =>
+    Dedup.winnowFingerprints(t(s, sf, "documents"), "doc_id", "text", 4, 4)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"), min("fp").as("fp_min"),
+        max("fp").as("fp_max"))
+      .orderBy("doc_id").limit(100)
+
+  /** Containment near-dup pairs ([[Dedup.containmentPairs]]):
+    * |∩|/min(|A|,|B|) ≥ 0.9 within a language — catches subsumed docs
+    * that Jaccard misses when sizes differ. Bounded corpus like
+    * q_neardup (same 31-word-vocabulary caveat; the scale path feeds LSH
+    * candidates). Census output. */
+  private val qContainment: Q = (s, sf) =>
+    Dedup.containmentPairs(t(s, sf, "documents").filter(col("doc_id") < 1000),
+        "doc_id", "lang", "text", 0.9)
+      .agg(count(lit(1)).as("pairs"), sum(col("da") + col("db")).as("chk"),
+        round(avg("cont"), 4).as("ac"))
+
+  /** Per-doc token Shannon entropy ([[TextAnalysis.tokenEntropy]]) — the
+    * diversity quality signal. Integer-quantized log terms make the
+    * per-doc sum order-independent (the q_drift playbook, but for an
+    * aggregate with unbounded group count). */
+  private val qEntropy: Q = (s, sf) =>
+    TextAnalysis.tokenEntropy(t(s, sf, "documents"), "doc_id", "text")
+      .orderBy("doc_id").limit(100)
+
+  /** Z-order (Morton) clustering key ([[Layout.zValue]]): coarse z-cells
+    * of orders over (custkey low 16 bits, order-date day number) — the
+    * multi-dimensional layout key behind [[Layout.zorderBy]]'s file
+    * clustering. Pure bitwise built-ins, spelled identically in the
+    * oracle, so the interleave itself is what's checked. */
+  private val qZorder: Q = (s, sf) =>
+    t(s, sf, "orders")
+      .select(shiftright(Layout.zValue(
+        pmod(col("o_custkey"), lit(65536)),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1992-01-01").cast("date"))), 16).as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("cell")).limit(50)
+
+  /** Co-located BUCKETED join declared as a query: both sides written
+    * `bucketBy(8, key).sortBy(key)` (external tables in a temp dir), then
+    * joined — Spark plans NO shuffle exchange on either side because the
+    * bucketing metadata proves co-partitioning (BucketingSpec asserts the
+    * plan shape; this row pins the VALUES). The oracle is the plain join:
+    * bucketing is physical layout only. The measured time deliberately
+    * includes the one-time bucketed write — that amortized layout cost IS
+    * the operator's trade (write once, join shuffle-free forever), the
+    * move that turns the dominant 100 TB fact⋈fact exchange into a local
+    * merge. */
+  private val qBucketJoin: Q = (s, sf) => {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    s.sql("DROP TABLE IF EXISTS g6_orders")
+    s.sql("DROP TABLE IF EXISTS g6_lineitem")
+    t(s, sf, "orders").select("o_orderkey", "o_orderpriority")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$dir/orders").saveAsTable("g6_orders")
+    t(s, sf, "lineitem").select("l_orderkey", "l_extendedprice")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$dir/lineitem").saveAsTable("g6_lineitem")
+    s.table("g6_lineitem").join(s.table("g6_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("rev"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Median absolute deviation per group — the robust scale estimator
+    * (50% breakdown point where one corrupt row ruins a stddev): exact
+    * per-group median broadcast back (the q_impute shape), then the
+    * median of absolute deviations. At 100 TB swap `approx_percentile`
+    * into both passes (the q_winsorize note); the clip/join shape is
+    * identical. */
+  private val qMad: Q = (s, sf) => {
+    val li = t(s, sf, "lineitem")
+    val med = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("med"))
+    li.join(broadcast(med), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(round(max("med"), 4).as("med"), // constant per group
+        round(expr("percentile(abs(l_quantity - med), 0.5)"), 4).as("mad"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic (click events vs all):
+    * D = max |F̂₁ − F̂₂| over the POOLED support. Values are quantized to
+    * an integer grid first (floor — portable), so the CDFs live on a
+    * BOUNDED grid (~400 cells here): two partial-agg passes over the
+    * corpus, then the running-sum window runs on grid cells, not rows —
+    * state O(grid), corpus never sorts globally. Completes the drift
+    * family: q_drift is the KL view, this is the distribution-free test.
+    * Integer cumulative counts divided by integer totals make every
+    * |ΔF| term bit-reproducible; 6-dp floor-quantized. */
+  private val qKs: Q = (s, sf) => {
+    val ev = t(s, sf, "events").select(col("event_type"),
+      floor(col("value")).cast("long").as("g"))
+    val ca = ev.filter(col("event_type") === "click")
+      .groupBy("g").agg(count(lit(1)).as("na"))
+    val cb = ev.groupBy("g").agg(count(lit(1)).as("nb"))
+    val grid = cb.join(ca, Seq("g"), "left").na.fill(0L, Seq("na"))
+    val w = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, 0)
+    val tot = grid.agg(sum("na").as("ta"), sum("nb").as("tb"))
+    grid.select(col("g"), sum("na").over(w).as("cna"),
+        sum("nb").over(w).as("cnb"))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("ta")).cast("long").as("n_click"),
+        max(col("tb")).cast("long").as("n_all"),
+        (floor(max(abs(col("cna") / col("ta").cast("double") -
+          col("cnb") / col("tb").cast("double"))) * 1e6) / 1e6).as("ks"))
+  }
+
+  /** posexplode (UDTF-with-ordinality surface): token + its position —
+    * the explode-family generator with the ordinal the ANSI spelling
+    * needs `WITH ORDINALITY` / `generate_subscripts` for. */
+  private val qPosexplode: Q = (s, sf) =>
+    t(s, sf, "documents").filter(col("doc_id") < 10)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("i", "w")))
+      .orderBy("doc_id", "i")
+      .limit(500)
+
+  /** Multiset INTERSECT ALL (each nation kept min(#customer, #supplier)
+    * times — the bag semantics ANSI adds over plain INTERSECT), counted
+    * per key to pin the multiplicities. */
+  private val qIntersectAll: Q = (s, sf) =>
+    t(s, sf, "customer").select(col("c_nationkey").as("nk"))
+      .intersectAll(t(s, sf, "supplier").select(col("s_nationkey").as("nk")))
+      .groupBy("nk").agg(count(lit(1)).as("c"))
+      .orderBy("nk")
+
+  /** Multiset EXCEPT ALL (customer nation multiplicities minus supplier
+    * multiplicities, floored at zero), counted per key. */
+  private val qExceptAll: Q = (s, sf) =>
+    t(s, sf, "customer").select(col("c_nationkey").as("nk"))
+      .exceptAll(t(s, sf, "supplier").select(col("s_nationkey").as("nk")))
+      .groupBy("nk").agg(count(lit(1)).as("c"))
+      .orderBy("nk")
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
     "q_decimal" -> qDecimal,
     "q_image_neardup" -> qImageNeardup,
     "q_snapshot" -> qSnapshot,
+    "q_bloom_join" -> qBloomJoin,
+    "q_winnow" -> qWinnow,
+    "q_containment" -> qContainment,
+    "q_entropy" -> qEntropy,
+    "q_zorder" -> qZorder,
+    "q_intersect_all" -> qIntersectAll,
+    "q_except_all" -> qExceptAll,
+    "q_bucket_join" -> qBucketJoin,
+    "q_mad" -> qMad,
+    "q_ks" -> qKs,
+    "q_posexplode" -> qPosexplode,
     "q_scan" -> qScan,
     "q_scan_events" -> qScanEvents,
     "q_project" -> qProject,

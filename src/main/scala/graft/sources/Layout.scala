@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Physical-layout maintenance for parquet directories — the ops side of
   * running a 100 TB lakehouse. Small files are the classic failure mode of
@@ -52,5 +53,39 @@ object Layout {
     val out = if (shuffle) df.repartition(n) else df.coalesce(n)
     out.write.mode("overwrite").parquet(outDir)
     n
+  }
+
+  /** Spread the low 16 bits of `c` to even bit positions (0,2,4,…,30) —
+    * the classic magic-number Morton spreading, one shift-or-mask ladder,
+    * all codegen'd bitwise built-ins. */
+  private def spread16(c: Column): Column = {
+    val x0 = c.cast("bigint").bitwiseAND(lit(0xFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(0x33333333L))
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Z-order (Morton) value interleaving the low 16 bits of `x`
+    * and `y`: bit i of x lands at position 2i, bit i of y at 2i+1.
+    * Sorting by z clusters rows that are close in BOTH dimensions, so a
+    * 2-D range predicate prunes most files via parquet min/max footers —
+    * a single-column sort can only prune along one dimension. The
+    * standard multi-dimensional clustering key for lakehouse layouts
+    * (Morton 1966; the curve behind Delta/Iceberg Z-ORDER). */
+  def zValue(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** Cluster `df` by the Z-curve over (x, y): one range partition on z
+    * (balanced output files from the sampled range bounds) + an in-
+    * partition sort — so every output file covers a compact z-interval
+    * and its parquet min/max stats prune 2-D range scans. One shuffle,
+    * same cost class as any repartition-and-write maintenance pass. */
+  def zorderBy(df: DataFrame, partitions: Int, x: Column, y: Column): DataFrame = {
+    require(partitions > 0, "partitions must be positive")
+    df.withColumn("__z", zValue(x, y))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
   }
 }

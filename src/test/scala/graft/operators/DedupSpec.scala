@@ -266,6 +266,41 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.removeDuplicateWindows(ok, "doc_id", "text", 3).count() == 2)
   }
 
+  test("containmentPairs catches a subsumed doc that Jaccard misses") {
+    val d = Seq(
+      (1L, "en", "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16 w17 w18 w19 w20"),
+      (2L, "en", "w1 w2 w3 w4"), // fully contained in 1: cont 1.0, jac 0.2
+      (3L, "en", "z1 z2 z3 z4")
+    ).toDF("doc_id", "lang", "text")
+    val cont = Dedup.containmentPairs(d, "doc_id", "lang", "text", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cont == Set((1L, 2L, 1.0)))
+    assert(Dedup.jaccardPairs(d, "doc_id", "lang", "text", 0.5).count() == 0)
+  }
+
+  test("winnowing guarantees a shared fingerprint for long matches") {
+    // shared run of k+w-1 = 7 tokens between docs with different context
+    val shared = "s1 s2 s3 s4 s5 s6 s7"
+    val d = Seq(
+      (1L, s"a1 a2 a3 $shared a4 a5"),
+      (2L, s"b1 $shared b2 b3 b4 b5"),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")
+    ).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(d, "doc_id", "text", k = 4, w = 4)
+    val byDoc = fp.collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    // detection guarantee: any match of length >= k+w-1 shares a selection
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty)
+    assert(byDoc(3L).intersect(byDoc(1L)).isEmpty)
+    // density: w-windows of a 10-token doc (7 window hashes, 4 frames)
+    // select far fewer fingerprints than the 7 raw hashes
+    assert(byDoc(3L).size <= 4)
+    // deterministic across runs
+    val again = Dedup.winnowFingerprints(d, "doc_id", "text", 4, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(again == fp.collect().map(r => r.getLong(0) -> r.getLong(1)).toSet)
+  }
+
   test("duplicateSpans merges within-doc repeats and adjacent windows") {
     // the same 3-token phrase twice in ONE doc, separated by one token:
     // windows at 0 and 4 -> 4 <= 0 + 3 is false -> two separate spans

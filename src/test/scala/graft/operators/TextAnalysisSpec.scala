@@ -230,4 +230,18 @@ class TextAnalysisSpec extends SparkSpec {
       .head.getDouble(0)
     assert(lo < hi && hi > 0.99) // stop ratio 1.0 with w=8 saturates
   }
+
+  test("tokenEntropy: 0 for one repeated token, ln(n) for all-distinct") {
+    val d = Seq((1L, "a a a a"), (2L, "a b c d"), (3L, "a a b b"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == (4L, 0.0))
+    assert(got(2L) == (4L, math.floor(math.log(4) * 1e4) / 1e4))
+    // H = ln(4) - (2·ln2 + 2·ln2)/4 = ln 2, through the quantized terms
+    val t2 = math.floor(2 * math.log(2) * 1e6)
+    val want3 = math.floor((math.log(4) - 2 * t2 / 1e6 / 4) * 1e4) / 1e4
+    assert(got(3L)._2 == want3)
+    assert(math.abs(got(3L)._2 - math.log(2)) < 1e-3)
+  }
 }

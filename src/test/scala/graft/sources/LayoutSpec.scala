@@ -34,4 +34,45 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.dataFiles(s"$dir/out") === n)
     assert(spark.read.parquet(s"$dir/out").count() === 1000L)
   }
+
+  test("zValue interleaves bits exactly (vs a scalar reference)") {
+    def ref(x: Int, y: Int): Long = {
+      var z = 0L
+      for (i <- 0 until 16)
+        z |= (((x >> i) & 1).toLong << (2 * i)) |
+          (((y >> i) & 1).toLong << (2 * i + 1))
+      z
+    }
+    val cases = Seq((0, 0), (1, 0), (0, 1), (65535, 65535), (43690, 21845),
+      (12345, 54321), (65536 + 7, 3)) // 17-bit x truncates to low 16
+    val df = cases.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue(col("x"), col("y")).as("z"))
+    df.collect().foreach { r =>
+      assert(r.getLong(2) == ref(r.getInt(0) & 0xFFFF, r.getInt(1) & 0xFFFF),
+        s"x=${r.getInt(0)} y=${r.getInt(1)}")
+    }
+  }
+
+  test("zorderBy clusters files into disjoint z-ranges (2-D pruning)") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val df = (0L until 4000L).map(i => (i, (i * 37) % 1000, (i * 91) % 1000))
+      .toDF("id", "x", "y")
+    Layout.zorderBy(df, 4, col("x"), col("y"))
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 4000L)
+    // each output file's [min, max] z-interval must not overlap another's
+    // (range partitioning on z guarantees it) — that disjointness is what
+    // lets parquet min/max stats prune 2-D range predicates
+    val ranges = back
+      .select(input_file_name().as("f"),
+        Layout.zValue(col("x"), col("y")).as("z"))
+      .groupBy("f").agg(min("z").as("lo"), max("z").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length >= 3)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, ranges.mkString(","))
+      case _ =>
+    }
+  }
 }
