@@ -208,6 +208,28 @@ object OracleSql {
       (0 until 6).map(i => s"${1 << (5 - i)}*(CASE WHEN embedding[${i + 1}] > 0 THEN 1 ELSE 0 END)").mkString(" + ") +
       " bk FROM embeddings), ev AS (SELECT vec_id, bk, unnest(embedding) v, generate_subscripts(embedding,1) i FROM b), d AS (SELECT a.vec_id da, c.vec_id db, sum(a.v*c.v) dot FROM ev a JOIN ev c ON a.i=c.i AND a.bk=c.bk AND a.vec_id<c.vec_id GROUP BY 1,2), n AS (SELECT vec_id, sqrt(sum(v*v)) nrm FROM ev GROUP BY vec_id), j AS (SELECT da, db, dot/(na.nrm*nb.nrm) cos FROM d JOIN n na ON da=na.vec_id JOIN n nb ON db=nb.vec_id)"
 
+  // MinHash-estimate audit: the identical 8-hash md5 family rebuilt in
+  // SQL; est = matching-position fraction, exact jac from the inverted
+  // index — pairs are every same-lang token-sharing pair, doc_id < 150.
+  private val minhashEstSql: String = {
+    val sigs = (0 until 8)
+      .map(i => s"list_min(list_transform(toks, w -> md5(concat('$i:', w))))")
+      .mkString(", ")
+    val matches = (1 to 8)
+      .map(i => s"CASE WHEN sa.sig[$i] = sb.sig[$i] THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    "WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text,' ')) toks FROM documents WHERE doc_id < 150), " +
+      s"s AS (SELECT doc_id, [$sigs] sig FROM d), " +
+      "tok AS (SELECT doc_id, lang, len(toks) nt, unnest(toks) w FROM d), " +
+      "g AS (SELECT a.doc_id da, b.doc_id db, a.nt na, b.nt nb, count(*) inter " +
+      "FROM tok a JOIN tok b ON a.w=b.w AND a.lang=b.lang AND a.doc_id<b.doc_id GROUP BY 1,2,3,4), " +
+      "j AS (SELECT da, db, inter/CAST(na+nb-inter AS DOUBLE) jac FROM g), " +
+      s"e AS (SELECT j.da, j.db, j.jac, ($matches)/8.0 est " +
+      "FROM j JOIN s sa ON j.da = sa.doc_id JOIN s sb ON j.db = sb.doc_id) " +
+      "SELECT count(*) pairs, round(avg(abs(est - jac)),4) mae, " +
+      "round(avg(est),4) ae, round(avg(jac),4) aj FROM e"
+  }
+
   // Morton bit-spreading as a SQL expression ladder — the identical
   // shift-or-mask chain Layout.spread16 runs (masks 0x00FF00FF /
   // 0x0F0F0F0F / 0x33333333 / 0x55555555 in decimal).
@@ -295,6 +317,23 @@ object OracleSql {
       ("SELECT doc_id, CAST(generate_subscripts(ws, 1) - 1 AS INT) i, unnest(ws) w " +
         "FROM (SELECT doc_id, string_split(text,' ') ws FROM documents WHERE doc_id < 10) t " +
         "ORDER BY doc_id, i LIMIT 500"),
+    // the SQL-pipe DAG is pure composition: the oracle is the flattened SQL
+    "q_sql_node" ->
+      ("SELECT o_custkey, count(*) n, round(sum(o_totalprice), 2) s " +
+        "FROM orders WHERE o_totalprice > 100000 " +
+        "GROUP BY o_custkey ORDER BY n DESC, o_custkey LIMIT 20"),
+    "q_minhash_est" -> minhashEstSql,
+    // schema-evolution union: missing columns null-filled per side
+    "q_union_schema" ->
+      ("SELECT count(*) n, count(price) np, count(prio) npr, round(sum(price),2) sp " +
+        "FROM (SELECT o_orderkey k, o_totalprice price, CAST(NULL AS VARCHAR) prio FROM orders " +
+        "UNION ALL SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority FROM orders) t"),
+    // explode_outer = LEFT-JOIN generator semantics: empty list -> one null row
+    "q_explode_outer" ->
+      ("WITH d AS (SELECT doc_id, list_filter(string_split(text,' '), w -> w = 'key') ws " +
+        "FROM documents WHERE doc_id < 50), " +
+        "e AS (SELECT doc_id, unnest(CASE WHEN len(ws) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE ws END) w FROM d) " +
+        "SELECT doc_id, count(*) c, count(w) cw FROM e GROUP BY doc_id ORDER BY doc_id"),
     "q_winnow" -> winnowSql,
     "q_containment" -> containmentSql,
     "q_entropy" -> entropySql,

@@ -1849,6 +1849,72 @@ object Queries {
       .orderBy("doc_id", "i")
       .limit(500)
 
+  /** The dags SQL-PIPE node as a declared query: a two-node DAG
+    * ([[Node.sql]] pipes — upstream frames registered as views, SQL text
+    * planned by Catalyst like any DataFrame node) run through
+    * [[Graph.run]]'s topo order. The oracle is the composed SQL —
+    * pinning that the pipe abstraction adds NOTHING to the semantics
+    * (and, since it is all one lazy plan, nothing to the execution
+    * either: filters still push down through the view boundary). */
+  private val qSqlNode: Q = (s, sf) => {
+    val g = new Graph(Seq(
+      Node.sql("big", Seq("orders"),
+        "SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 100000"),
+      Node.sql("agg", Seq("big"),
+        "SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS s " +
+          "FROM big GROUP BY o_custkey")))
+    g.run(Map("orders" -> t(s, sf, "orders")))("agg")
+      .orderBy(col("n").desc, col("o_custkey")).limit(20)
+  }
+
+  /** MinHash ACCURACY audit: the 8-hash signature's Jaccard estimate
+    * (matching-position fraction — an unbiased estimator, Broder '97)
+    * against the exact Jaccard, over every same-lang token-sharing pair
+    * of a bounded corpus. Both engines rebuild the identical md5 hash
+    * family, so est — not just its error — is deterministic and the MAE
+    * census is oracle-exact. The in-plan form of "how good is the sketch
+    * driving q_neardup_lsh's banding". */
+  private val qMinhashEst: Q = (s, sf) => {
+    val d = t(s, sf, "documents").filter(col("doc_id") < 150)
+    val sig = Dedup.minHashSignature(d, "doc_id", "text", 8)
+    val pairs = Dedup.jaccardPairs(d, "doc_id", "lang", "text", 0.0)
+    pairs
+      .join(sig.select(col("doc_id").as("da"), col("sig").as("sa")), "da")
+      .join(sig.select(col("doc_id").as("db"), col("sig").as("sb")), "db")
+      .withColumn("est",
+        // 8.0D: a bare 8.0 in SQL text is DECIMAL(2,1), which would carry
+        // decimal typing (and a pandas-object dtype) through the avg
+        expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), b -> b)) / 8.0D"))
+      .agg(count(lit(1)).as("pairs"),
+        round(avg(abs(col("est") - col("jac"))), 4).as("mae"),
+        round(avg("est"), 4).as("ae"), round(avg("jac"), 4).as("aj"))
+  }
+
+  /** Schema-evolution union (`unionByName(allowMissingColumns = true)`):
+    * two block schemas that only partially overlap union by NAME, the
+    * missing columns null-filled — the dags accumulate semantic when a
+    * source adds a column mid-history (GraphSpec exercises the engine
+    * path; this row pins the value semantics). */
+  private val qUnionSchema: Q = (s, sf) => {
+    val o = t(s, sf, "orders")
+    val a = o.select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+    val b = o.select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"))
+    a.unionByName(b, allowMissingColumns = true)
+      .agg(count(lit(1)).as("n"), count("price").as("np"),
+        count("prio").as("npr"), round(sum("price"), 2).as("sp"))
+  }
+
+  /** explode_outer: row-preserving explode — a doc with NO matching
+    * tokens still emits one null row (the LEFT JOIN semantics of the
+    * generator family), vs explode which drops it. */
+  private val qExplodeOuter: Q = (s, sf) =>
+    t(s, sf, "documents").filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        explode_outer(expr("filter(split(text, ' '), w -> w = 'key')")).as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("c"), count("w").as("cw"))
+      .orderBy("doc_id")
+
   /** Multiset INTERSECT ALL (each nation kept min(#customer, #supplier)
     * times — the bag semantics ANSI adds over plain INTERSECT), counted
     * per key to pin the multiplicities. */
@@ -1883,6 +1949,10 @@ object Queries {
     "q_mad" -> qMad,
     "q_ks" -> qKs,
     "q_posexplode" -> qPosexplode,
+    "q_sql_node" -> qSqlNode,
+    "q_minhash_est" -> qMinhashEst,
+    "q_union_schema" -> qUnionSchema,
+    "q_explode_outer" -> qExplodeOuter,
     "q_scan" -> qScan,
     "q_scan_events" -> qScanEvents,
     "q_project" -> qProject,

@@ -300,4 +300,44 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("q_bloom_join probes a broadcast filter in-plan, then joins exactly") {
+    val p = plan("q_bloom_join")
+    // the probe is a narrow Filter over broadcast state (xxhash64 + bit
+    // test) — the 1-row bloom attaches via a broadcast, never a shuffle...
+    assert(p.contains("shiftright") && p.contains("xxhash64"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // ...and the final exactness join is a real semi equi join
+    assert(p.contains("LeftSemi"), p)
+  }
+
+  test("q_bucket_join reads pre-bucketed tables: no exchange below the join") {
+    val df = Queries.all("q_bucket_join")(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+    if (p.contains("SortMergeJoin")) {
+      // bucket metadata proves co-partitioning: the join's inputs come
+      // straight from the bucketed file scans, no hash repartition
+      val joinInputs = p.split("SortMergeJoin")(1)
+      assert(!joinInputs.contains("Exchange hashpartitioning"), p)
+      assert(p.contains("Bucketed: true"), p)
+    }
+  }
+
+  test("q_ks windows over the bounded grid, not the event rows") {
+    val p = plan("q_ks")
+    // two partial-agg passes reduce the corpus to grid cells BEFORE the
+    // running-sum window: the window's child must be an aggregate result
+    assert(p.contains("Window"), p)
+    val beforeWindow = p.substring(p.indexOf("Window"))
+    assert(beforeWindow.contains("HashAggregate"), p)
+  }
+
+  test("q_winnow / q_containment pair work never goes cartesian") {
+    Seq("q_winnow", "q_containment").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
 }
