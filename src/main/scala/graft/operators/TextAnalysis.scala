@@ -375,6 +375,41 @@ object TextAnalysis {
         (floor((log(col("n_tok")) - col("s6") / 1e6 / col("n_tok")) * 1e4) /
           1e4).as("ent"))
 
+  /** Pointwise mutual information of token CO-OCCURRENCE (document-level
+    * contexts, binary per-doc occurrence — the collocation/topic-pair
+    * primitive of corpus analysis): PMI(a,b) = ln(n_ab·N / (n_a·n_b))
+    * over documents, for token pairs drawn from the `topM` most-frequent
+    * tokens with at least `minPairs` co-occurrences.
+    *
+    * The topM restriction is the scale contract, not a shortcut: raw
+    * per-doc token pairing is O(len²) per document and vocabulary² in
+    * pair space; bounding the pair domain to a broadcast-joined topM
+    * vocabulary caps pair work at O(topM²) per doc and keeps the pair
+    * aggregate's key space fixed no matter how the corpus grows. Doc
+    * frequencies ride along from the same (doc, token) distinct pass —
+    * the corpus tokenizes exactly once. */
+  def cooccurPmi(df: DataFrame, idCol: String, textCol: String,
+      topM: Int, minPairs: Long): DataFrame = {
+    require(topM > 1 && minPairs >= 1,
+      s"need topM > 1, minPairs >= 1 (got $topM, $minPairs)")
+    val docTok = df
+      .select(col(idCol).as("d"), explode(split(col(textCol), " ")).as("w"))
+      .where(col("w") =!= "").distinct()
+    val top = docTok.groupBy("w").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w")).limit(topM)
+    val dt = docTok.join(broadcast(top), "w")
+    val nDocs = df.agg(countDistinct(col(idCol)).as("nd"))
+    val pairs = dt.select(col("d"), col("w").as("wa"), col("df").as("na"))
+      .join(dt.select(col("d"), col("w").as("wb"), col("df").as("nb")), "d")
+      .where(col("wa") < col("wb"))
+      .groupBy("wa", "na", "wb", "nb").agg(count(lit(1)).as("nab"))
+      .where(col("nab") >= minPairs)
+    pairs.crossJoin(broadcast(nDocs))
+      .select(col("wa"), col("wb"), col("nab"),
+        round(log(col("nab") * col("nd") /
+          (col("na") * col("nb")).cast("double")), 4).as("pmi"))
+  }
+
   /** Fixed-size character chunks with overlap (context-window prep):
     * chunk i covers [1 + i·stride, … + size); the last chunks are shorter.
     * Narrow per-row expression — chunking 100 TB is scan-speed work. */

@@ -165,4 +165,45 @@ object Validate {
           .otherwise(greatest(least(col(valCol), col("__phi")), col("__plo"))))
       .drop("__plo", "__phi")
   }
+
+  /** Jensen–Shannon divergence between the TOKEN distributions of slice
+    * pairs — the symmetric, bounded ([0, ln 2]) drift measure completing
+    * the family next to [[klDrift]] (asymmetric, unbounded) and the KS
+    * test (q_ks, distribution-free). JSD(P,Q) = ½KL(P‖M) + ½KL(Q‖M)
+    * with M = (P+Q)/2; a token absent from one side contributes only
+    * the other side's term (p ln 2 in the limit), so unlike raw KL no
+    * smoothing is needed — the reason JSD is the standard corpus-vs-
+    * corpus distance in data-mixing work.
+    *
+    * Shape: one tokenize+count pass shared by all pairs, then per pair
+    * ONE vocabulary-sized full-outer equi-join on the token (each side's
+    * total attached via a broadcast 1-row frame) and a partial-aggregable
+    * sum — |pairs| small by contract (explicit list), vocabulary-bounded
+    * work per pair, the corpus itself never re-shuffles. */
+  def jsDivergencePairs(df: DataFrame, sliceCol: String, textCol: String,
+      pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "jsDivergencePairs needs >= 1 slice pair")
+    require(pairs.forall(p => p._1 != p._2), "pair slices must differ")
+    val slices = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val cnt = df.filter(col(sliceCol).isin(slices: _*))
+      .select(col(sliceCol).as("sl"), explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("sl", "w").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("sl").agg(sum("c").as("n"))
+    pairs.map { case (a, b) =>
+      val ca = cnt.filter(col("sl") === a).select(col("w"), col("c").as("ca"))
+      val cb = cnt.filter(col("sl") === b).select(col("w"), col("c").as("cb"))
+      val na = tot.filter(col("sl") === a).select(col("n").as("na"))
+      val nb = tot.filter(col("sl") === b).select(col("n").as("nb"))
+      val p = coalesce(col("ca"), lit(0L)).cast("double") / col("na")
+      val q = coalesce(col("cb"), lit(0L)).cast("double") / col("nb")
+      val m = (p + q) / 2
+      ca.join(cb, Seq("w"), "full_outer")
+        .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+        .agg((sum(when(col("ca").isNotNull, p * log(p / m)).otherwise(0.0)) / 2 +
+          sum(when(col("cb").isNotNull, q * log(q / m)).otherwise(0.0)) / 2)
+          .as("jsd"))
+        .select(lit(a).as("sa"), lit(b).as("sb"), round(col("jsd"), 4).as("jsd"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -230,6 +230,94 @@ object OracleSql {
       "round(avg(est),4) ae, round(avg(jac),4) aj FROM e"
   }
 
+  // RRF hybrid fusion: the q_bm25 CTE chain (top-50) + the q_cosine_topk
+  // CTE chain (top-50), each ranked on its ROUNDED score with id
+  // tie-break, fused by union + 1/(60+rank) sum.
+  private val rrfSql: String = {
+    val idf = Seq(0, 1, 2).map(i =>
+      s"ln(1.0 + CAST(n - df$i + 0.5 AS DOUBLE)/CAST(df$i + 0.5 AS DOUBLE)) * " +
+        s"(tf$i * (CAST(1.2 AS DOUBLE) + 1)) / (tf$i + 1.2 * (0.25 + 0.75 * dl / (sdl/n)))")
+      .mkString(" + ")
+    "WITH d AS (SELECT doc_id, len(string_split(text,' ')) dl, " +
+      "len(list_filter(string_split(text,' '), w -> w = 'dup')) tf0, " +
+      "len(list_filter(string_split(text,' '), w -> w = 'vector')) tf1, " +
+      "len(list_filter(string_split(text,' '), w -> w = 'the')) tf2 FROM documents), " +
+      "s AS (SELECT count(*) n, CAST(sum(dl) AS DOUBLE) sdl, " +
+      "sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) df0, " +
+      "sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) df1, " +
+      "sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) df2 FROM d), " +
+      s"bm AS (SELECT doc_id, floor(($idf)*10000 + 0.5)/10000 score FROM d, s), " +
+      "br AS (SELECT doc_id id, row_number() OVER (ORDER BY score DESC, doc_id) rank " +
+      "FROM bm ORDER BY score DESC, doc_id LIMIT 50), " +
+      "qv AS (SELECT unnest(embedding) v, generate_subscripts(embedding,1) i " +
+      "FROM embeddings WHERE vec_id=0), " +
+      "ev AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding,1) i " +
+      "FROM embeddings WHERE vec_id<>0), " +
+      "dd AS (SELECT ev.vec_id, sum(ev.v*qv.v) dot, sqrt(sum(ev.v*ev.v)) nrm " +
+      "FROM ev JOIN qv ON ev.i=qv.i GROUP BY ev.vec_id), " +
+      "nq AS (SELECT sqrt(sum(v*v)) n FROM qv), " +
+      "co AS (SELECT vec_id, round(dot/(nrm*nq.n),4) cos FROM dd, nq), " +
+      "cr AS (SELECT vec_id id, row_number() OVER (ORDER BY cos DESC, vec_id) rank " +
+      "FROM co ORDER BY cos DESC, vec_id LIMIT 50), " +
+      "u AS (SELECT * FROM br UNION ALL SELECT * FROM cr) " +
+      "SELECT id, round(sum(CAST(1 AS DOUBLE)/(60+rank)),6) rrf, count(*) nl " +
+      "FROM u GROUP BY id ORDER BY rrf DESC, id LIMIT 20"
+  }
+
+  // NDCG@10, relevance = label match; cosine rounded to 4 dp BEFORE
+  // ranking (engine-stable ranks), IDCG as a list-fold over range().
+  private val ndcgSql: String =
+    "WITH q AS (SELECT vec_id qid, embedding qe, label ql, " +
+      "sqrt(list_sum(list_transform(embedding, x -> CAST(x*x AS DOUBLE)))) qn " +
+      "FROM embeddings WHERE vec_id < 5), " +
+      "p AS (SELECT q.qid, q.ql, e.vec_id, e.label, " +
+      "round(list_sum(list_transform(range(1, len(e.embedding)+1), " +
+      "i -> CAST(e.embedding[i] AS DOUBLE)*q.qe[i])) / " +
+      "(sqrt(list_sum(list_transform(e.embedding, x -> CAST(x*x AS DOUBLE)))) * q.qn), 4) cos " +
+      "FROM embeddings e, q WHERE e.vec_id <> q.qid), " +
+      "r AS (SELECT qid, ql, vec_id, label, cos, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) r FROM p), " +
+      "d AS (SELECT qid, sum(CASE WHEN label = ql THEN CAST(1 AS DOUBLE)/(ln(r+1)/ln(2)) ELSE 0 END) dcg " +
+      "FROM r WHERE r <= 10 GROUP BY qid), " +
+      "nr AS (SELECT qid, least(sum(CASE WHEN label = ql THEN 1 ELSE 0 END), 10) nrel FROM p GROUP BY qid), " +
+      "i AS (SELECT qid, nrel, CASE WHEN nrel > 0 THEN " +
+      "list_sum(list_transform(range(1, CAST(nrel+1 AS BIGINT)), i -> CAST(1 AS DOUBLE)/(ln(i+1)/ln(2)))) ELSE 0 END idcg FROM nr) " +
+      "SELECT i.qid, CAST(nrel AS BIGINT) nrel, " +
+      "round(CASE WHEN idcg > 0 THEN dcg/idcg ELSE 0 END, 4) ndcg " +
+      "FROM i JOIN d ON i.qid = d.qid ORDER BY i.qid"
+
+  // Pairwise token-distribution JSD: one count pass, pairs pivoted by
+  // CASE over a VALUES pair list (≡ the engine's per-pair outer joins).
+  private val jsdSql: String =
+    "WITH tok AS (SELECT source sl, unnest(string_split(text,' ')) w FROM documents " +
+      "WHERE source IN ('src0','src1','src2','src3')), " +
+      "c AS (SELECT sl, w, count(*) c FROM tok WHERE w <> '' GROUP BY sl, w), " +
+      "t AS (SELECT sl, CAST(sum(c) AS DOUBLE) n FROM c GROUP BY sl), " +
+      "pairs AS (SELECT * FROM (VALUES ('src0','src1'),('src0','src2'),('src0','src3')," +
+      "('src1','src2'),('src1','src3'),('src2','src3')) pr(sa, sb)), " +
+      "v AS (SELECT pairs.sa, pairs.sb, w, " +
+      "COALESCE(MAX(CASE WHEN sl = pairs.sa THEN c END), 0) ca, " +
+      "COALESCE(MAX(CASE WHEN sl = pairs.sb THEN c END), 0) cb " +
+      "FROM pairs JOIN c ON c.sl IN (pairs.sa, pairs.sb) GROUP BY pairs.sa, pairs.sb, w), " +
+      "e AS (SELECT v.sa, v.sb, ca/ta.n p, cb/tb.n q " +
+      "FROM v JOIN t ta ON ta.sl = v.sa JOIN t tb ON tb.sl = v.sb) " +
+      "SELECT sa, sb, round(sum(CASE WHEN p > 0 THEN p*ln(p/((p+q)/2)) ELSE 0 END)/2 + " +
+      "sum(CASE WHEN q > 0 THEN q*ln(q/((p+q)/2)) ELSE 0 END)/2, 4) jsd " +
+      "FROM e GROUP BY sa, sb ORDER BY sa, sb"
+
+  // Doc-level co-occurrence PMI over the top-20 vocabulary.
+  private val cooccurSql: String =
+    "WITH dt AS (SELECT DISTINCT d, w FROM (SELECT doc_id d, " +
+      "unnest(string_split(text,' ')) w FROM documents) x WHERE w <> ''), " +
+      "top AS (SELECT w, count(*) df FROM dt GROUP BY w ORDER BY df DESC, w LIMIT 20), " +
+      "n AS (SELECT count(DISTINCT doc_id) nd FROM documents), " +
+      "f AS (SELECT dt.d, dt.w, top.df FROM dt JOIN top USING (w)), " +
+      "p AS (SELECT a.w wa, a.df na, b.w wb, b.df nb, count(*) nab " +
+      "FROM f a JOIN f b ON a.d = b.d AND a.w < b.w " +
+      "GROUP BY 1, 2, 3, 4 HAVING count(*) >= 5) " +
+      "SELECT wa, wb, nab, round(ln(nab*nd/CAST(na*nb AS DOUBLE)),4) pmi " +
+      "FROM p, n ORDER BY pmi DESC, wa, wb LIMIT 30"
+
   // Morton bit-spreading as a SQL expression ladder — the identical
   // shift-or-mask chain Layout.spread16 runs (masks 0x00FF00FF /
   // 0x0F0F0F0F / 0x33333333 / 0x55555555 in decimal).
@@ -334,6 +422,35 @@ object OracleSql {
         "FROM documents WHERE doc_id < 50), " +
         "e AS (SELECT doc_id, unnest(CASE WHEN len(ws) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE ws END) w FROM d) " +
         "SELECT doc_id, count(*) c, count(w) cw FROM e GROUP BY doc_id ORDER BY doc_id"),
+    "q_rrf" -> rrfSql,
+    "q_ndcg" -> ndcgSql,
+    "q_jsd" -> jsdSql,
+    "q_cooccur" -> cooccurSql,
+    // first-order Markov transitions: lag over (ts, event_id) per user
+    "q_next_event" ->
+      ("WITH t AS (SELECT user_id, event_type nxt, lag(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY ts, event_id) prev FROM events), " +
+        "c AS (SELECT prev, nxt, count(*) c FROM t WHERE prev IS NOT NULL GROUP BY prev, nxt) " +
+        "SELECT prev, nxt, c, round(c/CAST(sum(c) OVER (PARTITION BY prev) AS DOUBLE), 4) p " +
+        "FROM c ORDER BY prev, nxt"),
+    // last-touch attribution: ignore-nulls last_value, frame ends 1 PRECEDING
+    "q_attribution" ->
+      ("WITH a AS (SELECT user_id, event_type, value, " +
+        "last_value(CASE WHEN event_type IN ('view','click','signup') THEN event_type END IGNORE NULLS) " +
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) ch FROM events) " +
+        "SELECT COALESCE(ch, 'direct') channel, count(*) purchases, " +
+        "round(sum(value),2) revenue FROM a WHERE event_type = 'purchase' " +
+        "GROUP BY 1 ORDER BY 1"),
+    "q_percent_rank" ->
+      ("SELECT c_custkey, c_nationkey, round(percent_rank() OVER w, 4) pr, " +
+        "round(cume_dist() OVER w, 4) cd FROM customer " +
+        "WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) " +
+        "ORDER BY c_custkey LIMIT 100"),
+    "q_bitagg" ->
+      ("SELECT l_returnflag, bit_or(l_orderkey) bo, bit_and(l_orderkey) ba, " +
+        "bit_xor(l_orderkey) bx, CAST(sum(bit_count(l_orderkey)) AS BIGINT) pc " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
     "q_winnow" -> winnowSql,
     "q_containment" -> containmentSql,
     "q_entropy" -> entropySql,

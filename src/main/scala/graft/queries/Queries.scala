@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Bloom, Components, Dedup, Incremental, IntervalJoin, Iterate, Ivf, Multimodal, Pq, Sampling, Similarity, Skew, TextAnalysis, Validate}
+import graft.operators.{AsOfJoin, Bloom, Components, Dedup, Incremental, IntervalJoin, Iterate, Ivf, Multimodal, Pq, Retrieval, Sampling, Similarity, Skew, TextAnalysis, Validate}
 import graft.engine.{Graph, Node, RunLog, Snapshot}
 import graft.sources.Layout
 
@@ -1915,6 +1915,119 @@ object Queries {
       .agg(count(lit(1)).as("c"), count("w").as("cw"))
       .orderBy("doc_id")
 
+  // ------------------------------------------- retrieval fusion / eval
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 term ranking
+    * and the exact-cosine embedding ranking (the standard lexical+dense
+    * combiner, Cormack '09). Each retriever emits its top-50 BOUNDED
+    * list (TakeOrderedAndProject), ranks attach on the 50-row frames,
+    * and fusion is a union + hash agg — nothing corpus-sized past the
+    * retrievers themselves. Ranks are computed on the already-rounded
+    * scores with id tie-breaks, so they are engine-stable. */
+  private val qRrf: Q = (s, sf) => {
+    val bm = TextAnalysis.bm25Scores(t(s, sf, "documents"), "doc_id", "text",
+        Seq("dup", "vector", "the"))
+      .orderBy(col("score").desc, col("doc_id")).limit(50)
+    val bmR = Retrieval.withRank(bm, Seq(col("score").desc, col("doc_id")))
+      .select(col("doc_id").as("id"), col("rank"))
+    val co = Similarity.cosineTopK(t(s, sf, "embeddings"), "vec_id",
+      "embedding", 0L, 50)
+    val coR = Retrieval.withRank(co, Seq(col("cos").desc, col("vec_id")))
+      .select(col("vec_id").as("id"), col("rank"))
+    Retrieval.rrfFuse(Seq(bmR, coR), "id")
+      .orderBy(col("rrf").desc, col("id")).limit(20)
+  }
+
+  /** NDCG@10 of the exact-cosine retriever, relevance = label match —
+    * the retrieval-quality eval loop over the labeled embedding table.
+    * Query set (5 vectors) broadcasts; corpus scans once. */
+  private val qNdcg: Q = (s, sf) =>
+    Retrieval.ndcgAtK(t(s, sf, "embeddings"), "vec_id", "embedding",
+        "label", Seq(0L, 1L, 2L, 3L, 4L), 10)
+      .orderBy("qid")
+
+  // --------------------------------------------- drift / corpus stats
+
+  /** Jensen–Shannon divergence between per-source token distributions
+    * (all 6 pairs of src0..src3) — the symmetric bounded drift measure
+    * completing KL (q_drift) and KS (q_ks). One tokenize pass, one
+    * vocab-sized outer join per pair. */
+  private val qJsd: Q = (s, sf) =>
+    Validate.jsDivergencePairs(t(s, sf, "documents"), "source", "text",
+        Seq(("src0", "src1"), ("src0", "src2"), ("src0", "src3"),
+          ("src1", "src2"), ("src1", "src3"), ("src2", "src3")))
+      .orderBy("sa", "sb")
+
+  /** Token co-occurrence PMI over the top-20 vocabulary (≥5 shared
+    * docs) — collocation mining with the pair domain capped by a
+    * broadcast topM join ([[TextAnalysis.cooccurPmi]]). */
+  private val qCooccur: Q = (s, sf) =>
+    TextAnalysis.cooccurPmi(t(s, sf, "documents"), "doc_id", "text",
+        topM = 20, minPairs = 5L)
+      .orderBy(col("pmi").desc, col("wa"), col("wb")).limit(30)
+
+  // ------------------------------------------------- event analytics
+
+  /** First-order Markov transition matrix of per-user event sequences:
+    * lag over (ts, event_id) order, transition counts and per-source
+    * row probabilities. The window shuffles by user once; the
+    * transition-pair aggregate is |types|² small. */
+  private val qNextEvent: Q = (s, sf) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, sf, "events")
+      .select(col("user_id"), col("event_type").as("nxt"), col("ts"),
+        col("event_id"))
+      .withColumn("prev", lag("nxt", 1).over(w))
+      .where(col("prev").isNotNull)
+      .groupBy("prev", "nxt").agg(count(lit(1)).as("c"))
+      .withColumn("p",
+        round(col("c") / sum("c").over(Window.partitionBy("prev")), 4))
+      .orderBy("prev", "nxt")
+  }
+
+  /** Last-touch attribution: each purchase's value credits the user's
+    * most recent PRECEDING marketing touch (view/click/signup), else
+    * 'direct'. The carried-touch column is one ignore-nulls last_value
+    * over the user window (frame ends 1 PRECEDING — a purchase never
+    * attributes to itself or later touches); revenue then aggregates by
+    * channel. One shuffle by user, one tiny channel agg. */
+  private val qAttribution: Q = (s, sf) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, sf, "events")
+      .withColumn("ch", last(
+        when(col("event_type").isin("view", "click", "signup"),
+          col("event_type")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .groupBy(coalesce(col("ch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("purchases"), round(sum("value"), 2).as("revenue"))
+      .orderBy("channel")
+  }
+
+  // ------------------------------------------------ window / agg surface
+
+  /** percent_rank + cume_dist (the relative-rank window surface) over a
+    * UNIQUE ordering (acctbal, custkey) so both are engine-stable. */
+  private val qPercentRank: Q = (s, sf) => {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    t(s, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(percent_rank().over(w), 4).as("pr"),
+        round(cume_dist().over(w), 4).as("cd"))
+      .orderBy("c_custkey").limit(100)
+  }
+
+  /** Bitwise aggregate surface (bit_or/bit_and/bit_xor + popcount sum)
+    * — the flag-mask / feature-bitmap rollup, all partial-aggregable. */
+  private val qBitagg: Q = (s, sf) =>
+    t(s, sf, "lineitem").groupBy("l_returnflag")
+      .agg(expr("bit_or(l_orderkey)").as("bo"),
+        expr("bit_and(l_orderkey)").as("ba"),
+        expr("bit_xor(l_orderkey)").as("bx"),
+        expr("sum(bit_count(l_orderkey))").as("pc"))
+      .orderBy("l_returnflag")
+
   /** Multiset INTERSECT ALL (each nation kept min(#customer, #supplier)
     * times — the bag semantics ANSI adds over plain INTERSECT), counted
     * per key to pin the multiplicities. */
@@ -1953,6 +2066,14 @@ object Queries {
     "q_minhash_est" -> qMinhashEst,
     "q_union_schema" -> qUnionSchema,
     "q_explode_outer" -> qExplodeOuter,
+    "q_rrf" -> qRrf,
+    "q_ndcg" -> qNdcg,
+    "q_jsd" -> qJsd,
+    "q_cooccur" -> qCooccur,
+    "q_next_event" -> qNextEvent,
+    "q_attribution" -> qAttribution,
+    "q_percent_rank" -> qPercentRank,
+    "q_bitagg" -> qBitagg,
     "q_scan" -> qScan,
     "q_scan_events" -> qScanEvents,
     "q_project" -> qProject,

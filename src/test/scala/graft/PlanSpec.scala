@@ -340,4 +340,34 @@ class PlanSpec extends SparkSpec {
         !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
     }
   }
+
+  test("q_rrf fuses BOUNDED lists: top-k before ranks, no cartesian") {
+    val p = plan("q_rrf")
+    // each retriever ends in TakeOrderedAndProject (the top-50 bound);
+    // the windows rank those 50-row frames, never the corpus
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_cooccur joins the pair domain through a broadcast topM vocab") {
+    val p = plan("q_cooccur")
+    assert(p.contains("BroadcastHashJoin"), p) // topM vocabulary attach
+    assert(!p.contains("CartesianProduct"), p) // pair join is equi on doc
+  }
+
+  test("q_ndcg / q_jsd shuffle-join shapes stay non-cartesian") {
+    Seq("q_ndcg", "q_jsd").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("q_next_event / q_attribution window by user, then tiny aggregates") {
+    Seq("q_next_event", "q_attribution").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q:\n$p")
+      assert(p.contains("user_id"), s"$q:\n$p") // partitioned, not global
+      assert(p.contains("HashAggregate"), s"$q:\n$p")
+    }
+  }
 }

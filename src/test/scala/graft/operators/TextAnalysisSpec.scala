@@ -244,4 +244,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L)._2 == want3)
     assert(math.abs(got(3L)._2 - math.log(2)) < 1e-3)
   }
+
+  test("cooccurPmi: always-together pair gets PMI ln(N/df), independents 0") {
+    // a,b co-occur in every one of their 2 docs (never apart); c appears
+    // everywhere, so (a,c) attachment is pure chance: PMI = 0.
+    val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c d"), (4L, "c d"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.cooccurPmi(d, "doc_id", "text", topM = 10,
+        minPairs = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // n_ab = 2, n_a = n_b = 2, N = 4 → PMI = ln(2·4/(2·2)) = ln 2
+    assert(got(("a", "b")) ==
+      ((2L, BigDecimal(math.log(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // n_ac = 2, n_a = 2, n_c = 4 → ln(2·4/(2·4)) = 0
+    assert(got(("a", "c")) == ((2L, 0.0)))
+    // d never meets a: pair absent (no zero-count rows materialize)
+    assert(!got.contains(("a", "d")))
+  }
+
+  test("cooccurPmi caps the pair domain at topM tokens") {
+    val d = Seq((1L, "a a b z"), (2L, "a b z"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    // topM = 2 keeps {a, b} (df 3 each); z (df 2) never enters pairs
+    val pairs = TextAnalysis.cooccurPmi(d, "doc_id", "text", topM = 2,
+        minPairs = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.toSet == Set(("a", "b")))
+  }
 }

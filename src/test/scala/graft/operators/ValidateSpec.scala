@@ -136,4 +136,30 @@ class ValidateSpec extends SparkSpec {
     assert(out.exists(r => r.isNullAt(0) && r.getDouble(1) == 42.0))
     assert(out.count(r => !r.isNullAt(0) && r.isNullAt(1)) == 1)
   }
+
+  test("jsDivergencePairs: 0 for identical slices, ln 2 for disjoint vocab") {
+    val docs = Seq(
+      ("a", "x y x y"), ("b", "x y x y"),      // identical distribution
+      ("c", "p p q q")                          // disjoint vocabulary
+    ).toDF("src", "text")
+    val got = Validate.jsDivergencePairs(docs, "src", "text",
+        Seq(("a", "b"), ("a", "c")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(got(("a", "b")) == 0.0)
+    // disjoint: every token sees m = p/2, JSD = ln 2 exactly
+    assert(got(("a", "c")) == math.floor(math.log(2) * 1e4 + 0.5) / 1e4 ||
+      got(("a", "c")) == BigDecimal(math.log(2)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("jsDivergencePairs is symmetric and bounded by ln 2") {
+    val docs = Seq(("a", "x x y"), ("b", "x y y z")).toDF("src", "text")
+    val ab = Validate.jsDivergencePairs(docs, "src", "text", Seq(("a", "b")))
+      .head.getDouble(2)
+    val ba = Validate.jsDivergencePairs(docs, "src", "text", Seq(("b", "a")))
+      .head.getDouble(2)
+    assert(ab == ba)
+    assert(ab > 0.0 && ab < math.log(2))
+  }
 }
