@@ -315,4 +315,45 @@ object Components {
     }
     pr
   }
+
+  /** Bounded k-core peeling (Seidman '83 / the Batagelj–Zaveršnik degree
+    * peel, distributed): `rounds` synchronous rounds of "drop every
+    * vertex whose CURRENT degree < k, then drop its edges", returning the
+    * per-vertex degree of the surviving subgraph. Fixed rounds ARE the
+    * semantic (the same bounded-iteration contract as
+    * [[labelPropagation]]/[[cheapestPaths]]): the full k-core is the
+    * fixpoint, but a fixed peel unrolls to straight-line SQL so an
+    * oracle pins every surviving degree exactly; pick rounds ≥ the peel
+    * depth (rarely more than a handful in practice — each round removes
+    * a whole "shell") and the bound is vacuous.
+    *
+    * Why a pipeline wants it: the k-core is the standard dense-substructure
+    * filter — on a near-dup or citation graph it isolates the heavily
+    * interlinked cluster mass that sampling/curation treats differently
+    * from the long tail ([[triangles]] counts closure; this keeps the
+    * subgraph itself).
+    *
+    * Scale shape: per round ONE degree aggregate + two left-semi joins
+    * (edge endpoints against the survivor set) — all partial-aggregable
+    * hash shuffles, no driver state; lineage cut per round via
+    * [[Checkpoint.cut]] (same `graft.checkpoint.reliable` posture as the
+    * other iterative ops). The edge list is symmetrized + distinct'd
+    * internally, so each vertex's degree counts distinct neighbors. */
+  def kCorePeel(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    require(rounds >= 0, s"rounds must be >= 0 (got $rounds)")
+    val e0 = edges.select(col(srcCol).cast("long").as("s"),
+      col(dstCol).cast("long").as("d"))
+    var e = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
+      .distinct().cut
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("s").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("s").cut
+      e = e.join(keep, Seq("s"), "left_semi")
+        .join(keep.select(col("s").as("d")), Seq("d"), "left_semi")
+        .select("s", "d").cut
+    }
+    e.groupBy(col("s").as("id")).agg(count(lit(1)).as("deg"))
+  }
 }

@@ -451,6 +451,81 @@ object OracleSql {
       ("SELECT l_returnflag, bit_or(l_orderkey) bo, bit_and(l_orderkey) ba, " +
         "bit_xor(l_orderkey) bx, CAST(sum(bit_count(l_orderkey)) AS BIGINT) pc " +
         "FROM lineitem GROUP BY 1 ORDER BY 1"),
+    // 3 unrolled k=3 peel rounds over the symmetrized trade graph —
+    // integer degrees, bit-exact against Components.kCorePeel
+    "q_kcore" ->
+      ("WITH base AS (SELECT DISTINCT o_custkey*2 s, l_suppkey*2+1 d " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "e0 AS (SELECT s, d FROM base UNION ALL SELECT d, s FROM base), " +
+        "k1 AS (SELECT s FROM e0 GROUP BY s HAVING count(*) >= 3), " +
+        "e1 AS (SELECT e0.s, e0.d FROM e0 JOIN k1 a ON e0.s = a.s JOIN k1 b ON e0.d = b.s), " +
+        "k2 AS (SELECT s FROM e1 GROUP BY s HAVING count(*) >= 3), " +
+        "e2 AS (SELECT e1.s, e1.d FROM e1 JOIN k2 a ON e1.s = a.s JOIN k2 b ON e1.d = b.s), " +
+        "k3 AS (SELECT s FROM e2 GROUP BY s HAVING count(*) >= 3), " +
+        "e3 AS (SELECT e2.s, e2.d FROM e2 JOIN k3 a ON e2.s = a.s JOIN k3 b ON e2.d = b.s) " +
+        "SELECT s id, count(*) deg FROM e3 GROUP BY s ORDER BY id LIMIT 100"),
+    "q_degree_dist" ->
+      ("WITH base AS (SELECT DISTINCT o_custkey*2 s, l_suppkey*2+1 d " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "e0 AS (SELECT s, d FROM base UNION ALL SELECT d, s FROM base), " +
+        "dg AS (SELECT s, count(*) deg FROM e0 GROUP BY s) " +
+        "SELECT deg, count(*) n, CAST(sum(s) AS BIGINT) chk FROM dg " +
+        "GROUP BY deg ORDER BY deg"),
+    // same normalize chain; DuckDB regexp_replace needs the 'g' flag
+    // (Spark replaces all matches by default)
+    "q_normalize" ->
+      ("WITH n AS (SELECT doc_id, text, trim(regexp_replace(regexp_replace(" +
+        "lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) nt FROM documents) " +
+        "SELECT doc_id, length(text) len_raw, length(nt) len_norm, md5(nt) h " +
+        "FROM n ORDER BY doc_id LIMIT 100"),
+    // md5 bucket of the GROUP key (source:lang) — every group lands whole
+    "q_group_split" ->
+      ("WITH b AS (SELECT doc_id, concat(source, ':', lang) grp, " +
+        "CAST(concat('0x', substr(md5(concat(source, ':', lang)),1,8)) AS BIGINT) % 100 bk " +
+        "FROM documents) " +
+        "SELECT CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val' ELSE 'test' END split, " +
+        "count(*) n_docs, count(DISTINCT grp) n_grp, CAST(sum(doc_id) AS BIGINT) chk " +
+        "FROM b GROUP BY split ORDER BY split"),
+    "q_token_budget" ->
+      ("WITH d AS (SELECT doc_id, source, len(string_split(text,' ')) tok FROM documents), " +
+        "c AS (SELECT doc_id, source, tok, sum(tok) OVER (PARTITION BY source " +
+        "ORDER BY tok DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum FROM d) " +
+        "SELECT source, count(*) n_kept, CAST(sum(tok) AS BIGINT) tok_kept, " +
+        "CAST(sum(doc_id) AS BIGINT) chk FROM c WHERE cum <= 20000 " +
+        "GROUP BY source ORDER BY source"),
+    // per-column argmax via deterministic row_number windows (max_by is
+    // tie-arbitrary in both engines; windows with total orders are not)
+    "q_survivor" ->
+      ("WITH l AS (SELECT o_custkey, o_orderstatus last_status, " +
+        "CAST(o_orderdate AS DATE) last_date, row_number() OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) rn FROM orders), " +
+        "b AS (SELECT o_custkey, o_orderkey top_key, row_number() OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rn FROM orders), " +
+        "a AS (SELECT o_custkey, count(*) n, round(sum(o_totalprice),2) spend " +
+        "FROM orders GROUP BY o_custkey) " +
+        "SELECT a.o_custkey, a.n, a.spend, l.last_status, l.last_date, b.top_key " +
+        "FROM a JOIN l ON a.o_custkey = l.o_custkey AND l.rn = 1 " +
+        "JOIN b ON a.o_custkey = b.o_custkey AND b.rn = 1 " +
+        "ORDER BY a.o_custkey LIMIT 100"),
+    "q_scd2" ->
+      ("WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) dt, o_orderkey, " +
+        "o_orderpriority prio FROM orders), " +
+        "ch AS (SELECT *, lag(prio) OVER (PARTITION BY o_custkey ORDER BY dt, o_orderkey) prev FROM o), " +
+        "f AS (SELECT o_custkey, dt, o_orderkey, prio FROM ch WHERE prev IS NULL OR prev <> prio), " +
+        "v AS (SELECT o_custkey, o_orderkey, prio, dt valid_from, " +
+        "lead(dt) OVER (PARTITION BY o_custkey ORDER BY dt, o_orderkey) valid_to FROM f) " +
+        "SELECT o_custkey, o_orderkey, prio, valid_from, " +
+        "coalesce(valid_to, DATE '9999-12-31') valid_to, " +
+        "CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END cur FROM v " +
+        "ORDER BY o_custkey, valid_from, o_orderkey LIMIT 100"),
+    "q_dataset_card" ->
+      ("WITH d AS (SELECT source, lang, n_chars, len(string_split(text,' ')) tok, " +
+        "md5(text) h FROM documents) " +
+        "SELECT source, count(*) docs, count(DISTINCT h) n_uniq, " +
+        "CAST(sum(tok) AS BIGINT) toks, round(avg(n_chars),2) avg_chars, " +
+        "count(DISTINCT lang) langs, " +
+        "CAST(sum(CASE WHEN tok > 50 THEN 1 ELSE 0 END) AS BIGINT) long_docs " +
+        "FROM d GROUP BY source ORDER BY source"),
     "q_winnow" -> winnowSql,
     "q_containment" -> containmentSql,
     "q_entropy" -> entropySql,

@@ -2045,9 +2045,156 @@ object Queries {
       .groupBy("nk").agg(count(lit(1)).as("c"))
       .orderBy("nk")
 
+  /** Bounded k-core of the trade graph ([[operators.Components
+    * .kCorePeel]]): 3 synchronous peel rounds at k=3 — drop every vertex
+    * whose current degree < 3, repeat — then the surviving per-vertex
+    * degrees. The fixed round count is the semantic (the
+    * [[qCommunities]] contract), so the oracle unrolls the same 3
+    * peels as chained CTEs: integer degrees, bit-exact. */
+  private val qKcore: Q = (s, sf) =>
+    Components.kCorePeel(tradeEdges(s, sf), "s", "d", k = 3, rounds = 3)
+      .orderBy("id").limit(100)
+
+  /** Degree distribution of the trade graph — the first diagnostic run
+    * on any graph (skew check: a heavy tail here is what forces the
+    * degree-ordered orientation in [[qTriangles]] and salting in joins).
+    * Two hash aggregates, fully partial-aggregable. */
+  private val qDegreeDist: Q = (s, sf) =>
+    tradeEdges(s, sf).groupBy("s").agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n"), sum("s").as("chk"))
+      .orderBy("deg")
+
+  /** Canonical text normalization (lowercase → strip non-alphanumerics →
+    * collapse runs of spaces → trim) + md5 of the canonical form — the
+    * robust-exact-dedup prep that catches case/spacing/punctuation
+    * variants plain md5(text) misses. Narrow per-row expressions,
+    * scan-speed at 100 TB; the hash makes the whole normalized STRING
+    * oracle-checked without shipping it. */
+  private val qNormalize: Q = (s, sf) => {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    t(s, sf, "documents")
+      .select(col("doc_id"), length(col("text")).as("len_raw"),
+        length(norm).as("len_norm"), md5(norm).as("h"))
+      .orderBy("doc_id").limit(100)
+  }
+
+  /** GROUP-aware train/val/test split: the split key is the (source,
+    * lang) group, not the row — every doc of a group lands in the same
+    * split, the leakage guard row-hash splits ([[qSplitAssign]]) lack
+    * (near-identical docs from one domain must not straddle train/test).
+    * Same md5 bucket family, so the assignment is stable under corpus
+    * growth and engine changes. */
+  private val qGroupSplit: Q = (s, sf) =>
+    Sampling.assignSplits(
+        t(s, sf, "documents")
+          .withColumn("grp", concat_ws(":", col("source"), col("lang"))),
+        "grp", Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("grp").as("n_grp"),
+        sum("doc_id").as("chk"))
+      .orderBy("split")
+
+  /** Token-budget fill: per source, take docs longest-first (whitespace
+    * tokens desc, doc_id tie-break) while the RUNNING token total stays
+    * ≤ 20k — the budget-allocation step that turns a mixing ratio into
+    * an actual doc selection. One window cumsum per source partition;
+    * integer tokens so the cut point is exact. */
+  private val qTokenBudget: Q = (s, sf) => {
+    val tok = TextAnalysis.wsTokenCount(col("text"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("tok").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, sf, "documents")
+      .select(col("doc_id"), col("source"), tok.as("tok"))
+      .withColumn("cum", sum("tok").over(w))
+      .filter(col("cum") <= 20000)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("tok").as("tok_kept"),
+        sum("doc_id").as("chk"))
+      .orderBy("source")
+  }
+
+  /** Golden-record survivorship: one row per customer merging per-column
+    * "best" values drawn from DIFFERENT orders — latest status (by order
+    * date, key tie-break), biggest order's key (by price), plus lifetime
+    * count/spend. The master-data-management merge rule, spelled as two
+    * deterministic row_number windows + one aggregate join (Spark's
+    * max_by is tie-arbitrary, so windows with total orders are the
+    * portable argmax — the [[qDedupe]] playbook per column). */
+  private val qSurvivor: Q = (s, sf) => {
+    val o = t(s, sf, "orders")
+    val wLast = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val wBig = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val last = o.withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderstatus").as("last_status"),
+        col("o_orderdate").cast("date").as("last_date"))
+    val big = o.withColumn("rn", row_number().over(wBig))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("top_key"))
+    val life = o.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("spend"))
+    life.join(last, "o_custkey").join(big, "o_custkey")
+      .orderBy("o_custkey").limit(100)
+  }
+
+  /** SCD type-2 dimension build from the orders change log: per customer,
+    * consecutive runs of the same priority collapse to one versioned row
+    * with [valid_from, valid_to) from the NEXT change's date (current
+    * row open-ended, cur = 1) — the standard warehouse dimension
+    * history, as two window passes (change detection via lag, interval
+    * closure via lead over the surviving change rows). */
+  private val qScd2: Q = (s, sf) => {
+    val wSeq = Window.partitionBy("o_custkey")
+      .orderBy(col("dt"), col("o_orderkey"))
+    val changes = t(s, sf, "orders")
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("dt"),
+        col("o_orderkey"), col("o_orderpriority").as("prio"))
+      .withColumn("prev", lag("prio", 1).over(wSeq))
+      .filter(col("prev").isNull || col("prev") =!= col("prio"))
+    changes
+      .withColumn("nxt", lead("dt", 1).over(wSeq))
+      .withColumn("cur", when(col("nxt").isNull, 1).otherwise(0))
+      // open-ended validity as the conventional high-date sentinel (keeps
+      // the column NOT NULL — range probes need no null branch)
+      .withColumn("valid_to",
+        coalesce(col("nxt"), lit("9999-12-31").cast("date")))
+      .select(col("o_custkey"), col("o_orderkey"), col("prio"),
+        col("dt").as("valid_from"), col("valid_to"), col("cur"))
+      .orderBy("o_custkey", "valid_from", "o_orderkey").limit(100)
+  }
+
+  /** Dataset card: the per-source corpus summary a release ships with —
+    * doc/distinct-text counts (exact dup rate), token mass, length and
+    * language spread. One hash aggregate; every metric partial-
+    * aggregable (countDistinct via Spark's expand, exact). */
+  private val qDatasetCard: Q = (s, sf) => {
+    val tok = TextAnalysis.wsTokenCount(col("text"))
+    t(s, sf, "documents")
+      .select(col("source"), col("lang"), col("n_chars"),
+        tok.as("tok"), md5(col("text")).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"), countDistinct("h").as("n_uniq"),
+        sum("tok").as("toks"), round(avg("n_chars"), 2).as("avg_chars"),
+        countDistinct("lang").as("langs"),
+        sum(when(col("tok") > 50, 1).otherwise(0)).as("long_docs"))
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_kcore" -> qKcore,
+    "q_degree_dist" -> qDegreeDist,
+    "q_normalize" -> qNormalize,
+    "q_group_split" -> qGroupSplit,
+    "q_token_budget" -> qTokenBudget,
+    "q_survivor" -> qSurvivor,
+    "q_scd2" -> qScd2,
+    "q_dataset_card" -> qDatasetCard,
     "q_decimal" -> qDecimal,
     "q_image_neardup" -> qImageNeardup,
     "q_snapshot" -> qSnapshot,

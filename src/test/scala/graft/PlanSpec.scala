@@ -370,4 +370,32 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("HashAggregate"), s"$q:\n$p")
     }
   }
+
+  test("q_kcore / q_degree_dist stay equi-join shaped: never cartesian") {
+    // q_kcore's per-round LeftSemi joins live behind the round checkpoint
+    // cuts (like q_pagerank's), so the final plan is asserted the same
+    // negative way as the other iterative ops
+    Seq("q_kcore", "q_degree_dist").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("q_survivor / q_scd2 / q_token_budget window by their key, not globally") {
+    Seq("q_survivor" -> "o_custkey", "q_scd2" -> "o_custkey",
+        "q_token_budget" -> "source").foreach { case (q, key) =>
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q:\n$p")
+      assert(p.contains(key), s"$q:\n$p") // partitioned window
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("q_dataset_card / q_normalize are single-scan: no join anywhere") {
+    Seq("q_dataset_card", "q_normalize").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q:\n$p")
+    }
+  }
 }

@@ -295,4 +295,51 @@ class ComponentsSpec extends SparkSpec {
       assert(tris(edges) === expected, s"trial=$trial")
     }
   }
+
+  // --- kCorePeel ---
+
+  private def kcore(edges: Seq[(Long, Long)], k: Int, rounds: Int) =
+    Components.kCorePeel(edges.toDF("src", "dst"), k = k, rounds = rounds)
+      .as[(Long, Long)].collect().toMap
+
+  /** Single-threaded peel reference (symmetrize+distinct, then `rounds`
+    * synchronous drops of vertices with current degree < k). */
+  private def kcoreRef(edges: Seq[(Long, Long)], k: Int, rounds: Int) = {
+    var e = edges.flatMap(p => Seq(p, p.swap)).distinct
+    for (_ <- 1 to rounds) {
+      val deg = e.groupBy(_._1).map { case (v, es) => v -> es.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      e = e.filter(p => keep(p._1) && keep(p._2))
+    }
+    e.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+  }
+
+  test("kCorePeel: a triangle with a pendant peels to the triangle at k=2") {
+    // 0-1-2 triangle + pendant 3 on vertex 0: round 1 drops 3 (deg 1);
+    // the triangle survives with every degree exactly 2
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L), (0L, 3L))
+    assert(kcore(edges, k = 2, rounds = 2) ===
+      Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+  }
+
+  test("kCorePeel: chain cascade needs one round per shell") {
+    // path 0-1-2-3-4 at k=2: each round peels the two current endpoints —
+    // bounded rounds expose exactly the intermediate peel state
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    assert(kcore(chain, k = 2, rounds = 1) ===
+      Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+    assert(kcore(chain, k = 2, rounds = 3) === Map.empty[Long, Long])
+  }
+
+  test("kCorePeel: matches the single-threaded peel on random graphs") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 0 until 3) {
+      val n = 16
+      val edges = (for (i <- 0L until n; j <- (i + 1) until n
+        if rnd.nextDouble() < 0.3) yield (i, j)).toSeq
+      for (k <- Seq(2, 3); r <- Seq(1, 3))
+        assert(kcore(edges, k, r) === kcoreRef(edges, k, r),
+          s"trial=$trial k=$k rounds=$r")
+    }
+  }
 }
