@@ -451,6 +451,57 @@ object OracleSql {
       ("SELECT l_returnflag, bit_or(l_orderkey) bo, bit_and(l_orderkey) ba, " +
         "bit_xor(l_orderkey) bx, CAST(sum(bit_count(l_orderkey)) AS BIGINT) pc " +
         "FROM lineitem GROUP BY 1 ORDER BY 1"),
+    // Mann–Whitney AUC with midranks on the quantized score grid:
+    // midrank*2 stays integer, so only the final division is float
+    "q_auc" ->
+      ("WITH d AS (SELECT floor((least(n_chars/400.0, 1.0)*0.5 + " +
+        "(len(list_filter(string_split(text,' '), w -> w IN ('the', 'a')))/CAST(len(string_split(text,' ')) AS DOUBLE))*0.3 + " +
+        "least(len(string_split(text,' '))/80.0, 1.0)*0.2)*10000 + 0.5)/10000 sc, " +
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END y FROM documents), " +
+        "g AS (SELECT sc, count(*) cnt, sum(y) pos FROM d GROUP BY sc), " +
+        "r AS (SELECT pos, 2*coalesce(sum(cnt) OVER (ORDER BY sc ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt + 1 mr2 FROM g) " +
+        "SELECT round(CAST(sum(pos*mr2) - np*(np+1) AS DOUBLE)/(2.0*np*nn), 6) auc, np, nn FROM r, " +
+        "(SELECT CAST(sum(y) AS BIGINT) np, CAST(sum(1-y) AS BIGINT) nn FROM d) t " +
+        "GROUP BY np, nn"),
+    "q_calibration" ->
+      ("WITH d AS (SELECT floor((1.0/(1.0+exp(-(-2.0 + 0.6*ln(CAST(len(string_split(text,' ')) AS DOUBLE)) " +
+        "- 0.4*(list_sum(list_transform(string_split(text,' '), w -> len(w)))/CAST(len(string_split(text,' ')) AS DOUBLE)) " +
+        "+ 8.0*(len(list_filter(string_split(text,' '), w -> w IN ('the', 'a')))/CAST(len(string_split(text,' ')) AS DOUBLE)) " +
+        "+ 1.5*(len(list_distinct(string_split(text,' ')))/CAST(len(string_split(text,' ')) AS DOUBLE))))))*10000 + 0.5)/10000 sc, " +
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END y FROM documents) " +
+        "SELECT CAST(least(floor(sc*10), 9) AS INT) bin, count(*) n, round(avg(sc), 4) conf, " +
+        "CAST(sum(y) AS BIGINT) pos, round(sum(y)/CAST(count(*) AS DOUBLE), 4) rate " +
+        "FROM d GROUP BY bin ORDER BY bin"),
+    "q_confusion" ->
+      ("WITH d AS (SELECT (floor((1.0/(1.0+exp(-(-2.0 + 0.6*ln(CAST(len(string_split(text,' ')) AS DOUBLE)) " +
+        "- 0.4*(list_sum(list_transform(string_split(text,' '), w -> len(w)))/CAST(len(string_split(text,' ')) AS DOUBLE)) " +
+        "+ 8.0*(len(list_filter(string_split(text,' '), w -> w IN ('the', 'a')))/CAST(len(string_split(text,' ')) AS DOUBLE)) " +
+        "+ 1.5*(len(list_distinct(string_split(text,' ')))/CAST(len(string_split(text,' ')) AS DOUBLE))))))*10000 + 0.5)/10000 >= 0.5) p, " +
+        "(lang = 'en') a FROM documents), " +
+        "c AS (SELECT CAST(sum(CASE WHEN p AND a THEN 1 ELSE 0 END) AS BIGINT) tp, " +
+        "CAST(sum(CASE WHEN p AND NOT a THEN 1 ELSE 0 END) AS BIGINT) fp, " +
+        "CAST(sum(CASE WHEN NOT p AND a THEN 1 ELSE 0 END) AS BIGINT) fn, " +
+        "CAST(sum(CASE WHEN NOT p AND NOT a THEN 1 ELSE 0 END) AS BIGINT) tn FROM d) " +
+        "SELECT tp, fp, fn, tn, round(tp/CAST(tp+fp AS DOUBLE), 4) prec, " +
+        "round(tp/CAST(tp+fn AS DOUBLE), 4) rec, " +
+        "round(2.0*tp/(2.0*tp+fp+fn), 4) f1 FROM c"),
+    "q_table_diff" ->
+      ("WITH vo AS (SELECT o_orderkey k, o_orderpriority vo FROM orders WHERE o_orderkey % 10 <> 0), " +
+        "vn AS (SELECT o_orderkey k, CASE WHEN o_orderkey % 97 = 0 THEN '9-RECODED' ELSE o_orderpriority END vn " +
+        "FROM orders WHERE o_orderkey % 13 <> 0), " +
+        "j AS (SELECT coalesce(vo.k, vn.k) k, vo.vo, vn.vn FROM vo FULL OUTER JOIN vn ON vo.k = vn.k) " +
+        "SELECT CASE WHEN vo IS NULL THEN 'added' WHEN vn IS NULL THEN 'removed' " +
+        "WHEN vo <> vn THEN 'changed' ELSE 'unchanged' END cls, " +
+        "count(*) n, CAST(sum(k) AS BIGINT) chk FROM j GROUP BY cls ORDER BY cls"),
+    "q_2hop" ->
+      ("WITH base AS (SELECT DISTINCT o_custkey*2 s, l_suppkey*2+1 d " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "e0 AS (SELECT s, d FROM base UNION ALL SELECT d, s FROM base), " +
+        "t2 AS (SELECT DISTINCT x.s a, y.d c FROM e0 x JOIN e0 y ON x.d = y.s " +
+        "WHERE x.s < 200 AND x.s <> y.d), " +
+        "st AS (SELECT a, c FROM t2 WHERE NOT EXISTS " +
+        "(SELECT 1 FROM e0 WHERE e0.s = t2.a AND e0.d = t2.c)) " +
+        "SELECT a, count(*) n2hop FROM st GROUP BY a ORDER BY a LIMIT 100"),
     // 3 unrolled k=3 peel rounds over the symmetrized trade graph —
     // integer degrees, bit-exact against Components.kCorePeel
     "q_kcore" ->

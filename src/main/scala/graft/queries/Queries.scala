@@ -2184,9 +2184,122 @@ object Queries {
       .orderBy("source")
   }
 
+  /** Mann–Whitney AUC of the quality score predicting lang='en' — the
+    * threshold-free ranking metric (does the score order positives above
+    * negatives?). Midrank tie handling on the 4-dp-quantized score GRID:
+    * midrank·2 = 2·cum_before + cnt + 1 stays integer, so everything up
+    * to the final division is exact — bit-reproducible cross-engine (the
+    * q_ks playbook for rank statistics). The global window runs over the
+    * bounded score grid (≤ 10⁴ cells), never the corpus rows. */
+  private val qAuc: Q = (s, sf) => {
+    val g = t(s, sf, "documents")
+      .select(TextAnalysis.qualityScore("text", "n_chars").as("sc"),
+        (col("lang") === "en").cast("int").as("y"))
+      .groupBy("sc").agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+    val w = Window.orderBy("sc")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("mr2",
+        lit(2) * coalesce(sum("cnt").over(w), lit(0L)) + col("cnt") + 1)
+      .agg(sum(col("pos") * col("mr2")).as("s2"), sum("pos").as("np"),
+        sum(col("cnt") - col("pos")).as("nn"))
+      .select(col("np"), col("nn"),
+        round((col("s2") - col("np") * (col("np") + 1)) /
+          (lit(2.0) * col("np") * col("nn")), 6).as("auc"))
+  }
+
+  /** Calibration (reliability diagram) of the linear classifier against
+    * lang='en': decile bins of the sigmoid score vs observed positive
+    * rate — over- vs under-confidence per bin. One hash aggregate over
+    * a 10-cell key space; every metric partial-aggregable. */
+  private val qCalibration: Q = (s, sf) =>
+    t(s, sf, "documents")
+      .select(TextAnalysis.classifierScore("text", bias = -2.0, wLnWc = 0.6,
+          wMwl = -0.4, wStop = 8.0, wUniq = 1.5).as("sc"),
+        (col("lang") === "en").cast("int").as("y"))
+      .withColumn("bin", least(floor(col("sc") * 10), lit(9)).cast("int"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), round(avg("sc"), 4).as("conf"),
+        sum("y").as("pos"),
+        round(sum("y") / count(lit(1)).cast("double"), 4).as("rate"))
+      .orderBy("bin")
+
+  /** Confusion metrics of the classifier gate (keep = score ≥ 0.5)
+    * against lang='en': tp/fp/fn/tn + precision/recall/F1 — the
+    * eval-suite summary next to [[qAuc]]'s ranking view. Integer cell
+    * counts (exact), one conditional aggregate, metrics rounded. */
+  private val qConfusion: Q = (s, sf) => {
+    val cell = (p: Column, a: Column) =>
+      sum(when(p && a, 1).otherwise(0))
+    t(s, sf, "documents")
+      .select((TextAnalysis.classifierScore("text", bias = -2.0, wLnWc = 0.6,
+          wMwl = -0.4, wStop = 8.0, wUniq = 1.5) >= 0.5).as("p"),
+        (col("lang") === "en").as("a"))
+      .agg(cell(col("p"), col("a")).as("tp"),
+        cell(col("p"), !col("a")).as("fp"),
+        cell(!col("p"), col("a")).as("fn"),
+        cell(!col("p"), !col("a")).as("tn"))
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        round(col("tp") / (col("tp") + col("fp")).cast("double"), 4).as("prec"),
+        round(col("tp") / (col("tp") + col("fn")).cast("double"), 4).as("rec"),
+        round(lit(2.0) * col("tp") /
+          (lit(2.0) * col("tp") + col("fp") + col("fn")), 4).as("f1"))
+  }
+
+  /** Snapshot diff (CDC between two table versions): key-wise full-outer
+    * compare classifying every key as added / removed / changed /
+    * unchanged — the audit primitive behind incremental replication.
+    * Versions are derived deterministically from orders (old = keys
+    * ∤10, new = keys ∤13 with priority recoded on keys ≡ 0 mod 97) so
+    * all four classes are non-empty at every SF. One equi full-outer
+    * join on the key + a 4-cell aggregate; value compare is by column
+    * here — hash the row (`md5(concat_ws)`) for wide tables. */
+  private val qTableDiff: Q = (s, sf) => {
+    val o = t(s, sf, "orders")
+    val vOld = o.filter(col("o_orderkey") % 10 =!= 0)
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("vo"))
+    val vNew = o.filter(col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey").as("k"),
+        when(col("o_orderkey") % 97 === 0, lit("9-RECODED"))
+          .otherwise(col("o_orderpriority")).as("vn"))
+    vOld.join(vNew, Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("vo").isNull, "added")
+          .when(col("vn").isNull, "removed")
+          .when(col("vo") =!= col("vn"), "changed")
+          .otherwise("unchanged").as("cls"))
+      .groupBy("cls").agg(count(lit(1)).as("n"), sum("k").as("chk"))
+      .orderBy("cls")
+  }
+
+  /** Strict 2-hop neighborhood size (distance exactly 2: co-purchase
+    * peers through a shared partner, direct partners and self excluded)
+    * for a bounded seed set — the friend-of-friend feature. The seed
+    * bound is the scale contract: an unbounded 2-hop census on a dense
+    * bipartite graph is Σ deg² pair work (the wedge explosion
+    * [[qTriangles]]' orientation avoids); seeding keeps the hop join
+    * O(seeds · deg²) however large the graph. Two equi joins + one
+    * anti join, never cartesian. */
+  private val q2hop: Q = (s, sf) => {
+    val e = tradeEdges(s, sf)
+    e.as("x").filter(col("x.s") < 200)
+      .join(e.as("y"), col("x.d") === col("y.s"))
+      .select(col("x.s").as("a"), col("y.d").as("c"))
+      .filter(col("a") =!= col("c"))
+      .distinct()
+      .join(e.select(col("s").as("a"), col("d").as("c")), Seq("a", "c"),
+        "left_anti")
+      .groupBy("a").agg(count(lit(1)).as("n2hop"))
+      .orderBy("a").limit(100)
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_auc" -> qAuc,
+    "q_calibration" -> qCalibration,
+    "q_confusion" -> qConfusion,
+    "q_table_diff" -> qTableDiff,
+    "q_2hop" -> q2hop,
     "q_kcore" -> qKcore,
     "q_degree_dist" -> qDegreeDist,
     "q_normalize" -> qNormalize,

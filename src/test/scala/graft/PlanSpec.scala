@@ -398,4 +398,36 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Join"), s"$q:\n$p")
     }
   }
+
+  test("q_auc windows over the bounded score grid, not corpus rows") {
+    val p = plan("q_auc")
+    // the corpus reduces to the quantized-score grid BEFORE the global
+    // running-sum window (the q_ks shape): HashAggregate below Window
+    assert(p.contains("Window"), p)
+    assert(p.indexOf("HashAggregate") >= 0 &&
+      p.indexOf("Window") < p.lastIndexOf("HashAggregate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_calibration / q_confusion are single-scan conditional aggregates") {
+    Seq("q_calibration", "q_confusion").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("HashAggregate"), s"$q:\n$p")
+      assert(!p.contains("Join"), s"$q:\n$p")
+    }
+  }
+
+  test("q_table_diff full-outer compares on the key equi-join, no cartesian") {
+    val p = plan("q_table_diff")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_2hop seeds bound the wedge join; anti join removes directs") {
+    val p = plan("q_2hop")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
