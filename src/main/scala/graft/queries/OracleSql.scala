@@ -451,6 +451,60 @@ object OracleSql {
       ("SELECT l_returnflag, bit_or(l_orderkey) bo, bit_and(l_orderkey) ba, " +
         "bit_xor(l_orderkey) bx, CAST(sum(bit_count(l_orderkey)) AS BIGINT) pc " +
         "FROM lineitem GROUP BY 1 ORDER BY 1"),
+    // Pareto crossings in integer cents with cross-multiplied thresholds
+    // — no double sum can flip a boundary comparison
+    "q_pareto" ->
+      ("WITH sp AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) c " +
+        "FROM orders GROUP BY o_custkey), " +
+        "r AS (SELECT o_custkey, c, row_number() OVER (ORDER BY c DESC, o_custkey) r, " +
+        "sum(c) OVER (ORDER BY c DESC, o_custkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum FROM sp), " +
+        "t AS (SELECT CAST(sum(c) AS BIGINT) tot FROM sp) " +
+        "SELECT min(CASE WHEN cum*10 >= tot*5 THEN r END) n50, " +
+        "min(CASE WHEN cum*10 >= tot*8 THEN r END) n80, " +
+        "min(CASE WHEN cum*10 >= tot*9 THEN r END) n90, max(r) n FROM r, t"),
+    "q_pop" ->
+      ("WITH m AS (SELECT date_trunc('month', CAST(o_orderdate AS DATE)) mo, " +
+        "round(sum(o_totalprice),2) rev FROM orders GROUP BY mo), " +
+        "l AS (SELECT mo, rev, lag(rev) OVER (ORDER BY mo) prev FROM m) " +
+        "SELECT mo, rev, round(coalesce(rev-prev, 0), 2) delta, " +
+        "round(coalesce((rev-prev)/prev, 0), 4) growth FROM l ORDER BY mo"),
+    "q_basket" ->
+      ("WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem), " +
+        "supp AS (SELECT p, count(*) np FROM li GROUP BY p), " +
+        "t AS (SELECT count(DISTINCT o) n FROM li), " +
+        "pr AS (SELECT a.p pa, b.p pb, count(*) nab FROM li a JOIN li b " +
+        "ON a.o = b.o AND a.p < b.p GROUP BY pa, pb HAVING count(*) >= 3) " +
+        "SELECT pa, pb, nab, round(nab/CAST(n AS DOUBLE), 6) support, " +
+        "round(nab/CAST(na.np AS DOUBLE), 4) conf, " +
+        "round(nab*n/CAST(na.np*nb.np AS DOUBLE), 4) lift " +
+        "FROM pr JOIN supp na ON pr.pa = na.p JOIN supp nb ON pr.pb = nb.p, t " +
+        "ORDER BY nab DESC, pa, pb LIMIT 50"),
+    "q_active_users" ->
+      ("WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) d FROM events), " +
+        "days AS (SELECT DISTINCT d FROM ud), " +
+        "f AS (SELECT user_id, d + CAST(k AS INT) AS day FROM ud, " +
+        "(SELECT unnest(range(0,7)) AS k) o), " +
+        "w AS (SELECT day, count(DISTINCT user_id) wau FROM f JOIN days ON f.day = days.d GROUP BY day), " +
+        "dd AS (SELECT d AS day, count(DISTINCT user_id) dau FROM ud GROUP BY d) " +
+        "SELECT w.day, wau, dau FROM w JOIN dd ON w.day = dd.day ORDER BY w.day"),
+    "q_gap_dist" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) us FROM events), " +
+        "g AS (SELECT user_id, us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) gap FROM e) " +
+        "SELECT least(CAST(floor(gap/60000000) AS BIGINT), 60) bucket, count(*) n, " +
+        "CAST(sum(user_id) AS BIGINT) chk FROM g WHERE gap IS NOT NULL " +
+        "GROUP BY bucket ORDER BY bucket"),
+    // exact-µs delay sums; the single float division happens last
+    "q_funnel_deadline" ->
+      ("WITH e AS (SELECT user_id, event_type, epoch_us(ts) us FROM events), " +
+        "v1 AS (SELECT user_id, min(us) t1 FROM e WHERE event_type = 'view' GROUP BY user_id), " +
+        "c1 AS (SELECT c.user_id, min(c.us) t2 FROM e c JOIN v1 v ON c.user_id = v.user_id " +
+        "AND c.us > v.t1 WHERE c.event_type = 'click' GROUP BY c.user_id), " +
+        "j AS (SELECT v1.user_id, t1, t2 FROM v1 LEFT JOIN c1 ON v1.user_id = c1.user_id) " +
+        "SELECT count(*) n_view, count(t2) n_click, " +
+        "count(CASE WHEN t2 - t1 <= 3600000000 THEN 1 END) n_conv, " +
+        "round(count(CASE WHEN t2 - t1 <= 3600000000 THEN 1 END)/CAST(count(*) AS DOUBLE), 4) rate, " +
+        "round(CAST(sum(CASE WHEN t2 - t1 <= 3600000000 THEN t2 - t1 END) AS DOUBLE)" +
+        "/count(CASE WHEN t2 - t1 <= 3600000000 THEN 1 END)/60000000.0, 2) avg_min FROM j"),
     // Mann–Whitney AUC with midranks on the quantized score grid:
     // midrank*2 stays integer, so only the final division is float
     "q_auc" ->

@@ -2292,9 +2292,141 @@ object Queries {
       .orderBy("a").limit(100)
   }
 
+  /** Pareto concentration of customer revenue (the 80/20 audit): how many
+    * top customers cover 50/80/90% of total spend. Money goes through
+    * integer cents and the threshold tests cross-multiply (cum·10 ≥
+    * tot·5 etc.), so every comparison is EXACT — no double sum can flip
+    * a rank at a boundary (the q_decimal posture applied to a running
+    * share). One bounded window over the per-customer aggregate. */
+  private val qPareto: Q = (s, sf) => {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val sp = t(s, sf, "orders").groupBy("o_custkey")
+      .agg(sum(cents).as("c"))
+    val w = Window.orderBy(col("c").desc, col("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sp.withColumn("r", row_number().over(
+        Window.orderBy(col("c").desc, col("o_custkey"))))
+      .withColumn("cum", sum("c").over(w))
+      .crossJoin(broadcast(sp.agg(sum("c").as("tot"))))
+      .agg(min(when(col("cum") * 10 >= col("tot") * 5, col("r"))).as("n50"),
+        min(when(col("cum") * 10 >= col("tot") * 8, col("r"))).as("n80"),
+        min(when(col("cum") * 10 >= col("tot") * 9, col("r"))).as("n90"),
+        max(col("r")).as("n"))
+  }
+
+  /** Period-over-period revenue: monthly totals with MoM delta and growth
+    * rate — the BI trend surface (lag over the bounded month series, not
+    * the fact rows; the month aggregate is the only fact shuffle). */
+  private val qPop: Q = (s, sf) => {
+    val w = Window.orderBy("mo")
+    t(s, sf, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("mo"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+      .withColumn("prev", lag("rev", 1).over(w))
+      .select(col("mo"), col("rev"),
+        round(coalesce(col("rev") - col("prev"), lit(0.0)), 2).as("delta"),
+        round(coalesce((col("rev") - col("prev")) / col("prev"), lit(0.0)), 4)
+          .as("growth"))
+      .orderBy("mo")
+  }
+
+  /** Market-basket association rules over parts co-ordered (support /
+    * confidence / lift, min co-count 3): the per-order pair join is
+    * O(k²) in BASKET size (≤ a few lineitems), so pair work stays linear
+    * in orders however large the fact table — the a-priori counting
+    * shape. Part supports and the order total attach by broadcast. */
+  private val qBasket: Q = (s, sf) => {
+    val li = t(s, sf, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val supp = li.groupBy("p").agg(count(lit(1)).as("np"))
+    val tot = li.agg(countDistinct("o").as("n"))
+    li.as("a").join(li.as("b"), col("a.o") === col("b.o") &&
+        col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("nab"))
+      .filter(col("nab") >= 3)
+      .join(broadcast(supp.select(col("p").as("pa"), col("np").as("na"))), "pa")
+      .join(broadcast(supp.select(col("p").as("pb"), col("np").as("nb"))), "pb")
+      .crossJoin(broadcast(tot))
+      .select(col("pa"), col("pb"), col("nab"),
+        round(col("nab") / col("n").cast("double"), 6).as("support"),
+        round(col("nab") / col("na").cast("double"), 4).as("conf"),
+        round(col("nab") * col("n") / (col("na") * col("nb")).cast("double"), 4)
+          .as("lift"))
+      .orderBy(col("nab").desc, col("pa"), col("pb")).limit(50)
+  }
+
+  /** Trailing-7-day active users per day (the DAU/WAU board): each
+    * (user, day) activity row fans out to the ≤7 window days it counts
+    * toward, then one distinct-count per day — linear in user-days, no
+    * per-day rescan of the corpus, the standard distributed rolling-
+    * distinct shape (an HLL sketch drops in for approximate at 100 TB). */
+  private val qActiveUsers: Q = (s, sf) => {
+    val ud = t(s, sf, "events")
+      .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+    val days = ud.select(col("d")).distinct()
+    ud.select(col("user_id"), explode(sequence(lit(0), lit(6))).as("off"),
+        col("d"))
+      .select(col("user_id"), date_add(col("d"), col("off")).as("day"))
+      .join(days.withColumnRenamed("d", "day"), "day") // observed days only
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+      .join(ud.groupBy(col("d").as("day"))
+        .agg(countDistinct("user_id").as("dau")), "day")
+      .orderBy("day")
+  }
+
+  /** Inter-event gap distribution (inter-arrival analysis): per-user
+    * consecutive gaps in exact µs (unix_micros ≡ epoch_us), bucketed to
+    * whole minutes capped at 60 — one user-partitioned lag window + a
+    * bounded histogram aggregate. */
+  private val qGapDist: Q = (s, sf) => {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    t(s, sf, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag("us", 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(least(floor(col("gap") / 60000000L), lit(60L)).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("user_id").as("chk"))
+      .orderBy("bucket")
+  }
+
+  /** Deadline funnel: of users whose first view is followed by a click,
+    * how many convert WITHIN 1 hour — the time-bounded conversion rate
+    * q_funnel's unbounded ordering can't express. First-view aggregate,
+    * one conditional join for the first posterior click, exact-µs delay
+    * stats. */
+  private val qFunnelDeadline: Q = (s, sf) => {
+    val ev = t(s, sf, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val c1 = ev.filter(col("event_type") === "click").as("c")
+      .join(v1.as("v"), col("c.user_id") === col("v.user_id") &&
+        col("c.us") > col("v.t1"))
+      .groupBy(col("c.user_id").as("user_id")).agg(min("us").as("t2"))
+    v1.join(c1, Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_view"),
+        count(col("t2")).as("n_click"),
+        count(when(col("t2") - col("t1") <= 3600000000L, 1)).as("n_conv"),
+        round(count(when(col("t2") - col("t1") <= 3600000000L, 1)) /
+          count(lit(1)).cast("double"), 4).as("rate"),
+        // exact µs sum / exact count, ONE float division at the end —
+        // per-row float averaging would be summation-order-dependent
+        round(sum(when(col("t2") - col("t1") <= 3600000000L,
+            col("t2") - col("t1"))) /
+          count(when(col("t2") - col("t1") <= 3600000000L, 1)).cast("double") /
+          60000000.0, 2).as("avg_min"))
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_pareto" -> qPareto,
+    "q_pop" -> qPop,
+    "q_basket" -> qBasket,
+    "q_active_users" -> qActiveUsers,
+    "q_gap_dist" -> qGapDist,
+    "q_funnel_deadline" -> qFunnelDeadline,
     "q_auc" -> qAuc,
     "q_calibration" -> qCalibration,
     "q_confusion" -> qConfusion,

@@ -430,4 +430,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q_pareto windows over the customer aggregate, total broadcast") {
+    val p = plan("q_pareto")
+    assert(p.contains("Window"), p)
+    assert(p.contains("BroadcastExchange"), p) // the 1-row total
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_basket pair join is equi on the order key, supports broadcast") {
+    val p = plan("q_basket")
+    assert(p.contains("BroadcastHashJoin"), p) // part-support attach
+    assert(!p.contains("CartesianProduct"), p) // basket join equi on o
+  }
+
+  test("q_gap_dist / q_funnel_deadline stay user-partitioned and equi") {
+    Seq("q_gap_dist", "q_funnel_deadline").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("user_id"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("q_active_users fans out user-days then joins the day spine equi") {
+    val p = plan("q_active_users")
+    assert(p.contains("Generate"), p) // the 0..6 window-day fan-out
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
