@@ -62,8 +62,11 @@ object Bloom {
       leftKey: String, rightKey: String,
       k: Int = 3, mWords: Int = 1024): DataFrame = {
     val pruned = prune(left, right, leftKey, rightKey, k, mWords)
-    pruned.join(right.select(col(rightKey)).distinct(),
-      pruned(leftKey) === col(rightKey), "left_semi")
+    // the probe side's key is renamed so leftKey == rightKey (the common
+    // self-named semi join) resolves unambiguously; semi output carries
+    // only left columns, so the rename never leaks
+    val probe = right.select(col(rightKey).as(ProbeKey)).distinct()
+    pruned.join(probe, pruned(leftKey) === probe(ProbeKey), "left_semi")
   }
 
   /** The pre-filter stage alone (admits matches + fp tail) — exposed so
@@ -71,8 +74,16 @@ object Bloom {
     * rate, can use the scan-side filter directly. */
   def prune(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
-      k: Int = 3, mWords: Int = 1024): DataFrame =
-    left.crossJoin(broadcast(build(right, col(rightKey), k, mWords)))
-      .filter(mightContain(col("bloom"), col(leftKey), k, mWords))
-      .drop("bloom")
+      k: Int = 3, mWords: Int = 1024): DataFrame = {
+    require(!left.columns.contains(FilterCol),
+      s"prune: left side already has a '$FilterCol' column — rename it")
+    left.crossJoin(broadcast(
+        build(right, col(rightKey), k, mWords).withColumnRenamed("bloom", FilterCol)))
+      .filter(mightContain(col(FilterCol), col(leftKey), k, mWords))
+      .drop(FilterCol)
+  }
+
+  // internal column names; prefixed so user schemas can't collide silently
+  private val FilterCol = "__graft_bloom"
+  private val ProbeKey = "__graft_bloom_probe_key"
 }

@@ -540,12 +540,14 @@ object Dedup {
       k: Int): DataFrame = {
     val win = windowHashes(df, idCol, textCol, k)
     // one integer orders (doc, p) lexicographically. The encoding needs
-    // p < 100000 and 0 <= id <= Long.MaxValue/100000 (ids above that would
-    // wrap id*100000 past int64 and could elect a wrong keeper; int ids are
-    // widened before multiplying) — violated assumptions RAISE rather than
-    // silently electing a keeper that holds no occurrence; integer div,
-    // not `/` (double division loses exactness past 2^53)
-    val maxId = Long.MaxValue / 100000
+    // p < 100000 and 0 <= id <= (Long.MaxValue - 99999)/100000 (the bound
+    // must leave headroom for the largest position: id*100000 + 99999 has
+    // to fit int64, so Long.MaxValue/100000 alone is one too high — ids at
+    // that edge with p >= 75808 would wrap and could elect a wrong keeper;
+    // int ids are widened before multiplying) — violated assumptions RAISE
+    // rather than silently electing a keeper that holds no occurrence;
+    // integer div, not `/` (double division loses exactness past 2^53)
+    val maxId = (Long.MaxValue - 99999L) / 100000
     val keepers = win
       .groupBy("h")
       .agg(count(lit(1)).as("n"),

@@ -406,8 +406,12 @@ object TextAnalysis {
       .where(col("nab") >= minPairs)
     pairs.crossJoin(broadcast(nDocs))
       .select(col("wa"), col("wb"), col("nab"),
-        round(log(col("nab") * col("nd") /
-          (col("na") * col("nb")).cast("double")), 4).as("pmi"))
+        // cast BEFORE multiplying: na·nb (and nab·nd) in long arithmetic
+        // would wrap past ~3e9 docs — the corpus sizes this operator's
+        // scale contract claims; double products are safe (and exact
+        // whenever they fit 2^53, i.e. at any testable scale)
+        round(log(col("nab").cast("double") * col("nd") /
+          (col("na").cast("double") * col("nb"))), 4).as("pmi"))
   }
 
   /** Fixed-size character chunks with overlap (context-window prep):

@@ -203,7 +203,15 @@ object Validate {
         .agg((sum(when(col("ca").isNotNull, p * log(p / m)).otherwise(0.0)) / 2 +
           sum(when(col("cb").isNotNull, q * log(q / m)).otherwise(0.0)) / 2)
           .as("jsd"))
-        .select(lit(a).as("sa"), lit(b).as("sb"), round(col("jsd"), 4).as("jsd"))
+        .select(lit(a).as("sa"), lit(b).as("sb"),
+          // a slice absent from the data (or holding only empty texts)
+          // makes the cross-joined agg emit one all-NULL row — RAISE
+          // instead of returning a silent NULL divergence (the zOutliers
+          // posture: misconfiguration fails loudly)
+          when(col("jsd").isNull, raise_error(lit(
+            s"jsDivergencePairs: slice '$a' or '$b' has no tokens in " +
+              s"column — check the pair list against the data")))
+            .otherwise(round(col("jsd"), 4)).as("jsd"))
     }.reduce(_ unionByName _)
   }
 }

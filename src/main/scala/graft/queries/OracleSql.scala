@@ -315,7 +315,7 @@ object OracleSql {
       "p AS (SELECT a.w wa, a.df na, b.w wb, b.df nb, count(*) nab " +
       "FROM f a JOIN f b ON a.d = b.d AND a.w < b.w " +
       "GROUP BY 1, 2, 3, 4 HAVING count(*) >= 5) " +
-      "SELECT wa, wb, nab, round(ln(nab*nd/CAST(na*nb AS DOUBLE)),4) pmi " +
+      "SELECT wa, wb, nab, round(ln(CAST(nab AS DOUBLE)*nd/(CAST(na AS DOUBLE)*nb)),4) pmi " +
       "FROM p, n ORDER BY pmi DESC, wa, wb LIMIT 30"
 
   // Morton bit-spreading as a SQL expression ladder — the identical
@@ -451,6 +451,45 @@ object OracleSql {
       ("SELECT l_returnflag, bit_or(l_orderkey) bo, bit_and(l_orderkey) ba, " +
         "bit_xor(l_orderkey) bx, CAST(sum(bit_count(l_orderkey)) AS BIGINT) pc " +
         "FROM lineitem GROUP BY 1 ORDER BY 1"),
+    // journey path via ORDER BY inside string_agg ≡ Spark's
+    // array_sort(struct(us, event_id, type)) on the unique (us, id) key
+    "q_seq_match" ->
+      ("WITH p AS (SELECT user_id, string_agg(event_type, ' ' " +
+        "ORDER BY epoch_us(ts), event_id) path FROM events GROUP BY user_id) " +
+        "SELECT count(*) n_users, " +
+        "CAST(sum(CASE WHEN regexp_matches(path, 'view.*click.*purchase') THEN 1 ELSE 0 END) AS BIGINT) n_match, " +
+        "CAST(sum(CASE WHEN regexp_matches(path, 'view.*click.*purchase') THEN user_id END) AS BIGINT) chk FROM p"),
+    "q_churn" ->
+      ("WITH e AS (SELECT user_id, epoch_us(ts) us FROM events), " +
+        "m AS (SELECT (min(us)+max(us))//2 mid FROM e), " +
+        "c AS (SELECT user_id, CAST(sum(CASE WHEN us < mid THEN 1 ELSE 0 END) AS BIGINT) na, " +
+        "CAST(sum(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS BIGINT) nb FROM e, m GROUP BY user_id) " +
+        "SELECT user_id, na, nb, na - nb decline FROM c WHERE na >= 5 " +
+        "ORDER BY decline DESC, user_id LIMIT 20"),
+    // the q_dedup_cluster recursive closure + per-cluster quality argmax
+    "q_keep_best" ->
+      ("WITH RECURSIVE d AS (SELECT doc_id, lang, list_distinct(string_split(text,' ')) toks FROM documents WHERE doc_id < 200), " +
+        "tok AS (SELECT doc_id, lang, len(toks) nt, unnest(toks) w FROM d), " +
+        "g AS (SELECT a.doc_id da, b.doc_id db, a.nt na, b.nt nb, count(*) inter FROM tok a JOIN tok b ON a.w=b.w AND a.lang=b.lang AND a.doc_id<b.doc_id GROUP BY 1,2,3,4), " +
+        "p AS (SELECT da, db FROM g WHERE inter/CAST(na+nb-inter AS DOUBLE) >= 0.9), " +
+        "sym AS (SELECT da s, db t FROM p UNION SELECT db, da FROM p), " +
+        "reach(id, r) AS (SELECT s, s FROM (SELECT DISTINCT s FROM sym) u UNION SELECT sym.t, reach.r FROM reach JOIN sym ON sym.s = reach.id), " +
+        "cc AS (SELECT id, min(r) comp FROM reach GROUP BY id), " +
+        "z AS (SELECT comp, count(*) sz FROM cc GROUP BY comp), " +
+        "q AS (SELECT doc_id, floor((least(n_chars/400.0, 1.0)*0.5 + " +
+        "(len(list_filter(string_split(text,' '), w -> w IN ('the', 'a')))/CAST(len(string_split(text,' ')) AS DOUBLE))*0.3 + " +
+        "least(len(string_split(text,' '))/80.0, 1.0)*0.2)*10000 + 0.5)/10000 score FROM documents WHERE doc_id < 200), " +
+        "sc AS (SELECT cc.id did, cc.comp, z.sz, q.score, row_number() OVER " +
+        "(PARTITION BY cc.comp ORDER BY q.score DESC, cc.id) rn " +
+        "FROM cc JOIN z ON cc.comp = z.comp JOIN q ON q.doc_id = cc.id) " +
+        "SELECT comp, did keeper, sz, score FROM sc WHERE rn = 1 ORDER BY comp"),
+    // same md5 shuffle-key family as q_shuffle, seed 'bal1'
+    "q_balance" ->
+      ("WITH d AS (SELECT doc_id, lang, md5(concat_ws(':', 'bal1', CAST(doc_id AS VARCHAR))) sk FROM documents), " +
+        "m AS (SELECT min(n) nmin FROM (SELECT lang, count(*) n FROM d GROUP BY lang) c), " +
+        "r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY sk, doc_id) rn FROM d) " +
+        "SELECT lang, count(*) kept, CAST(sum(doc_id) AS BIGINT) chk " +
+        "FROM r, m WHERE rn <= nmin GROUP BY lang ORDER BY lang"),
     // Pareto crossings in integer cents with cross-multiplied thresholds
     // — no double sum can flip a boundary comparison
     "q_pareto" ->
@@ -476,7 +515,7 @@ object OracleSql {
         "ON a.o = b.o AND a.p < b.p GROUP BY pa, pb HAVING count(*) >= 3) " +
         "SELECT pa, pb, nab, round(nab/CAST(n AS DOUBLE), 6) support, " +
         "round(nab/CAST(na.np AS DOUBLE), 4) conf, " +
-        "round(nab*n/CAST(na.np*nb.np AS DOUBLE), 4) lift " +
+        "round(CAST(nab AS DOUBLE)*n/(CAST(na.np AS DOUBLE)*nb.np), 4) lift " +
         "FROM pr JOIN supp na ON pr.pa = na.p JOIN supp nb ON pr.pb = nb.p, t " +
         "ORDER BY nab DESC, pa, pb LIMIT 50"),
     "q_active_users" ->

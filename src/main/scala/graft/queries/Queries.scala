@@ -1694,10 +1694,24 @@ object Queries {
     * event_id mod 3 and run 2 has consumed residues {0, 1}, which is the
     * subset the oracle spells directly. No stored snapshots — lineage +
     * block parquet IS the history. */
+  /** One fixed scratch dir per purpose, wiped at each query start: a
+    * fresh createTempDirectory per invocation would accumulate orphaned
+    * data across bench warmup + timed + verify runs indefinitely. */
+  private def scratchDir(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-scratch-$name")
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    java.nio.file.Files.createDirectories(p).toString
+  }
+
   private val qSnapshot: Q = (s, sf) => {
     val ev = t(s, sf, "events")
     val blk = (0 to 2).map(i => s"b$i" -> ev.filter(col("event_id") % 3 === i)).toMap
-    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val dir = scratchDir("snap")
     val log = new RunLog(dir)
     val g = new Graph(Seq(Node("ds", Seq("src"), up => up("src"))))
     val arrival = Seq("b0", "b1", "b2")
@@ -1780,7 +1794,7 @@ object Queries {
     * move that turns the dominant 100 TB fact⋈fact exchange into a local
     * merge. */
   private val qBucketJoin: Q = (s, sf) => {
-    val dir = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    val dir = scratchDir("bucket")
     s.sql("DROP TABLE IF EXISTS g6_orders")
     s.sql("DROP TABLE IF EXISTS g6_lineitem")
     t(s, sf, "orders").select("o_orderkey", "o_orderpriority")
@@ -2351,8 +2365,9 @@ object Queries {
       .select(col("pa"), col("pb"), col("nab"),
         round(col("nab") / col("n").cast("double"), 6).as("support"),
         round(col("nab") / col("na").cast("double"), 4).as("conf"),
-        round(col("nab") * col("n") / (col("na") * col("nb")).cast("double"), 4)
-          .as("lift"))
+        // double products BEFORE multiplying (the cooccurPmi overflow note)
+        round(col("nab").cast("double") * col("n") /
+          (col("na").cast("double") * col("nb")), 4).as("lift"))
       .orderBy(col("nab").desc, col("pa"), col("pb")).limit(50)
   }
 
@@ -2418,9 +2433,93 @@ object Queries {
           60000000.0, 2).as("avg_min"))
   }
 
+  /** Event-sequence pattern match (the journey query): each user's
+    * type path in exact (ts, event_id) order as one string, matched
+    * against view→…→click→…→purchase as a regex subsequence. Per-user
+    * state is one bounded path string built by a partial-aggregable
+    * collect + sort — no per-user window over the corpus, no driver
+    * state (the MATCH_RECOGNIZE workload in its distributable form). */
+  private val qSeqMatch: Q = (s, sf) => {
+    val path = array_join(transform(
+      array_sort(collect_list(struct(col("us"), col("event_id"),
+        col("event_type")))), x => x.getField("event_type")), " ")
+    t(s, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy("user_id").agg(path.as("path"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("path").rlike("view.*click.*purchase"), 1)
+          .otherwise(0)).as("n_match"),
+        sum(when(col("path").rlike("view.*click.*purchase"),
+          col("user_id"))).as("chk"))
+  }
+
+  /** Churn screen: users whose activity dropped between the two halves
+    * of the observation window (midpoint from the corpus min/max epoch —
+    * broadcast 1-row frame, exact integer µs). Top-20 decliners among
+    * users with ≥ 5 first-half events; integer counts, bit-exact. */
+  private val qChurn: Q = (s, sf) => {
+    val ev = t(s, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    // integer floor-div midpoint (a double /2 would round differently
+    // across engine casts on odd sums)
+    val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(sum(when(col("us") < col("mid"), 1).otherwise(0)).as("na"),
+        sum(when(col("us") >= col("mid"), 1).otherwise(0)).as("nb"))
+      .filter(col("na") >= 5)
+      .select(col("user_id"), col("na"), col("nb"),
+        (col("na") - col("nb")).as("decline"))
+      .orderBy(col("decline").desc, col("user_id")).limit(20)
+  }
+
+  /** Quality-aware dedup keeper: near-dup clusters ([[qDedupCluster]]'s
+    * closure) each elect their HIGHEST-quality member (score desc,
+    * doc_id tie-break) instead of the min id — what a production corpus
+    * actually keeps. One broadcast-scored join onto the cluster frame +
+    * a per-cluster row_number argmax (deterministic, engine-portable). */
+  private val qKeepBest: Q = (s, sf) => {
+    val docs = t(s, sf, "documents").filter(col("doc_id") < 200)
+    val cc = Components.dupClusters(
+      Dedup.jaccardPairs(docs, "doc_id", "lang", "text", 0.9), "da", "db")
+    val scored = cc.withColumnRenamed("id", "doc_id")
+      .join(docs.select(col("doc_id"),
+        TextAnalysis.qualityScore("text", "n_chars").as("score")), "doc_id")
+    val w = Window.partitionBy("comp")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("comp"), col("doc_id").as("keeper"), col("sz"),
+        col("score"))
+      .orderBy("comp")
+  }
+
+  /** Class-balanced downsample: every language kept at exactly the
+    * minority-class size, members chosen by deterministic md5 order
+    * (the [[qShuffle]] key) — the imbalance-correction step before
+    * training. Per-class window over the hash order; the min size is a
+    * broadcast 1-row frame. */
+  private val qBalance: Q = (s, sf) => {
+    val docs = t(s, sf, "documents")
+      .select(col("doc_id"), col("lang"),
+        Sampling.shuffleKey(col("doc_id"), "bal1").as("sk"))
+    val nmin = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .agg(min("n").as("nmin"))
+    val w = Window.partitionBy("lang").orderBy(col("sk"), col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(nmin))
+      .filter(col("rn") <= col("nmin"))
+      .groupBy("lang").agg(count(lit(1)).as("kept"), sum("doc_id").as("chk"))
+      .orderBy("lang")
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_seq_match" -> qSeqMatch,
+    "q_churn" -> qChurn,
+    "q_keep_best" -> qKeepBest,
+    "q_balance" -> qBalance,
     "q_pareto" -> qPareto,
     "q_pop" -> qPop,
     "q_basket" -> qBasket,

@@ -459,4 +459,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q_seq_match builds paths by aggregate, not per-user windows") {
+    val p = plan("q_seq_match")
+    assert(!p.contains("Window"), p) // collect+sort agg, no corpus window
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_churn / q_balance broadcast their 1-row stats frame") {
+    Seq("q_churn", "q_balance").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastExchange"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
+  test("q_keep_best windows per cluster after an equi pair join") {
+    val p = plan("q_keep_best")
+    assert(p.contains("Window"), p)
+    assert(p.contains("comp"), p) // partitioned by cluster, not global
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

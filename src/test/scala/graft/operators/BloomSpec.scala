@@ -45,4 +45,15 @@ class BloomSpec extends SparkSpec {
     assert(viaBloom == plain)
     assert(viaBloom.nonEmpty)
   }
+
+  test("filteredSemiJoin resolves when both sides name the key identically") {
+    import spark.implicits._
+    // the common self-named shape: an unqualified right-key reference
+    // would be AMBIGUOUS_REFERENCE against both join children
+    val l = Seq(1L, 2L, 3L, 4L).toDF("key")
+    val r = Seq(2L, 4L, 9L).toDF("key")
+    val got = Bloom.filteredSemiJoin(l, r, "key", "key")
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(2L, 4L))
+  }
 }

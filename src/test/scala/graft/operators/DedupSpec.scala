@@ -253,15 +253,18 @@ class DedupSpec extends SparkSpec {
     // id*100000 would wrap int64 for ids > Long.MaxValue/100000 — the
     // guard must fail loudly instead of silently electing a wrong keeper
     val phrase = "p1 p2 p3 p4 p5"
-    val big = Long.MaxValue / 100000 + 1
-    val docs = Seq((big, s"a1 $phrase"), (big + 1, s"b1 $phrase"))
+    // the bound leaves headroom for the max position: id*100000 + 99999
+    // must fit int64, so Long.MaxValue/100000 itself is already PAST it
+    val maxOk = (Long.MaxValue - 99999L) / 100000
+    val docs = Seq((maxOk + 1, s"a1 $phrase"), (maxOk + 2, s"b1 $phrase"))
       .toDF("doc_id", "text")
     // raise_error surfaces as SparkRuntimeException (USER_RAISED_EXCEPTION)
     val e = intercept[Exception](
       Dedup.removeDuplicateWindows(docs, "doc_id", "text", 3).collect())
     assert(e.getMessage.contains("keeper encoding"))
-    // the bound itself is still fine
-    val ok = Seq((Long.MaxValue / 100000, s"a1 $phrase"), (1L, s"b1 $phrase"))
+    // the bound itself is still fine — and maxOk*100000 + 99999 == an
+    // encodable keeper for every legal position
+    val ok = Seq((maxOk, s"a1 $phrase"), (1L, s"b1 $phrase"))
       .toDF("doc_id", "text")
     assert(Dedup.removeDuplicateWindows(ok, "doc_id", "text", 3).count() == 2)
   }

@@ -162,4 +162,12 @@ class ValidateSpec extends SparkSpec {
     assert(ab == ba)
     assert(ab > 0.0 && ab < math.log(2))
   }
+
+  test("jsDivergencePairs RAISES on a slice absent from the data") {
+    val docs = Seq(("a", "x y"), ("b", "x z")).toDF("src", "text")
+    val e = intercept[Exception](
+      Validate.jsDivergencePairs(docs, "src", "text", Seq(("a", "nope")))
+        .collect())
+    assert(e.getMessage.contains("no tokens"))
+  }
 }
