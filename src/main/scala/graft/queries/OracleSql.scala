@@ -490,6 +490,42 @@ object OracleSql {
         "r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY sk, doc_id) rn FROM d) " +
         "SELECT lang, count(*) kept, CAST(sum(doc_id) AS BIGINT) chk " +
         "FROM r, m WHERE rn <= nmin GROUP BY lang ORDER BY lang"),
+    // MERGE INTO as its relational form: one FULL OUTER JOIN, four WHEN
+    // branches as CASE/filter
+    "q_merge_upsert" ->
+      ("WITH tgt AS (SELECT c_custkey tk, c_acctbal bal, c_mktsegment seg FROM customer), " +
+        "dl AS (SELECT o_custkey tk, round(sum(o_totalprice), 2) amt, " +
+        "CASE WHEN o_custkey % 13 = 0 THEN 'D' ELSE 'U' END op FROM orders GROUP BY 1), " +
+        "d AS (SELECT tk dkey, amt, op FROM dl UNION ALL " +
+        "SELECT tk + 10000000 dkey, amt, 'U' op FROM dl WHERE tk % 29 = 0), " +
+        "m AS (SELECT coalesce(tgt.tk, d.dkey) k, " +
+        "CASE WHEN d.dkey IS NOT NULL THEN d.amt ELSE tgt.bal END nb, " +
+        "coalesce(tgt.seg, 'NEW') seg FROM tgt FULL OUTER JOIN d ON tgt.tk = d.dkey " +
+        "WHERE (tgt.tk IS NOT NULL AND d.dkey IS NULL) " +
+        "OR (tgt.tk IS NOT NULL AND d.dkey IS NOT NULL AND d.op <> 'D') " +
+        "OR (tgt.tk IS NULL AND d.op = 'U')) " +
+        "SELECT seg, count(*) n, CAST(sum(CAST(round(nb*100) AS BIGINT)) AS BIGINT) cents, " +
+        "CAST(sum(k) AS BIGINT) chk FROM m GROUP BY seg ORDER BY seg"),
+    "q_join_nullsafe" ->
+      ("WITH a AS (SELECT nullif(user_id % 7, 3) k, count(*) c1 FROM events GROUP BY 1), " +
+        "b AS (SELECT nullif(event_id % 7, 3) k, count(*) c2 FROM events GROUP BY 1) " +
+        "SELECT a.k, a.c1, b.c2 FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k " +
+        "ORDER BY a.k NULLS FIRST"),
+    // generate_subscripts gives 1-based positions directly; Spark's
+    // posexplode is 0-based, folded into the checksum as sum(p)+count
+    "q_inverted_index" ->
+      ("WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) term, " +
+        "generate_subscripts(string_split(text, ' '), 1) pos FROM documents) " +
+        "SELECT term, count(DISTINCT doc_id) df, count(*) n_post, " +
+        "CAST(sum(doc_id) AS BIGINT) chk_doc, CAST(sum(pos) AS BIGINT) chk_pos " +
+        "FROM p WHERE term <> '' GROUP BY term ORDER BY df DESC, term LIMIT 50"),
+    // the seeded inverse-CDF Laplace draw, spelled identically
+    "q_dp_counts" ->
+      ("WITH g AS (SELECT lang, count(*) n, " +
+        "(CAST(concat('0x', substr(md5(concat_ws(':', 'dp1', lang)), 1, 8)) AS BIGINT) + 0.5) " +
+        "/ 4294967296.0 u FROM documents GROUP BY lang) " +
+        "SELECT lang, round(n + (-sign(u - 0.5) * ln(1 - 2*abs(u - 0.5))), 3) released " +
+        "FROM g ORDER BY lang"),
     // Pareto crossings in integer cents with cross-multiplied thresholds
     // — no double sum can flip a boundary comparison
     "q_pareto" ->

@@ -2513,9 +2513,112 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** MERGE INTO (the CDC-apply upsert): a delta of per-customer order
+    * totals is merged into the customer dimension — matched rows with
+    * op='D' are deleted, op='U' matched rows take the new balance,
+    * unmatched target rows pass through, unmatched 'U' delta rows insert
+    * under a NEW segment. ONE full outer join on the key expresses all
+    * four WHEN branches (Spark has no MERGE statement outside catalog
+    * tables; the outer-join spelling is its exact relational form and
+    * shuffles each side once, hash-partitioned by the merge key — at
+    * 100 TB the delta side is typically small enough for AQE to turn its
+    * exchange into a broadcast). Output: per-segment census of the merged
+    * dimension, integer-cents exact. */
+  private val qMergeUpsert: Q = (s, sf) => {
+    val tgt = t(s, sf, "customer").select(col("c_custkey").as("key"),
+      col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
+    val delta = t(s, sf, "orders")
+      .groupBy(col("o_custkey").as("key"))
+      .agg(round(sum("o_totalprice"), 2).as("amt"))
+      .withColumn("op", when(col("key") % 13 === 0, lit("D")).otherwise(lit("U")))
+    // synthetic new keys exercise the INSERT branch (no customer match)
+    val ins = delta.filter(col("key") % 29 === 0)
+      .select((col("key") + 10000000L).as("key"), col("amt"), lit("U").as("op"))
+    val d = delta.unionByName(ins)
+      .select(col("key").as("dkey"), col("amt"), col("op"))
+    // the three keep branches spelled explicitly — a negated conjunction
+    // would go NULL (and silently drop) on the op-less target-only rows:
+    //   matched       → survive unless op = 'D'   (WHEN MATCHED DELETE)
+    //   target-only   → pass through
+    //   delta-only    → insert only 'U' rows      (a 'D' on a missing key
+    //                                              is a no-op, not an insert)
+    val keep =
+      (col("key").isNotNull && col("dkey").isNull) ||
+        (col("key").isNotNull && col("dkey").isNotNull && col("op") =!= "D") ||
+        (col("key").isNull && col("op") === "U")
+    tgt.join(d, col("key") === col("dkey"), "full_outer")
+      .filter(keep)
+      .select(
+        coalesce(col("key"), col("dkey")).as("k"),
+        when(col("dkey").isNotNull, col("amt")).otherwise(col("bal")).as("nb"),
+        coalesce(col("seg"), lit("NEW")).as("seg"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("nb") * 100).cast("long")).as("cents"),
+        sum("k").as("chk"))
+      .orderBy("seg")
+  }
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): two grouped
+    * frames whose keys include a NULL group (nullif) are joined so the
+    * NULL groups MATCH — the dimension-conform join SQL equality silently
+    * drops rows from. Spark plans EqualNullSafe as a true equi-join key
+    * (hash/sort-merge, never a nested loop) — plan-asserted. */
+  private val qJoinNullsafe: Q = (s, sf) => {
+    val ev = t(s, sf, "events")
+    val a = ev.groupBy(nullif(col("user_id") % 7, lit(3)).as("k"))
+      .agg(count(lit(1)).as("c1"))
+    val b = ev.groupBy(nullif(col("event_id") % 7, lit(3)).as("k"))
+      .agg(count(lit(1)).as("c2"))
+    a.join(b, a("k") <=> b("k"))
+      .select(a("k").as("k"), col("c1"), col("c2"))
+      .orderBy(asc_nulls_first("k"))
+  }
+
+  /** Inverted-index build (the retrieval-infra materialization): posting
+    * lists (term → [(doc, position)]) summarized per term as df / postings
+    * count / integer checksums over doc ids and positions. One
+    * posexplode + one partial-aggregable groupBy — the index build is a
+    * single shuffle by term, and at 100 TB the postings for each term
+    * land hash-partitioned exactly where a query-serving bucket-file
+    * writer wants them. Top 50 terms by document frequency. */
+  private val qInvertedIndex: Q = (s, sf) =>
+    t(s, sf, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "term")))
+      .filter(col("term") =!= "")
+      .groupBy("term")
+      .agg(countDistinct("doc_id").as("df"),
+        count(lit(1)).as("n_post"),
+        sum("doc_id").as("chk_doc"),
+        (sum("p") + count(lit(1))).as("chk_pos")) // 1-based position sum
+      .orderBy(col("df").desc, col("term"))
+      .limit(50)
+
+  /** Differentially-private count release: per-language doc counts plus
+    * Laplace(1/ε) noise, ε = 1, from the md5-uniform (seeded, so the
+    * release is reproducible and ORACLE-CHECKABLE — production would use
+    * real randomness; everything else, the inverse-CDF transform and the
+    * sensitivity-1 count query, is the real mechanism). u ∈ (0,1) comes
+    * from [[Sampling.hashKey]] shifted by 0.5 ulp so |u−0.5| < 0.5 exactly
+    * — ln(1−2|u−0.5|) can never hit −∞. */
+  private val qDpCounts: Q = (s, sf) => {
+    val u = (Sampling.hashKey(concat_ws(":", lit("dp1"), col("lang")))
+      .cast("double") + 0.5) / 4294967296.0
+    val noise = -signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    t(s, sf, "documents")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"))
+      .select(col("lang"), round(col("n") + noise, 3).as("released"))
+      .orderBy("lang")
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_merge_upsert" -> qMergeUpsert,
+    "q_join_nullsafe" -> qJoinNullsafe,
+    "q_inverted_index" -> qInvertedIndex,
+    "q_dp_counts" -> qDpCounts,
     "q_seq_match" -> qSeqMatch,
     "q_churn" -> qChurn,
     "q_keep_best" -> qKeepBest,

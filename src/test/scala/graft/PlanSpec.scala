@@ -480,4 +480,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("comp"), p) // partitioned by cluster, not global
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_join_nullsafe plans <=> as a true equi join, not a nested loop") {
+    val p = plan("q_join_nullsafe")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_merge_upsert is one full outer hash/sort-merge join") {
+    val p = plan("q_merge_upsert")
+    assert(p.contains("FullOuter"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_inverted_index is one shuffle-by-term aggregate after explode") {
+    val p = plan("q_inverted_index")
+    assert(p.contains("Generate"), p) // posexplode
+    assert(!p.contains("Join"), p)    // no self-join: postings in one agg
+  }
 }
