@@ -490,6 +490,42 @@ object OracleSql {
         "r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY sk, doc_id) rn FROM d) " +
         "SELECT lang, count(*) kept, CAST(sum(doc_id) AS BIGINT) chk " +
         "FROM r, m WHERE rn <= nmin GROUP BY lang ORDER BY lang"),
+    // MaxSim late interaction: sub-vector split by subscript arithmetic;
+    // the per-query-subvec max is quantized to int ticks so the 8-term
+    // final sum is exact integer arithmetic in both engines
+    "q_maxsim" ->
+      ("WITH ev AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings), " +
+        "s AS (SELECT vec_id, CAST((i-1)//8 AS INT) sub, CAST((i-1)%8 AS INT) dim, v FROM ev), " +
+        "q AS (SELECT sub qsub, dim, v qv FROM s WHERE vec_id = 0), " +
+        "d AS (SELECT s.vec_id, q.qsub, s.sub dsub, sum(s.v*q.qv) dt FROM s JOIN q ON s.dim = q.dim " +
+        "WHERE s.vec_id <> 0 GROUP BY 1, 2, 3), " +
+        "m AS (SELECT vec_id, qsub, CAST(round(max(dt)*10000) AS BIGINT) mq FROM d GROUP BY 1, 2) " +
+        "SELECT vec_id, round(sum(mq)/10000.0, 4) maxsim FROM m GROUP BY vec_id " +
+        "ORDER BY maxsim DESC, vec_id LIMIT 10"),
+    "q_vocab_coverage" ->
+      ("WITH t AS (SELECT w term, count(*) f FROM " +
+        "(SELECT unnest(string_split(text, ' ')) w FROM documents) WHERE w <> '' GROUP BY 1), " +
+        "r AS (SELECT f, row_number() OVER (ORDER BY f DESC, term) rn FROM t) " +
+        "SELECT count(*) n_vocab, CAST(sum(f) AS BIGINT) total, " +
+        "round(sum(CASE WHEN rn <= 10 THEN f ELSE 0 END)/CAST(sum(f) AS DOUBLE), 6) cov10, " +
+        "round(sum(CASE WHEN rn <= 30 THEN f ELSE 0 END)/CAST(sum(f) AS DOUBLE), 6) cov30, " +
+        "round(sum(CASE WHEN rn <= 100 THEN f ELSE 0 END)/CAST(sum(f) AS DOUBLE), 6) cov100 FROM r"),
+    "q_path_mining" ->
+      ("WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) us FROM events), " +
+        "l AS (SELECT event_type t1, " +
+        "lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY us, event_id) t2, " +
+        "lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY us, event_id) t3 FROM e) " +
+        "SELECT concat_ws('>', t1, t2, t3) path, count(*) c FROM l WHERE t3 IS NOT NULL " +
+        "GROUP BY 1 ORDER BY c DESC, path LIMIT 20"),
+    // first digit from the integer cents' string render — immune to
+    // log/pow double wobble at power-of-10 boundaries
+    "q_benford" ->
+      ("WITH c AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) c FROM orders), " +
+        "d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) d, count(*) n " +
+        "FROM c WHERE c > 0 GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n) AS BIGINT) total FROM d) " +
+        "SELECT d, CAST(n AS BIGINT) n, round(n/CAST(total AS DOUBLE), 6) obs, " +
+        "round(log10(1.0 + 1.0/d), 6) \"exp\" FROM d, t ORDER BY d"),
     // MERGE INTO as its relational form: one FULL OUTER JOIN, four WHEN
     // branches as CASE/filter
     "q_merge_upsert" ->

@@ -2612,9 +2612,97 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Late-interaction retrieval (the ColBERT MaxSim score): each 64-dim
+    * vector is treated as 8 token sub-vectors of 8 dims; score(doc) =
+    * Σ_{q-subvec} max_{doc-subvec} ⟨q, d⟩. The query's 8 sub-vectors
+    * broadcast; per doc the 64 sub-pair dots go through the codegen'd
+    * [[graft.functions.DotProduct]], the per-query-subvec max is
+    * integer-quantized (×10⁴, the q_entropy trick) so the final 8-term
+    * sum is exact long arithmetic — bit-identical across engines and
+    * row orders. Top 10 docs. */
+  private val qMaxsim: Q = (s, sf) => {
+    val sub = t(s, sf, "embeddings")
+      .select(col("vec_id"), posexplode(expr(
+        "transform(sequence(0, 7), i -> slice(embedding, i*8 + 1, 8))"))
+        .as(Seq("sub", "sv")))
+    val q = sub.filter(col("vec_id") === 0)
+      .select(col("sub").as("qsub"), col("sv").as("qv"))
+    sub.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("qsub"), col("sub"),
+        graft.functions.VectorFunctions.dotProduct(col("sv"), col("qv")).as("dt"))
+      .groupBy("vec_id", "qsub")
+      .agg(round(max("dt") * 10000).cast("long").as("mq"))
+      .groupBy("vec_id")
+      .agg(round(sum("mq") / 10000.0, 4).as("maxsim"))
+      .orderBy(col("maxsim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Vocabulary coverage curve: the share of total token mass covered by
+    * the top-10/30/100 tokens — the tokenizer-vocab-size planning query.
+    * One shuffle-by-term count, then a single window over the VOCAB (not
+    * the corpus — vocab ≪ corpus at any scale; at 100 TB the vocab frame
+    * is millions of rows against trillions of tokens). */
+  private val qVocabCoverage: Q = (s, sf) => {
+    val tok = t(s, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("f"))
+    val w = Window.orderBy(col("f").desc, col("term"))
+    def cov(k: Int) =
+      round(sum(when(col("rn") <= k, col("f")).otherwise(0L)) /
+        sum("f").cast("double"), 6).as(s"cov$k")
+    tok.withColumn("rn", row_number().over(w))
+      .agg(count(lit(1)).as("n_vocab"), sum("f").as("total"),
+        cov(10), cov(30), cov(100))
+  }
+
+  /** Journey segment mining: the 20 most common 3-step event-type paths,
+    * from per-user lead windows in exact (ts, event_id) order — the
+    * product-analytics "common paths" report. User-partitioned window
+    * (parallel by user), one count shuffle by trigram. */
+  private val qPathMining: Q = (s, sf) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+    t(s, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .select(col("event_type").as("t1"),
+        lead("event_type", 1).over(w).as("t2"),
+        lead("event_type", 2).over(w).as("t3"))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("t1"), col("t2"), col("t3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("path"))
+      .limit(20)
+  }
+
+  /** Benford first-digit audit (fraud/data-quality screen): observed vs
+    * expected log₁₀(1+1/d) first-significant-digit distribution of order
+    * totals. The digit comes from the INTEGER cents rendered as a string
+    * — no log/pow on doubles near power-of-10 boundaries can flip it. */
+  private val qBenford: Q = (s, sf) => {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val digits = t(s, sf, "orders")
+      .select(cents.as("c")).filter(col("c") > 0)
+      .select(substring(col("c").cast("string"), 1, 1).cast("int").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum("n").as("total"))
+    digits.crossJoin(broadcast(tot))
+      .select(col("d"), col("n"),
+        round(col("n") / col("total").cast("double"), 6).as("obs"),
+        round(log10(lit(1.0) + lit(1.0) / col("d")), 6).as("exp"))
+      .orderBy("d")
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_maxsim" -> qMaxsim,
+    "q_vocab_coverage" -> qVocabCoverage,
+    "q_path_mining" -> qPathMining,
+    "q_benford" -> qBenford,
     "q_merge_upsert" -> qMergeUpsert,
     "q_join_nullsafe" -> qJoinNullsafe,
     "q_inverted_index" -> qInvertedIndex,

@@ -499,4 +499,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), p) // posexplode
     assert(!p.contains("Join"), p)    // no self-join: postings in one agg
   }
+
+  test("q_maxsim broadcasts the 8-row query sub-vector frame") {
+    val p = plan("q_maxsim")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("graft_dot"), p) // codegen'd DotProduct in the plan
+  }
+
+  test("q_path_mining windows per user, never globally") {
+    val p = plan("q_path_mining")
+    assert(p.contains("Window"), p)
+    assert(p.contains("user_id"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_benford broadcasts its 1-row total") {
+    val p = plan("q_benford")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
