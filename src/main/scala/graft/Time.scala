@@ -24,6 +24,13 @@ object Time {
     args.foreach { q =>
       SparkEntry.queries(q)(spark, warmDir).count() // warmup
       (1 to reps).foreach { r =>
+        // mirror Bench's isolation: drop persisted blocks (iterative
+        // queries localCheckpoint per round) and take a full GC before
+        // the timed window, or later reps absorb earlier reps' storage
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        spark.catalog.clearCache()
+        System.gc()
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(q)(spark, sfDir).count()
         println(f"TIME $q run$r ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")

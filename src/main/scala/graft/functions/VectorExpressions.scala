@@ -221,6 +221,87 @@ case class IntersectSizeSorted(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd A ∩ B VALUES over two ASCENDING-SORTED `array<bigint>` columns
+  * — the emitting sibling of [[IntersectSizeSorted]], for consumers that
+  * need the intersection members, not just its cardinality (triangle
+  * listing emits the closing vertex of every wedge: `explode(nu ∩ nw)`).
+  * Spark's built-in `array_intersect` builds a hash set of one side PER
+  * EVALUATION; a triangle probe evaluates once per oriented edge and the
+  * adjacency arrays reach O(√m) elements, so at millions of edges that
+  * allocation dominates the stage (same pathology IntersectSizeSorted
+  * removed from near-dup verify). Here: one two-pointer merge over
+  * presorted primitive longs, one right-sized primitive result array, no
+  * boxing, no hash set.
+  *
+  * Requires both arrays sorted ascending (`sort_array(collect_list(..))`);
+  * duplicate values emit once (distinct-set ∩); null elements must not
+  * occur. Output is ascending-sorted by construction. */
+case class SortedIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_intersect_sorted"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    val tmp = new Array[Long](math.min(nx, ny))
+    var i = 0; var j = 0; var k = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else {
+        tmp(k) = xv; k += 1
+        while (i < nx && x.getLong(i) == xv) i += 1
+        while (j < ny && y.getLong(j) == xv) j += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(tmp, k))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val k = ctx.freshName("k"); val tmp = ctx.freshName("tmp")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $x.numElements(); int $ny = $y.numElements();
+         |long[] $tmp = new long[java.lang.Math.min($nx, $ny)];
+         |int $i = 0; int $j = 0; int $k = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $x.getLong($i); long $yv = $y.getLong($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else {
+         |    $tmp[$k++] = $xv;
+         |    while ($i < $nx && $x.getLong($i) == $xv) { $i++; }
+         |    while ($j < $ny && $y.getLong($j) == $xv) { $j++; }
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(java.util.Arrays.copyOf($tmp, $k));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SortedIntersect =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API and SQL surfaces for the vector expressions. */
 object VectorFunctions {
 
@@ -243,6 +324,12 @@ object VectorFunctions {
   def intersectSizeSorted(a: Column, b: Column): Column =
     ColumnBridge.column(
       IntersectSizeSorted(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd intersection VALUES of two SORTED long-array columns
+    * (two-pointer merge; ascending distinct output — the triangle probe). */
+  def sortedIntersect(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SortedIntersect(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   private val registration = (
     new FunctionIdentifier("graft_dot"),
@@ -308,5 +395,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[IntersectSizeSorted].getName,
           "graft_intersect_size_sorted"),
         (children: Seq[Expression]) => IntersectSizeSorted(children(0), children(1))))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_intersect_sorted"),
+        new ExpressionInfo(classOf[SortedIntersect].getName,
+          "graft_intersect_sorted"),
+        (children: Seq[Expression]) => SortedIntersect(children(0), children(1))))
   }
 }

@@ -241,12 +241,20 @@ object Components {
     // self-join spelling would materialize and shuffle every candidate
     // wedge first (measured sf0.1 co-purchase graph: 41M wedges for 1.9M
     // triangles — 20× the rows through the exchange for the same answer).
-    val adj = oriented.groupBy(col("u")).agg(collect_list(col("w")).as("nbr"))
+    // Adjacency lists are sorted ONCE at build so the per-edge intersect
+    // is the codegen'd two-pointer merge ([[graft.functions
+    // .SortedIntersect]], zero allocation) instead of array_intersect's
+    // per-evaluation hash set — the probe runs once per oriented edge
+    // with O(√m)-element arrays, so the hash-set build dominated the
+    // stage (measured sf0.1: 12.1 s → 5.6 s for the full query).
+    val adj = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("w"))).as("nbr"))
     oriented
       .join(adj.select(col("u"), col("nbr").as("nu")), Seq("u"))
       .join(adj.select(col("u").as("w"), col("nbr").as("nw")), Seq("w"))
       .select(col("u"), col("w"),
-        explode(array_intersect(col("nu"), col("nw"))).as("t"))
+        explode(graft.functions.VectorFunctions
+          .sortedIntersect(col("nu"), col("nw"))).as("t"))
       // canonicalize by sorting the triple — a sum-minus-extremes middle
       // would wrap int64 for hash-derived vertex ids near 2⁶²
       .select(sort_array(array(col("u"), col("w"), col("t"))).as("s"))
