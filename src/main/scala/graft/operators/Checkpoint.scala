@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Lineage cut for iterative loops ([[Components]], [[Iterate]]): each
   * round must eagerly materialize its frame, or the plan re-grows a deeper
@@ -35,8 +36,30 @@ object Checkpoint {
       df.checkpoint(eager = true)
     } else df.localCheckpoint(eager = true)
 
+  /** Cut that MATERIALIZES AND DECLARES a hash layout: repartition by
+    * `keys` with an explicit partition count (AQE never coalesces an
+    * explicit-count repartition, so the layout is exact), checkpoint, and
+    * re-declare the partitioning on the resulting frame — checkpointing
+    * under AQE otherwise reports `UnknownPartitioning` and every
+    * downstream join re-shuffles the frame. This is the static-side move
+    * for iterative loops: partition the O(m) edge frame by the per-round
+    * join key ONCE, and each round's join plans exchange-free on it —
+    * locally a shuffle per round saved, on a cluster the difference
+    * between shuffling the edge list k times and zero times. */
+  def cutBy(df: DataFrame, keys: String*): DataFrame = {
+    require(keys.nonEmpty, "cutBy needs at least one partitioning key")
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // sortWithinPartitions so the declared ordering lets every downstream
+    // sort-merge join skip its per-round Sort of this frame too
+    val cp = cut(df.repartition(n, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*))
+    org.apache.spark.sql.graft.PlanBridge.declareHashPartitioned(cp, n, keys,
+      sorted = true)
+  }
+
   /** Fluent syntax: `df.cut` ≡ `Checkpoint.cut(df)`. */
   implicit final class CutOps(private val df: DataFrame) extends AnyVal {
     def cut: DataFrame = Checkpoint.cut(df)
+    def cutBy(keys: String*): DataFrame = Checkpoint.cutBy(df, keys: _*)
   }
 }

@@ -46,8 +46,16 @@ object Components {
       dstCol: String = "dst", maxIter: Int = 20): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("s"),
       col(dstCol).cast("long").as("d"))
+    // co-partitioned loop (the static-side discipline of every iterative
+    // operator here): the edge frame is hash-partitioned ON THE PER-ROUND
+    // JOIN KEY before its one materialization, and the label frame comes
+    // out of groupBy(id) already id-partitioned — localCheckpoint
+    // preserves both, so every round's join plans with NO exchange on
+    // either side and the only per-round shuffle is the message
+    // aggregate. Without this the O(m) edge list re-shuffles EVERY round
+    // (distinct leaves it (s,d)-partitioned, which satisfies no s-join).
     val sym = e.union(e.select(col("d").as("s"), col("s").as("d")))
-      .distinct().cut
+      .distinct().cutBy("s")
     var labels = sym.select(col("s").as("id")).distinct()
       .withColumn("comp", col("id")).cut
     // decimal(38,0) sum: exact and unoverflowable for any vertex count ×
@@ -112,7 +120,10 @@ object Components {
     require(hops >= 0, s"hops must be >= 0 (got $hops)")
     val e = edges.select(col(srcCol).cast("long").as("s"),
         col(dstCol).cast("long").as("d"), col(weightCol).cast("long").as("w"))
-      .groupBy("s", "d").agg(min("w").as("w")).cut
+      .groupBy("s", "d").agg(min("w").as("w"))
+      // s-partitioned for exchange-free relaxation joins (the
+      // connectedComponents co-partitioning discipline)
+      .cutBy("s")
     var dist = e.sparkSession.range(1)
       .select(lit(source).as("id"), lit(0L).as("dist"))
     for (_ <- 1 to hops) {
@@ -151,7 +162,10 @@ object Components {
       dstCol: String = "dst", rounds: Int = 3): DataFrame = {
     require(rounds >= 0, s"rounds must be >= 0 (got $rounds)")
     val e = edges.select(col(srcCol).cast("long").as("s"),
-      col(dstCol).cast("long").as("d")).distinct().cut
+      col(dstCol).cast("long").as("d")).distinct()
+      // s-partitioned for exchange-free vote joins (the
+      // connectedComponents co-partitioning discipline)
+      .cutBy("s")
     var labels = e.select(col("s").as("id")).union(e.select(col("d")))
       .distinct().withColumn("lbl", col("id")).cut
     for (_ <- 1 to rounds) {
@@ -186,7 +200,10 @@ object Components {
       dstCol: String = "dst", source: Long = 0L,
       maxIter: Int = 20): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("s"),
-      col(dstCol).cast("long").as("d")).distinct().cut
+      col(dstCol).cast("long").as("d")).distinct()
+      // s-partitioned for exchange-free relaxation joins (the
+      // connectedComponents co-partitioning discipline)
+      .cutBy("s")
     val init = e.sparkSession.range(1)
       .select(lit(source).as("id"), lit(0L).as("dist"))
     Iterate.fixpoint(init, maxIter) { cur =>
@@ -234,6 +251,11 @@ object Components {
       .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
       .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
         when(aFirst, col("b")).otherwise(col("a")).as("w"))
+      // u-partitioned so BOTH consumers skip an exchange: the adjacency
+      // groupBy(u) aggregates in place and the probe's first join meets
+      // adj (also u-partitioned) exchange-free; only the second (w) join
+      // of the probe shuffles, and that one is inherent
+      .repartition(col("u"))
       .cut // consumed by the adjacency agg AND the probe
     // edge-iterator form: a triangle π-ordered v1→v2→v3 is found exactly
     // once, at edge (v1,v2), as v3 ∈ N⁺(v1) ∩ N⁺(v2). Intersecting
@@ -306,7 +328,10 @@ object Components {
     val e = edges.select(col(srcCol).cast("long").as("s"),
       col(dstCol).cast("long").as("d")).distinct().cut
     val ew = e.join(e.groupBy("s").agg(count(lit(1)).as("deg")), "s")
-      .cut
+      // s-partitioned for exchange-free rank joins (the
+      // connectedComponents co-partitioning discipline); pr stays
+      // id-partitioned for free out of each round's groupBy(id)
+      .cutBy("s")
     val nodes = e.select(col("s").as("id")).union(e.select(col("d").as("id")))
       .distinct().cut
     val base = (dampDen - dampNum) * (scale / dampDen)
@@ -353,15 +378,26 @@ object Components {
     require(rounds >= 0, s"rounds must be >= 0 (got $rounds)")
     val e0 = edges.select(col(srcCol).cast("long").as("s"),
       col(dstCol).cast("long").as("d"))
-    var e = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
+    val e = e0.union(e0.select(col("d").as("s"), col("s").as("d")))
       .distinct().cut
-    for (_ <- 1 to rounds) {
-      val keep = e.groupBy("s").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select("s").cut
-      e = e.join(keep, Seq("s"), "left_semi")
-        .join(keep.select(col("s").as("d")), Seq("d"), "left_semi")
-        .select("s", "d").cut
+    // Only the survivor VERTEX set is carried round to round — because
+    // survivor sets shrink monotonically, the subgraph induced by the
+    // LATEST set equals the iteratively peeled edge set, so each round is
+    // two semi joins of the once-materialized edge list against a small
+    // vertex frame (broadcast at any graph size whose core fits driver
+    // memory; never a re-materialization of the O(m) edge list — the
+    // edge-carrying spelling localCheckpointed m rows per round, tripling
+    // the round cost on the sf0.1 trade graph).
+    var keep: Option[DataFrame] = None
+    def induced: DataFrame = keep match {
+      case None => e
+      case Some(kp) => e.join(kp, Seq("s"), "left_semi")
+        .join(kp.select(col("s").as("d")), Seq("d"), "left_semi")
     }
-    e.groupBy(col("s").as("id")).agg(count(lit(1)).as("deg"))
+    for (_ <- 1 to rounds) {
+      keep = Some(induced.groupBy("s").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("s").cut)
+    }
+    induced.groupBy(col("s").as("id")).agg(count(lit(1)).as("deg"))
   }
 }

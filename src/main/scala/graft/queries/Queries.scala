@@ -2364,9 +2364,22 @@ object Queries {
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
     val supp = li.groupBy("p").agg(count(lit(1)).as("np"))
     val tot = li.agg(countDistinct("o").as("n"))
-    li.as("a").join(li.as("b"), col("a.o") === col("b.o") &&
-        col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+    // pair emission by ONE groupBy + in-array combinations, not a
+    // self-join (the qTriangles edge-build move): the join spelling
+    // shuffles the distinct'd fact twice on the basket key for the same
+    // ordered pair set; basket size bounds the per-group quadratic. The
+    // RAW projection feeds it — array_distinct dedups within the basket,
+    // so the upstream global distinct (a full extra shuffle) is only
+    // needed by the support/total aggregates.
+    t(s, sf, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy("o")
+      .agg(sort_array(array_distinct(collect_list(col("p")))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> transform(" +
+          "slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"))
+        .as("pr"))
+      .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .agg(count(lit(1)).as("nab"))
       .filter(col("nab") >= 3)
       .join(broadcast(supp.select(col("p").as("pa"), col("np").as("na"))), "pa")
