@@ -6,11 +6,16 @@ import org.apache.spark.sql.functions._
 /** Readers for the driver testdata (TESTDATA.md): one parquet file per
   * table under `$sfDir/`.
   *
-  * The only non-trivial read is `events`: its `ts` column is physical
-  * TIMESTAMP(NANOS), which Spark 4.x refuses to read unless
-  * `spark.sql.legacy.parquet.nanosAsLong=true`, after which the column
-  * arrives as `long` nanoseconds and must be rebuilt to a microsecond
-  * timestamp. We use integer division (`DIV`) rather than `/1000` so no
+  * The only non-trivial read is `events`: its `ts` column's physical type
+  * has varied across testdata generations — TIMESTAMP(NANOS) (rounds 1–5),
+  * which Spark 4.x refuses to read unless
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (arriving as `long`
+  * nanoseconds, rebuilt here to a microsecond timestamp), and plain
+  * timestamp[us] without timezone (round 6+), which arrives as
+  * TIMESTAMP_NTZ. [[normalizeTs]] detects the arrived type and normalizes
+  * all of them to a session-timezone (UTC) `timestamp`, so every consumer
+  * sees one stable schema regardless of which generation wrote the file.
+  * The nanos path uses integer division (`DIV`) rather than `/1000` so no
   * precision is lost converting the int64 nanos through a double
   * (2024-era nanos ≈ 1.7e18 > 2^53).
   *
@@ -36,12 +41,25 @@ object Tables {
       spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
+  /** Normalize an events frame's `ts` to session-tz `timestamp`, whatever
+    * physical type the parquet writer used: int64 (nanos-as-long), NTZ
+    * (timestamp[us] with no zone — values are UTC wall clock, and the
+    * session tz is pinned to UTC so the cast is value-preserving), or
+    * already a zoned timestamp. */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
   /** Read one table as a DataFrame (events gets the ts rebuild). */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     ensureConfigured(spark)
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else df
+    if (name == "events") normalizeTs(df) else df
   }
 
   /** Register temp views for the named tables (all by default), so both
@@ -92,16 +110,23 @@ object Tables {
       .options(options).mode(mode).save()
 
   /** Events at/after a watermark, with the predicate applied to the RAW
-    * int64-nanos column *before* the timestamp rebuild, so it pushes down
-    * into the parquet scan (row-group + page pruning). Filtering the
-    * rebuilt `timestamp_micros(...)` column instead would defeat pushdown —
-    * a full scan at 100 TB. */
+    * column *before* the timestamp rebuild, so it pushes down into the
+    * parquet scan (row-group + page pruning). On the nanos-as-long layout
+    * the comparison is against the int64 nanos value; on the timestamp[us]
+    * layout it is an NTZ-literal comparison (both pushable). Filtering the
+    * rebuilt column instead would defeat pushdown — a full scan at 100 TB. */
   def eventsSince(spark: SparkSession, sfDir: String,
       watermark: java.time.Instant): DataFrame = {
     ensureConfigured(spark)
-    val nanos = watermark.getEpochSecond * 1000000000L + watermark.getNano
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .filter(col("ts") >= nanos)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val filtered = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.filter(col("ts") >=
+          (watermark.getEpochSecond * 1000000000L + watermark.getNano))
+      case _ =>
+        raw.filter(col("ts") >= lit(
+          java.time.LocalDateTime.ofInstant(watermark, java.time.ZoneOffset.UTC)))
+    }
+    normalizeTs(filtered)
   }
 }
