@@ -46,16 +46,12 @@ object Components {
       dstCol: String = "dst", maxIter: Int = 20): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("s"),
       col(dstCol).cast("long").as("d"))
-    // co-partitioned loop (the static-side discipline of every iterative
-    // operator here): the edge frame is hash-partitioned ON THE PER-ROUND
-    // JOIN KEY before its one materialization, and the label frame comes
-    // out of groupBy(id) already id-partitioned — localCheckpoint
-    // preserves both, so every round's join plans with NO exchange on
-    // either side and the only per-round shuffle is the message
-    // aggregate. Without this the O(m) edge list re-shuffles EVERY round
-    // (distinct leaves it (s,d)-partitioned, which satisfies no s-join).
+    // static-frame cut on the per-round join key: plain materialization by
+    // default, opt-in co-partitioned layout via graft.copartition.static
+    // for the regime where the label frame is too big to broadcast — see
+    // [[Checkpoint.cutStatic]] for the measured tradeoff
     val sym = e.union(e.select(col("d").as("s"), col("s").as("d")))
-      .distinct().cutBy("s")
+      .distinct().cutStatic("s")
     var labels = sym.select(col("s").as("id")).distinct()
       .withColumn("comp", col("id")).cut
     // decimal(38,0) sum: exact and unoverflowable for any vertex count ×
@@ -121,9 +117,9 @@ object Components {
     val e = edges.select(col(srcCol).cast("long").as("s"),
         col(dstCol).cast("long").as("d"), col(weightCol).cast("long").as("w"))
       .groupBy("s", "d").agg(min("w").as("w"))
-      // s-partitioned for exchange-free relaxation joins (the
-      // connectedComponents co-partitioning discipline)
-      .cutBy("s")
+      // static-frame cut: co-partitioned layout only when
+      // graft.copartition.static=true (see Checkpoint.cutStatic)
+      .cutStatic("s")
     var dist = e.sparkSession.range(1)
       .select(lit(source).as("id"), lit(0L).as("dist"))
     for (_ <- 1 to hops) {
@@ -163,9 +159,9 @@ object Components {
     require(rounds >= 0, s"rounds must be >= 0 (got $rounds)")
     val e = edges.select(col(srcCol).cast("long").as("s"),
       col(dstCol).cast("long").as("d")).distinct()
-      // s-partitioned for exchange-free vote joins (the
-      // connectedComponents co-partitioning discipline)
-      .cutBy("s")
+      // static-frame cut: co-partitioned layout only when
+      // graft.copartition.static=true (see Checkpoint.cutStatic)
+      .cutStatic("s")
     var labels = e.select(col("s").as("id")).union(e.select(col("d")))
       .distinct().withColumn("lbl", col("id")).cut
     for (_ <- 1 to rounds) {
@@ -201,9 +197,9 @@ object Components {
       maxIter: Int = 20): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("s"),
       col(dstCol).cast("long").as("d")).distinct()
-      // s-partitioned for exchange-free relaxation joins (the
-      // connectedComponents co-partitioning discipline)
-      .cutBy("s")
+      // static-frame cut: co-partitioned layout only when
+      // graft.copartition.static=true (see Checkpoint.cutStatic)
+      .cutStatic("s")
     val init = e.sparkSession.range(1)
       .select(lit(source).as("id"), lit(0L).as("dist"))
     Iterate.fixpoint(init, maxIter) { cur =>
@@ -328,10 +324,9 @@ object Components {
     val e = edges.select(col(srcCol).cast("long").as("s"),
       col(dstCol).cast("long").as("d")).distinct().cut
     val ew = e.join(e.groupBy("s").agg(count(lit(1)).as("deg")), "s")
-      // s-partitioned for exchange-free rank joins (the
-      // connectedComponents co-partitioning discipline); pr stays
-      // id-partitioned for free out of each round's groupBy(id)
-      .cutBy("s")
+      // static-frame cut (see Checkpoint.cutStatic); pr comes out of
+      // each round's groupBy(id) already id-partitioned
+      .cutStatic("s")
     val nodes = e.select(col("s").as("id")).union(e.select(col("d").as("id")))
       .distinct().cut
     val base = (dampDen - dampNum) * (scale / dampDen)
