@@ -370,6 +370,100 @@ object OracleSql {
       "FROM a ORDER BY doc_id LIMIT 100"
 
   val all: Map[String, String] = Map(
+    // 2-D skyline via the bounded size grid: strictly-smaller-size
+    // running min (ROWS .. 1 PRECEDING) + per-size min, same as engine
+    "q_skyline" ->
+      ("WITH p AS (SELECT p_partkey, p_size, p_retailprice FROM part), " +
+        "g AS (SELECT p_size, min(p_retailprice) mn FROM p GROUP BY p_size), " +
+        "gm AS (SELECT p_size, mn, min(mn) OVER (ORDER BY p_size " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) mp FROM g) " +
+        "SELECT p.p_partkey, p.p_size, p.p_retailprice price " +
+        "FROM p JOIN gm ON p.p_size = gm.p_size " +
+        "WHERE (mp IS NULL OR mp > p_retailprice) AND p_retailprice <= mn " +
+        "ORDER BY p.p_size, p.p_partkey"),
+    // integer-cents sums; the shared double spelling only at the end
+    "q_target_encode" ->
+      ("WITH o AS (SELECT o_orderpriority cat, CAST(round(o_totalprice*100) AS BIGINT) c FROM orders), " +
+        "g AS (SELECT CAST(sum(c) AS BIGINT) gs, count(*) gn FROM o) " +
+        "SELECT cat, count(*) n, round((CAST(sum(c) AS BIGINT) + 10.0 * gs / gn) " +
+        "/ (count(*) + 10) / 100.0, 4) enc " +
+        "FROM o, g GROUP BY cat, gs, gn ORDER BY cat"),
+    // milli-unit values x ms-floored gaps: exact int64 sums both engines
+    "q_time_weighted" ->
+      ("WITH e AS (SELECT user_id, event_id, CAST(round(value*1000) AS BIGINT) v, epoch_us(ts) us FROM events), " +
+        "l AS (SELECT user_id, v, us, lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) nxt FROM e) " +
+        "SELECT user_id, count(*) n, " +
+        "round(CAST(sum(v * ((nxt - us) // 1000)) AS DOUBLE) / (sum((nxt - us) // 1000) * 1000.0), 4) twa " +
+        "FROM l WHERE nxt IS NOT NULL GROUP BY user_id ORDER BY user_id LIMIT 100"),
+    // argmax |n*cumsum - i*total| entirely in integers
+    "q_changepoint" ->
+      ("WITH d AS (SELECT CAST(o_orderdate AS DATE) dy, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) c " +
+        "FROM orders GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(c) AS BIGINT) tc, count(*) nd FROM d), " +
+        "w AS (SELECT dy, CAST(sum(c) OVER (ORDER BY dy ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cum, " +
+        "row_number() OVER (ORDER BY dy) i FROM d) " +
+        "SELECT dy, CAST(nd*cum - i*tc AS BIGINT) s FROM w, t " +
+        "ORDER BY abs(nd*cum - i*tc) DESC, dy LIMIT 1"),
+    "q_fd_check" ->
+      ("WITH g AS (SELECT o_custkey, count(DISTINCT o_orderpriority) nd, count(*) n FROM orders GROUP BY 1) " +
+        "SELECT count(*) lhs_keys, " +
+        "CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) violating_keys, " +
+        "CAST(sum(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT) violating_rows, " +
+        "max(nd) max_rhs FROM g"),
+    "q_kanon" ->
+      ("WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) n FROM customer GROUP BY 1, 2) " +
+        "SELECT count(*) n_groups, " +
+        "CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) risky_groups, " +
+        "CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) risky_rows, " +
+        "min(n) k_star FROM g"),
+    // the q_degree_dist edge CTE + exact integer moment sums
+    "q_assortativity" ->
+      ("WITH base AS (SELECT DISTINCT o_custkey*2 s, l_suppkey*2+1 d " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "e0 AS (SELECT s, d FROM base UNION ALL SELECT d, s FROM base), " +
+        "dgt AS (SELECT s, count(*) deg FROM e0 GROUP BY s), " +
+        "ed AS (SELECT da.deg dx, db.deg dy FROM e0 " +
+        "JOIN dgt da ON e0.s = da.s JOIN dgt db ON e0.d = db.s), " +
+        "mm AS (SELECT count(*) m, CAST(sum(dx) AS BIGINT) sx, CAST(sum(dy) AS BIGINT) sy, " +
+        "CAST(sum(dx*dy) AS BIGINT) sxy, CAST(sum(dx*dx) AS BIGINT) sxx, CAST(sum(dy*dy) AS BIGINT) syy FROM ed) " +
+        "SELECT m, round(CAST(m*sxy - sx*sy AS DOUBLE) / " +
+        "sqrt(CAST(m*sxx - sx*sx AS DOUBLE) * CAST(m*syy - sy*sy AS DOUBLE)), 6) r FROM mm"),
+    // same floor-quantized score expression as q_quality; DuckDB lists
+    // are 1-indexed where Spark arrays are 0-indexed
+    "q_quantile_bin" ->
+      ("WITH q AS (SELECT doc_id, floor((least(n_chars/400.0, 1.0)*0.5 + " +
+        "(len(list_filter(string_split(text,' '), w -> w IN ('the', 'a')))/CAST(len(string_split(text,' ')) AS DOUBLE))*0.3 + " +
+        "least(len(string_split(text,' '))/80.0, 1.0)*0.2)*10000 + 0.5)/10000 score FROM documents), " +
+        "c AS (SELECT quantile_cont(score, [0.25, 0.5, 0.75]) qs FROM q), " +
+        "b AS (SELECT doc_id, score, CASE WHEN score <= qs[1] THEN 1 " +
+        "WHEN score <= qs[2] THEN 2 WHEN score <= qs[3] THEN 3 ELSE 4 END bin FROM q, c) " +
+        "SELECT bin, count(*) n, round(min(score), 4) lo, round(max(score), 4) hi, " +
+        "CAST(sum(doc_id) AS BIGINT) chk FROM b GROUP BY bin ORDER BY bin"),
+    // k$-unit monthly series; add_months == DATE - INTERVAL on day-1 dates
+    "q_autocorr" ->
+      ("WITH m0 AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) mo, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) cc FROM orders GROUP BY 1), " +
+        "m AS (SELECT mo, (cc + 50000) // 100000 c FROM m0), " +
+        "l AS (SELECT 1 lg, a.c x, b.c y FROM m a JOIN m b ON b.mo = a.mo - INTERVAL 1 MONTH " +
+        "UNION ALL SELECT 2, a.c, b.c FROM m a JOIN m b ON b.mo = a.mo - INTERVAL 2 MONTH " +
+        "UNION ALL SELECT 3, a.c, b.c FROM m a JOIN m b ON b.mo = a.mo - INTERVAL 3 MONTH), " +
+        "g AS (SELECT lg, count(*) n, CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy, " +
+        "CAST(sum(x*y) AS BIGINT) sxy, CAST(sum(x*x) AS BIGINT) sxx, CAST(sum(y*y) AS BIGINT) syy FROM l GROUP BY lg) " +
+        "SELECT lg, n, round(CAST(n*sxy - sx*sy AS DOUBLE) / " +
+        "sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6) r FROM g ORDER BY lg"),
+    // hash-argmin neighbor choice == Spark's min(struct(md5, d))
+    "q_random_walk" ->
+      ("WITH base AS (SELECT DISTINCT o_custkey*2 s, l_suppkey*2+1 d " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "e0 AS (SELECT s, d FROM base UNION ALL SELECT d, s FROM base), " +
+        "sd AS (SELECT DISTINCT s seed FROM e0 WHERE s % 2 = 0 AND s < 200), " +
+        "s1 AS (SELECT seed, arg_min(d, md5(concat_ws(':', 'rw', '1', CAST(seed AS VARCHAR), CAST(d AS VARCHAR)))) n1 " +
+        "FROM sd JOIN e0 ON seed = e0.s GROUP BY seed), " +
+        "s2 AS (SELECT seed, n1, arg_min(d, md5(concat_ws(':', 'rw', '2', CAST(n1 AS VARCHAR), CAST(d AS VARCHAR)))) n2 " +
+        "FROM s1 JOIN e0 ON n1 = e0.s GROUP BY seed, n1), " +
+        "s3 AS (SELECT seed, n1, n2, arg_min(d, md5(concat_ws(':', 'rw', '3', CAST(n2 AS VARCHAR), CAST(d AS VARCHAR)))) n3 " +
+        "FROM s2 JOIN e0 ON n2 = e0.s GROUP BY seed, n1, n2) " +
+        "SELECT seed, n1, n2, n3 FROM s3 ORDER BY seed"),
     // the bloom pre-filter is physical pruning only: no false negatives,
     // and the exact semi join removes false positives — so the oracle is
     // the PLAIN semi join (q_skew_join's oracle pattern)

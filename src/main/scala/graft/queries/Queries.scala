@@ -2719,9 +2719,231 @@ object Queries {
       .orderBy("d")
   }
 
+  /** 2-D skyline (Pareto-optimal set: no other part is ≤ on BOTH size and
+    * price with one strict) — the multi-objective shortlist operator.
+    * Scale shape (Börzsönyi et al. '01 adapted to grids): the dominance
+    * test needs only the per-size min price, a GRID bounded by distinct
+    * sizes — one partial agg over the facts, a window on the ≤50-row
+    * grid, then a broadcast join back; the fact table never sorts
+    * globally and no pair join exists. A part survives iff nothing at a
+    * strictly smaller size is ≤ its price (mp) and nothing at its own
+    * size is strictly cheaper (== per-size min). */
+  private val qSkyline: Q = (s, sf) => {
+    val p = t(s, sf, "part")
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+    val grid = p.groupBy("p_size").agg(min("p_retailprice").as("mn"))
+    val w = Window.orderBy("p_size")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val gm = grid.withColumn("mp", min("mn").over(w))
+    p.join(broadcast(gm), "p_size")
+      .filter((col("mp").isNull || col("mp") > col("p_retailprice")) &&
+        col("p_retailprice") <= col("mn"))
+      .select(col("p_partkey"), col("p_size"),
+        col("p_retailprice").as("price"))
+      .orderBy("p_size", "p_partkey")
+  }
+
+  /** Smoothed target encoding (the categorical-feature prep): per
+    * category, (Σ target + m·global mean)/(n + m) with m = 10 — the
+    * empirical-Bayes shrinkage that keeps rare categories near the prior.
+    * Money goes through integer cents so both engines aggregate exactly;
+    * the only doubles are the final shared-spelling division. Global
+    * stats are a broadcast 1-row frame (the q_churn shape). */
+  private val qTargetEncode: Q = (s, sf) => {
+    val o = t(s, sf, "orders").select(col("o_orderpriority").as("cat"),
+      round(col("o_totalprice") * 100).cast("long").as("c"))
+    val g = o.agg(sum("c").as("gs"), count(lit(1)).as("gn"))
+    o.groupBy("cat").agg(sum("c").as("sc"), count(lit(1)).as("n"))
+      .crossJoin(broadcast(g))
+      .select(col("cat"), col("n"),
+        round((col("sc") + lit(10.0) * col("gs") / col("gn")) /
+          (col("n") + 10) / 100.0, 4).as("enc"))
+      .orderBy("cat")
+  }
+
+  /** Time-weighted average event value per user (each value holds until
+    * the next event — the irregular-sampling mean a plain avg gets
+    * wrong). Values are quantized to integer milli-units BEFORE the
+    * weight multiply, so Σ v·gap is an exact int64 sum on both engines
+    * (a double product sum would be addition-order-dependent); gaps are
+    * integer epoch-microsecond diffs from a per-user lead. */
+  private val qTimeWeighted: Q = (s, sf) => {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    t(s, sf, "events")
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 1000).cast("long").as("v"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("nxt", lead("us", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      // ms-floored gaps: Σ v·gap then fits int64 even at a multi-year
+      // span × max value (µs gaps would overflow at ~1.8e19 there)
+      .withColumn("gap", expr("(nxt - us) DIV 1000"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("v") * col("gap")) /
+          (sum("gap") * lit(1000.0)), 4).as("twa"))
+      .orderBy("user_id").limit(100)
+  }
+
+  /** CUSUM changepoint on the daily revenue series: the day t maximizing
+    * |n·cumsum(t) − t·total| — the scaled spelling of |Σ_{i≤t}(x_i − x̄)|
+    * that stays ENTIRELY in int64 (cents), so the argmax cannot be
+    * flipped by float rounding. One partial agg to the bounded day grid,
+    * one window pass over the grid (the qKs posture: state O(days), the
+    * fact table never sorts), broadcast totals. */
+  private val qChangepoint: Q = (s, sf) => {
+    val d = t(s, sf, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("dy"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+    val tot = d.agg(sum("c").as("tc"), count(lit(1)).as("nd"))
+    val w = Window.orderBy("dy")
+    d.withColumn("cum", sum("c").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("i", row_number().over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("dy"),
+        (col("nd") * col("cum") - col("i") * col("tc")).as("s"))
+      .orderBy(abs(col("s")).desc, col("dy")).limit(1)
+  }
+
+  /** Functional-dependency audit (does o_custkey determine
+    * o_orderpriority?): LHS groups with >1 distinct RHS are violations —
+    * the schema-inference / data-contract check. One exact
+    * count_distinct aggregate per LHS, then a 1-row rollup. */
+  private val qFdCheck: Q = (s, sf) =>
+    t(s, sf, "orders").groupBy("o_custkey")
+      .agg(countDistinct("o_orderpriority").as("nd"), count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("lhs_keys"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("violating_keys"),
+        sum(when(col("nd") > 1, col("n")).otherwise(0L)).as("violating_rows"),
+        max("nd").as("max_rhs"))
+
+  /** k-anonymity audit over the (nation, segment) quasi-identifier pair:
+    * groups smaller than k = 5 re-identify their members — the privacy
+    * gate before a demographic release (Sweeney '02). One grouped count
+    * + a 1-row rollup; k* (the dataset's actual anonymity level) is the
+    * min group size. */
+  private val qKanon: Q = (s, sf) =>
+    t(s, sf, "customer").groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n") < 5, 1L).otherwise(0L)).as("risky_groups"),
+        sum(when(col("n") < 5, col("n")).otherwise(0L)).as("risky_rows"),
+        min("n").as("k_star"))
+
+  /** Degree assortativity of the trade graph: Pearson r between endpoint
+    * degrees across (symmetrized) edges — positive = hubs link hubs
+    * (Newman '02). All six moment sums are exact int64 (degrees are
+    * counts); the only doubles are the shared-spelling final formula, so
+    * r is bit-stable. Degree table is O(nodes) and broadcast to the edge
+    * scan — edges never shuffle. */
+  private val qAssortativity: Q = (s, sf) => {
+    val e = tradeEdges(s, sf)
+    val deg = e.groupBy("s").agg(count(lit(1)).as("dg"))
+    val ed = e.join(broadcast(deg), "s")
+      .join(broadcast(deg.select(col("s").as("d"), col("dg").as("dh"))), "d")
+    ed.agg(count(lit(1)).as("m"), sum("dg").as("sx"), sum("dh").as("sy"),
+        sum(col("dg") * col("dh")).as("sxy"),
+        sum(col("dg") * col("dg")).as("sxx"),
+        sum(col("dh") * col("dh")).as("syy"))
+      .select(col("m"), round(
+        (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("m") * col("syy") - col("sy") * col("sy")).cast("double")),
+        6).as("r"))
+  }
+
+  /** Equal-frequency quality binning (the curriculum-phase assignment):
+    * exact quartile cutpoints of the quantized quality score, broadcast
+    * back, each document classified by ≤-comparison — no global sort of
+    * the corpus, state O(cutpoints) (at 100 TB swap approx_percentile
+    * into the cutpoint agg; the classify join is unchanged). */
+  private val qQuantileBin: Q = (s, sf) => {
+    val scored = t(s, sf, "documents").select(col("doc_id"),
+      TextAnalysis.qualityScore("text", "n_chars").as("score"))
+    val cuts = scored.agg(
+      expr("percentile(score, array(0.25, 0.5, 0.75))").as("c"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("score"),
+        when(col("score") <= col("c")(0), 1)
+          .when(col("score") <= col("c")(1), 2)
+          .when(col("score") <= col("c")(2), 3).otherwise(4).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), round(min("score"), 4).as("lo"),
+        round(max("score"), 4).as("hi"), sum("doc_id").as("chk"))
+      .orderBy("bin")
+  }
+
+  /** Lag-1..3 autocorrelation of the monthly revenue series — the
+    * seasonality probe. Months aggregate to integer DOLLARS ((c+50) DIV
+    * 100 — a shared integer rounding spelling), the lagged pairing is an
+    * equi self-join on add_months over the ~80-row month grid, and every
+    * moment sum is exact int64; only the final r is double. */
+  private val qAutocorr: Q = (s, sf) => {
+    val m = t(s, sf, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("mo"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cc"))
+      // thousand-dollar units keep every moment sum (n·Σxy, Σx·Σy)
+      // inside int64 at any plausible SF
+      .select(col("mo"), expr("(cc + 50000) DIV 100000").as("c"))
+      .localCheckpoint(true) // tiny grid, feeds 3 lag joins
+    val lags = (1 to 3).map { l =>
+      m.as("a").join(m.as("b"),
+          col("b.mo") === add_months(col("a.mo"), -l))
+        .select(lit(l).as("lg"), col("a.c").as("x"), col("b.c").as("y"))
+    }.reduce(_.unionAll(_))
+    lags.groupBy("lg")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lg"), col("n"), round(
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+        6).as("r"))
+      .orderBy("lg")
+  }
+
+  /** Deterministic 3-step random walks from the low-id customer nodes:
+    * at each step the walker moves to the neighbor with the smallest
+    * md5(seed-tagged step key) — hash-derandomized node2vec-style
+    * sampling (the [[Sampling]] md5 discipline applied to graph
+    * traversal), so walks are reproducible across runs, partitionings,
+    * and engines. Each step is one equi-join of the O(seeds) frontier
+    * against the edge list + a min-struct argmin — never a cartesian. */
+  private val qRandomWalk: Q = (s, sf) => {
+    val e = tradeEdges(s, sf).localCheckpoint(true) // 3 step joins
+    def step(fr: DataFrame, carried: Seq[String], i: Int): DataFrame = {
+      val prev = carried.last
+      val h = md5(concat_ws(":", lit("rw"), lit(i),
+        col(prev).cast("string"), col("d").cast("string")))
+      fr.join(e, col(prev) === col("s"))
+        .groupBy(carried.map(col): _*)
+        .agg(min(struct(h.as("h"), col("d").as("d"))).as("m"))
+        .select(carried.map(col) :+ col("m.d").as(s"n$i"): _*)
+    }
+    val seeds = e.select(col("s").as("seed")).distinct()
+      .filter(col("seed") % 2 === 0 && col("seed") < 200)
+    val s1 = step(seeds, Seq("seed"), 1)
+    val s2 = step(s1, Seq("seed", "n1"), 2)
+    step(s2, Seq("seed", "n1", "n2"), 3)
+      .orderBy("seed")
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_skyline" -> qSkyline,
+    "q_target_encode" -> qTargetEncode,
+    "q_time_weighted" -> qTimeWeighted,
+    "q_changepoint" -> qChangepoint,
+    "q_fd_check" -> qFdCheck,
+    "q_kanon" -> qKanon,
+    "q_assortativity" -> qAssortativity,
+    "q_quantile_bin" -> qQuantileBin,
+    "q_autocorr" -> qAutocorr,
+    "q_random_walk" -> qRandomWalk,
     "q_maxsim" -> qMaxsim,
     "q_vocab_coverage" -> qVocabCoverage,
     "q_path_mining" -> qPathMining,
