@@ -370,6 +370,81 @@ object OracleSql {
       "FROM a ORDER BY doc_id LIMIT 100"
 
   val all: Map[String, String] = Map(
+    // shared-window argmax: mode() builtins are tie-undefined in both
+    // engines, so both spell the same row_number
+    "q_mode" ->
+      ("WITH c AS (SELECT user_id, event_type, count(*) n FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT user_id, event_type, n, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY n DESC, event_type) rn FROM c) " +
+        "SELECT user_id, event_type modal, n FROM r WHERE rn = 1 " +
+        "ORDER BY user_id LIMIT 100"),
+    "q_gaps_islands" ->
+      ("WITH w AS (SELECT user_id, event_id, event_id - row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY event_id) isl FROM events), " +
+        "i AS (SELECT user_id, isl, count(*) sz FROM w GROUP BY 1, 2) " +
+        "SELECT user_id, count(*) islands, max(sz) longest, " +
+        "CAST(sum(sz) AS BIGINT) n FROM i GROUP BY user_id " +
+        "ORDER BY user_id LIMIT 100"),
+    // open-flag = start beyond running max end (exact int64 µs)
+    "q_interval_coalesce" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) st, " +
+        "epoch_us(ts) + CAST(round(value*1000) AS BIGINT)*1000 en FROM events), " +
+        "p AS (SELECT user_id, event_id, st, en, max(en) OVER (PARTITION BY user_id " +
+        "ORDER BY st, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pmax FROM e), " +
+        "f AS (SELECT user_id, event_id, st, en, " +
+        "CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END op FROM p), " +
+        "g AS (SELECT user_id, st, en, sum(op) OVER (PARTITION BY user_id " +
+        "ORDER BY st, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) grp FROM f), " +
+        "m AS (SELECT user_id, grp, min(st) ms, max(en) me FROM g GROUP BY 1, 2) " +
+        "SELECT user_id, count(*) merged, CAST(sum(me - ms) AS BIGINT) covered_us " +
+        "FROM m GROUP BY user_id ORDER BY user_id LIMIT 100"),
+    // integer regressors -> exact moment sums; doubles only at the end
+    "q_grouped_regression" ->
+      ("WITH d AS (SELECT lang, CAST(len(string_split(text,' ')) AS BIGINT) x, " +
+        "CAST(n_chars AS BIGINT) y FROM documents), " +
+        "g AS (SELECT lang, count(*) n, CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy, " +
+        "CAST(sum(x*y) AS BIGINT) sxy, CAST(sum(x*x) AS BIGINT) sxx FROM d GROUP BY lang) " +
+        "SELECT lang, n, round(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) slope, " +
+        "round((sy - CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) * sx) / n, 4) icept " +
+        "FROM g ORDER BY lang"),
+    // bins with mass on both sides only; CASTs force double division
+    // (DuckDB int/int is integer division where Spark's is double)
+    "q_psi" ->
+      ("WITH ev AS (SELECT event_type, CAST(floor(value) AS BIGINT) g FROM events), " +
+        "a AS (SELECT g, count(*) na FROM ev WHERE event_type = 'click' GROUP BY g), " +
+        "b AS (SELECT g, count(*) nb FROM ev WHERE event_type <> 'click' GROUP BY g), " +
+        "j AS (SELECT a.g, na, nb FROM a JOIN b ON a.g = b.g), " +
+        "t AS (SELECT CAST(sum(na) AS BIGINT) ta, CAST(sum(nb) AS BIGINT) tb FROM j) " +
+        "SELECT round(sum(((CAST(na AS DOUBLE)/ta) - (CAST(nb AS DOUBLE)/tb)) * " +
+        "ln((CAST(na AS DOUBLE)/ta) / (CAST(nb AS DOUBLE)/tb))), 4) psi FROM j, t"),
+    "q_values_join" ->
+      ("WITH sla(pri, sla_days) AS (VALUES ('1-URGENT', 1), ('2-HIGH', 3), " +
+        "('3-MEDIUM', 7), ('4-NOT SPECIFIED', 14), ('5-LOW', 30)) " +
+        "SELECT sla_days, count(*) n, round(sum(o_totalprice), 2) rev " +
+        "FROM orders JOIN sla ON o_orderpriority = pri " +
+        "GROUP BY sla_days ORDER BY sla_days"),
+    // forward as-of = the backward union+window plan on a flipped time
+    // axis (ORDER BY t DESC); tag ASC keeps same-instant matches inclusive
+    "q_asof_fwd" ->
+      ("WITH u AS (SELECT user_id k, ts t, 1 tag, event_id le, CAST(NULL AS BIGINT) re " +
+        "FROM events WHERE event_type = 'error' " +
+        "UNION ALL SELECT user_id, ts, 0, CAST(NULL AS BIGINT), event_id " +
+        "FROM events WHERE event_type = 'view') " +
+        "SELECT le event_id, k user_id, mk asof_vid FROM " +
+        "(SELECT u.*, last_value(re IGNORE NULLS) OVER (PARTITION BY k " +
+        "ORDER BY t DESC, tag ASC, re DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) mk " +
+        "FROM u) w WHERE tag = 1 ORDER BY le LIMIT 100"),
+    // 60-bit md5 prefix mod (tk-8), the simhashSql hash-parse spelling
+    "q_span_mask" ->
+      ("WITH d AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) tk " +
+        "FROM documents WHERE len(string_split(text,' ')) > 48), " +
+        "s AS (SELECT doc_id, tk, tk // 40 nspans FROM d), " +
+        "x AS (SELECT doc_id, tk, nspans, CAST(unnest(range(0, nspans)) AS BIGINT) i FROM s), " +
+        "h AS (SELECT doc_id, tk, nspans, " +
+        "CAST(concat('0x', substr(md5(concat_ws(':', 'span', CAST(doc_id AS VARCHAR), CAST(i AS VARCHAR))), 1, 15)) AS BIGINT) " +
+        "% (tk - 8) st FROM x) " +
+        "SELECT doc_id, tk, nspans, CAST(sum(st) AS BIGINT) chk, min(st) mn, max(st) mx " +
+        "FROM h GROUP BY 1, 2, 3 ORDER BY doc_id LIMIT 100"),
     // 2-D skyline via the bounded size grid: strictly-smaller-size
     // running min (ROWS .. 1 PRECEDING) + per-size min, same as engine
     "q_skyline" ->

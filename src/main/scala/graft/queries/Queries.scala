@@ -2931,9 +2931,172 @@ object Queries {
       .orderBy("seed")
   }
 
+  /** Deterministic per-group mode (most frequent event_type per user,
+    * smallest value on count ties): the grouped argmax spelled as a
+    * shared-window row_number so both engines resolve ties identically —
+    * mode() builtins are tie-UNDEFINED in both Spark and DuckDB. */
+  private val qMode: Q = (s, sf) => {
+    val c = t(s, sf, "events").groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("n").desc, col("event_type"))
+    c.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("modal"), col("n"))
+      .orderBy("user_id").limit(100)
+  }
+
+  /** Gaps-and-islands over each user's event-id sequence: island id =
+    * event_id − row_number() (constant within a consecutive run, the
+    * classic integer trick — no self-join, one per-user window), then
+    * two aggregates up: per-island lengths, per-user island stats. */
+  private val qGapsIslands: Q = (s, sf) => {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    t(s, sf, "events")
+      .select(col("user_id"), col("event_id"))
+      .withColumn("isl", col("event_id") - row_number().over(w))
+      .groupBy("user_id", "isl").agg(count(lit(1)).as("sz"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("islands"), max("sz").as("longest"),
+        sum("sz").as("n"))
+      .orderBy("user_id").limit(100)
+  }
+
+  /** Interval coalescing (merge overlapping per-user intervals — the
+    * union-of-time-ranges operator behind billing/visit dedup): interval
+    * = [ts, ts + value seconds) in integer µs; a row OPENS a new merged
+    * interval iff its start exceeds the running max end of all earlier
+    * rows (per-user window, exact int64), merged-interval id = running
+    * sum of the open flags, then one aggregate per merged interval and
+    * one per user. Sort is per user, never global. */
+  private val qIntervalCoalesce: Q = (s, sf) => {
+    val e = t(s, sf, "events").select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("st"),
+      (unix_micros(col("ts")) +
+        (round(col("value") * 1000).cast("long") * 1000)).as("en"))
+    val ord = Window.partitionBy("user_id").orderBy("st", "event_id")
+    val open = when(col("pmax").isNull || col("st") > col("pmax"), 1L)
+      .otherwise(0L)
+    e.withColumn("pmax", max("en").over(
+        ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("grp", sum(open).over(
+        ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "grp")
+      .agg(min("st").as("ms"), max("en").as("me"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("merged"),
+        sum(col("me") - col("ms")).as("covered_us"))
+      .orderBy("user_id").limit(100)
+  }
+
+  /** Per-language OLS fit of n_chars on token count (the grouped
+    * regression operator — per-segment trend lines in one pass): both
+    * regressors are integers, so all five moment sums are exact int64
+    * partial aggregates; slope/intercept are the only doubles and use
+    * one shared spelling. */
+  private val qGroupedRegression: Q = (s, sf) => {
+    val d = t(s, sf, "documents").select(col("lang"),
+      size(split(col("text"), " ")).cast("long").as("x"),
+      col("n_chars").cast("long").as("y"))
+    d.groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("lang"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+          col("sx")) / col("n"), 4).as("icept"))
+      .orderBy("lang")
+  }
+
+  /** Population stability index (the model-monitoring drift gate,
+    * completing the drift family: KL = q_drift, JSD, KS): click
+    * distribution vs all-other events over floor-quantized value bins,
+    * PSI = Σ (p_a − p_e)·ln(p_a / p_e) over bins where both sides have
+    * mass. Counts aggregate exactly; doubles appear only in the shared
+    * final formula (the q_drift posture); state is O(bins). */
+  private val qPsi: Q = (s, sf) => {
+    val ev = t(s, sf, "events").select(col("event_type"),
+      floor(col("value")).cast("long").as("g"))
+    val a = ev.filter(col("event_type") === "click")
+      .groupBy("g").agg(count(lit(1)).as("na"))
+    val b = ev.filter(col("event_type") =!= "click")
+      .groupBy("g").agg(count(lit(1)).as("nb"))
+    val tot = a.join(b, "g")
+      .agg(sum("na").as("ta"), sum("nb").as("tb"))
+    a.join(b, "g").crossJoin(broadcast(tot))
+      .select(((col("na") / col("ta")) - (col("nb") / col("tb"))) *
+        log((col("na") / col("ta")) / (col("nb") / col("tb"))) as "term")
+      .agg(round(sum("term"), 4).as("psi"))
+  }
+
+  /** Inline VALUES dimension (the literal lookup-table join every BI
+    * query uses for label/priority maps): a 5-row literal frame joined
+    * broadcast onto orders — never a shuffle for the dimension. */
+  private val qValuesJoin: Q = (s, sf) => {
+    import s.implicits._
+    val sla = Seq(("1-URGENT", 1), ("2-HIGH", 3), ("3-MEDIUM", 7),
+      ("4-NOT SPECIFIED", 14), ("5-LOW", 30)).toDF("pri", "sla_days")
+    t(s, sf, "orders").join(broadcast(sla),
+        col("o_orderpriority") === col("pri"))
+      .groupBy("sla_days")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("rev"))
+      .orderBy("sla_days")
+  }
+
+  /** Forward as-of join: each error event attaches the NEXT view event
+    * of the same user (the recovery-time pairing) — [[AsOfJoin.asOf]]
+    * with direction="forward", the time-flipped mirror of q_join_asof's
+    * backward union+window plan (one shuffle by key, no range join). */
+  private val qAsofFwd: Q = (s, sf) => {
+    val ev = t(s, sf, "events")
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val view = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vk"), col("ts").as("vts"),
+        col("event_id").as("vid"))
+    AsOfJoin.asOf(err, view, "user_id", "vk", "ts", "vts",
+        carry = Seq("vid"), direction = "forward")
+      .select(col("event_id"), col("user_id"), col("asof_vid"))
+      .orderBy("event_id").limit(100)
+  }
+
+  /** Deterministic span-corruption plan (T5-style masking, planned as
+    * data): each document with >8 tokens gets ⌊tokens/40⌋ mask spans,
+    * span i starting at md5(doc,i) mod (tokens−8) — the [[Sampling]]
+    * hash discipline, so the plan is reproducible across engines and
+    * retries. One explode of a per-doc integer sequence, no UDFs. */
+  private val qSpanMask: Q = (s, sf) => {
+    val d = t(s, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tk"))
+      .filter(col("tk") > lit(48))
+      .withColumn("nspans", expr("tk DIV 40"))
+    d.select(col("doc_id"), col("tk"), col("nspans"),
+        explode(sequence(lit(0L), col("nspans") - 1)).as("i"))
+      .withColumn("h", conv(substring(md5(concat_ws(":",
+        lit("span"), col("doc_id"), col("i"))), 1, 15), 16, 10).cast("long"))
+      .withColumn("st", pmod(col("h"), col("tk") - 8))
+      .groupBy("doc_id", "tk", "nspans")
+      .agg(sum("st").as("chk"), min("st").as("mn"),
+        max("st").as("mx"))
+      .orderBy("doc_id").limit(100)
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_mode" -> qMode,
+    "q_gaps_islands" -> qGapsIslands,
+    "q_interval_coalesce" -> qIntervalCoalesce,
+    "q_grouped_regression" -> qGroupedRegression,
+    "q_psi" -> qPsi,
+    "q_values_join" -> qValuesJoin,
+    "q_asof_fwd" -> qAsofFwd,
+    "q_span_mask" -> qSpanMask,
     "q_skyline" -> qSkyline,
     "q_target_encode" -> qTargetEncode,
     "q_time_weighted" -> qTimeWeighted,
