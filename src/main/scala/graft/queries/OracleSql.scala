@@ -370,6 +370,50 @@ object OracleSql {
       "FROM a ORDER BY doc_id LIMIT 100"
 
   val all: Map[String, String] = Map(
+    // exact per-arm counts; CAST(1 AS DOUBLE) avoids DuckDB's decimal
+    // literal arithmetic where Spark's 1.0 is a double
+    "q_abtest" ->
+      ("WITH e AS (SELECT (user_id % 2 = 0) arma, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END clk FROM events), " +
+        "g AS (SELECT arma, count(*) n, CAST(sum(clk) AS BIGINT) k FROM e GROUP BY arma), " +
+        "s AS (SELECT CAST(sum(CASE WHEN arma THEN n END) AS BIGINT) na, CAST(sum(CASE WHEN arma THEN k END) AS BIGINT) ka, " +
+        "CAST(sum(CASE WHEN NOT arma THEN n END) AS BIGINT) nb, CAST(sum(CASE WHEN NOT arma THEN k END) AS BIGINT) kb FROM g) " +
+        "SELECT na, nb, round(ka/CAST(na AS DOUBLE), 6) pa, round(kb/CAST(nb AS DOUBLE), 6) pb, " +
+        "round((ka/CAST(na AS DOUBLE) - kb/CAST(nb AS DOUBLE)) / " +
+        "sqrt(((ka+kb)/CAST(na+nb AS DOUBLE)) * (1.0 - (ka+kb)/CAST(na+nb AS DOUBLE)) * " +
+        "(CAST(1 AS DOUBLE)/na + CAST(1 AS DOUBLE)/nb)), 4) z FROM s"),
+    // ascending-rank formula with integer dollars: exact under tie order
+    "q_gini" ->
+      ("WITH sp AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) cc FROM orders GROUP BY 1), " +
+        "d AS (SELECT o_custkey, (cc + 50) // 100 x FROM sp), " +
+        "r AS (SELECT x, row_number() OVER (ORDER BY x, o_custkey) i FROM d), " +
+        "g AS (SELECT count(*) n, CAST(sum(x) AS BIGINT) sx, CAST(sum(i*x) AS BIGINT) six FROM r) " +
+        "SELECT n, round(CAST(2*six - (n+1)*sx AS DOUBLE) / CAST(n*sx AS DOUBLE), 6) gini FROM g"),
+    // overlap@d = cumulative count of max(ra, rb) <= d on the depth grid
+    "q_rbo" ->
+      ("WITH li AS (SELECT l_suppkey, CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) rev, count(*) cnt FROM lineitem GROUP BY 1), " +
+        "a AS (SELECT * FROM (SELECT l_suppkey, row_number() OVER (ORDER BY rev DESC, l_suppkey) ra FROM li) WHERE ra <= 20), " +
+        "b AS (SELECT * FROM (SELECT l_suppkey, row_number() OVER (ORDER BY cnt DESC, l_suppkey) rb FROM li) WHERE rb <= 20), " +
+        "p AS (SELECT greatest(ra, rb) m FROM a JOIN b USING (l_suppkey)), " +
+        "grid AS (SELECT CAST(unnest(range(1, 21)) AS INT) d), " +
+        "x AS (SELECT d, count(*) xd FROM grid JOIN p ON m <= d GROUP BY d) " +
+        "SELECT round(sum(0.1 * pow(0.9, d - 1) * xd / d), 4) rbo, " +
+        "max(CASE WHEN d = 20 THEN xd END) overlap20 FROM x"),
+    // Monday=0 on both engines: Spark weekday == DuckDB isodow - 1
+    "q_dow_profile" ->
+      ("WITH d AS (SELECT isodow(o_orderdate) - 1 dow, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) c FROM orders GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(c) AS BIGINT) tc FROM d) " +
+        "SELECT dow, round(c/CAST(tc AS DOUBLE), 6) shr, " +
+        "round(7.0*c/CAST(tc AS DOUBLE), 4) idx FROM d, t ORDER BY dow"),
+    // chi-square on the bounded contingency grid, exact marginals
+    "q_cramers_v" ->
+      ("WITH obs AS (SELECT c_nationkey, c_mktsegment, count(*) o FROM customer GROUP BY 1, 2), " +
+        "rm AS (SELECT c_nationkey, CAST(sum(o) AS BIGINT) rn FROM obs GROUP BY 1), " +
+        "cm AS (SELECT c_mktsegment, CAST(sum(o) AS BIGINT) cn FROM obs GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(o) AS BIGINT) n, count(DISTINCT c_nationkey) r, count(DISTINCT c_mktsegment) k FROM obs), " +
+        "te AS (SELECT n, r, k, (o - rn*cn/CAST(n AS DOUBLE)) * (o - rn*cn/CAST(n AS DOUBLE)) / " +
+        "(rn*cn/CAST(n AS DOUBLE)) term FROM obs JOIN rm USING (c_nationkey) JOIN cm USING (c_mktsegment), tt), " +
+        "g AS (SELECT n, r, k, sum(term) chi2 FROM te GROUP BY 1, 2, 3) " +
+        "SELECT round(chi2, 4) chi2, round(sqrt(chi2 / CAST(n*least(r-1, k-1) AS DOUBLE)), 6) v FROM g"),
     // shared-window argmax: mode() builtins are tie-undefined in both
     // engines, so both spell the same row_number
     "q_mode" ->

@@ -3086,9 +3086,130 @@ object Queries {
       .orderBy("doc_id").limit(100)
   }
 
+  /** Two-proportion A/B z-test on click-through (users split by id
+    * parity — the deterministic assignment of [[qSplitAssign]]): exact
+    * integer counts per arm, the pooled-variance z only at the end with
+    * one shared spelling. The experiment readout every product team
+    * runs; at any scale it is two partial-agg passes. */
+  private val qAbtest: Q = (s, sf) => {
+    val e = t(s, sf, "events").select(
+      (col("user_id") % 2 === 0).as("arma"),
+      (col("event_type") === "click").cast("long").as("clk"))
+    e.groupBy("arma")
+      .agg(count(lit(1)).as("n"), sum("clk").as("k"))
+      .agg(
+        sum(when(col("arma"), col("n"))).as("na"),
+        sum(when(col("arma"), col("k"))).as("ka"),
+        sum(when(!col("arma"), col("n"))).as("nb"),
+        sum(when(!col("arma"), col("k"))).as("kb"))
+      .select(col("na"), col("nb"),
+        round(col("ka") / col("na").cast("double"), 6).as("pa"),
+        round(col("kb") / col("nb").cast("double"), 6).as("pb"),
+        round((col("ka") / col("na").cast("double") -
+          col("kb") / col("nb").cast("double")) /
+          sqrt(((col("ka") + col("kb")) / (col("na") + col("nb"))
+            .cast("double")) *
+            (lit(1.0) - (col("ka") + col("kb")) / (col("na") + col("nb"))
+              .cast("double")) *
+            (lit(1.0) / col("na") + lit(1.0) / col("nb"))), 4).as("z"))
+  }
+
+  /** Gini coefficient of customer revenue — the inequality audit:
+    * G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted
+    * per-customer DOLLAR totals (integer (c+50) DIV 100, so every sum is
+    * exact int64 and ties contribute identically under any tie order).
+    * The rank window runs on the AGGREGATED per-customer frame (≪ facts);
+    * at 100 TB swap in a two-pass distributed rank (per-partition counts
+    * + offset join) — the formula is unchanged. */
+  private val qGini: Q = (s, sf) => {
+    val sp = t(s, sf, "orders").groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cc"))
+      .select(col("o_custkey"), expr("(cc + 50) DIV 100").as("x"))
+    val w = Window.orderBy(col("x"), col("o_custkey"))
+    sp.withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("n"), round(
+        (lit(2) * col("six") - (col("n") + 1) * col("sx")).cast("double") /
+          (col("n") * col("sx")).cast("double"), 6).as("gini"))
+  }
+
+  /** Rank-biased overlap (Webber '10, p = 0.9, depth 20) between the
+    * supplier ranking by revenue and by shipment count — the rank-list
+    * comparison metric that weights the head. Both rankings are bounded
+    * windows over the per-supplier aggregate; an item pair's first
+    * common depth is max(r_rev, r_cnt), so overlap@d is one cumulative
+    * count — the whole metric runs on a ≤20-row grid. */
+  private val qRbo: Q = (s, sf) => {
+    val li = t(s, sf, "lineitem").groupBy("l_suppkey")
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"),
+        count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // two ranking consumers
+    val byRev = li.withColumn("ra", row_number().over(
+      Window.orderBy(col("rev").desc, col("l_suppkey")))).filter(col("ra") <= 20)
+    val byCnt = li.withColumn("rb", row_number().over(
+      Window.orderBy(col("cnt").desc, col("l_suppkey")))).filter(col("rb") <= 20)
+    val both = byRev.select("l_suppkey", "ra")
+      .join(byCnt.select("l_suppkey", "rb"), "l_suppkey")
+      .select(greatest(col("ra"), col("rb")).as("m"))
+    val grid = s.range(1, 21).select(col("id").cast("int").as("d"))
+    grid.join(broadcast(both), col("m") <= col("d"))
+      .groupBy("d").agg(count(lit(1)).as("xd"))
+      .agg(round(sum(lit(0.1) * pow(lit(0.9), col("d") - 1) *
+        col("xd") / col("d")), 4).as("rbo"),
+        max(when(col("d") === 20, col("xd"))).as("overlap20"))
+  }
+
+  /** Day-of-week revenue profile (Monday=0): share and index vs the
+    * uniform week — the seasonality fingerprint. Integer-cents sums;
+    * broadcast total; doubles only in the two shared ratios. */
+  private val qDowProfile: Q = (s, sf) => {
+    val d = t(s, sf, "orders")
+      .groupBy(weekday(col("o_orderdate")).as("dow"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+    d.crossJoin(broadcast(d.agg(sum("c").as("tc"))))
+      .select(col("dow"), round(col("c") / col("tc").cast("double"), 6)
+        .as("shr"),
+        round(lit(7.0) * col("c") / col("tc").cast("double"), 4).as("idx"))
+      .orderBy("dow")
+  }
+
+  /** Cramér's V association between customer nation and market segment —
+    * the categorical-dependence screen (chi² over the bounded 25×5
+    * contingency grid, then V = √(χ²/(n·min(r−1,c−1)))). Observed and
+    * marginal counts are exact; expected frequencies and χ² are doubles
+    * on the tiny grid only. */
+  private val qCramersV: Q = (s, sf) => {
+    val c = t(s, sf, "customer")
+    val obs = c.groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("o")).localCheckpoint(true)
+    val rm = obs.groupBy("c_nationkey").agg(sum("o").as("rn"))
+    val cm = obs.groupBy("c_mktsegment").agg(sum("o").as("cn"))
+    val tot = obs.agg(sum("o").as("n"),
+      countDistinct("c_nationkey").as("r"),
+      countDistinct("c_mktsegment").as("k"))
+    obs.join(broadcast(rm), "c_nationkey")
+      .join(broadcast(cm), "c_mktsegment")
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("r"), col("k"),
+        ((col("o") - col("rn") * col("cn") / col("n").cast("double")) *
+          (col("o") - col("rn") * col("cn") / col("n").cast("double")) /
+          (col("rn") * col("cn") / col("n").cast("double"))).as("term"))
+      .groupBy("n", "r", "k").agg(sum("term").as("chi2"))
+      .select(round(col("chi2"), 4).as("chi2"),
+        round(sqrt(col("chi2") /
+          (col("n") * least(col("r") - 1, col("k") - 1)).cast("double")), 6)
+          .as("v"))
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_abtest" -> qAbtest,
+    "q_gini" -> qGini,
+    "q_rbo" -> qRbo,
+    "q_dow_profile" -> qDowProfile,
+    "q_cramers_v" -> qCramersV,
     "q_mode" -> qMode,
     "q_gaps_islands" -> qGapsIslands,
     "q_interval_coalesce" -> qIntervalCoalesce,
