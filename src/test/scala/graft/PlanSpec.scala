@@ -518,4 +518,51 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_skyline joins facts to the broadcast size grid; no pair join") {
+    val p = plan("q_skyline")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one join: the grid attach — a pair-join skyline would show 2+
+    assert("(?i)join".r.findAllIn(p).size ==
+      "BroadcastHashJoin".r.findAllIn(p).size, p)
+  }
+
+  test("q_assortativity broadcasts the degree table to the edge scan") {
+    val p = plan("q_assortativity")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_quantile_bin classifies via broadcast cutpoints, no global sort") {
+    val p = plan("q_quantile_bin")
+    assert(p.contains("BroadcastExchange"), p)
+    // the corpus itself must not pass through a Window (cutpoint agg only)
+    assert(!p.contains("RunningWindowFunction"), p)
+  }
+
+  test("q_interval_coalesce windows per user, never globally") {
+    val p = plan("q_interval_coalesce")
+    assert(p.contains("Window"), p)
+    assert(p.contains("user_id"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_random_walk steps are equi joins: never cartesian") {
+    val p = plan("q_random_walk")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_gini ranks the per-customer aggregate, not the fact rows") {
+    val p = Queries.all("q_gini")(spark, sf001).queryExecution.optimizedPlan
+    // the Window must sit ABOVE the aggregate in the tree: facts
+    // aggregate first, only ~customers rows are sorted
+    val w = p.collect {
+      case n: org.apache.spark.sql.catalyst.plans.logical.Window => n }
+    assert(w.nonEmpty, p.toString)
+    assert(w.head.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.nonEmpty, "window input is not an aggregate:\n" + p.toString)
+  }
 }
