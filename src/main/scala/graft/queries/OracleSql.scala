@@ -370,6 +370,33 @@ object OracleSql {
       "FROM a ORDER BY doc_id LIMIT 100"
 
   val all: Map[String, String] = Map(
+    // engine = 2-pass grid selection; oracle = brute-force k-th by sort
+    "q_exact_median" ->
+      ("WITH s AS (SELECT count(*) n, (count(*) + 1) // 2 k FROM events), " +
+        "r AS (SELECT value v, row_number() OVER (ORDER BY value, event_id) rn FROM events) " +
+        "SELECT n, round(v, 2) median FROM r, s WHERE rn = k"),
+    // equi pair join on (customer, cents); date window is residual
+    "q_dup_payments" ->
+      ("WITH o AS (SELECT o_orderkey ok, o_custkey ck, CAST(round(o_totalprice*100) AS BIGINT) c, " +
+        "CAST(o_orderdate AS DATE) d FROM orders) " +
+        "SELECT count(*) pairs, CAST(sum(a.ok + b.ok) AS BIGINT) chk, count(DISTINCT a.ck) custs " +
+        "FROM o a JOIN o b ON a.ck = b.ck AND a.c = b.c AND a.ok < b.ok " +
+        "AND abs(date_diff('day', a.d, b.d)) <= 7"),
+    // distinct-accumulate via first day per user: linear, O(days) state
+    "q_cum_uniques" ->
+      ("WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) d0 FROM events GROUP BY 1), " +
+        "d AS (SELECT d0, count(*) nu FROM f GROUP BY 1) " +
+        "SELECT d0, nu, CAST(sum(nu) OVER (ORDER BY d0 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cum_users " +
+        "FROM d ORDER BY d0"),
+    // same ascending total order -> identical ntile bucket assignment
+    "q_lorenz" ->
+      ("WITH sp AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) cc FROM orders GROUP BY 1), " +
+        "d AS (SELECT o_custkey, (cc + 50) // 100 x FROM sp), " +
+        "n AS (SELECT o_custkey, x, ntile(10) OVER (ORDER BY x, o_custkey) dc FROM d), " +
+        "t AS (SELECT CAST(sum(x) AS BIGINT) tot FROM d) " +
+        "SELECT dc, count(*) n, CAST(sum(x) AS BIGINT) mass, " +
+        "round(CAST(sum(x) AS BIGINT)/CAST(tot AS DOUBLE), 6) mshare " +
+        "FROM n, t GROUP BY dc, tot ORDER BY dc"),
     // exact per-arm counts; CAST(1 AS DOUBLE) avoids DuckDB's decimal
     // literal arithmetic where Spark's 1.0 is a double
     "q_abtest" ->

@@ -3202,9 +3202,92 @@ object Queries {
           .as("v"))
   }
 
+  /** Exact median WITHOUT a global sort — the distributed selection
+    * algorithm (2-pass grid partition select): pass 1 counts per
+    * floor(value) bin (bounded grid), a window over the GRID locates the
+    * bin holding the k-th value and how many precede it; pass 2 sorts
+    * ONLY that one bin's sliver for the offset. The oracle brute-forces
+    * the same k-th element by full sort — different algorithm, same
+    * answer. Lower median ((n+1) DIV 2, event_id tie-break) so the
+    * selected element is unique and engine-independent. */
+  private val qExactMedian: Q = (s, sf) => {
+    val e = t(s, sf, "events").select(col("value").as("v"), col("event_id"))
+    val grid = e.groupBy(floor(col("v")).cast("long").as("g"))
+      .agg(count(lit(1)).as("c"))
+    val wg = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = grid.withColumn("cum", sum("c").over(wg))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n"),
+        ((count(lit(1)) + 1) / 2).cast("long").as("k"))))
+    val mbin = cum.filter(col("cum") >= col("k"))
+      .orderBy("g").limit(1)
+      .select(col("g"), (col("cum") - col("c")).as("prev"),
+        col("n"), col("k"))
+    val wv = Window.orderBy("v", "event_id")
+    e.join(broadcast(mbin), floor(col("v")).cast("long") === col("g"))
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === col("k") - col("prev"))
+      .select(col("n"), round(col("v"), 2).as("median"))
+  }
+
+  /** Duplicate-payment audit (same customer, same amount, ≤7 days
+    * apart — the AP fraud screen): the pair join is EQUI on (customer,
+    * integer cents) so candidate pairs only form inside same-amount
+    * groups; the date window is a residual filter. Never cartesian at
+    * any scale. */
+  private val qDupPayments: Q = (s, sf) => {
+    val o = t(s, sf, "orders").select(col("o_orderkey").as("ok"),
+      col("o_custkey").as("ck"),
+      round(col("o_totalprice") * 100).cast("long").as("c"),
+      col("o_orderdate").cast("date").as("d"))
+    o.as("a").join(o.as("b"),
+        col("a.ck") === col("b.ck") && col("a.c") === col("b.c") &&
+          col("a.ok") < col("b.ok") &&
+          abs(datediff(col("b.d"), col("a.d"))) <= 7)
+      .agg(count(lit(1)).as("pairs"),
+        sum(col("a.ok") + col("b.ok")).as("chk"),
+        countDistinct(col("a.ck")).as("custs"))
+  }
+
+  /** Cumulative unique users by day (the growth chart's north-star
+    * line): distinct-accumulation via each user's FIRST day — one
+    * per-user min, one per-day count, one window over the bounded day
+    * grid. The naive per-day COUNT(DISTINCT ... WHERE ts <= day) rescans
+    * the corpus per day; this is linear + O(days) state. */
+  private val qCumUniques: Q = (s, sf) => {
+    val f = t(s, sf, "events")
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("d0"))
+    val daily = f.groupBy("d0").agg(count(lit(1)).as("nu"))
+    daily.withColumn("cum_users", sum("nu").over(
+        Window.orderBy("d0").rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy("d0")
+  }
+
+  /** Lorenz-curve deciles of customer revenue (the distribution table
+    * behind [[qGini]]'s scalar): ntile(10) over ascending integer
+    * dollars — per-decile count, mass, and share. Window on the
+    * per-customer aggregate; both engines assign ntile remainders to the
+    * leading buckets identically given the same total order. */
+  private val qLorenz: Q = (s, sf) => {
+    val sp = t(s, sf, "orders").groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cc"))
+      .select(col("o_custkey"), expr("(cc + 50) DIV 100").as("x"))
+    val dec = sp.withColumn("dc", ntile(10).over(
+      Window.orderBy(col("x"), col("o_custkey"))))
+    dec.groupBy("dc")
+      .agg(count(lit(1)).as("n"), sum("x").as("mass"))
+      .crossJoin(broadcast(sp.agg(sum("x").as("tot"))))
+      .select(col("dc"), col("n"), col("mass"),
+        round(col("mass") / col("tot").cast("double"), 6).as("mshare"))
+      .orderBy("dc")
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_exact_median" -> qExactMedian,
+    "q_dup_payments" -> qDupPayments,
+    "q_cum_uniques" -> qCumUniques,
+    "q_lorenz" -> qLorenz,
     "q_abtest" -> qAbtest,
     "q_gini" -> qGini,
     "q_rbo" -> qRbo,
