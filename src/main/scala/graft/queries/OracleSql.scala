@@ -370,6 +370,41 @@ object OracleSql {
       "FROM a ORDER BY doc_id LIMIT 100"
 
   val all: Map[String, String] = Map(
+    // 2 unnormalized integer HITS rounds, unrolled
+    "q_hits" ->
+      ("WITH e AS (SELECT DISTINCT o_custkey*2 u, l_suppkey*2+1 v " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "a1 AS (SELECT v, count(*) a1 FROM e GROUP BY v), " +
+        "h1 AS (SELECT u, CAST(sum(a1) AS BIGINT) h1 FROM e JOIN a1 USING (v) GROUP BY u), " +
+        "a2 AS (SELECT v, CAST(sum(h1) AS BIGINT) a2 FROM e JOIN h1 USING (u) GROUP BY v) " +
+        "SELECT v, a2 FROM a2 ORDER BY a2 DESC, v LIMIT 20"),
+    // bounded quantity grid: cumulative-weight selection, exact int64
+    "q_weighted_median" ->
+      ("WITH g AS (SELECT CAST(l_quantity AS BIGINT) q, " +
+        "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) w FROM lineitem GROUP BY 1), " +
+        "c AS (SELECT q, CAST(sum(w) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) cum FROM g), " +
+        "t AS (SELECT CAST(sum(w) AS BIGINT) tw FROM g) " +
+        "SELECT q wmedian, cum, tw FROM c, t WHERE cum * 2 >= tw " +
+        "ORDER BY q LIMIT 1"),
+    // two bounded ranking windows joined on nation
+    "q_rank_change" ->
+      ("WITH r AS (SELECT c_nationkey nk, year(o_orderdate) yr, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) c " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE year(o_orderdate) BETWEEN 1996 AND 1997 GROUP BY 1, 2), " +
+        "a AS (SELECT nk, row_number() OVER (ORDER BY c DESC, nk) r96 FROM r WHERE yr = 1996), " +
+        "b AS (SELECT nk, row_number() OVER (ORDER BY c DESC, nk) r97 FROM r WHERE yr = 1997) " +
+        "SELECT nk, r96, r97, r96 - r97 delta FROM a JOIN b USING (nk) ORDER BY nk"),
+    // first-month classification via per-customer min, no self-join
+    "q_new_vs_returning" ->
+      ("WITH o AS (SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) mo, " +
+        "CAST(round(o_totalprice*100) AS BIGINT) c FROM orders), " +
+        "f AS (SELECT o_custkey, min(mo) fm FROM o GROUP BY 1) " +
+        "SELECT mo, CAST(sum(CASE WHEN mo = fm THEN c ELSE 0 END) AS BIGINT) new_cents, " +
+        "CAST(sum(CASE WHEN mo <> fm THEN c ELSE 0 END) AS BIGINT) ret_cents, " +
+        "CAST(sum(CASE WHEN mo = fm THEN 1 ELSE 0 END) AS BIGINT) new_n, " +
+        "CAST(sum(CASE WHEN mo <> fm THEN 1 ELSE 0 END) AS BIGINT) ret_n " +
+        "FROM o JOIN f USING (o_custkey) GROUP BY mo ORDER BY mo"),
     // engine = 2-pass grid selection; oracle = brute-force k-th by sort
     "q_exact_median" ->
       ("WITH s AS (SELECT count(*) n, (count(*) + 1) // 2 k FROM events), " +

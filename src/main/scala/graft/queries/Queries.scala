@@ -3281,9 +3281,90 @@ object Queries {
       .orderBy("dc")
   }
 
+  /** HITS hubs/authorities (Kleinberg '99), 2 UNNORMALIZED integer
+    * rounds on the directed customer→supplier graph: a₁ = indegree,
+    * h₁ = Σ_out a₁, a₂ = Σ_in h₁ — every score is an exact int64 (2
+    * rounds bound scores by deg⁴ ≪ 2⁶³; normalization is what needs
+    * floats, and rounds-as-semantic is what makes it oracle-able, the
+    * [[qPagerank]] posture). Top-20 authorities with their scores. Per
+    * round one equi join + one partial agg — the pagerank shuffle shape. */
+  private val qHits: Q = (s, sf) => {
+    val e = t(s, sf, "orders")
+      .join(t(s, sf, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+      .distinct().localCheckpoint(true)
+    val a1 = e.groupBy("v").agg(count(lit(1)).as("a1"))
+    val h1 = e.join(a1, "v").groupBy("u").agg(sum("a1").as("h1"))
+    val a2 = e.join(h1, "u").groupBy("v").agg(sum("h1").as("a2"))
+    a2.orderBy(col("a2").desc, col("v")).limit(20)
+  }
+
+  /** Weighted median of line-item quantity, weighted by integer revenue
+    * cents — the robust center under value weighting (plain median
+    * ignores that a 10-unit line carries 10× the business mass). The
+    * quantity domain is a BOUNDED grid, so the cumulative-weight scan is
+    * a window over ≤50 grid rows after one partial agg: selection
+    * without sorting the facts, exact int64 throughout. */
+  private val qWeightedMedian: Q = (s, sf) => {
+    val g = t(s, sf, "lineitem")
+      .groupBy(col("l_quantity").cast("long").as("q"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("w"))
+    val wg = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    g.withColumn("cum", sum("w").over(wg))
+      .crossJoin(broadcast(g.agg(sum("w").as("tw"))))
+      .filter(col("cum") * 2 >= col("tw"))
+      .orderBy("q").limit(1)
+      .select(col("q").as("wmedian"), col("cum"), col("tw"))
+  }
+
+  /** Nation revenue rank change 1996→1997 (the market-share movers
+    * report): two bounded ranking windows over the per-nation-year
+    * aggregate, joined on nation — rank deltas in one pass over facts.
+    * Integer cents; ranks total-ordered by (revenue desc, nation). */
+  private val qRankChange: Q = (s, sf) => {
+    val r = t(s, sf, "orders")
+      .join(t(s, sf, "customer"), col("o_custkey") === col("c_custkey"))
+      .filter(year(col("o_orderdate")).between(1996, 1997))
+      .groupBy(col("c_nationkey").as("nk"), year(col("o_orderdate")).as("yr"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .localCheckpoint(true) // two ranking-window consumers
+    def ranked(y: Int, as: String) = r.filter(col("yr") === y)
+      .withColumn(as, row_number().over(
+        Window.orderBy(col("c").desc, col("nk"))))
+      .select(col("nk"), col(as))
+    ranked(1996, "r96").join(ranked(1997, "r97"), "nk")
+      .select(col("nk"), col("r96"), col("r97"),
+        (col("r96") - col("r97")).as("delta"))
+      .orderBy("nk")
+  }
+
+  /** New vs returning revenue split by month — the acquisition/retention
+    * board: each order classifies by whether its month is the customer's
+    * FIRST order month (one per-customer min, broadcast-joined back;
+    * facts never self-join). Integer cents. */
+  private val qNewVsReturning: Q = (s, sf) => {
+    val o = t(s, sf, "orders").select(col("o_custkey"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("mo"),
+      round(col("o_totalprice") * 100).cast("long").as("c"))
+    val first = o.groupBy("o_custkey").agg(min("mo").as("fm"))
+    o.join(first, "o_custkey")
+      .groupBy("mo")
+      .agg(sum(when(col("mo") === col("fm"), col("c"))
+          .otherwise(0L)).as("new_cents"),
+        sum(when(col("mo") =!= col("fm"), col("c"))
+          .otherwise(0L)).as("ret_cents"),
+        sum(when(col("mo") === col("fm"), 1L).otherwise(0L)).as("new_n"),
+        sum(when(col("mo") =!= col("fm"), 1L).otherwise(0L)).as("ret_n"))
+      .orderBy("mo")
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_hits" -> qHits,
+    "q_weighted_median" -> qWeightedMedian,
+    "q_rank_change" -> qRankChange,
+    "q_new_vs_returning" -> qNewVsReturning,
     "q_exact_median" -> qExactMedian,
     "q_dup_payments" -> qDupPayments,
     "q_cum_uniques" -> qCumUniques,
