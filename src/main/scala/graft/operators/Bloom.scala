@@ -78,9 +78,35 @@ object Bloom {
     require(!left.columns.contains(FilterCol),
       s"prune: left side already has a '$FilterCol' column — rename it")
     left.crossJoin(broadcast(
-        build(right, col(rightKey), k, mWords).withColumnRenamed("bloom", FilterCol)))
-      .filter(mightContain(col(FilterCol), col(leftKey), k, mWords))
+        build(right, canonKey(right, rightKey, left, leftKey), k, mWords)
+          .withColumnRenamed("bloom", FilterCol)))
+      .filter(mightContain(col(FilterCol),
+        canonKey(left, leftKey, right, rightKey), k, mWords))
       .drop(FilterCol)
+  }
+
+  /** The hash family ([[keyHashes]]) dispatches on the key's PHYSICAL
+    * type — `xxhash64(42: INT)` ≠ `xxhash64(42L: BIGINT)` — so build and
+    * probe keys of different integral widths would silently produce
+    * false NEGATIVES (dropped true matches), violating the operator's
+    * contract. Integral keys are therefore canonicalized to bigint on
+    * BOTH sides; any other cross-type pairing raises loudly instead of
+    * pruning wrongly. */
+  private def canonKey(df: DataFrame, key: String,
+      other: DataFrame, otherKey: String): Column = {
+    import org.apache.spark.sql.types._
+    val (t, ot) = (df.schema(key).dataType, other.schema(otherKey).dataType)
+    def integral(d: DataType) = d match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (integral(t) && integral(ot)) col(key).cast("bigint")
+    else {
+      require(t == ot, s"bloom join keys must share one hashable type — " +
+        s"got $key: $t vs $otherKey: $ot (xxhash64 is type-sensitive; " +
+        "cast both sides to a common type first)")
+      col(key)
+    }
   }
 
   // internal column names; prefixed so user schemas can't collide silently

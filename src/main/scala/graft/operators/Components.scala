@@ -247,12 +247,15 @@ object Components {
       .join(deg.select(col("v").as("b"), col("dg").as("db")), "b")
       .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
         when(aFirst, col("b")).otherwise(col("a")).as("w"))
-      // u-partitioned so BOTH consumers skip an exchange: the adjacency
-      // groupBy(u) aggregates in place and the probe's first join meets
-      // adj (also u-partitioned) exchange-free; only the second (w) join
-      // of the probe shuffles, and that one is inherent
-      .repartition(col("u"))
-      .cut // consumed by the adjacency agg AND the probe
+      // u-layout for BOTH consumers (adjacency groupBy(u) + the probe's
+      // u-join). Unlike the iterative loops' static frames (cutStatic,
+      // off by default), this one is unconditional: A/B at sf0.1 showed
+      // u-clustering pays even locally (3.2 s vs 4.4-4.9 s plain cut) —
+      // co-locating u keys collapses the adjacency partial agg before
+      // its exchange — and cutBy also DECLARES the layout (a bare
+      // repartition+localCheckpoint reports UnknownPartitioning under
+      // AQE, forfeiting the probe join's exchange skip).
+      .cutBy("u") // consumed by the adjacency agg AND the probe
     // edge-iterator form: a triangle π-ordered v1→v2→v3 is found exactly
     // once, at edge (v1,v2), as v3 ∈ N⁺(v1) ∩ N⁺(v2). Intersecting
     // adjacency ARRAYS per edge emits only true triangles — the wedge

@@ -23,8 +23,15 @@ object Retrieval {
     * global row_number window is a deliberate single-partition pass over
     * ≤ k rows, not the corpus. Ordering must be total (tie-broken to a
     * unique key) or ranks are not reproducible across engines. */
-  def withRank(df: DataFrame, order: Seq[Column]): DataFrame =
+  def withRank(df: DataFrame, order: Seq[Column]): DataFrame = {
+    // withColumn would silently OVERWRITE an existing rank (and rrfFuse
+    // would then fuse the wrong ranking) — collide loudly instead, the
+    // Bloom.prune FilterCol discipline
+    require(!df.columns.contains("rank"),
+      "withRank: input already has a 'rank' column — drop or rename it " +
+        "(it would be silently overwritten)")
     df.withColumn("rank", row_number().over(Window.orderBy(order: _*)))
+  }
 
   /** Reciprocal-rank fusion (Cormack et al. '09): score(d) =
     * Σ_lists 1/(k0 + rank_list(d)). Each input frame carries (`idCol`,

@@ -198,10 +198,19 @@ object Validate {
       val p = coalesce(col("ca"), lit(0L)).cast("double") / col("na")
       val q = coalesce(col("cb"), lit(0L)).cast("double") / col("nb")
       val m = (p + q) / 2
+      // each KL term is floor-quantized to integer nano-units BEFORE the
+      // distributed sum: a float SUM's value depends on partition order
+      // (the tokenEntropy discipline), so the quantized int64 sum is the
+      // only spelling that is bit-stable across runs, partitionings, and
+      // engines. Terms may be negative (p < m); floor(x·1e9 + 0.5) is
+      // the shared round-half-up in both dialects.
       ca.join(cb, Seq("w"), "full_outer")
         .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
-        .agg((sum(when(col("ca").isNotNull, p * log(p / m)).otherwise(0.0)) / 2 +
-          sum(when(col("cb").isNotNull, q * log(q / m)).otherwise(0.0)) / 2)
+        .agg(((sum(when(col("ca").isNotNull,
+            floor(p * log(p / m) * 1e9 + 0.5).cast("long")).otherwise(0L)) +
+          sum(when(col("cb").isNotNull,
+            floor(q * log(q / m) * 1e9 + 0.5).cast("long")).otherwise(0L)))
+          .cast("double") / 2e9)
           .as("jsd"))
         .select(lit(a).as("sa"), lit(b).as("sb"),
           // a slice absent from the data (or holding only empty texts)

@@ -301,8 +301,10 @@ object OracleSql {
       "FROM pairs JOIN c ON c.sl IN (pairs.sa, pairs.sb) GROUP BY pairs.sa, pairs.sb, w), " +
       "e AS (SELECT v.sa, v.sb, ca/ta.n p, cb/tb.n q " +
       "FROM v JOIN t ta ON ta.sl = v.sa JOIN t tb ON tb.sl = v.sb) " +
-      "SELECT sa, sb, round(sum(CASE WHEN p > 0 THEN p*ln(p/((p+q)/2)) ELSE 0 END)/2 + " +
-      "sum(CASE WHEN q > 0 THEN q*ln(q/((p+q)/2)) ELSE 0 END)/2, 4) jsd " +
+      // nano-unit quantized terms summed as BIGINT — the engine's
+      // partition-order-stable spelling, mirrored exactly
+      "SELECT sa, sb, round(CAST(sum(CAST(floor((CASE WHEN p > 0 THEN p*ln(p/((p+q)/2)) ELSE 0 END)*1000000000 + 0.5) AS BIGINT)) + " +
+      "sum(CAST(floor((CASE WHEN q > 0 THEN q*ln(q/((p+q)/2)) ELSE 0 END)*1000000000 + 0.5) AS BIGINT)) AS DOUBLE)/2000000000, 4) jsd " +
       "FROM e GROUP BY sa, sb ORDER BY sa, sb"
 
   // Doc-level co-occurrence PMI over the top-20 vocabulary.
@@ -472,9 +474,9 @@ object OracleSql {
         "rm AS (SELECT c_nationkey, CAST(sum(o) AS BIGINT) rn FROM obs GROUP BY 1), " +
         "cm AS (SELECT c_mktsegment, CAST(sum(o) AS BIGINT) cn FROM obs GROUP BY 1), " +
         "tt AS (SELECT CAST(sum(o) AS BIGINT) n, count(DISTINCT c_nationkey) r, count(DISTINCT c_mktsegment) k FROM obs), " +
-        "te AS (SELECT n, r, k, (o - rn*cn/CAST(n AS DOUBLE)) * (o - rn*cn/CAST(n AS DOUBLE)) / " +
-        "(rn*cn/CAST(n AS DOUBLE)) term FROM obs JOIN rm USING (c_nationkey) JOIN cm USING (c_mktsegment), tt), " +
-        "g AS (SELECT n, r, k, sum(term) chi2 FROM te GROUP BY 1, 2, 3) " +
+        "te AS (SELECT n, r, k, CAST(floor(((o - rn*cn/CAST(n AS DOUBLE)) * (o - rn*cn/CAST(n AS DOUBLE)) / " +
+        "(rn*cn/CAST(n AS DOUBLE)))*1000000000 + 0.5) AS BIGINT) tq FROM obs JOIN rm USING (c_nationkey) JOIN cm USING (c_mktsegment), tt), " +
+        "g AS (SELECT n, r, k, CAST(sum(tq) AS DOUBLE)/1000000000 chi2 FROM te GROUP BY 1, 2, 3) " +
         "SELECT round(chi2, 4) chi2, round(sqrt(chi2 / CAST(n*least(r-1, k-1) AS DOUBLE)), 6) v FROM g"),
     // shared-window argmax: mode() builtins are tie-undefined in both
     // engines, so both spell the same row_number
@@ -521,8 +523,8 @@ object OracleSql {
         "b AS (SELECT g, count(*) nb FROM ev WHERE event_type <> 'click' GROUP BY g), " +
         "j AS (SELECT a.g, na, nb FROM a JOIN b ON a.g = b.g), " +
         "t AS (SELECT CAST(sum(na) AS BIGINT) ta, CAST(sum(nb) AS BIGINT) tb FROM j) " +
-        "SELECT round(sum(((CAST(na AS DOUBLE)/ta) - (CAST(nb AS DOUBLE)/tb)) * " +
-        "ln((CAST(na AS DOUBLE)/ta) / (CAST(nb AS DOUBLE)/tb))), 4) psi FROM j, t"),
+        "SELECT round(CAST(sum(CAST(floor((((CAST(na AS DOUBLE)/ta) - (CAST(nb AS DOUBLE)/tb)) * " +
+        "ln((CAST(na AS DOUBLE)/ta) / (CAST(nb AS DOUBLE)/tb)))*1000000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000000, 4) psi FROM j, t"),
     "q_values_join" ->
       ("WITH sla(pri, sla_days) AS (VALUES ('1-URGENT', 1), ('2-HIGH', 3), " +
         "('3-MEDIUM', 7), ('4-NOT SPECIFIED', 14), ('5-LOW', 30)) " +

@@ -1707,13 +1707,21 @@ object Queries {
   /** One fixed scratch dir per purpose, wiped at each query start: a
     * fresh createTempDirectory per invocation would accumulate orphaned
     * data across bench warmup + timed + verify runs indefinitely. */
+  /** Process-scoped scratch path: the pid in the name keeps concurrent
+    * Bench/Verify/Time processes on one host from wiping each other's
+    * live run state mid-query (a shared fixed path made q_snapshot's
+    * RunLog replay racy); within one process re-invocations still reuse
+    * and reset the same dir so repeated bench passes don't accrete. */
   private def scratchDir(name: String): String = {
-    val p = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft-scratch-$name")
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-scratch-${ProcessHandle.current().pid()}-$name")
     if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
+      val walk = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      } finally walk.close()
     }
     java.nio.file.Files.createDirectories(p).toString
   }
@@ -3028,9 +3036,13 @@ object Queries {
     val tot = a.join(b, "g")
       .agg(sum("na").as("ta"), sum("nb").as("tb"))
     a.join(b, "g").crossJoin(broadcast(tot))
-      .select(((col("na") / col("ta")) - (col("nb") / col("tb"))) *
-        log((col("na") / col("ta")) / (col("nb") / col("tb"))) as "term")
-      .agg(round(sum("term"), 4).as("psi"))
+      // terms quantize to integer nano-units before the distributed sum
+      // (the jsDivergencePairs/tokenEntropy discipline): a float SUM is
+      // partition-order-dependent; the int64 sum is bit-stable
+      .select(floor((((col("na") / col("ta")) - (col("nb") / col("tb"))) *
+        log((col("na") / col("ta")) / (col("nb") / col("tb")))) * 1e9 + 0.5)
+        .cast("long").as("tq"))
+      .agg(round(sum("tq").cast("double") / 1e9, 4).as("psi"))
   }
 
   /** Inline VALUES dimension (the literal lookup-table join every BI
@@ -3191,11 +3203,15 @@ object Queries {
     obs.join(broadcast(rm), "c_nationkey")
       .join(broadcast(cm), "c_mktsegment")
       .crossJoin(broadcast(tot))
+      // nano-unit quantized χ² terms (the jsDivergencePairs discipline):
+      // the int64 sum is partition-order-stable where a float sum is not
       .select(col("n"), col("r"), col("k"),
-        ((col("o") - col("rn") * col("cn") / col("n").cast("double")) *
+        floor(((col("o") - col("rn") * col("cn") / col("n").cast("double")) *
           (col("o") - col("rn") * col("cn") / col("n").cast("double")) /
-          (col("rn") * col("cn") / col("n").cast("double"))).as("term"))
-      .groupBy("n", "r", "k").agg(sum("term").as("chi2"))
+          (col("rn") * col("cn") / col("n").cast("double"))) * 1e9 + 0.5)
+          .cast("long").as("tq"))
+      .groupBy("n", "r", "k")
+      .agg((sum("tq").cast("double") / 1e9).as("chi2"))
       .select(round(col("chi2"), 4).as("chi2"),
         round(sqrt(col("chi2") /
           (col("n") * least(col("r") - 1, col("k") - 1)).cast("double")), 6)

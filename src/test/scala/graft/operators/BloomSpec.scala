@@ -56,4 +56,24 @@ class BloomSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq
     assert(got == Seq(2L, 4L))
   }
+
+  test("mixed integral key widths canonicalize: no silent false negatives") {
+    import spark.implicits._
+    // xxhash64 dispatches on physical type: INT 42 and BIGINT 42 hash
+    // differently, which would drop every true match at the pre-filter
+    val l = Seq(1, 2, 3, 42).toDF("lk") // INT keys
+    val r = Seq(2L, 42L).toDF("rk")     // BIGINT keys
+    val got = Bloom.filteredSemiJoin(l, r, "lk", "rk")
+      .as[Int].collect().sorted.toSeq
+    assert(got == Seq(2, 42))
+  }
+
+  test("cross-type non-integral keys raise instead of pruning wrongly") {
+    import spark.implicits._
+    val l = Seq("1", "2").toDF("lk")
+    val r = Seq(1L, 2L).toDF("rk")
+    val e = intercept[IllegalArgumentException](
+      Bloom.filteredSemiJoin(l, r, "lk", "rk").collect())
+    assert(e.getMessage.contains("hashable type"))
+  }
 }
