@@ -372,6 +372,49 @@ object OracleSql {
       "FROM a ORDER BY doc_id LIMIT 100"
 
   val all: Map[String, String] = Map(
+    // md5-bucketed delete-one-group jackknife; exact integer partials
+    "q_jackknife" ->
+      ("WITH o AS (SELECT CAST(concat('0x', substr(md5(concat_ws(':', 'jk', CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) % 32 b, " +
+        "CAST(round(o_totalprice*100) AS BIGINT) c FROM orders), " +
+        "bk AS (SELECT b, CAST(sum(c) AS BIGINT) sb, count(*) nb FROM o GROUP BY b), " +
+        "t AS (SELECT CAST(sum(sb) AS BIGINT) st, CAST(sum(nb) AS BIGINT) nt, count(*) bn FROM bk), " +
+        "lom AS (SELECT CAST(st - sb AS DOUBLE)/(nt - nb) m, bn, nt, st FROM bk, t), " +
+        "g AS (SELECT bn, nt, st, sum(m) sm, sum(m*m) smm FROM lom GROUP BY 1, 2, 3) " +
+        "SELECT nt n, round(CAST(st AS DOUBLE)/nt/100.0, 4) mean, " +
+        "round(sqrt(((bn - 1)/CAST(bn AS DOUBLE)) * (smm - sm*sm/bn))/100.0, 4) se_jk FROM g"),
+    // Chapman '51 estimator from exact distinct captures
+    "q_capture_recapture" ->
+      ("WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'), " +
+        "b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'), " +
+        "m AS (SELECT count(*) m FROM a JOIN b USING (user_id)), " +
+        "ca AS (SELECT count(*) na FROM a), cb AS (SELECT count(*) nb FROM b) " +
+        "SELECT na, nb, m, round((na + 1)*(nb + 1)/CAST(m + 1 AS DOUBLE) - 1, 2) n_hat " +
+        "FROM ca, cb, m"),
+    // nano-unit quantized MI terms (the q_psi spelling) on the q_cramers_v grid
+    "q_mutual_info" ->
+      ("WITH obs AS (SELECT c_nationkey, c_mktsegment, count(*) o FROM customer GROUP BY 1, 2), " +
+        "rm AS (SELECT c_nationkey, CAST(sum(o) AS BIGINT) rn FROM obs GROUP BY 1), " +
+        "cm AS (SELECT c_mktsegment, CAST(sum(o) AS BIGINT) cn FROM obs GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(o) AS BIGINT) n FROM obs), " +
+        "te AS (SELECT CAST(floor((o/CAST(n AS DOUBLE)) * ln((CAST(o AS DOUBLE)*n)/(CAST(rn AS DOUBLE)*cn))*1000000000 + 0.5) AS BIGINT) tq " +
+        "FROM obs JOIN rm USING (c_nationkey) JOIN cm USING (c_mktsegment), tt) " +
+        "SELECT round(CAST(sum(tq) AS DOUBLE)/1000000000, 6) mi_nats FROM te"),
+    // milli-unit weights -> exact int64 moment sums
+    "q_ess" ->
+      ("WITH w AS (SELECT CAST(round(value*1000) AS BIGINT) w FROM events WHERE round(value*1000) > 0) " +
+        "SELECT count(*) n, round(CAST(sum(w) AS DOUBLE)*sum(w)/sum(w*w), 2) ess, " +
+        "round(CAST(sum(w) AS DOUBLE)*sum(w)/sum(w*w)/count(*), 6) ess_frac FROM w"),
+    // one pair pass bucketed by floor(jac*10), cumulated on the tau grid
+    "q_dedup_curve" ->
+      ("WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text,' ')) toks FROM documents WHERE doc_id < 200), " +
+        "tok AS (SELECT doc_id, lang, len(toks) nt, unnest(toks) w FROM d), " +
+        "g AS (SELECT a.doc_id da, b.doc_id db, a.nt na, b.nt nb, count(*) inter FROM tok a " +
+        "JOIN tok b ON a.w = b.w AND a.lang = b.lang AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4), " +
+        "j AS (SELECT inter/CAST(na + nb - inter AS DOUBLE) jac FROM g), " +
+        "bks AS (SELECT CAST(floor(jac*10) AS BIGINT) bk, count(*) c FROM j WHERE jac >= 0.7 GROUP BY 1), " +
+        "grid AS (SELECT CAST(unnest(range(7, 10)) AS BIGINT) tau10) " +
+        "SELECT tau10, CAST(sum(c) AS BIGINT) pairs FROM grid JOIN bks ON bk >= tau10 " +
+        "GROUP BY tau10 ORDER BY tau10"),
     // 2 unnormalized integer HITS rounds, unrolled
     "q_hits" ->
       ("WITH e AS (SELECT DISTINCT o_custkey*2 u, l_suppkey*2+1 v " +

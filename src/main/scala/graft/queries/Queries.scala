@@ -3374,9 +3374,117 @@ object Queries {
       .orderBy("mo")
   }
 
+  /** Delete-one-bucket jackknife standard error of the mean order value
+    * — the distributed uncertainty estimate (no resampling pass: B=32
+    * hash buckets, each leave-one-out mean is algebra over the SAME
+    * per-bucket partial sums a single aggregate produces). Sums are
+    * exact integer cents; only the B-term SE formula is double. */
+  private val qJackknife: Q = (s, sf) => {
+    val o = t(s, sf, "orders").select(
+      pmod(conv(substring(md5(concat_ws(":", lit("jk"), col("o_orderkey"))),
+        1, 15), 16, 10).cast("long"), lit(32L)).as("b"),
+      round(col("o_totalprice") * 100).cast("long").as("c"))
+    val bk = o.groupBy("b").agg(sum("c").as("sb"), count(lit(1)).as("nb"))
+    val tot = bk.agg(sum("sb").as("st"), sum("nb").as("nt"),
+      count(lit(1)).as("bn"))
+    val lom = bk.crossJoin(broadcast(tot))
+      .select(((col("st") - col("sb")).cast("double") /
+        (col("nt") - col("nb"))).as("m"), col("bn"), col("nt"), col("st"))
+    lom.groupBy("bn", "nt", "st")
+      .agg(sum("m").as("sm"), sum(col("m") * col("m")).as("smm"))
+      .select(col("nt").as("n"),
+        round(col("st").cast("double") / col("nt") / 100.0, 4).as("mean"),
+        round(sqrt(((col("bn") - 1) / col("bn").cast("double")) *
+          (col("smm") - col("sm") * col("sm") / col("bn"))) / 100.0, 4)
+          .as("se_jk"))
+  }
+
+  /** Capture–recapture population estimate (Chapman '51): the number of
+    * DISTINCT active users inferred from two event-type "captures"
+    * (click vs purchase) — the estimator ops teams use to size a
+    * population neither capture covers fully. Exact distinct counts;
+    * one shared double formula. */
+  private val qCaptureRecapture: Q = (s, sf) => {
+    val e = t(s, sf, "events")
+    val a = e.filter(col("event_type") === "click")
+      .select(col("user_id")).distinct()
+    val b = e.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct()
+    val m = a.join(b, "user_id")
+    a.agg(count(lit(1)).as("na"))
+      .crossJoin(broadcast(b.agg(count(lit(1)).as("nb"))))
+      .crossJoin(broadcast(m.agg(count(lit(1)).as("m"))))
+      .select(col("na"), col("nb"), col("m"),
+        round((col("na") + 1) * (col("nb") + 1) /
+          (col("m") + 1).cast("double") - 1, 2).as("n_hat"))
+  }
+
+  /** Mutual information between customer nation and market segment —
+    * completes the dependence family (χ²/Cramér's V = effect size, MI =
+    * information). Same bounded contingency grid as [[qCramersV]];
+    * p·ln(p/(pᵢpⱼ)) terms quantize to integer nano-units before the sum
+    * (the [[qPsi]] discipline). */
+  private val qMutualInfo: Q = (s, sf) => {
+    val obs = t(s, sf, "customer")
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("o")).localCheckpoint(true)
+    val rm = obs.groupBy("c_nationkey").agg(sum("o").as("rn"))
+    val cm = obs.groupBy("c_mktsegment").agg(sum("o").as("cn"))
+    val tot = obs.agg(sum("o").as("n"))
+    obs.join(broadcast(rm), "c_nationkey")
+      .join(broadcast(cm), "c_mktsegment")
+      .crossJoin(broadcast(tot))
+      .select(floor((col("o") / col("n").cast("double")) *
+        log((col("o").cast("double") * col("n")) /
+          (col("rn").cast("double") * col("cn"))) * lit(1e9) + 0.5)
+        .cast("long").as("tq"))
+      .agg(round(sum("tq").cast("double") / 1e9, 6).as("mi_nats"))
+  }
+
+  /** Effective sample size of a weight column — the reweighting
+    * diagnostic every importance-sampling pipeline (DSIR, temperature
+    * mixing) needs: ESS = (Σw)²/Σw² collapses toward 1 when a few rows
+    * dominate. Weights quantize to integer milli-units so both moment
+    * sums are exact int64. */
+  private val qEss: Q = (s, sf) => {
+    val w = t(s, sf, "events")
+      .select(round(col("value") * 1000).cast("long").as("w"))
+      .filter(col("w") > 0)
+    w.agg(count(lit(1)).as("n"), sum("w").as("sw"),
+        sum(col("w") * col("w")).as("sww"))
+      .select(col("n"),
+        round(col("sw").cast("double") * col("sw") / col("sww"), 2)
+          .as("ess"),
+        round(col("sw").cast("double") * col("sw") / col("sww") /
+          col("n"), 6).as("ess_frac"))
+  }
+
+  /** Near-dup threshold sweep (the τ-tuning curve): pair counts at
+    * Jaccard ≥ 0.7/0.8/0.9 from ONE pass over the pair set — bucket
+    * each pair by floor(jac·10), then a 3-row cumulative over the
+    * bucket grid. The curve that picks a dedup threshold without
+    * re-running the pair join per candidate τ. */
+  private val qDedupCurve: Q = (s, sf) => {
+    val pairs = Dedup.jaccardPairs(
+      t(s, sf, "documents").filter(col("doc_id") < 200),
+      "doc_id", "lang", "text", 0.7)
+    val bk = pairs
+      .groupBy(floor(col("jac") * 10).cast("long").as("bk"))
+      .agg(count(lit(1)).as("c"))
+    val grid = s.range(7, 10).select(col("id").cast("long").as("tau10"))
+    grid.join(broadcast(bk), col("bk") >= col("tau10"))
+      .groupBy("tau10").agg(sum("c").as("pairs"))
+      .orderBy("tau10")
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_jackknife" -> qJackknife,
+    "q_capture_recapture" -> qCaptureRecapture,
+    "q_mutual_info" -> qMutualInfo,
+    "q_ess" -> qEss,
+    "q_dedup_curve" -> qDedupCurve,
     "q_hits" -> qHits,
     "q_weighted_median" -> qWeightedMedian,
     "q_rank_change" -> qRankChange,
