@@ -372,6 +372,21 @@ object OracleSql {
       "FROM a ORDER BY doc_id LIMIT 100"
 
   val all: Map[String, String] = Map(
+    // sweep line: ends before starts at the same instant (d=-1 < +1)
+    "q_concurrency" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) st, " +
+        "epoch_us(ts) + CAST(round(value*1000) AS BIGINT)*1000 en FROM events), " +
+        "pts AS (SELECT user_id, st t, CAST(1 AS BIGINT) d, event_id FROM e " +
+        "UNION ALL SELECT user_id, en, -1, event_id FROM e), " +
+        "occ AS (SELECT user_id, sum(d) OVER (PARTITION BY user_id ORDER BY t, d, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) occ FROM pts), " +
+        "pk AS (SELECT user_id, CAST(max(occ) AS BIGINT) peak FROM occ GROUP BY user_id) " +
+        "SELECT peak, count(*) users FROM pk GROUP BY peak ORDER BY peak"),
+    // digit-count magnitude buckets: exact, no float log misbucketing
+    "q_magnitude_hist" ->
+      ("WITH c AS (SELECT CAST(round(o_totalprice*100) AS BIGINT) c FROM orders) " +
+        "SELECT length(CAST(c AS VARCHAR)) digits, count(*) n, CAST(sum(c) AS BIGINT) cents " +
+        "FROM c WHERE c > 0 GROUP BY 1 ORDER BY digits"),
     // md5-bucketed delete-one-group jackknife; exact integer partials
     "q_jackknife" ->
       ("WITH o AS (SELECT CAST(concat('0x', substr(md5(concat_ws(':', 'jk', CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) % 32 b, " +

@@ -3477,9 +3477,47 @@ object Queries {
       .orderBy("tau10")
   }
 
+  /** Max concurrent sessions per user (sweep line): each interval
+    * [ts, ts+value s) emits +1 at start and −1 at end, a per-user
+    * window in (time, delta, id) order — ends sort before starts at the
+    * same instant, so touching intervals don't double-count — runs the
+    * running occupancy, and its max is the user's peak concurrency.
+    * Output = the peak-concurrency histogram (capacity planning). All
+    * integer, windows per user, never global. */
+  private val qConcurrency: Q = (s, sf) => {
+    val e = t(s, sf, "events").select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("st"),
+      (unix_micros(col("ts")) +
+        round(col("value") * 1000).cast("long") * 1000).as("en"))
+    val pts = e.select(col("user_id"), col("st").as("t"), lit(1L).as("d"),
+        col("event_id"))
+      .unionAll(e.select(col("user_id"), col("en").as("t"),
+        lit(-1L).as("d"), col("event_id")))
+    val w = Window.partitionBy("user_id").orderBy("t", "d", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    pts.withColumn("occ", sum("d").over(w))
+      .groupBy("user_id").agg(max("occ").as("peak"))
+      .groupBy("peak").agg(count(lit(1)).as("users"))
+      .orderBy("peak")
+  }
+
+  /** Order-of-magnitude histogram of order values — the log-scale
+    * distribution WITHOUT log: the bucket is the DIGIT COUNT of integer
+    * cents (exact, no float log that can misbucket at power-of-10
+    * boundaries — the q_benford digit discipline applied to magnitude). */
+  private val qMagnitudeHist: Q = (s, sf) => {
+    val c = round(col("o_totalprice") * 100).cast("long")
+    t(s, sf, "orders").select(c.as("c")).filter(col("c") > 0)
+      .groupBy(length(col("c").cast("string")).as("digits"))
+      .agg(count(lit(1)).as("n"), sum("c").as("cents"))
+      .orderBy("digits")
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_concurrency" -> qConcurrency,
+    "q_magnitude_hist" -> qMagnitudeHist,
     "q_jackknife" -> qJackknife,
     "q_capture_recapture" -> qCaptureRecapture,
     "q_mutual_info" -> qMutualInfo,
