@@ -393,14 +393,14 @@ object OracleSql {
         "CAST(round(o_totalprice*100) AS BIGINT) c FROM orders), " +
         "bk AS (SELECT b, CAST(sum(c) AS BIGINT) sb, count(*) nb FROM o GROUP BY b), " +
         "t AS (SELECT CAST(sum(sb) AS BIGINT) st, CAST(sum(nb) AS BIGINT) nt, count(*) bn FROM bk), " +
-        "lom AS (SELECT CAST(st - sb AS DOUBLE)/(nt - nb) m, bn, nt, st FROM bk, t), " +
-        "g AS (SELECT bn, nt, st, sum(m) sm, sum(m*m) smm FROM lom GROUP BY 1, 2, 3) " +
+        "lom AS (SELECT CAST(floor(CAST(st - sb AS DOUBLE)/(nt - nb)*1000 + 0.5) AS BIGINT) mq, bn, nt, st FROM bk, t), " +
+        "g AS (SELECT bn, nt, st, CAST(sum(mq) AS BIGINT) sm, sum(CAST(mq AS HUGEINT)*mq) smm FROM lom GROUP BY 1, 2, 3) " +
         "SELECT nt n, round(CAST(st AS DOUBLE)/nt/100.0, 4) mean, " +
-        "round(sqrt(((bn - 1)/CAST(bn AS DOUBLE)) * (smm - sm*sm/bn))/100.0, 4) se_jk FROM g"),
+        "round(sqrt(((bn - 1)/CAST(bn AS DOUBLE)) * (CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE)*sm/bn))/100000.0, 4) se_jk FROM g"),
     // Chapman '51 estimator from exact distinct captures
     "q_capture_recapture" ->
-      ("WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'), " +
-        "b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'), " +
+      ("WITH a AS (SELECT user_id FROM events WHERE event_type = 'click' GROUP BY 1 HAVING count(*) >= 10), " +
+        "b AS (SELECT user_id FROM events WHERE event_type = 'purchase' GROUP BY 1 HAVING count(*) >= 10), " +
         "m AS (SELECT count(*) m FROM a JOIN b USING (user_id)), " +
         "ca AS (SELECT count(*) na FROM a), cb AS (SELECT count(*) nb FROM b) " +
         "SELECT na, nb, m, round((na + 1)*(nb + 1)/CAST(m + 1 AS DOUBLE) - 1, 2) n_hat " +
@@ -470,13 +470,13 @@ object OracleSql {
       ("WITH s AS (SELECT count(*) n, (count(*) + 1) // 2 k FROM events), " +
         "r AS (SELECT value v, row_number() OVER (ORDER BY value, event_id) rn FROM events) " +
         "SELECT n, round(v, 2) median FROM r, s WHERE rn = k"),
-    // equi pair join on (customer, cents); date window is residual
+    // equi pair join on (customer, $10k band); date window is residual
     "q_dup_payments" ->
-      ("WITH o AS (SELECT o_orderkey ok, o_custkey ck, CAST(round(o_totalprice*100) AS BIGINT) c, " +
+      ("WITH o AS (SELECT o_orderkey ok, o_custkey ck, CAST(round(o_totalprice*100) AS BIGINT)//1000000 c, " +
         "CAST(o_orderdate AS DATE) d FROM orders) " +
         "SELECT count(*) pairs, CAST(sum(a.ok + b.ok) AS BIGINT) chk, count(DISTINCT a.ck) custs " +
         "FROM o a JOIN o b ON a.ck = b.ck AND a.c = b.c AND a.ok < b.ok " +
-        "AND abs(date_diff('day', a.d, b.d)) <= 7"),
+        "AND abs(date_diff('day', a.d, b.d)) <= 90"),
     // distinct-accumulate via first day per user: linear, O(days) state
     "q_cum_uniques" ->
       ("WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) d0 FROM events GROUP BY 1), " +

@@ -1711,11 +1711,13 @@ object Queries {
     * Bench/Verify/Time processes on one host from wiping each other's
     * live run state mid-query (a shared fixed path made q_snapshot's
     * RunLog replay racy); within one process re-invocations still reuse
-    * and reset the same dir so repeated bench passes don't accrete. */
+    * and reset the same dir so repeated bench passes don't accrete, and
+    * a JVM shutdown hook removes this process's dirs on exit so dead
+    * pids don't orphan scratch trees in /tmp. */
   private def scratchDir(name: String): String = {
     val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-scratch-${ProcessHandle.current().pid()}-$name")
-    if (java.nio.file.Files.exists(p)) {
+    def wipe(): Unit = if (java.nio.file.Files.exists(p)) {
       val walk = java.nio.file.Files.walk(p)
       try {
         import scala.jdk.CollectionConverters._
@@ -1723,8 +1725,18 @@ object Queries {
           .foreach(java.nio.file.Files.delete)
       } finally walk.close()
     }
+    wipe()
+    scratchCleanup.synchronized {
+      if (!scratchCleanup.contains(p)) {
+        scratchCleanup += p
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try wipe() catch { case scala.util.control.NonFatal(_) => () }))
+      }
+    }
     java.nio.file.Files.createDirectories(p).toString
   }
+  private val scratchCleanup =
+    scala.collection.mutable.Set.empty[java.nio.file.Path]
 
   private val qSnapshot: Q = (s, sf) => {
     val ev = t(s, sf, "events")
@@ -3228,6 +3240,7 @@ object Queries {
     * selected element is unique and engine-independent. */
   private val qExactMedian: Q = (s, sf) => {
     val e = t(s, sf, "events").select(col("value").as("v"), col("event_id"))
+      .localCheckpoint(true) // grid agg + total count + bin filter
     val grid = e.groupBy(floor(col("v")).cast("long").as("g"))
       .agg(count(lit(1)).as("c"))
     val wg = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, 0)
@@ -3245,20 +3258,22 @@ object Queries {
       .select(col("n"), round(col("v"), 2).as("median"))
   }
 
-  /** Duplicate-payment audit (same customer, same amount, ≤7 days
-    * apart — the AP fraud screen): the pair join is EQUI on (customer,
-    * integer cents) so candidate pairs only form inside same-amount
-    * groups; the date window is a residual filter. Never cartesian at
-    * any scale. */
+  /** Duplicate-payment audit (same customer, same $10k price band,
+    * ≤90 days apart — the AP near-duplicate screen; exact-cents equality
+    * on this corpus is vacuous, every total is unique, so the band is
+    * what makes the check able to fire AND able to fail): the pair join
+    * is EQUI on (customer, integer band) so candidates only form inside
+    * same-band groups; the date window is a residual filter. Never
+    * cartesian at any scale. */
   private val qDupPayments: Q = (s, sf) => {
     val o = t(s, sf, "orders").select(col("o_orderkey").as("ok"),
       col("o_custkey").as("ck"),
-      round(col("o_totalprice") * 100).cast("long").as("c"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT) DIV 1000000").as("c"),
       col("o_orderdate").cast("date").as("d"))
     o.as("a").join(o.as("b"),
         col("a.ck") === col("b.ck") && col("a.c") === col("b.c") &&
           col("a.ok") < col("b.ok") &&
-          abs(datediff(col("b.d"), col("a.d"))) <= 7)
+          abs(datediff(col("b.d"), col("a.d"))) <= 90)
       .agg(count(lit(1)).as("pairs"),
         sum(col("a.ok") + col("b.ok")).as("chk"),
         countDistinct(col("a.ck")).as("custs"))
@@ -3287,6 +3302,7 @@ object Queries {
     val sp = t(s, sf, "orders").groupBy("o_custkey")
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cc"))
       .select(col("o_custkey"), expr("(cc + 50) DIV 100").as("x"))
+      .localCheckpoint(true) // ntile branch + total branch
     val dec = sp.withColumn("dc", ntile(10).over(
       Window.orderBy(col("x"), col("o_custkey"))))
     dec.groupBy("dc")
@@ -3325,6 +3341,7 @@ object Queries {
     val g = t(s, sf, "lineitem")
       .groupBy(col("l_quantity").cast("long").as("q"))
       .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("w"))
+      .localCheckpoint(true) // cumulative branch + total branch
     val wg = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
     g.withColumn("cum", sum("w").over(wg))
       .crossJoin(broadcast(g.agg(sum("w").as("tw"))))
@@ -3387,15 +3404,26 @@ object Queries {
     val bk = o.groupBy("b").agg(sum("c").as("sb"), count(lit(1)).as("nb"))
     val tot = bk.agg(sum("sb").as("st"), sum("nb").as("nt"),
       count(lit(1)).as("bn"))
+    // leave-one-out means quantize to integer MILLI-cents before the
+    // B-term sums (the q_psi discipline — Σm² ≈ 2e16 exceeds a double's
+    // exact-integer range, so a float spelling loses ~7 digits to
+    // cancellation AND is partition-order dependent); the squared sum
+    // rides in decimal(38,0), DuckDB mirrors with HUGEINT
     val lom = bk.crossJoin(broadcast(tot))
-      .select(((col("st") - col("sb")).cast("double") /
-        (col("nt") - col("nb"))).as("m"), col("bn"), col("nt"), col("st"))
+      .select(floor((col("st") - col("sb")).cast("double") /
+          (col("nt") - col("nb")) * 1000 + 0.5).cast("long").as("mq"),
+        col("bn"), col("nt"), col("st"))
     lom.groupBy("bn", "nt", "st")
-      .agg(sum("m").as("sm"), sum(col("m") * col("m")).as("smm"))
+      .agg(sum("mq").as("sm"),
+        // decimal BEFORE the multiply: mq ~ 2.5e10 milli-cents, so the
+        // int64 product itself wraps (DuckDB widens BIGINT×BIGINT to
+        // HUGEINT automatically; Spark needs the explicit promotion)
+        sum(col("mq").cast("decimal(38,0)") * col("mq")).as("smm"))
       .select(col("nt").as("n"),
         round(col("st").cast("double") / col("nt") / 100.0, 4).as("mean"),
         round(sqrt(((col("bn") - 1) / col("bn").cast("double")) *
-          (col("smm") - col("sm") * col("sm") / col("bn"))) / 100.0, 4)
+          (col("smm").cast("double") -
+            col("sm").cast("double") * col("sm") / col("bn"))) / 100000.0, 4)
           .as("se_jk"))
   }
 
@@ -3406,10 +3434,15 @@ object Queries {
     * one shared double formula. */
   private val qCaptureRecapture: Q = (s, sf) => {
     val e = t(s, sf, "events")
-    val a = e.filter(col("event_type") === "click")
-      .select(col("user_id")).distinct()
-    val b = e.filter(col("event_type") === "purchase")
-      .select(col("user_id")).distinct()
+    // capture = "seen >= 10 times": plain distinct-per-type is degenerate
+    // on this corpus (every user has every type, na = nb = m and the
+    // estimator collapses to the identity); the threshold makes the
+    // overlap PARTIAL so the formula's distinguishing term is exercised
+    def capture(ty: String) = e.filter(col("event_type") === ty)
+      .groupBy("user_id").agg(count(lit(1)).as("k"))
+      .filter(col("k") >= 10).select("user_id")
+    val a = capture("click")
+    val b = capture("purchase")
     val m = a.join(b, "user_id")
     a.agg(count(lit(1)).as("na"))
       .crossJoin(broadcast(b.agg(count(lit(1)).as("nb"))))
@@ -3444,14 +3477,15 @@ object Queries {
   /** Effective sample size of a weight column — the reweighting
     * diagnostic every importance-sampling pipeline (DSIR, temperature
     * mixing) needs: ESS = (Σw)²/Σw² collapses toward 1 when a few rows
-    * dominate. Weights quantize to integer milli-units so both moment
-    * sums are exact int64. */
+    * dominate. Weights quantize to integer milli-units; the squared-sum
+    * accumulates in decimal(38,0) (an int64 Σw² would wrap at ~2e9 rows
+    * of max-weight data; DuckDB's HUGEINT sum is the same posture). */
   private val qEss: Q = (s, sf) => {
     val w = t(s, sf, "events")
       .select(round(col("value") * 1000).cast("long").as("w"))
       .filter(col("w") > 0)
     w.agg(count(lit(1)).as("n"), sum("w").as("sw"),
-        sum(col("w") * col("w")).as("sww"))
+        sum((col("w") * col("w")).cast("decimal(38,0)")).as("sww"))
       .select(col("n"),
         round(col("sw").cast("double") * col("sw") / col("sww"), 2)
           .as("ess"),
