@@ -33,7 +33,9 @@ object Queries {
   private val qScan: Q = (s, sf) =>
     t(s, sf, "lineitem").agg(count(lit(1)).as("n"))
 
-  /** The ns-timestamp table, grouped — proves the TIMESTAMP(NANOS) read. */
+  /** The event table, grouped — proves the ts-normalizing read (the
+    * physical ts type has varied across testdata generations: int64
+    * nanos, then timestamp[us]; Tables.normalizeTs absorbs both). */
   private val qScanEvents: Q = (s, sf) =>
     t(s, sf, "events").groupBy("event_type")
       .agg(count(lit(1)).as("c"))
