@@ -554,6 +554,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_dup_payments pairs form by equi join only: never cartesian") {
+    val p = plan("q_dup_payments")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_concurrency sweep line windows per user, never globally") {
+    val p = plan("q_concurrency")
+    assert(p.contains("Window"), p)
+    assert(p.contains("user_id"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_exact_median's second pass probes one bin via broadcast") {
+    val p = plan("q_exact_median")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_weighted_median / q_new_vs_returning never sort the facts " +
+      "globally for selection") {
+    // weighted median: the window runs on the checkpointed GRID (a
+    // LogicalRDD after the lineage cut), never on the lineitem scan —
+    // no file relation may appear under the Window
+    val p = Queries.all("q_weighted_median")(spark, sf001)
+      .queryExecution.optimizedPlan
+    val w = p.collect {
+      case n: org.apache.spark.sql.catalyst.plans.logical.Window => n }
+    assert(w.nonEmpty, p.toString)
+    val scansUnderWindow = w.head.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+    }
+    assert(scansUnderWindow.isEmpty,
+      "window reads the fact scan directly:\n" + p.toString)
+    val p2 = plan("q_new_vs_returning")
+    assert(!p2.contains("CartesianProduct"), p2)
+  }
+
   test("q_gini ranks the per-customer aggregate, not the fact rows") {
     val p = Queries.all("q_gini")(spark, sf001).queryExecution.optimizedPlan
     // the Window must sit ABOVE the aggregate in the tree: facts
