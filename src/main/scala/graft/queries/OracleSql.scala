@@ -372,6 +372,36 @@ object OracleSql {
       "FROM a ORDER BY doc_id LIMIT 100"
 
   val all: Map[String, String] = Map(
+    // RANGE frame on the integer day index: empty days widen the window
+    "q_rolling_rev" ->
+      ("WITH d AS (SELECT CAST(o_orderdate AS DATE) dy, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) c " +
+        "FROM orders GROUP BY 1), " +
+        "m AS (SELECT min(dy) d0 FROM d), " +
+        "i AS (SELECT dy, c, date_diff('day', d0, dy) di FROM d, m) " +
+        "SELECT dy, c, CAST(sum(c) OVER (ORDER BY di RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) roll7 " +
+        "FROM i ORDER BY dy LIMIT 400"),
+    // exact-integer OR; Woolf log-SE doubles only in the CI bounds
+    "q_odds_ratio" ->
+      ("WITH e AS (SELECT (user_id % 2 = 0) arma, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END clk FROM events), " +
+        "g AS (SELECT arma, count(*) n, CAST(sum(clk) AS BIGINT) k FROM e GROUP BY arma), " +
+        "s AS (SELECT CAST(sum(CASE WHEN arma THEN n END) AS BIGINT) na, CAST(sum(CASE WHEN arma THEN k END) AS BIGINT) ka, " +
+        "CAST(sum(CASE WHEN NOT arma THEN n END) AS BIGINT) nb, CAST(sum(CASE WHEN NOT arma THEN k END) AS BIGINT) kb FROM g) " +
+        "SELECT ka, na, kb, nb, " +
+        "round(CAST(ka*(nb - kb) AS DOUBLE)/CAST(kb*(na - ka) AS DOUBLE), 4) or_, " +
+        "round(exp(ln(CAST(ka*(nb - kb) AS DOUBLE)/CAST(kb*(na - ka) AS DOUBLE)) - " +
+        "1.96*sqrt(CAST(1 AS DOUBLE)/ka + CAST(1 AS DOUBLE)/(na - ka) + CAST(1 AS DOUBLE)/kb + CAST(1 AS DOUBLE)/(nb - kb))), 4) ci_lo, " +
+        "round(exp(ln(CAST(ka*(nb - kb) AS DOUBLE)/CAST(kb*(na - ka) AS DOUBLE)) + " +
+        "1.96*sqrt(CAST(1 AS DOUBLE)/ka + CAST(1 AS DOUBLE)/(na - ka) + CAST(1 AS DOUBLE)/kb + CAST(1 AS DOUBLE)/(nb - kb))), 4) ci_hi " +
+        "FROM s"),
+    // ntile over the per-user aggregate; shared double lift ratio
+    "q_lift" ->
+      ("WITH u AS (SELECT user_id, CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) sc, " +
+        "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) y FROM events GROUP BY 1), " +
+        "dec AS (SELECT user_id, y, ntile(10) OVER (ORDER BY sc DESC, user_id) dc FROM u), " +
+        "base AS (SELECT CAST(sum(y) AS BIGINT) ty, count(*) tn FROM u) " +
+        "SELECT dc, count(*) n, CAST(sum(y) AS BIGINT) ny, " +
+        "round((CAST(sum(y) AS BIGINT)/CAST(count(*) AS DOUBLE))/(ty/CAST(tn AS DOUBLE)), 4) lift " +
+        "FROM dec, base GROUP BY dc, ty, tn ORDER BY dc"),
     // sweep line: ends before starts at the same instant (d=-1 < +1)
     "q_concurrency" ->
       ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) st, " +

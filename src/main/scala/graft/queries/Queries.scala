@@ -3549,9 +3549,76 @@ object Queries {
       .orderBy("digits")
   }
 
+  /** Rolling 7-day revenue (the calendar-window trend line): a RANGE
+    * frame over the INTEGER day index of the bounded day grid — days
+    * with no orders correctly widen the window (a ROWS frame would
+    * not), and the window state is O(days), the facts never sort. */
+  private val qRollingRev: Q = (s, sf) => {
+    val d = t(s, sf, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("dy"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+    val d0 = d.agg(min("dy").as("d0"))
+    val w = Window.orderBy("di").rangeBetween(-6, 0)
+    d.crossJoin(broadcast(d0))
+      .withColumn("di", datediff(col("dy"), col("d0")))
+      .withColumn("roll7", sum("c").over(w))
+      .select(col("dy"), col("c"), col("roll7"))
+      .orderBy("dy").limit(400)
+  }
+
+  /** Odds ratio + 95% CI for click-through between the id-parity arms —
+    * completes the A/B readout ([[qAbtest]] gives the z-test, this the
+    * effect size): the OR itself is a ratio of exact integer products;
+    * only the Woolf log-SE and CI bounds are doubles, in one shared
+    * spelling. */
+  private val qOddsRatio: Q = (s, sf) => {
+    val e = t(s, sf, "events").select(
+      (col("user_id") % 2 === 0).as("arma"),
+      (col("event_type") === "click").cast("long").as("clk"))
+    val g = e.groupBy("arma")
+      .agg(count(lit(1)).as("n"), sum("clk").as("k"))
+      .agg(sum(when(col("arma"), col("n"))).as("na"),
+        sum(when(col("arma"), col("k"))).as("ka"),
+        sum(when(!col("arma"), col("n"))).as("nb"),
+        sum(when(!col("arma"), col("k"))).as("kb"))
+    val or = (col("ka") * (col("nb") - col("kb"))).cast("double") /
+      (col("kb") * (col("na") - col("ka"))).cast("double")
+    val se = sqrt(lit(1.0) / col("ka") + lit(1.0) / (col("na") - col("ka")) +
+      lit(1.0) / col("kb") + lit(1.0) / (col("nb") - col("kb")))
+    g.select(col("ka"), col("na"), col("kb"), col("nb"),
+      round(or, 4).as("or_"),
+      round(exp(log(or) - lit(1.96) * se), 4).as("ci_lo"),
+      round(exp(log(or) + lit(1.96) * se), 4).as("ci_hi"))
+  }
+
+  /** Decile lift chart (the campaign-targeting eval beside [[qAuc]] /
+    * [[qCalibration]]): users ranked by engagement score (total event
+    * value, integer milli-units), outcome = made a purchase; per score
+    * decile, response rate vs the overall base rate. ntile over the
+    * per-user aggregate; exact counts, one shared double ratio. */
+  private val qLift: Q = (s, sf) => {
+    val u = t(s, sf, "events").groupBy("user_id")
+      .agg(sum(round(col("value") * 1000).cast("long")).as("sc"),
+        max((col("event_type") === "purchase").cast("long")).as("y"))
+      .localCheckpoint(true) // decile branch + base-rate branch
+    val dec = u.withColumn("dc", ntile(10).over(
+      Window.orderBy(col("sc").desc, col("user_id"))))
+    val base = u.agg(sum("y").as("ty"), count(lit(1)).as("tn"))
+    dec.groupBy("dc")
+      .agg(count(lit(1)).as("n"), sum("y").as("ny"))
+      .crossJoin(broadcast(base))
+      .select(col("dc"), col("n"), col("ny"),
+        round((col("ny") / col("n").cast("double")) /
+          (col("ty") / col("tn").cast("double")), 4).as("lift"))
+      .orderBy("dc")
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_rolling_rev" -> qRollingRev,
+    "q_odds_ratio" -> qOddsRatio,
+    "q_lift" -> qLift,
     "q_concurrency" -> qConcurrency,
     "q_magnitude_hist" -> qMagnitudeHist,
     "q_jackknife" -> qJackknife,
