@@ -372,6 +372,16 @@ object OracleSql {
       "FROM a ORDER BY doc_id LIMIT 100"
 
   val all: Map[String, String] = Map(
+    "q_freq_hist" ->
+      ("WITH u AS (SELECT user_id, count(*) n FROM events GROUP BY 1) " +
+        "SELECT (n - 1)//5 bucket, count(*) users, CAST(sum(n) AS BIGINT) events " +
+        "FROM u GROUP BY 1 ORDER BY bucket"),
+    // pair join over the distinct (user, type) frame, a < b canonical
+    "q_adoption_overlap" ->
+      ("WITH ut AS (SELECT DISTINCT user_id, event_type FROM events) " +
+        "SELECT a.event_type ta, b.event_type tb, count(*) " + "\"both\" " +
+        "FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type " +
+        "GROUP BY 1, 2 ORDER BY ta, tb"),
     // RANGE frame on the integer day index: empty days widen the window
     "q_rolling_rev" ->
       ("WITH d AS (SELECT CAST(o_orderdate AS DATE) dy, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) c " +

@@ -3613,9 +3613,38 @@ object Queries {
       .orderBy("dc")
   }
 
+  /** Reach & frequency histogram (the advertising readout): how many
+    * users saw 1–5, 6–10, … events — one per-user count, one bounded
+    * bucket agg ((n−1) DIV 5, exact). */
+  private val qFreqHist: Q = (s, sf) => {
+    val u = t(s, sf, "events").groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+    u.groupBy(expr("(n - 1) DIV 5").as("bucket"))
+      .agg(count(lit(1)).as("users"), sum("n").as("events"))
+      .orderBy("bucket")
+  }
+
+  /** Feature-adoption overlap matrix: for each ordered pair of event
+    * types, how many users use BOTH — the cross-sell / co-adoption
+    * board. The pair join is over the DISTINCT (user, type) frame
+    * (≤ users × 5 rows), equi on user, canonical a < b ordering. */
+  private val qAdoptionOverlap: Q = (s, sf) => {
+    val ut = t(s, sf, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint(true) // both sides of the pair join
+    ut.as("a").join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("both"))
+      .orderBy("ta", "tb")
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_freq_hist" -> qFreqHist,
+    "q_adoption_overlap" -> qAdoptionOverlap,
     "q_rolling_rev" -> qRollingRev,
     "q_odds_ratio" -> qOddsRatio,
     "q_lift" -> qLift,
