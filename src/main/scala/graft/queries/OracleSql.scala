@@ -371,6 +371,15 @@ object OracleSql {
       "SELECT doc_id, n_tok, floor((ln(n_tok) - s6/1e6/n_tok) * 1e4)/1e4 ent " +
       "FROM a ORDER BY doc_id LIMIT 100"
 
+  // (na, ka, nb, kb) arm/click counts shared by q_abtest and
+  // q_odds_ratio — ONE SQL definition of the arms and the outcome,
+  // mirroring Queries.armCounts on the engine side
+  private val armCountsSql: String =
+    "WITH e AS (SELECT (user_id % 2 = 0) arma, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END clk FROM events), " +
+      "g AS (SELECT arma, count(*) n, CAST(sum(clk) AS BIGINT) k FROM e GROUP BY arma), " +
+      "s AS (SELECT CAST(sum(CASE WHEN arma THEN n END) AS BIGINT) na, CAST(sum(CASE WHEN arma THEN k END) AS BIGINT) ka, " +
+      "CAST(sum(CASE WHEN NOT arma THEN n END) AS BIGINT) nb, CAST(sum(CASE WHEN NOT arma THEN k END) AS BIGINT) kb FROM g) "
+
   val all: Map[String, String] = Map(
     "q_freq_hist" ->
       ("WITH u AS (SELECT user_id, count(*) n FROM events GROUP BY 1) " +
@@ -392,10 +401,7 @@ object OracleSql {
         "FROM i ORDER BY dy LIMIT 400"),
     // exact-integer OR; Woolf log-SE doubles only in the CI bounds
     "q_odds_ratio" ->
-      ("WITH e AS (SELECT (user_id % 2 = 0) arma, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END clk FROM events), " +
-        "g AS (SELECT arma, count(*) n, CAST(sum(clk) AS BIGINT) k FROM e GROUP BY arma), " +
-        "s AS (SELECT CAST(sum(CASE WHEN arma THEN n END) AS BIGINT) na, CAST(sum(CASE WHEN arma THEN k END) AS BIGINT) ka, " +
-        "CAST(sum(CASE WHEN NOT arma THEN n END) AS BIGINT) nb, CAST(sum(CASE WHEN NOT arma THEN k END) AS BIGINT) kb FROM g) " +
+      (armCountsSql +
         "SELECT ka, na, kb, nb, " +
         "round(CAST(ka*(nb - kb) AS DOUBLE)/CAST(kb*(na - ka) AS DOUBLE), 4) or_, " +
         "round(exp(ln(CAST(ka*(nb - kb) AS DOUBLE)/CAST(kb*(na - ka) AS DOUBLE)) - " +
@@ -535,10 +541,7 @@ object OracleSql {
     // exact per-arm counts; CAST(1 AS DOUBLE) avoids DuckDB's decimal
     // literal arithmetic where Spark's 1.0 is a double
     "q_abtest" ->
-      ("WITH e AS (SELECT (user_id % 2 = 0) arma, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END clk FROM events), " +
-        "g AS (SELECT arma, count(*) n, CAST(sum(clk) AS BIGINT) k FROM e GROUP BY arma), " +
-        "s AS (SELECT CAST(sum(CASE WHEN arma THEN n END) AS BIGINT) na, CAST(sum(CASE WHEN arma THEN k END) AS BIGINT) ka, " +
-        "CAST(sum(CASE WHEN NOT arma THEN n END) AS BIGINT) nb, CAST(sum(CASE WHEN NOT arma THEN k END) AS BIGINT) kb FROM g) " +
+      (armCountsSql +
         "SELECT na, nb, round(ka/CAST(na AS DOUBLE), 6) pa, round(kb/CAST(nb AS DOUBLE), 6) pb, " +
         "round((ka/CAST(na AS DOUBLE) - kb/CAST(nb AS DOUBLE)) / " +
         "sqrt(((ka+kb)/CAST(na+nb AS DOUBLE)) * (1.0 - (ka+kb)/CAST(na+nb AS DOUBLE)) * " +

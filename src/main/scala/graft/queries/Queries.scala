@@ -2813,10 +2813,16 @@ object Queries {
     * flipped by float rounding. One partial agg to the bounded day grid,
     * one window pass over the grid (the qKs posture: state O(days), the
     * fact table never sorts), broadcast totals. */
-  private val qChangepoint: Q = (s, sf) => {
-    val d = t(s, sf, "orders")
+  /** Daily revenue in integer cents on the bounded day grid — the shared
+    * series behind [[qChangepoint]] and [[qRollingRev]] (one definition
+    * of the cents-rounding contract). */
+  private def dailyRevenueCents(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "orders")
       .groupBy(col("o_orderdate").cast("date").as("dy"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+
+  private val qChangepoint: Q = (s, sf) => {
+    val d = dailyRevenueCents(s, sf)
     val tot = d.agg(sum("c").as("tc"), count(lit(1)).as("nd"))
     val w = Window.orderBy("dy")
     d.withColumn("cum", sum("c").over(
@@ -3117,7 +3123,11 @@ object Queries {
     * integer counts per arm, the pooled-variance z only at the end with
     * one shared spelling. The experiment readout every product team
     * runs; at any scale it is two partial-agg passes. */
-  private val qAbtest: Q = (s, sf) => {
+  /** 1-row (na, ka, nb, kb) arm/click counts shared by [[qAbtest]] and
+    * [[qOddsRatio]] — one definition of the arms (id parity) and the
+    * outcome (click), so the z-test and its effect-size companion can
+    * never silently disagree about the experiment. */
+  private def armCounts(s: SparkSession, sf: String): DataFrame = {
     val e = t(s, sf, "events").select(
       (col("user_id") % 2 === 0).as("arma"),
       (col("event_type") === "click").cast("long").as("clk"))
@@ -3128,6 +3138,10 @@ object Queries {
         sum(when(col("arma"), col("k"))).as("ka"),
         sum(when(!col("arma"), col("n"))).as("nb"),
         sum(when(!col("arma"), col("k"))).as("kb"))
+  }
+
+  private val qAbtest: Q = (s, sf) =>
+    armCounts(s, sf)
       .select(col("na"), col("nb"),
         round(col("ka") / col("na").cast("double"), 6).as("pa"),
         round(col("kb") / col("nb").cast("double"), 6).as("pb"),
@@ -3138,7 +3152,6 @@ object Queries {
             (lit(1.0) - (col("ka") + col("kb")) / (col("na") + col("nb"))
               .cast("double")) *
             (lit(1.0) / col("na") + lit(1.0) / col("nb"))), 4).as("z"))
-  }
 
   /** Gini coefficient of customer revenue — the inequality audit:
     * G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted
@@ -3554,9 +3567,8 @@ object Queries {
     * with no orders correctly widen the window (a ROWS frame would
     * not), and the window state is O(days), the facts never sort. */
   private val qRollingRev: Q = (s, sf) => {
-    val d = t(s, sf, "orders")
-      .groupBy(col("o_orderdate").cast("date").as("dy"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+    val d = dailyRevenueCents(s, sf)
+      .localCheckpoint(true) // window branch + min-day branch
     val d0 = d.agg(min("dy").as("d0"))
     val w = Window.orderBy("di").rangeBetween(-6, 0)
     d.crossJoin(broadcast(d0))
@@ -3572,15 +3584,7 @@ object Queries {
     * only the Woolf log-SE and CI bounds are doubles, in one shared
     * spelling. */
   private val qOddsRatio: Q = (s, sf) => {
-    val e = t(s, sf, "events").select(
-      (col("user_id") % 2 === 0).as("arma"),
-      (col("event_type") === "click").cast("long").as("clk"))
-    val g = e.groupBy("arma")
-      .agg(count(lit(1)).as("n"), sum("clk").as("k"))
-      .agg(sum(when(col("arma"), col("n"))).as("na"),
-        sum(when(col("arma"), col("k"))).as("ka"),
-        sum(when(!col("arma"), col("n"))).as("nb"),
-        sum(when(!col("arma"), col("k"))).as("kb"))
+    val g = armCounts(s, sf)
     val or = (col("ka") * (col("nb") - col("kb"))).cast("double") /
       (col("kb") * (col("na") - col("ka"))).cast("double")
     val se = sqrt(lit(1.0) / col("ka") + lit(1.0) / (col("na") - col("ka")) +

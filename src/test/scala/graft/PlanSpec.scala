@@ -561,10 +561,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_concurrency sweep line windows per user, never globally") {
-    val p = plan("q_concurrency")
-    assert(p.contains("Window"), p)
-    assert(p.contains("user_id"), p)
-    assert(!p.contains("Join"), p)
+    // inspect the Window NODE's partition spec — a plan-string contains()
+    // on "user_id" is vacuously true for any plan reading events
+    val p = Queries.all("q_concurrency")(spark, sf001)
+      .queryExecution.optimizedPlan
+    val w = p.collect {
+      case n: org.apache.spark.sql.catalyst.plans.logical.Window => n }
+    assert(w.nonEmpty, p.toString)
+    w.foreach { win =>
+      assert(win.partitionSpec.exists(_.references.map(_.name)
+          .exists(_ == "user_id")),
+        "window is not partitioned by user_id:\n" + p.toString)
+    }
+    assert(!p.toString.contains("Join"), p.toString)
   }
 
   test("q_exact_median's second pass probes one bin via broadcast") {
