@@ -381,6 +381,18 @@ object OracleSql {
       "CAST(sum(CASE WHEN NOT arma THEN n END) AS BIGINT) nb, CAST(sum(CASE WHEN NOT arma THEN k END) AS BIGINT) kb FROM g) "
 
   val all: Map[String, String] = Map(
+    // z>2 cross-multiplied to A>0 and A^2>4B, exact int64 end to end
+    "q_anomaly_days" ->
+      ("WITH d0 AS (SELECT CAST(o_orderdate AS DATE) dy, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) cc " +
+        "FROM orders GROUP BY 1), " +
+        "d AS (SELECT dy, (cc + 50000)//100000 c FROM d0), " +
+        "m AS (SELECT min(dy) dmin FROM d), " +
+        "i AS (SELECT dy, c, date_diff('day', dmin, dy) di FROM d, m), " +
+        "w AS (SELECT dy, c, count(*) OVER win n, CAST(sum(c) OVER win AS BIGINT) sx, " +
+        "CAST(sum(c*c) OVER win AS BIGINT) sxx FROM i " +
+        "WINDOW win AS (ORDER BY di RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING)), " +
+        "f AS (SELECT dy, c, c*n - sx a, n*sxx - sx*sx b FROM w WHERE n >= 14) " +
+        "SELECT dy, c, a, b FROM f WHERE a > 0 AND a*a > 4*b ORDER BY dy LIMIT 200"),
     "q_freq_hist" ->
       ("WITH u AS (SELECT user_id, count(*) n FROM events GROUP BY 1) " +
         "SELECT (n - 1)//5 bucket, count(*) users, CAST(sum(n) AS BIGINT) events " +

@@ -3617,6 +3617,32 @@ object Queries {
       .orderBy("dc")
   }
 
+  /** Trailing-window revenue anomaly days (the ops alert behind every
+    * "revenue spiked" page): a day is anomalous when its k$ total sits
+    * more than 2σ above the TRAILING 28-day window (≥14 observed days).
+    * The z>2 test is cross-multiplied into A = c·n − Σx > 0 and
+    * A² > 4·(n·Σx² − (Σx)²) — ENTIRELY exact int64, so no sqrt/float
+    * can flip a day at the boundary; window state is O(days) on the
+    * bounded grid (RANGE frame ending 1 PRECEDING: the day never
+    * baselines itself). */
+  private val qAnomalyDays: Q = (s, sf) => {
+    val d = dailyRevenueCents(s, sf)
+      .select(col("dy"), expr("(c + 50000) DIV 100000").as("c"))
+    val d0 = d.agg(min("dy").as("d0"))
+    val w = Window.orderBy("di").rangeBetween(-28, -1)
+    d.crossJoin(broadcast(d0))
+      .withColumn("di", datediff(col("dy"), col("d0")))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum("c").over(w))
+      .withColumn("sxx", sum(col("c") * col("c")).over(w))
+      .filter(col("n") >= 14)
+      .select(col("dy"), col("c"),
+        (col("c") * col("n") - col("sx")).as("a"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("b"))
+      .filter(col("a") > 0 && col("a") * col("a") > lit(4) * col("b"))
+      .orderBy("dy").limit(200)
+  }
+
   /** Reach & frequency histogram (the advertising readout): how many
     * users saw 1–5, 6–10, … events — one per-user count, one bounded
     * bucket agg ((n−1) DIV 5, exact). */
@@ -3647,6 +3673,7 @@ object Queries {
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_anomaly_days" -> qAnomalyDays,
     "q_freq_hist" -> qFreqHist,
     "q_adoption_overlap" -> qAdoptionOverlap,
     "q_rolling_rev" -> qRollingRev,
