@@ -76,7 +76,10 @@ object Checkpoint {
     * every round, and one upfront partition+sort amortized over k rounds
     * wins — set the flag there. */
   def cutStatic(df: DataFrame, keys: String*): DataFrame =
-    if (df.sparkSession.conf.getOption(CopartitionKey).contains("true"))
+    // case-insensitive: "TRUE"/"True" (boolean-typed sets via some
+    // launchers stringify capitalized) must not silently fall back
+    if (df.sparkSession.conf.getOption(CopartitionKey)
+        .exists(_.equalsIgnoreCase("true")))
       cutBy(df, keys: _*)
     else cut(df)
 

@@ -638,10 +638,13 @@ object OracleSql {
         "t AS (SELECT CAST(sum(na) AS BIGINT) ta, CAST(sum(nb) AS BIGINT) tb FROM j) " +
         "SELECT round(CAST(sum(CAST(floor((((CAST(na AS DOUBLE)/ta) - (CAST(nb AS DOUBLE)/tb)) * " +
         "ln((CAST(na AS DOUBLE)/ta) / (CAST(nb AS DOUBLE)/tb)))*1000000000 + 0.5) AS BIGINT)) AS DOUBLE)/1000000000, 4) psi FROM j, t"),
+    // integer-cents sum, divided back to dollars once — bit-stable under
+    // any partition order (the q_decimal discipline)
     "q_values_join" ->
       ("WITH sla(pri, sla_days) AS (VALUES ('1-URGENT', 1), ('2-HIGH', 3), " +
         "('3-MEDIUM', 7), ('4-NOT SPECIFIED', 14), ('5-LOW', 30)) " +
-        "SELECT sla_days, count(*) n, round(sum(o_totalprice), 2) rev " +
+        "SELECT sla_days, count(*) n, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 rev " +
         "FROM orders JOIN sla ON o_orderpriority = pri " +
         "GROUP BY sla_days ORDER BY sla_days"),
     // forward as-of = the backward union+window plan on a flipped time

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Bloom, Components, Dedup, Incremental, IntervalJoin, Iterate, Ivf, Multimodal, Pq, Retrieval, Sampling, Similarity, Skew, TextAnalysis, Validate}
+import graft.operators.{AsOfJoin, Bloom, Components, Dedup, Incremental, IntervalJoin, Iterate, Ivf, Multimodal, Pq, Rank, Retrieval, Sampling, Similarity, Skew, TextAnalysis, Validate}
 import graft.engine.{Graph, Node, RunLog, Snapshot}
 import graft.sources.Layout
 
@@ -2343,17 +2343,16 @@ object Queries {
     * integer cents and the threshold tests cross-multiply (cum·10 ≥
     * tot·5 etc.), so every comparison is EXACT — no double sum can flip
     * a rank at a boundary (the q_decimal posture applied to a running
-    * share). One bounded window over the per-customer aggregate. */
+    * share). Rank + running sum come from [[Rank.rowNumbered]] — the
+    * two-pass distributed spelling: the per-customer grain is an UNBOUNDED
+    * entity frame, so a partition-less window here would serialize every
+    * customer through one task at 100×. */
   private val qPareto: Q = (s, sf) => {
     val cents = round(col("o_totalprice") * 100).cast("long")
     val sp = t(s, sf, "orders").groupBy("o_custkey")
       .agg(sum(cents).as("c"))
-    val w = Window.orderBy(col("c").desc, col("o_custkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sp.withColumn("r", row_number().over(
-        Window.orderBy(col("c").desc, col("o_custkey"))))
-      .withColumn("cum", sum("c").over(w))
-      .crossJoin(broadcast(sp.agg(sum("c").as("tot"))))
+    Rank.rowNumbered(sp, Seq(col("c").desc, col("o_custkey")),
+        rankCol = "r", sumOf = Some("c"), cumCol = "cum", totCol = "tot")
       .agg(min(when(col("cum") * 10 >= col("tot") * 5, col("r"))).as("n50"),
         min(when(col("cum") * 10 >= col("tot") * 8, col("r"))).as("n80"),
         min(when(col("cum") * 10 >= col("tot") * 9, col("r"))).as("n90"),
@@ -2686,20 +2685,25 @@ object Queries {
 
   /** Vocabulary coverage curve: the share of total token mass covered by
     * the top-10/30/100 tokens — the tokenizer-vocab-size planning query.
-    * One shuffle-by-term count, then a single window over the VOCAB (not
-    * the corpus — vocab ≪ corpus at any scale; at 100 TB the vocab frame
-    * is millions of rows against trillions of tokens). */
+    * One shuffle-by-term count; the head ranks AFTER a TakeOrdered
+    * top-100 (only 100 rows ever see a window — the vocab frame itself
+    * is millions of rows at 100 TB, too big for a partition-less rank),
+    * and the totals broadcast from a plain aggregate. */
   private val qVocabCoverage: Q = (s, sf) => {
     val tok = t(s, sf, "documents")
       .select(explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
       .groupBy("term").agg(count(lit(1)).as("f"))
+      .localCheckpoint(true) // head branch + totals branch
+    val tot = tok.agg(count(lit(1)).as("n_vocab"), sum("f").as("total"))
     val w = Window.orderBy(col("f").desc, col("term"))
     def cov(k: Int) =
       round(sum(when(col("rn") <= k, col("f")).otherwise(0L)) /
-        sum("f").cast("double"), 6).as(s"cov$k")
-    tok.withColumn("rn", row_number().over(w))
-      .agg(count(lit(1)).as("n_vocab"), sum("f").as("total"),
+        max("total").cast("double"), 6).as(s"cov$k")
+    tok.orderBy(col("f").desc, col("term")).limit(100)
+      .withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max("n_vocab").as("n_vocab"), max("total").as("total"),
         cov(10), cov(30), cov(100))
   }
 
@@ -3067,7 +3071,10 @@ object Queries {
 
   /** Inline VALUES dimension (the literal lookup-table join every BI
     * query uses for label/priority maps): a 5-row literal frame joined
-    * broadcast onto orders — never a shuffle for the dimension. */
+    * broadcast onto orders — never a shuffle for the dimension. Revenue
+    * sums in integer cents (the q_decimal discipline): a distributed
+    * double sum is partition-order-dependent; the int64 sum is bit-stable
+    * by construction, divided back to dollars once at the end. */
   private val qValuesJoin: Q = (s, sf) => {
     import s.implicits._
     val sla = Seq(("1-URGENT", 1), ("2-HIGH", 3), ("3-MEDIUM", 7),
@@ -3076,7 +3083,9 @@ object Queries {
         col("o_orderpriority") === col("pri"))
       .groupBy("sla_days")
       .agg(count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 2).as("rev"))
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .select(col("sla_days"), col("n"),
+        (col("cents").cast("double") / 100).as("rev"))
       .orderBy("sla_days")
   }
 
@@ -3157,15 +3166,14 @@ object Queries {
     * G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted
     * per-customer DOLLAR totals (integer (c+50) DIV 100, so every sum is
     * exact int64 and ties contribute identically under any tie order).
-    * The rank window runs on the AGGREGATED per-customer frame (≪ facts);
-    * at 100 TB swap in a two-pass distributed rank (per-partition counts
-    * + offset join) — the formula is unchanged. */
+    * The rank comes from [[Rank.rowNumbered]] — the two-pass distributed
+    * rank (per-partition counts + offset join) over the per-customer
+    * entity grain; the formula is unchanged. */
   private val qGini: Q = (s, sf) => {
     val sp = t(s, sf, "orders").groupBy("o_custkey")
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cc"))
       .select(col("o_custkey"), expr("(cc + 50) DIV 100").as("x"))
-    val w = Window.orderBy(col("x"), col("o_custkey"))
-    sp.withColumn("i", row_number().over(w).cast("long"))
+    Rank.rowNumbered(sp, Seq(col("x"), col("o_custkey")), rankCol = "i")
       .agg(count(lit(1)).as("n"), sum("x").as("sx"),
         sum(col("i") * col("x")).as("six"))
       .select(col("n"), round(
@@ -3184,10 +3192,14 @@ object Queries {
       .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev"),
         count(lit(1)).as("cnt"))
       .localCheckpoint(true) // two ranking consumers
-    val byRev = li.withColumn("ra", row_number().over(
-      Window.orderBy(col("rev").desc, col("l_suppkey")))).filter(col("ra") <= 20)
-    val byCnt = li.withColumn("rb", row_number().over(
-      Window.orderBy(col("cnt").desc, col("l_suppkey")))).filter(col("rb") <= 20)
+    // top-20 via TakeOrdered (distributed selection), THEN the rank
+    // window over the 20-row result — the window never sees the full
+    // per-supplier frame, so no single-task barrier at any scale
+    def top20(by: Column, tie: Column, as: String) =
+      li.orderBy(by.desc, tie).limit(20)
+        .withColumn(as, row_number().over(Window.orderBy(by.desc, tie)))
+    val byRev = top20(col("rev"), col("l_suppkey"), "ra")
+    val byCnt = top20(col("cnt"), col("l_suppkey"), "rb")
     val both = byRev.select("l_suppkey", "ra")
       .join(byCnt.select("l_suppkey", "rb"), "l_suppkey")
       .select(greatest(col("ra"), col("rb")).as("m"))
@@ -3266,9 +3278,12 @@ object Queries {
       .orderBy("g").limit(1)
       .select(col("g"), (col("cum") - col("c")).as("prev"),
         col("n"), col("k"))
-    val wv = Window.orderBy("v", "event_id")
-    e.join(broadcast(mbin), floor(col("v")).cast("long") === col("g"))
-      .withColumn("rn", row_number().over(wv))
+    // pass 2 ranks ONLY the selected bin's sliver — and even that rank is
+    // the two-pass distributed one ([[Rank.rowNumbered]]): a hot bin can
+    // hold billions of rows at 100 TB, so no single-task window here either
+    val sliver = e.join(broadcast(mbin),
+      floor(col("v")).cast("long") === col("g"))
+    Rank.rowNumbered(sliver, Seq(col("v"), col("event_id")), rankCol = "rn")
       .filter(col("rn") === col("k") - col("prev"))
       .select(col("n"), round(col("v"), 2).as("median"))
   }
@@ -3310,21 +3325,23 @@ object Queries {
 
   /** Lorenz-curve deciles of customer revenue (the distribution table
     * behind [[qGini]]'s scalar): ntile(10) over ascending integer
-    * dollars — per-decile count, mass, and share. Window on the
-    * per-customer aggregate; both engines assign ntile remainders to the
-    * leading buckets identically given the same total order. */
+    * dollars — per-decile count, mass, and share. Deciles come from
+    * [[Rank.ntiled]] (two-pass distributed ntile over the per-customer
+    * entity grain — value-identical to the window form, no
+    * single-partition barrier), which also carries the grand total, so
+    * the share denominator costs no second pass. Both engines assign
+    * ntile remainders to the leading buckets identically given the same
+    * total order. */
   private val qLorenz: Q = (s, sf) => {
     val sp = t(s, sf, "orders").groupBy("o_custkey")
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cc"))
       .select(col("o_custkey"), expr("(cc + 50) DIV 100").as("x"))
-      .localCheckpoint(true) // ntile branch + total branch
-    val dec = sp.withColumn("dc", ntile(10).over(
-      Window.orderBy(col("x"), col("o_custkey"))))
-    dec.groupBy("dc")
-      .agg(count(lit(1)).as("n"), sum("x").as("mass"))
-      .crossJoin(broadcast(sp.agg(sum("x").as("tot"))))
+    Rank.ntiled(sp, Seq(col("x"), col("o_custkey")), 10, "dc",
+        sumOf = Some("x"), totCol = "tot")
+      .groupBy("dc")
+      .agg(count(lit(1)).as("n"), sum("x").as("mass"), max("tot").as("t"))
       .select(col("dc"), col("n"), col("mass"),
-        round(col("mass") / col("tot").cast("double"), 6).as("mshare"))
+        round(col("mass") / col("t").cast("double"), 6).as("mshare"))
       .orderBy("dc")
   }
 
@@ -3598,19 +3615,21 @@ object Queries {
   /** Decile lift chart (the campaign-targeting eval beside [[qAuc]] /
     * [[qCalibration]]): users ranked by engagement score (total event
     * value, integer milli-units), outcome = made a purchase; per score
-    * decile, response rate vs the overall base rate. ntile over the
-    * per-user aggregate; exact counts, one shared double ratio. */
+    * decile, response rate vs the overall base rate. Deciles come from
+    * [[Rank.ntiled]] — the per-USER aggregate is the largest entity grain
+    * in the testdata, exactly where a partition-less ntile window
+    * serializes at scale — which also carries the base-rate totals
+    * (Σy, n) so no second pass over the user frame. Exact counts, one
+    * shared double ratio. */
   private val qLift: Q = (s, sf) => {
     val u = t(s, sf, "events").groupBy("user_id")
       .agg(sum(round(col("value") * 1000).cast("long")).as("sc"),
         max((col("event_type") === "purchase").cast("long")).as("y"))
-      .localCheckpoint(true) // decile branch + base-rate branch
-    val dec = u.withColumn("dc", ntile(10).over(
-      Window.orderBy(col("sc").desc, col("user_id"))))
-    val base = u.agg(sum("y").as("ty"), count(lit(1)).as("tn"))
-    dec.groupBy("dc")
-      .agg(count(lit(1)).as("n"), sum("y").as("ny"))
-      .crossJoin(broadcast(base))
+    Rank.ntiled(u, Seq(col("sc").desc, col("user_id")), 10, "dc",
+        sumOf = Some("y"), totCol = "ty", nCol = "tn")
+      .groupBy("dc")
+      .agg(count(lit(1)).as("n"), sum("y").as("ny"),
+        max("ty").as("ty"), max("tn").as("tn"))
       .select(col("dc"), col("n"), col("ny"),
         round((col("ny") / col("n").cast("double")) /
           (col("ty") / col("tn").cast("double")), 4).as("lift"))
