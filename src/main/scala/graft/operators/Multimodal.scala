@@ -268,6 +268,97 @@ object Multimodal {
     }
   }
 
+  /** REAL WAV encode, pure JDK (javax.sound): 16-bit signed little-endian
+    * mono PCM samples → a RIFF/WAVE payload [[audioFeatures]] and
+    * [[audioEnergyFingerprint]] can decode back. The synthesis half of the
+    * audio roundtrip (tests + oracle-able fingerprint queries). */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Float): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val in = new AudioInputStream(new java.io.ByteArrayInputStream(bytes),
+      fmt, samples.length.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** 64-bit audio ENERGY fingerprint: REAL decode (same javax.sound
+    * convert-to-PCM16 path as [[audioFeatures]]), the sample stream split
+    * into 64 equal time windows, bit i set iff window i's RMS level
+    * exceeds `threshold` — the coarse loudness envelope that survives
+    * re-encoding and resampling, the audio analogue of the image dHash.
+    * Integer samples and a threshold far from both envelope levels make
+    * the bit decisions exact, so the fingerprint is deterministic for
+    * synthesized payloads (what lets q_audio_neardup oracle the pair
+    * stage). Corrupt payloads come back Left — failures stay data. */
+  def audioEnergyFingerprint(payload: Array[Byte],
+      threshold: Double = 0.25): Either[String, Long] =
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = in.getFormat
+      val target = new AudioFormat(fmt.getSampleRate, 16, fmt.getChannels,
+        true, false)
+      val pcm = if (fmt.matches(target)) in
+        else AudioSystem.getAudioInputStream(target, in)
+      val bytes = pcm.readAllBytes()
+      val n = bytes.length / 2
+      if (n < 64) Left(s"audio payload too short to fingerprint: $n samples")
+      else {
+        val wl = n / 64
+        val sumSq = new Array[Double](64)
+        val cnt = new Array[Int](64)
+        var i = 0
+        while (i < n) {
+          val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort / 32768.0
+          val w = math.min(i / wl, 63)
+          sumSq(w) += s * s; cnt(w) += 1
+          i += 1
+        }
+        var h = 0L
+        var w = 0
+        while (w < 64) {
+          if (cnt(w) > 0 && math.sqrt(sumSq(w) / cnt(w)) > threshold)
+            h |= 1L << w
+          w += 1
+        }
+        Right(h)
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Left(s"undecodable audio payload: ${e.getMessage}")
+    }
+
+  /** Synthesize the 64-window square-envelope WAV whose
+    * [[audioEnergyFingerprint]] is exactly `pattern`: window i holds a
+    * constant ±16000 square tone (RMS ≈ 0.49) iff bit i is set, silence
+    * (RMS 0) otherwise — both levels far from the 0.25 threshold, so the
+    * encode → decode → fingerprint roundtrip recovers `pattern` bit-for-
+    * bit. 64 samples per window at 8 kHz. */
+  def patternWav(pattern: Long): Array[Byte] = {
+    val samples = new Array[Short](64 * 64)
+    var w = 0
+    while (w < 64) {
+      if ((pattern >> w & 1L) == 1L) {
+        var i = 0
+        while (i < 64) {
+          samples(w * 64 + i) = if (i % 2 == 0) 16000 else -16000
+          i += 1
+        }
+      }
+      w += 1
+    }
+    encodeWavPcm16(samples, 8000f)
+  }
+
   /** Join documents with their embedding vectors into one multimodal row
     * (text + vector + metadata struct). */
   def withEmbeddings(docs: DataFrame, embeddings: DataFrame,

@@ -1698,6 +1698,37 @@ object Queries {
       .orderBy("ham")
   }
 
+  /** Audio near-dup — the q_image_neardup playbook on the AUDIO modality,
+    * with the decode made REAL end-to-end: each doc's 60-bit md5 pattern
+    * (5-doc groups, planted 1-bit perturbation) is synthesized into an
+    * actual RIFF/WAVE payload ([[Multimodal.patternWav]]), decoded back
+    * through javax.sound, and fingerprinted by windowed RMS energy
+    * ([[Multimodal.audioEnergyFingerprint]]) — recovering the pattern
+    * bit-for-bit, which is what lets DuckDB oracle the whole pipeline by
+    * computing the pattern closed-form. The pair stage is the shared
+    * banded Hamming join ([[Multimodal.hammingNearDups]]): 4 × 16-bit
+    * bands, pigeonhole-exact for Hamming ≤ 3, never all-pairs. Payload
+    * synthesis/decoding is a narrow per-row map — WAV bytes never
+    * shuffle; only (id, 64-bit fingerprint) reaches the join. */
+  private val qAudioNeardup: Q = (s, sf) => {
+    import s.implicits._
+    val pats = t(s, sf, "documents").filter(col("doc_id") < 500)
+      .select(col("doc_id").as("id"),
+        expr("CAST(conv(substr(md5(concat('aud', CAST(doc_id div 5 AS " +
+          "STRING))), 1, 15), 16, 10) AS BIGINT) ^ " +
+          "shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 3 AS INT))").as("h"))
+    val fps = pats.as[(Long, Long)].mapPartitions(_.map { case (id, pat) =>
+      val wav = Multimodal.patternWav(pat) // real WAV bytes
+      val fp = Multimodal.audioEnergyFingerprint(wav)
+        .fold(e => throw new IllegalStateException(e), identity)
+      (id, fp)
+    }).toDF("id", "h")
+    Multimodal.hammingNearDups(fps, "id", "h", maxHamming = 3)
+      .groupBy("ham")
+      .agg(count(lit(1)).as("pairs"), sum(col("ida") + col("idb")).as("chk"))
+      .orderBy("ham")
+  }
+
   /** DataSet TIME TRAVEL ([[Snapshot.asOf]]): replay a 3-block ingest
     * history through [[Graph.runIncremental]] (one block per run, lineage
     * recorded in a [[RunLog]]), then reconstruct the dedupe DataSet AS OF
@@ -3768,6 +3799,7 @@ object Queries {
     "q_scd2" -> qScd2,
     "q_dataset_card" -> qDatasetCard,
     "q_decimal" -> qDecimal,
+    "q_audio_neardup" -> qAudioNeardup,
     "q_image_neardup" -> qImageNeardup,
     "q_snapshot" -> qSnapshot,
     "q_bloom_join" -> qBloomJoin,

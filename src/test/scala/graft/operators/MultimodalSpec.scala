@@ -264,4 +264,24 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Multimodal.hammingNearDups(hashes, "id", "h", 4))
   }
+
+  test("audio energy fingerprint: WAV encode→decode roundtrip recovers " +
+      "the pattern bit-for-bit") {
+    // the q_audio_neardup contract: patternWav synthesizes a REAL WAV
+    // whose windowed-RMS fingerprint is exactly the input pattern
+    for (pat <- Seq(0L, 1L, 0x0123456789abcdL, 0x7fffffffffffffffL,
+        0x8000000000000001L, -1L)) {
+      val wav = Multimodal.patternWav(pat)
+      // a genuine RIFF/WAVE container, decodable by the generic path too
+      assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+      assert(Multimodal.audioFeatures(wav).isRight)
+      assert(Multimodal.audioEnergyFingerprint(wav) == Right(pat),
+        s"pattern ${pat.toHexString} did not roundtrip")
+    }
+    // corrupt payloads stay data, never exceptions
+    assert(Multimodal.audioEnergyFingerprint(Array[Byte](1, 2, 3)).isLeft)
+    // too-short-but-valid audio refuses to fingerprint
+    val tiny = Multimodal.encodeWavPcm16(Array[Short](1, 2, 3), 8000f)
+    assert(Multimodal.audioEnergyFingerprint(tiny).isLeft)
+  }
 }
