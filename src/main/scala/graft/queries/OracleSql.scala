@@ -1203,6 +1203,13 @@ object OracleSql {
       ("SELECT count(*) n, round(sum(value),2) s FROM (SELECT *, " +
         "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn " +
         "FROM events WHERE event_id % 3 < 2) t WHERE rn=1"),
+    // the streaming pipeline's additive micro-batch partials re-aggregate
+    // to exactly the batch aggregate, whatever the micro-batch split
+    "q_stream_pipeline" ->
+      ("SELECT event_type, count(*) n, " +
+        "CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) mv, " +
+        "count(DISTINCT CAST(ts AS DATE)) AS \"days\" " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
     "q_scan" ->
       "SELECT count(*) AS n FROM lineitem",
     "q_scan_events" ->

@@ -1787,6 +1787,25 @@ object Queries {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("s"))
   }
 
+  /** TRUE STREAMING declared query ([[graft.streaming.Streams
+    * .incrementalEventStats]]): the events table is file-streamed
+    * (readStream, 8 source files, ≤3 per micro-batch trigger), each
+    * micro-batch foreachBatch-appends its partial (event_type, day)
+    * aggregate to a delta log, and the final state re-aggregates the
+    * log — a complete continuous-ingest pipeline run to completion with
+    * AvailableNow. Additive commutative partials make the materialized
+    * state independent of the micro-batch split, so the plain batch
+    * aggregate over events is an exact oracle: the streaming execution
+    * path (state checkpointing, trigger scheduling, incremental file
+    * listing) is what this row pins, with the same CORRECTNESS gate as
+    * every batch query. */
+  private val qStreamPipeline: Q = (s, sf) => {
+    val dir = scratchDir("stream")
+    val (state, _) = graft.streaming.Streams.incrementalEventStats(
+      t(s, sf, "events"), s"$dir/src", s"$dir/delta", s"$dir/ckpt")
+    state.orderBy("event_type")
+  }
+
   /** Bloom-filter pre-filtered semi join ([[Bloom.filteredSemiJoin]]):
     * customers with ≥ 1 order, executed as bloom-over-order-keys →
     * broadcast → narrow scan-side probe → exact semi join over survivors.
@@ -3802,6 +3821,7 @@ object Queries {
     "q_audio_neardup" -> qAudioNeardup,
     "q_image_neardup" -> qImageNeardup,
     "q_snapshot" -> qSnapshot,
+    "q_stream_pipeline" -> qStreamPipeline,
     "q_bloom_join" -> qBloomJoin,
     "q_winnow" -> qWinnow,
     "q_containment" -> qContainment,

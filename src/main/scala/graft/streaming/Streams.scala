@@ -130,4 +130,49 @@ object Streams {
       .transformWithState(new RunningTotalProcessor[T](value),
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** A COMPLETE declared streaming pipeline (readStream → foreachBatch →
+    * materialized state), run to completion over a file-streamed copy of
+    * the events table — the continuous-ingest shape a user deploys, not
+    * just an operator: each micro-batch appends its partial
+    * (event_type, day) aggregate to a delta log (the log-structured
+    * ADDITIVE-merge pattern — at 100 TB a batch writes O(delta) and never
+    * rewrites accumulated state; compaction is a separate concern,
+    * [[graft.sources.Layout.compact]]), and the final state is the
+    * delta log re-aggregated. Because every partial is additive and
+    * commutative, the result is INDEPENDENT of how the files split into
+    * micro-batches — exactly what makes a streaming pipeline's output
+    * deterministic and batch-oracle-able (q_stream_pipeline).
+    *
+    * Returns the final per-event_type state plus the number of
+    * micro-batches the run actually processed (so callers can assert the
+    * pipeline really ran incrementally, StreamsSpec). */
+  def incrementalEventStats(events: DataFrame, srcDir: String,
+      deltaDir: String, ckptDir: String, srcFiles: Int = 8,
+      filesPerTrigger: Int = 3): (DataFrame, Long) = {
+    val spark = events.sparkSession
+    events.repartition(srcFiles).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger).parquet(srcDir)
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        nBatches.incrementAndGet()
+        batch.groupBy(col("event_type"), to_date(col("ts")).as("dy"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 1000).cast("long")).as("mv"))
+          .write.mode("append").parquet(deltaDir)
+        ()
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val state = spark.read.parquet(deltaDir)
+      .groupBy("event_type")
+      .agg(sum("n").as("n"), sum("mv").as("mv"),
+        countDistinct("dy").as("days"))
+    (state, nBatches.get())
+  }
 }

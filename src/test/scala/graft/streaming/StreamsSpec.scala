@@ -423,4 +423,25 @@ class StreamsSpec extends SparkSpec {
     assert(state.get.toSeq == whole.toSeq)
     assert(whole.sum == 3L * 5) // every arrival lands d times
   }
+
+  test("q_stream_pipeline's pipeline runs MULTIPLE micro-batches and " +
+      "lands exactly on the batch aggregate") {
+    import graft.sources.Tables
+    val ev = Tables.table(spark, sf001, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graftstream").toString
+    val (state, nBatches) = Streams.incrementalEventStats(ev,
+      s"$dir/src", s"$dir/delta", s"$dir/ckpt")
+    // the declared row is only evidence of STREAMING execution if the
+    // run really split into several incremental triggers
+    assert(nBatches >= 2, s"pipeline collapsed into $nBatches batch(es)")
+    val got = state.orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 1000).cast("long")).as("mv"),
+        countDistinct(to_date(col("ts"))).as("days"))
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.sameElements(want))
+  }
 }
