@@ -606,13 +606,25 @@ object Queries {
   }
 
   /** HLL++ approximate distinct — mergeable sketch, no exact-count shuffle
-    * of raw user ids. No oracle: sketch estimates are engine-specific; the
-    * unit test bounds the error vs the exact count instead. */
-  private val qApproxDistinct: Q = (s, sf) =>
+    * of raw user ids at deployment. No value oracle (sketch estimates are
+    * engine-specific), so the declared row carries its own MACHINE-CHECKED
+    * bound: the exact count rides along, the 3·rsd window (rsd = 0.05,
+    * approx_count_distinct's default) is a visible output column, and
+    * assert_true enforces it IN-PLAN — an out-of-bound sketch turns the
+    * row into an execution error the driver records, never a silent
+    * rows>0 pass. */
+  private val qApproxDistinct: Q = (s, sf) => {
+    val rsd = 0.05
     t(s, sf, "events")
       .groupBy("event_type")
-      .agg(approx_count_distinct("user_id").as("du"))
+      .agg(approx_count_distinct("user_id").as("du"),
+        countDistinct("user_id").as("exact"))
+      .withColumn("within3rsd",
+        abs(col("du") - col("exact")) <= lit(3 * rsd) * col("exact"))
+      .filter(assert_true(col("within3rsd"),
+        lit("HLL estimate out of the 3*rsd error bound")).isNull)
       .orderBy("event_type")
+  }
 
   /** Distribution window functions: cume_dist + percent_rank per segment —
     * both are integer-count ratios, so values are engine-identical. */
@@ -711,18 +723,52 @@ object Queries {
 
   /** Mergeable quantile sketch (approx_percentile ≈ KLL/GK family): the
     * distributed path when exact percentiles' full sort is too expensive.
-    * No oracle: sketch internals are engine-specific; the unit test bounds
-    * the estimates against exact quantiles instead. */
-  private val qApproxPercentile: Q = (s, sf) =>
-    t(s, sf, "lineitem")
+    * No value oracle (sketch internals are engine-specific), so the row
+    * carries the sketch's OWN guarantee as a machine-checked output: each
+    * estimate's exact rank bracket [#<v + 1, #≤v] (one counting pass, no
+    * sort) must overlap the target rank window (q ± 1/accuracy)·n — the
+    * Greenwald–Khanna contract itself, ±1 for floor/ceil conventions —
+    * and assert_true enforces it in-plan: a sketch outside its documented
+    * bound becomes an execution error the driver records. */
+  private val qApproxPercentile: Q = (s, sf) => {
+    val eps = 1.0 / 10000
+    val pcts = t(s, sf, "lineitem")
       .groupBy("l_returnflag")
       .agg(percentile_approx(col("l_extendedprice"),
         array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("pcts"))
-      .select(col("l_returnflag"),
+      .select(col("l_returnflag").as("rf"),
         element_at(col("pcts"), 1).as("p50"),
         element_at(col("pcts"), 2).as("p90"),
         element_at(col("pcts"), 3).as("p99"))
+    def rankCnt(p: String, strict: Boolean) =
+      sum((if (strict) col("x") < col(p) else col("x") <= col(p))
+        .cast("long"))
+    def inWindow(q: Double, lt: Column, le: Column) =
+      (lt + 1 <= ceil(lit(q + eps) * col("n")) + 1) &&
+        (le >= floor(lit(q - eps) * col("n")) - 1)
+    t(s, sf, "lineitem").select(col("l_returnflag"),
+        col("l_extendedprice").as("x"))
+      .join(broadcast(pcts), col("l_returnflag") === col("rf"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        first("p50").as("p50"), first("p90").as("p90"),
+        first("p99").as("p99"),
+        rankCnt("p50", strict = true).as("lt50"),
+        rankCnt("p50", strict = false).as("le50"),
+        rankCnt("p90", strict = true).as("lt90"),
+        rankCnt("p90", strict = false).as("le90"),
+        rankCnt("p99", strict = true).as("lt99"),
+        rankCnt("p99", strict = false).as("le99"))
+      .withColumn("within_eps",
+        inWindow(0.5, col("lt50"), col("le50")) &&
+          inWindow(0.9, col("lt90"), col("le90")) &&
+          inWindow(0.99, col("lt99"), col("le99")))
+      .filter(assert_true(col("within_eps"),
+        lit("approx_percentile outside its rank-error guarantee")).isNull)
+      .select(col("l_returnflag"), col("p50"), col("p90"), col("p99"),
+        col("within_eps"))
       .orderBy("l_returnflag")
+  }
 
   /** Scalar subquery in the SELECT list (uncorrelated): each row carries
     * the corpus-wide aggregate — planned as a broadcast of one value, not

@@ -76,4 +76,22 @@ class IvfSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(hits == Seq(1L, 2L)) // ranked by cosine, cell-2 vector excluded
   }
+
+  test("q_cosine_ivf trained centroids at sf0.1 are pinned by digest") {
+    // the no-oracle row's trained state, pinned: Lloyd training with
+    // q_cosine_ivf's exact parameters (k=8, iters=2, id-ordered init) on
+    // the sf0.1 embeddings must reproduce THESE centroids. Values are
+    // rounded to 1e-4 before hashing so a ±1-ulp float-merge-order wobble
+    // in the distributed mean can never flip the digest, while any real
+    // change (init, assignment, re-indexing, iteration count) does.
+    val emb = graft.sources.Tables.table(spark, "/root/testdata/sf0.1",
+      "embeddings")
+    val cs = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val rendered = cs.map { case (i, a) =>
+      s"$i:" + a.map(v => f"$v%.4f").mkString(",") }.mkString(";")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(rendered.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(digest == "354ccba931abc08b53f296b37b25bc04",
+      s"centroid digest changed: $digest\n$rendered")
+  }
 }
