@@ -51,6 +51,20 @@ object Bench {
       spark.catalog.clearCache()
     }
     releaseStorage() // warmup leftovers
+    // The iterative block (multi-round loops: per-round localCheckpoint
+    // blocks + barrier jobs) is the one family whose in-suite times still
+    // swing 2x run-to-run on plan-identical executions (r5/r6 verdicts) —
+    // G1's concurrent cycle from the PREVIOUS query's garbage keeps
+    // running into the next timed window. For exactly these queries, let
+    // the collector settle: a short sleep after the full GC, then a
+    // second GC to sweep what the concurrent phase surfaced. ~15 queries
+    // x settleMs is the whole cost; the remaining 200+ queries keep the
+    // single-GC path.
+    val iterative = Set("q_pagerank", "q_communities", "q_bfs", "q_sssp",
+      "q_kcore", "q_triangles", "q_tree_depth", "q_2hop", "q_bpe_train",
+      "q_random_walk", "q_hits", "q_dedup_cluster", "q_semdedup",
+      "q_neardup_lsh", "q_snapshot")
+    val settleMs = sys.env.getOrElse("SPARK_GRAFT_SETTLE_MS", "300").toLong
     val results = names.map { name =>
       // GC isolation: the queries run alphabetically in one shared JVM, so
       // a heavy query's garbage (millions of candidate-pair rows) was
@@ -60,6 +74,10 @@ object Bench {
       // GC before each timed window charges every query its own garbage.
       releaseStorage()
       System.gc()
+      if (iterative(name) && settleMs > 0) {
+        Thread.sleep(settleMs)
+        System.gc()
+      }
       val t0 = System.nanoTime()
       val ok =
         try { SparkEntry.queries(name)(spark, sfDir).count(); true }

@@ -78,6 +78,58 @@ object GraphScaleBench {
     val ordered = outdeg.agg(sum(expr("od * (od - 1) div 2"))).head.getLong(0)
     val hubDeg = deg.where($"v" === 0).select($"dg").as[Long].head()
     println(s"SCALE wedges naive=$naive ordered=$ordered hub_degree=$hubDeg")
+
+    // ---- POWER-LAW block (round-7 verdict #2): the full iterative
+    // family on a Zipf-degree graph — the realistic web/social shape
+    // where naive triangle counting dies on the head vertices. Endpoint
+    // ids draw via inverse-CDF id = floor(V^u) (P(id) ∝ 1/id, α≈1), so
+    // the top vertex alone touches ~6% of all endpoint draws — a far
+    // harsher skew than the 2% planted hub above. Ordered wedge counts
+    // print per size: triangles' cost must track THAT number (the
+    // degree-ordered candidate space, O(m^1.5) worst case), not n².
+    def genPl(m: Long, path: String): Unit = {
+      val v = m / 15
+      def zipf(salt: Int) = {
+        val u = (pmod(xxhash64($"id", lit(salt)), lit(1000000L))
+          .cast("double") + 0.5) / 1000000.0
+        floor(pow(lit(v.toDouble), u)).cast("long")
+      }
+      spark.range(m).select(zipf(11).as("src"), zipf(12).as("dst"))
+        .where($"src" =!= $"dst")
+        .repartition(32)
+        .write.mode("overwrite").parquet(path)
+    }
+    def orderedWedges(edges: org.apache.spark.sql.DataFrame): Long = {
+      val und = edges.select(least($"src", $"dst").as("a"),
+          greatest($"src", $"dst").as("b"))
+        .where($"a" =!= $"b").distinct()
+      val dg = und.select(explode(array($"a", $"b")).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+      val first = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
+      und.join(dg.select($"v".as("a"), $"dg".as("da")), "a")
+        .join(dg.select($"v".as("b"), $"dg".as("db")), "b")
+        .select(when(first, $"a").otherwise($"b").as("u"))
+        .groupBy("u").agg(count(lit(1)).as("od"))
+        .agg(sum(expr("od * (od - 1) div 2"))).head.getLong(0)
+    }
+    sizes.foreach(m => genPl(m, s"$outRoot/pl_edges_$m"))
+    println("SCALE power-law generated")
+    Components.kCorePeel(spark.read.parquet(s"$outRoot/pl_edges_${sizes.head}"),
+      k = 10, rounds = 3).count() // warm the remaining plan shapes
+    Components.labelPropagation(
+      spark.read.parquet(s"$outRoot/pl_edges_${sizes.head}")).count()
+    sizes.foreach { m =>
+      val e = spark.read.parquet(s"$outRoot/pl_edges_$m")
+      val topDeg = e.select(explode(array($"src", $"dst")).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+        .orderBy($"dg".desc).limit(1).select($"dg").as[Long].head()
+      println(s"SCALE pl_stats_$m wedges_ordered=${orderedWedges(e)} " +
+        s"top_degree=$topDeg")
+      time(s"pl_pagerank_$m")(Components.pageRank(e, iters = 5))
+      time(s"pl_triangles_$m")(Components.triangles(e))
+      time(s"pl_kcore_$m")(Components.kCorePeel(e, k = 10, rounds = 3))
+      time(s"pl_communities_$m")(Components.labelPropagation(e, rounds = 3))
+    }
     spark.stop()
   }
 }
