@@ -35,11 +35,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // GC-bound at 8g (trivial queries inflated ~2x in-suite while their
   // isolated times were unchanged); the host has 128g
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+) ++ {
   // fixed nursery: G1's ADAPTIVE young-gen resizing is a measured noise
   // source in the one-JVM bench — a heavy query grows the nursery, the
   // next query's allocations then hit longer young pauses until G1
   // re-shrinks it, and plan-identical iterative queries swung 2x run to
   // run (r5/r6 verdicts). Pinning young gen trades a little adaptivity
-  // for repeatable per-query GC cost.
-  s"-Xmn${sys.env.getOrElse("SPARK_GRAFT_XMN", "2g")}",
-)
+  // for repeatable per-query GC cost. Only pinned for the DEFAULT heap:
+  // a custom SPARK_DRIVER_MEM below 2g would make -Xmn2g an unstartable
+  // JVM, so explicit heap choices keep G1's adaptive sizing unless
+  // SPARK_GRAFT_XMN is also set.
+  val xmn = sys.env.get("SPARK_GRAFT_XMN")
+    .orElse(if (sys.env.contains("SPARK_DRIVER_MEM")) None else Some("2g"))
+  xmn.map(v => s"-Xmn$v").toSeq
+}

@@ -62,20 +62,34 @@ object GraphScaleBench {
       time(s"bfs_$m")(Components.bfsDistances(e, source = 1L))
     }
 
+    // shared wedge-census helpers (used by the hub probe here and the
+    // power-law per-size stats below — one spelling of the dedup /
+    // degree / orientation logic, so the two printed censuses can never
+    // silently diverge)
+    def undirected(edges: org.apache.spark.sql.DataFrame) =
+      edges.select(least($"src", $"dst").as("a"),
+          greatest($"src", $"dst").as("b"))
+        .where($"a" =!= $"b").distinct()
+    def degrees(und: org.apache.spark.sql.DataFrame) =
+      und.select(explode(array($"a", $"b")).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+    def naiveWedges(deg: org.apache.spark.sql.DataFrame): Long =
+      deg.agg(sum(expr("dg * (dg - 1) div 2"))).head.getLong(0)
+    def orderedWedges(und: org.apache.spark.sql.DataFrame,
+        deg: org.apache.spark.sql.DataFrame): Long = {
+      val aFirst = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
+      und.join(deg.select($"v".as("a"), $"dg".as("da")), "a")
+        .join(deg.select($"v".as("b"), $"dg".as("db")), "b")
+        .select(when(aFirst, $"a").otherwise($"b").as("u"))
+        .groupBy("u").agg(count(lit(1)).as("od"))
+        .agg(sum(expr("od * (od - 1) div 2"))).head.getLong(0)
+    }
+
     // skew probe at 10×: candidate wedges with vs without degree ordering
-    val e10 = spark.read.parquet(s"$outRoot/edges_${sizes.last}")
-      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
-      .where($"a" =!= $"b").distinct()
-    val deg = e10.select(explode(array($"a", $"b")).as("v"))
-      .groupBy("v").agg(count(lit(1)).as("dg"))
-    val naive = deg.agg(sum(expr("dg * (dg - 1) div 2"))).head.getLong(0)
-    val aFirst = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
-    val outdeg = e10
-      .join(deg.select($"v".as("a"), $"dg".as("da")), "a")
-      .join(deg.select($"v".as("b"), $"dg".as("db")), "b")
-      .select(when(aFirst, $"a").otherwise($"b").as("u"))
-      .groupBy("u").agg(count(lit(1)).as("od"))
-    val ordered = outdeg.agg(sum(expr("od * (od - 1) div 2"))).head.getLong(0)
+    val e10 = undirected(spark.read.parquet(s"$outRoot/edges_${sizes.last}"))
+    val deg = degrees(e10)
+    val naive = naiveWedges(deg)
+    val ordered = orderedWedges(e10, deg)
     val hubDeg = deg.where($"v" === 0).select($"dg").as[Long].head()
     println(s"SCALE wedges naive=$naive ordered=$ordered hub_degree=$hubDeg")
 
@@ -99,19 +113,6 @@ object GraphScaleBench {
         .repartition(32)
         .write.mode("overwrite").parquet(path)
     }
-    def orderedWedges(edges: org.apache.spark.sql.DataFrame): Long = {
-      val und = edges.select(least($"src", $"dst").as("a"),
-          greatest($"src", $"dst").as("b"))
-        .where($"a" =!= $"b").distinct()
-      val dg = und.select(explode(array($"a", $"b")).as("v"))
-        .groupBy("v").agg(count(lit(1)).as("dg"))
-      val first = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
-      und.join(dg.select($"v".as("a"), $"dg".as("da")), "a")
-        .join(dg.select($"v".as("b"), $"dg".as("db")), "b")
-        .select(when(first, $"a").otherwise($"b").as("u"))
-        .groupBy("u").agg(count(lit(1)).as("od"))
-        .agg(sum(expr("od * (od - 1) div 2"))).head.getLong(0)
-    }
     sizes.foreach(m => genPl(m, s"$outRoot/pl_edges_$m"))
     println("SCALE power-law generated")
     Components.kCorePeel(spark.read.parquet(s"$outRoot/pl_edges_${sizes.head}"),
@@ -120,10 +121,14 @@ object GraphScaleBench {
       spark.read.parquet(s"$outRoot/pl_edges_${sizes.head}")).count()
     sizes.foreach { m =>
       val e = spark.read.parquet(s"$outRoot/pl_edges_$m")
+      val und = undirected(e)
+      // top degree counts RAW endpoint draws (parallel edges included) —
+      // the skew statistic of the generator itself, as recorded in
+      // SCALING.md; the wedge census runs on the deduped undirected frame
       val topDeg = e.select(explode(array($"src", $"dst")).as("v"))
         .groupBy("v").agg(count(lit(1)).as("dg"))
         .orderBy($"dg".desc).limit(1).select($"dg").as[Long].head()
-      println(s"SCALE pl_stats_$m wedges_ordered=${orderedWedges(e)} " +
+      println(s"SCALE pl_stats_$m wedges_ordered=${orderedWedges(und, degrees(und))} " +
         s"top_degree=$topDeg")
       time(s"pl_pagerank_$m")(Components.pageRank(e, iters = 5))
       time(s"pl_triangles_$m")(Components.triangles(e))

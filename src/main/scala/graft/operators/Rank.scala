@@ -53,10 +53,14 @@ object Rank {
       .withColumn(LR, row_number().over(w).cast("long"))
     sumOf.foreach(c => local = local.withColumn(LS, sum(col(c)).over(cw)))
     val localCp = local.localCheckpoint(true) // offsets + final join share it
-    // Per-partition totals = the last row's running values: ≤ nPart rows,
-    // so the offset windows below run on a bounded grid by construction.
+    // Per-partition row count = the last row's row_number (max is safe:
+    // row_number is strictly increasing); the per-partition SUM is a real
+    // sum — max of the running sum would only equal it for non-negative
+    // inputs, and nothing in this API restricts the summed column's sign.
+    // ≤ nPart offset rows, so the windows below run on a bounded grid by
+    // construction.
     val aggs = max(col(LR)).as("_gr_pc") ::
-      sumOf.map(_ => max(col(LS)).as("_gr_ps")).toList
+      sumOf.map(c => sum(col(c)).as("_gr_ps")).toList
     val gw = Window.orderBy(PID)
     val prevW = gw.rowsBetween(Window.unboundedPreceding, -1)
     val allW = gw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

@@ -134,11 +134,13 @@ object Streams {
   /** A COMPLETE declared streaming pipeline (readStream → foreachBatch →
     * materialized state), run to completion over a file-streamed copy of
     * the events table — the continuous-ingest shape a user deploys, not
-    * just an operator: each micro-batch appends its partial
-    * (event_type, day) aggregate to a delta log (the log-structured
-    * ADDITIVE-merge pattern — at 100 TB a batch writes O(delta) and never
+    * just an operator: each micro-batch writes its partial
+    * (event_type, day) aggregate into the delta log under its own
+    * `batch=<id>` partition with overwrite — IDEMPOTENT under
+    * foreachBatch's at-least-once replay contract (the log-structured
+    * ADDITIVE-merge pattern: at 100 TB a batch writes O(delta) and never
     * rewrites accumulated state; compaction is a separate concern,
-    * [[graft.sources.Layout.compact]]), and the final state is the
+    * [[graft.sources.Layout.compact]]) — and the final state is the
     * delta log re-aggregated. Because every partial is additive and
     * commutative, the result is INDEPENDENT of how the files split into
     * micro-batches — exactly what makes a streaming pipeline's output
@@ -157,12 +159,18 @@ object Streams {
       .option("maxFilesPerTrigger", filesPerTrigger).parquet(srcDir)
     val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         nBatches.incrementAndGet()
+        // keyed by batchId, mode=overwrite: foreachBatch is AT-LEAST-ONCE
+        // (a crash between the data commit and the checkpoint commit
+        // replays the batch) — a plain append would double-count the
+        // replayed partial; overwriting batch=<id> makes the write
+        // idempotent, and the Hive-style dir name lets the final read
+        // discover `batch` as a partition column
         batch.groupBy(col("event_type"), to_date(col("ts")).as("dy"))
           .agg(count(lit(1)).as("n"),
             sum(round(col("value") * 1000).cast("long")).as("mv"))
-          .write.mode("append").parquet(deltaDir)
+          .write.mode("overwrite").parquet(s"$deltaDir/batch=$batchId")
         ()
       }
       .option("checkpointLocation", ckptDir)

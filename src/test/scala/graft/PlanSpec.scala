@@ -648,12 +648,27 @@ class PlanSpec extends SparkSpec {
       "q_rolling_rev",     // day grid (RANGE frame)
       "q_skyline",         // p_size grid (≤50 cells)
       "q_weighted_median") // l_quantity grid (≤50 cells)
-    def bounded(w: LWindow): Boolean = w.child.collectFirst {
-      case a: Aggregate if a.groupingExpressions.nonEmpty &&
-        a.groupingExpressions.flatMap(_.references.map(_.name)).toSet ==
-          Set("_gr_pid") => a
-      case l: GlobalLimit => l
-    }.nonEmpty
+    // the GlobalLimit must DOMINATE the window's input — reachable from
+    // its child through row-preserving/reducing unary nodes only. A limit
+    // merely somewhere in the subtree (e.g. on a join's broadcast dim
+    // side) does NOT bound the window frame and must not pass.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalLimit,
+      LogicalPlan, Project, Repartition, RepartitionByExpression, Sort,
+      SubqueryAlias}
+    def limitDominates(p: LogicalPlan): Boolean = p match {
+      case _: GlobalLimit => true
+      case u @ (_: Project | _: Filter | _: Sort | _: SubqueryAlias |
+          _: LocalLimit | _: Repartition | _: RepartitionByExpression |
+          _: Aggregate | _: LWindow) =>
+        limitDominates(u.children.head)
+      case _ => false // joins, generators, unions: frame no longer bounded
+    }
+    def bounded(w: LWindow): Boolean =
+      limitDominates(w.child) || w.child.collectFirst {
+        case a: Aggregate if a.groupingExpressions.nonEmpty &&
+          a.groupingExpressions.flatMap(_.references.map(_.name)).toSet ==
+            Set("_gr_pid") => a
+      }.nonEmpty
     val flagged = Queries.all.keys.toSeq.sorted.flatMap { name =>
       val plan = Queries.all(name)(spark, sf001).queryExecution.optimizedPlan
       val bad = plan.collect {

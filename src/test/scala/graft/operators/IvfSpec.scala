@@ -88,7 +88,8 @@ class IvfSpec extends SparkSpec {
       "embeddings")
     val cs = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
     val rendered = cs.map { case (i, a) =>
-      s"$i:" + a.map(v => f"$v%.4f").mkString(",") }.mkString(";")
+      s"$i:" + a.map(v => "%.4f".formatLocal(java.util.Locale.ROOT, v))
+        .mkString(",") }.mkString(";")
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(rendered.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(digest == "354ccba931abc08b53f296b37b25bc04",

@@ -59,6 +59,27 @@ class RankSpec extends SparkSpec {
     assert(got == Map(1L -> 1, 3L -> 2, 2L -> 3))
   }
 
+  test("rowNumbered running sums are exact for NEGATIVE values too") {
+    import spark.implicits._
+    // the per-partition sum must be a real sum, not max-of-running-sum —
+    // a mixed-sign column whose running sum peaks mid-partition is the
+    // case that distinguishes them
+    val df = (1 to 200).map(i =>
+      (i.toLong, if (i % 3 == 0) -2L * i else i.toLong)).toDF("id", "v")
+    val got = Rank.rowNumbered(df, Seq(col("id")), rankCol = "r",
+        sumOf = Some("v"), cumCol = "cum", totCol = "tot", partitions = 8)
+      .select(col("id"), col("cum"), col("tot"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+      .sortBy(_._1)
+    val w = Window.orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = df.agg(sum("v")).head.getLong(0)
+    val want = df.withColumn("cum", sum("v").over(w))
+      .select(col("id"), col("cum"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), tot)).sortBy(_._1)
+    assert(got.sameElements(want))
+  }
+
   test("rowNumbered spans partitions: ranks are contiguous across the range split") {
     val sp = custFrame
     val ranked = Rank.rowNumbered(sp, Seq(col("c"), col("o_custkey")),
