@@ -359,6 +359,52 @@ object Multimodal {
     encodeWavPcm16(samples, 8000f)
   }
 
+  /** 64-bit video LUMA fingerprint: REAL MJPEG-AVI demux + per-frame JPEG
+    * decode ([[MjpegAvi]] + ImageIO), bit i set iff frame i's mean luma
+    * exceeds 0.5 (first 64 frames; shorter videos leave high bits 0) —
+    * the coarse brightness envelope, the video analogue of
+    * [[audioEnergyFingerprint]]. Solid-frame payloads decode to luma ≈ 0
+    * or ≈ 1 (JPEG's DC term is exact on flat blocks), so the bit
+    * decisions are deterministic for synthesized videos — what lets
+    * q_video_neardup oracle the pair stage. Corrupt containers or frames
+    * come back Left. */
+  def videoLumaFingerprint(payload: Array[Byte]): Either[String, Long] =
+    MjpegAvi.decodeFrames(payload).flatMap { frames =>
+      if (frames.isEmpty) Left("AVI container holds no video frames")
+      else {
+        val lumas = frames.take(64).map(imageFeatures)
+        lumas.collectFirst { case Left(e) => e } match {
+          case Some(e) => Left(s"undecodable frame: $e")
+          case None =>
+            var h = 0L
+            lumas.zipWithIndex.foreach {
+              case (Right((_, _, l)), i) => if (l > 0.5) h |= 1L << i
+              case _ => ()
+            }
+            Right(h)
+        }
+      }
+    }
+
+  /** Synthesize the 64-frame MJPEG-AVI whose [[videoLumaFingerprint]] is
+    * exactly `pattern`: frame i is solid white iff bit i is set, solid
+    * black otherwise — both levels far from the 0.5 luma threshold, so
+    * the encode → demux → decode → fingerprint roundtrip recovers
+    * `pattern` bit-for-bit. 16×16 frames keep the codec cost trivial. */
+  def patternAvi(pattern: Long): Array[Byte] = {
+    val frames = (0 until 64).map { i =>
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(if ((pattern >> i & 1L) == 1L) java.awt.Color.WHITE
+        else java.awt.Color.BLACK)
+      g.fillRect(0, 0, 16, 16)
+      g.dispose()
+      img
+    }
+    MjpegAvi.encodeImages(frames, fps = 8)
+  }
+
   /** Join documents with their embedding vectors into one multimodal row
     * (text + vector + metadata struct). */
   def withEmbeddings(docs: DataFrame, embeddings: DataFrame,

@@ -1196,6 +1196,21 @@ object OracleSql {
         "FROM p WHERE bit_count(xor(ha,hb)) <= 3) " +
         "SELECT ham, count(*) pairs, CAST(sum(ida+idb) AS BIGINT) chk " +
         "FROM j GROUP BY ham ORDER BY ham"),
+    // the video fingerprints the Spark side recovers through the REAL
+    // AVI encode→demux→JPEG-decode→luma roundtrip equal this closed form
+    "q_video_neardup" ->
+      ("WITH h AS (SELECT doc_id id, " +
+        "xor(CAST(concat('0x', substr(md5(concat('vid', CAST(doc_id//5 AS VARCHAR))),1,15)) AS BIGINT), " +
+        "CAST(1 AS BIGINT) << CAST(doc_id%4 AS INT)) h " +
+        "FROM documents WHERE doc_id < 300), " +
+        "b AS (SELECT id, h, bb.b, (h >> (bb.b*16)) & 65535 bv " +
+        "FROM h, (SELECT unnest(range(0,4)) b) bb), " +
+        "p AS (SELECT DISTINCT a.id ida, a.h ha, c.id idb, c.h hb " +
+        "FROM b a JOIN b c ON a.b=c.b AND a.bv=c.bv AND a.id<c.id), " +
+        "j AS (SELECT ida, idb, CAST(bit_count(xor(ha,hb)) AS INT) ham " +
+        "FROM p WHERE bit_count(xor(ha,hb)) <= 3) " +
+        "SELECT ham, count(*) pairs, CAST(sum(ida+idb) AS BIGINT) chk " +
+        "FROM j GROUP BY ham ORDER BY ham"),
     // as-of run 2 the dedupe DataSet has consumed blocks b0, b1 =
     // event_id mod 3 residues {0, 1} — the keep-newest pipe over exactly
     // that subset

@@ -1775,6 +1775,35 @@ object Queries {
       .orderBy("ham")
   }
 
+  /** Video near-dup — completes the modality triple (image: q_image_
+    * neardup, audio: q_audio_neardup): each doc's 60-bit md5 pattern is
+    * synthesized into a REAL 64-frame MJPEG-AVI ([[Multimodal
+    * .patternAvi]]: solid white/black frames), demuxed and per-frame
+    * JPEG-decoded back ([[Multimodal.videoLumaFingerprint]]) — the luma
+    * envelope recovers the pattern bit-for-bit, so DuckDB oracles the
+    * full container→codec→fingerprint→pair pipeline closed-form. 300
+    * docs × 64 tiny frames keep codec cost trivial and parallel (narrow
+    * mapPartitions; AVI bytes never shuffle); the pair stage is the
+    * shared banded Hamming join. */
+  private val qVideoNeardup: Q = (s, sf) => {
+    import s.implicits._
+    val pats = t(s, sf, "documents").filter(col("doc_id") < 300)
+      .select(col("doc_id").as("id"),
+        expr("CAST(conv(substr(md5(concat('vid', CAST(doc_id div 5 AS " +
+          "STRING))), 1, 15), 16, 10) AS BIGINT) ^ " +
+          "shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 4 AS INT))").as("h"))
+    val fps = pats.as[(Long, Long)].mapPartitions(_.map { case (id, pat) =>
+      val avi = Multimodal.patternAvi(pat) // real MJPEG-AVI bytes
+      val fp = Multimodal.videoLumaFingerprint(avi)
+        .fold(e => throw new IllegalStateException(e), identity)
+      (id, fp)
+    }).toDF("id", "h")
+    Multimodal.hammingNearDups(fps, "id", "h", maxHamming = 3)
+      .groupBy("ham")
+      .agg(count(lit(1)).as("pairs"), sum(col("ida") + col("idb")).as("chk"))
+      .orderBy("ham")
+  }
+
   /** DataSet TIME TRAVEL ([[Snapshot.asOf]]): replay a 3-block ingest
     * history through [[Graph.runIncremental]] (one block per run, lineage
     * recorded in a [[RunLog]]), then reconstruct the dedupe DataSet AS OF
@@ -3866,6 +3895,7 @@ object Queries {
     "q_decimal" -> qDecimal,
     "q_audio_neardup" -> qAudioNeardup,
     "q_image_neardup" -> qImageNeardup,
+    "q_video_neardup" -> qVideoNeardup,
     "q_snapshot" -> qSnapshot,
     "q_stream_pipeline" -> qStreamPipeline,
     "q_bloom_join" -> qBloomJoin,

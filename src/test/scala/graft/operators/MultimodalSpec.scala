@@ -284,4 +284,22 @@ class MultimodalSpec extends SparkSpec {
     val tiny = Multimodal.encodeWavPcm16(Array[Short](1, 2, 3), 8000f)
     assert(Multimodal.audioEnergyFingerprint(tiny).isLeft)
   }
+
+  test("video luma fingerprint: AVI encode→demux→decode roundtrip " +
+      "recovers the pattern bit-for-bit") {
+    // the q_video_neardup contract: patternAvi synthesizes a REAL
+    // MJPEG-AVI whose per-frame luma fingerprint is exactly the pattern
+    for (pat <- Seq(0L, 1L, 0x0123456789abcdL, 0x7fffffffffffffffL,
+        0x8000000000000001L, -1L)) {
+      val avi = Multimodal.patternAvi(pat)
+      assert(new String(avi.take(4), "US-ASCII") == "RIFF")
+      assert(Multimodal.videoFeatures(avi).isRight) // generic path too
+      assert(Multimodal.videoLumaFingerprint(avi) == Right(pat),
+        s"pattern ${pat.toHexString} did not roundtrip")
+    }
+    // corrupt containers stay data, never exceptions
+    assert(Multimodal.videoLumaFingerprint(Array[Byte](1, 2, 3)).isLeft)
+    val ok = Multimodal.patternAvi(42L)
+    assert(Multimodal.videoLumaFingerprint(ok.take(ok.length - 7)).isLeft)
+  }
 }
