@@ -29,7 +29,10 @@ object Checkpoint {
   val ReliableKey = "graft.checkpoint.reliable"
 
   def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.conf.getOption(ReliableKey).contains("true")) {
+    // case-insensitive, matching cutStatic: a capitalized "True" from a
+    // boolean-typed launcher set must not silently lose durability
+    if (df.sparkSession.conf.getOption(ReliableKey)
+        .exists(_.equalsIgnoreCase("true"))) {
       require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
         s"$ReliableKey=true but no checkpoint directory is set — call " +
           "sparkContext.setCheckpointDir(<durable path>) first")

@@ -1437,6 +1437,26 @@ object OracleSql {
     "q_neardup_incr_indexed" -> incrNeardupSql,
     "q_passage_dedup" -> passageDedupSql,
     "q_embed_decontaminate" -> embedDecontaminateSql,
+    // BOTH sides are recursive CTEs (Spark 4 UnionLoop vs DuckDB):
+    // integer-cents carry with integer division per step — bit-exact
+    "q_rcte_decay" ->
+      ("WITH RECURSIVE g AS (SELECT year(o_orderdate)*4 + quarter(o_orderdate) q, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) rev " +
+        "FROM orders GROUP BY 1), " +
+        "acc(q, carry) AS (SELECT q, rev FROM g WHERE q = (SELECT min(q) FROM g) " +
+        "UNION ALL SELECT g.q, (a.carry * 9) // 10 + g.rev " +
+        "FROM acc a JOIN g ON g.q = a.q + 1) " +
+        "SELECT q, CAST(carry AS DOUBLE)/100 AS decayed FROM acc ORDER BY q"),
+    // graph recursion with per-step DISTINCT: identical working-table
+    // semantics both engines, min() multiplicity-insensitive on top
+    "q_rcte_reach" ->
+      ("WITH RECURSIVE oi AS (SELECT DISTINCT 2*o_custkey AS s, 2*l_suppkey+1 AS d " +
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey), " +
+        "e AS (SELECT s, d FROM oi UNION ALL SELECT d AS s, s AS d FROM oi), " +
+        "reach(node, depth) AS (SELECT DISTINCT s, CAST(0 AS BIGINT) FROM e WHERE s < 20 " +
+        "UNION ALL SELECT DISTINCT e.d, r.depth + 1 FROM reach r " +
+        "JOIN e ON e.s = r.node WHERE r.depth < 3) " +
+        "SELECT node, min(depth) AS depth FROM reach GROUP BY node ORDER BY node"),
     // the engine runs O(log depth) pointer doubling; the oracle is an
     // ACTUAL recursive CTE — the equality pins log-round ≡ row-recursive
     "q_tree_depth" ->

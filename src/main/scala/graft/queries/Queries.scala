@@ -3814,9 +3814,72 @@ object Queries {
       .orderBy("ta", "tb")
   }
 
+  /** Exponentially-decayed revenue momentum by quarter — a SEQUENTIAL
+    * recurrence carry(q) = carry(q−1)·9 DIV 10 + rev(q) that no window
+    * frame expresses (each step rescales the accumulated state), spelled
+    * as genuine `WITH RECURSIVE` through Spark 4's UnionLoop: the
+    * general recursive-SQL surface a migrating user reaches for, beside
+    * the engine-loop form ([[operators.Iterate.fixpoint]], which pointer-
+    * doubles in O(log n) rounds where row recursion takes n — here the
+    * chain is calendar-bounded at ~30 quarters, far under the default
+    * 100-level recursion limit, so the row-recursive spelling is the
+    * right tool). Per-step state is ONE row equi-joined against the
+    * bounded quarter grid; revenue is integer cents and DIV integer
+    * division, so every step is bit-stable under any partition order,
+    * and a gap quarter would end both engines' chains at the same row.
+    * The grid is CHECKPOINTED before the recursion: UnionLoop re-evaluates
+    * a referenced view's subplan on every round, and 27 rounds × a full
+    * orders scan-and-aggregate is exactly the re-scan amplification that
+    * kills row recursion at 100 TB — materialize the bounded frame once
+    * (measured here: 7.5 s → 2.9 s at sf0.1; the rest is the ~0.1 s/round
+    * fixed UnionLoop scheduling cost, amortized at real per-step volume). */
+  private val qRcteDecay: Q = (s, sf) => {
+    t(s, sf, "orders")
+      .groupBy((year(col("o_orderdate")) * 4 + quarter(col("o_orderdate")))
+        .cast("long").as("q"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+      .localCheckpoint(true) // scanned once, joined 27 times
+      .createOrReplaceTempView("g_rcte_quarterly")
+    s.sql(
+      """WITH RECURSIVE acc(q, carry) AS (
+        |  SELECT q, rev FROM g_rcte_quarterly
+        |  WHERE q = (SELECT min(q) FROM g_rcte_quarterly)
+        |  UNION ALL
+        |  SELECT g.q, (a.carry * 9) DIV 10 + g.rev
+        |  FROM acc a JOIN g_rcte_quarterly g ON g.q = a.q + 1)
+        |SELECT q, CAST(carry AS DOUBLE) / 100 AS decayed
+        |FROM acc ORDER BY q""".stripMargin)
+  }
+
+  /** Min-hop reachability within 3 hops of the low-id seed customers on
+    * the trade graph — the SECOND recursive-CTE shape (graph recursion),
+    * with the per-step frontier re-deduplicated by a DISTINCT inside the
+    * recursive term: each step is then bounded by the NODE count, so the
+    * UNION ALL path explosion (degree^depth — the thing that makes naive
+    * recursive reachability a scale-killer) cannot happen at any SF.
+    * Spark's UnionLoop evaluates the standard working-table semantics
+    * (each step sees only the previous step's rows) exactly as DuckDB
+    * does, so the per-node min depth is oracle-exact. The engine-loop
+    * form of this workload is [[operators.Components.bfsDistances]]
+    * (q_bfs); this row pins the user-facing SQL syntax. */
+  private val qRcteReach: Q = (s, sf) => {
+    tradeEdges(s, sf).createOrReplaceTempView("g_rcte_edges")
+    s.sql(
+      """WITH RECURSIVE reach(node, depth) AS (
+        |  SELECT DISTINCT s, CAST(0 AS BIGINT) FROM g_rcte_edges WHERE s < 20
+        |  UNION ALL
+        |  SELECT DISTINCT e.d, r.depth + 1
+        |  FROM reach r JOIN g_rcte_edges e ON e.s = r.node
+        |  WHERE r.depth < 3)
+        |SELECT node, min(depth) AS depth FROM reach
+        |GROUP BY node ORDER BY node""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_rcte_decay" -> qRcteDecay,
+    "q_rcte_reach" -> qRcteReach,
     "q_anomaly_days" -> qAnomalyDays,
     "q_freq_hist" -> qFreqHist,
     "q_adoption_overlap" -> qAdoptionOverlap,

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.UnionLoop
+import graft.queries.Queries
+
+/** The recursive-CTE surface (q_rcte_decay / q_rcte_reach): Spark 4's
+  * UnionLoop vs independent Scala reference computations, plus the plan
+  * shapes that make the recursion scale-safe (per-step DISTINCT bounding
+  * each frontier by the node count).
+  */
+class RecursionSpec extends SparkSpec {
+
+  test("q_rcte_decay matches the recurrence folded on the driver") {
+    val out = Queries.all("q_rcte_decay")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.nonEmpty)
+    // independent reference: quarterly integer-cents revenue, folded
+    // sequentially with the same integer-division decay
+    val quarterly = spark.read.parquet(s"$sf001/orders.parquet")
+      .selectExpr("CAST(year(o_orderdate)*4 + quarter(o_orderdate) AS BIGINT) q",
+        "CAST(round(o_totalprice*100) AS BIGINT) c")
+      .groupBy("q").sum("c")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var carry = 0L
+    val ref = quarterly.zipWithIndex.map { case ((q, rev), i) =>
+      carry = (if (i == 0) 0L else carry * 9 / 10) + rev
+      (q, carry / 100.0)
+    }
+    // the chain only continues across consecutive quarters; testdata has
+    // no gaps, so the full fold is the reference
+    assert(quarterly.map(_._1).sliding(2).forall(w => w(1) == w(0) + 1))
+    assert(out.toSeq == ref.toSeq)
+  }
+
+  test("q_rcte_reach matches a driver-side BFS on the collected graph") {
+    val out = Queries.all("q_rcte_reach")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.nonEmpty)
+    val oi = spark.read.parquet(s"$sf001/orders.parquet")
+      .join(spark.read.parquet(s"$sf001/lineitem.parquet"),
+        org.apache.spark.sql.functions.expr("o_orderkey = l_orderkey"))
+      .selectExpr("o_custkey*2 s", "l_suppkey*2+1 d").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj: Map[Long, Seq[Long]] =
+      (oi ++ oi.map(_.swap)).toSeq.groupMap(_._1)(_._2)
+    var frontier = adj.keySet.filter(_ < 20)
+    val depth = collection.mutable.Map(frontier.map(_ -> 0L).toSeq: _*)
+    for (d <- 1L to 3L) {
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Seq.empty))
+      frontier.foreach(n => if (!depth.contains(n)) depth(n) = d)
+    }
+    assert(out == depth.toMap)
+  }
+
+  test("both recursive queries plan a UnionLoop, never a cartesian") {
+    for (name <- Seq("q_rcte_decay", "q_rcte_reach")) {
+      val qe = Queries.all(name)(spark, sf001).queryExecution
+      val loops = qe.optimizedPlan.collect { case u: UnionLoop => u }
+      assert(loops.nonEmpty, s"$name lost its UnionLoop")
+      assert(!qe.executedPlan.toString.contains("CartesianProduct"), name)
+    }
+  }
+
+  test("the reach recursion dedups inside the loop (frontier <= nodes)") {
+    // the scale guard: the recursive term must re-DISTINCT each step, or
+    // path multiplicity compounds as degree^depth
+    val qe = Queries.all("q_rcte_reach")(spark, sf001).queryExecution
+    val loop = qe.optimizedPlan.collect { case u: UnionLoop => u }.head
+    val dedups = loop.recursion.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      case d: org.apache.spark.sql.catalyst.plans.logical.Distinct => d
+    }
+    assert(dedups.nonEmpty, loop.recursion.toString)
+  }
+}
