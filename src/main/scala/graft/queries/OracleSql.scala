@@ -1437,6 +1437,70 @@ object OracleSql {
     "q_neardup_incr_indexed" -> incrNeardupSql,
     "q_passage_dedup" -> passageDedupSql,
     "q_embed_decontaminate" -> embedDecontaminateSql,
+    // rank-based U: tie groups contribute min(rn)+max(rn) = 2·avg rank,
+    // an integer identity — the rank sum is exact int64; z is the one
+    // shared double spelling (tie-corrected variance)
+    "q_mannwhitney" ->
+      ("WITH u AS (SELECT user_id, CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) sc, " +
+        "CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END a FROM events GROUP BY user_id), " +
+        "r AS (SELECT sc, a, row_number() OVER (ORDER BY sc, user_id) rn FROM u), " +
+        "g AS (SELECT sc, min(rn)+max(rn) m2, sum(a) ca, count(*) t FROM r GROUP BY sc), " +
+        "m AS (SELECT CAST(sum(ca*m2) AS BIGINT) r2a, CAST(sum(ca) AS BIGINT) na, " +
+        "CAST(sum(t-ca) AS BIGINT) nb, CAST(sum(t*t*t - t) AS BIGINT) tsum FROM g) " +
+        "SELECT na, nb, CAST(r2a - na*(na+1) AS DOUBLE)/2 u_a, " +
+        "round((CAST(r2a - na*(na+1) AS DOUBLE)/2 - CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)/2) / " +
+        "sqrt(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE)/12 * " +
+        "((CAST(na+nb AS DOUBLE)+1) - CAST(tsum AS DOUBLE)/(CAST(na+nb AS DOUBLE)*(CAST(na+nb AS DOUBLE)-1)))), 4) z " +
+        "FROM m"),
+    // centi-unit integer moments; mean/var/t/df in one shared double
+    // spelling per side
+    "q_welch" ->
+      ("WITH m AS (SELECT user_id % 2 = 0 arma, count(*) n, " +
+        "CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) sx, " +
+        "CAST(sum(CAST(round(value*100) AS BIGINT)*CAST(round(value*100) AS BIGINT)) AS BIGINT) sxx " +
+        "FROM events GROUP BY 1), " +
+        "w AS (SELECT CAST(sum(CASE WHEN arma THEN n END) AS BIGINT) na, " +
+        "CAST(sum(CASE WHEN arma THEN sx END) AS BIGINT) sxa, " +
+        "CAST(sum(CASE WHEN arma THEN sxx END) AS BIGINT) sxxa, " +
+        "CAST(sum(CASE WHEN NOT arma THEN n END) AS BIGINT) nb, " +
+        "CAST(sum(CASE WHEN NOT arma THEN sx END) AS BIGINT) sxb, " +
+        "CAST(sum(CASE WHEN NOT arma THEN sxx END) AS BIGINT) sxxb FROM m), " +
+        "c AS (SELECT na, nb, CAST(sxa AS DOUBLE)/na/100 ma, CAST(sxb AS DOUBLE)/nb/100 mb, " +
+        "(CAST(sxxa AS DOUBLE) - CAST(sxa AS DOUBLE)*CAST(sxa AS DOUBLE)/na)/(na-1)/10000/na qa, " +
+        "(CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE)*CAST(sxb AS DOUBLE)/nb)/(nb-1)/10000/nb qb FROM w) " +
+        "SELECT na, nb, round(ma, 4) mean_a, round(mb, 4) mean_b, " +
+        "round((ma - mb)/sqrt(qa + qb), 4) t, " +
+        "round((qa+qb)*(qa+qb)/(qa*qa/(na-1) + qb*qb/(nb-1)), 2) df FROM c"),
+    // Kaplan-Meier: quantized-log running product (the q_psi discipline);
+    // hour lifetimes via floor-second epochs // 3600 on both engines
+    "q_survival" ->
+      ("WITH per AS (SELECT user_id, min(ts) t0, " +
+        "min(CASE WHEN event_type = 'purchase' THEN ts END) tp FROM events GROUP BY 1), " +
+        "u AS (SELECT CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END d, " +
+        "(CASE WHEN tp IS NOT NULL THEN date_diff('second', t0, tp) " +
+        "ELSE date_diff('second', t0, (SELECT max(ts) FROM events)) END) // 3600 lt FROM per), " +
+        "g AS (SELECT lt, CAST(sum(d) AS BIGINT) d, CAST(sum(1-d) AS BIGINT) c FROM u GROUP BY lt), " +
+        "k AS (SELECT lt, d, CAST((SELECT count(*) FROM u) - " +
+        "coalesce(CAST(sum(d+c) OVER (ORDER BY lt ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS BIGINT) n_risk FROM g), " +
+        "q AS (SELECT lt, n_risk, d, CASE WHEN n_risk = d THEN -90000000000 " +
+        "ELSE CAST(floor(ln(CAST(n_risk - d AS DOUBLE)/n_risk)*1000000000 + 0.5) AS BIGINT) END q FROM k), " +
+        "sq AS (SELECT lt, n_risk, d, CAST(sum(q) OVER (ORDER BY lt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) qs FROM q) " +
+        "SELECT lt, n_risk, d, round(exp(CAST(qs AS DOUBLE)/1000000000), 4) surv " +
+        "FROM sq WHERE d > 0 ORDER BY lt"),
+    // pair counts on the distinct (user, type) frame; metric ratios in
+    // shared double spellings
+    "q_assoc_rules" ->
+      ("WITH ut AS (SELECT DISTINCT user_id, event_type FROM events), " +
+        "tc AS (SELECT event_type, count(*) cnt FROM ut GROUP BY 1), " +
+        "nn AS (SELECT count(DISTINCT user_id) nn FROM ut), " +
+        "p AS (SELECT x.event_type ta, y.event_type tb, count(*) nboth " +
+        "FROM ut x JOIN ut y ON x.user_id = y.user_id AND x.event_type < y.event_type GROUP BY 1, 2) " +
+        "SELECT ta, tb, nboth, a.cnt ca, b.cnt cb, " +
+        "round(nboth/CAST(nn AS DOUBLE), 4) supp, " +
+        "round(nboth/CAST(a.cnt AS DOUBLE), 4) conf, " +
+        "round(CAST(nboth AS DOUBLE)*nn/(CAST(a.cnt AS DOUBLE)*b.cnt), 4) lift " +
+        "FROM p JOIN tc a ON a.event_type = p.ta JOIN tc b ON b.event_type = p.tb, nn " +
+        "ORDER BY ta, tb"),
     // BOTH sides are recursive CTEs (Spark 4 UnionLoop vs DuckDB):
     // integer-cents carry with integer division per step — bit-exact
     "q_rcte_decay" ->

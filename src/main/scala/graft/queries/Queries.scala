@@ -3875,11 +3875,150 @@ object Queries {
         |GROUP BY node ORDER BY node""".stripMargin)
   }
 
+  /** Mann–Whitney U between the id-parity arms on per-user engagement —
+    * the NONPARAMETRIC A/B readout beside [[qAbtest]] (z-test) /
+    * [[qOddsRatio]]: no normality assumption, rank-based. Ranking the
+    * per-user aggregate is exactly the entity-grain global sort that
+    * serializes in a partition-less window, so it runs on
+    * [[operators.Rank.rowNumbered]] (two-pass distributed rank); tie
+    * groups contribute their EXACT average rank via min(rn)+max(rn) — an
+    * integer identity (2·avg over a consecutive run), so the rank sum
+    * R2a = Σ ca·(min+max) is bit-stable int64 and only the final z is a
+    * double, in one shared spelling with the tie-corrected variance. */
+  private val qMannwhitney: Q = (s, sf) => {
+    val u = t(s, sf, "events").groupBy("user_id")
+      .agg(sum(round(col("value") * 1000).cast("long")).as("sc"))
+      .withColumn("a", (col("user_id") % 2 === 0).cast("long"))
+    val g = Rank.rowNumbered(u, Seq(col("sc").asc, col("user_id").asc), "rn")
+      .groupBy("sc").agg((min("rn") + max("rn")).as("m2"),
+        sum("a").as("ca"), count(lit(1)).as("t"))
+    val m = g.agg(sum(col("ca") * col("m2")).as("r2a"),
+      sum("ca").as("na"), sum(col("t") - col("ca")).as("nb"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+    val nn = (col("na") + col("nb")).cast("double")
+    val ua = (col("r2a") - col("na") * (col("na") + 1)).cast("double") / 2
+    val varU = col("na").cast("double") * col("nb").cast("double") / 12 *
+      ((nn + 1) - col("ties").cast("double") / (nn * (nn - 1)))
+    m.select(col("na"), col("nb"), ua.as("u_a"),
+      round((ua - col("na").cast("double") * col("nb").cast("double") / 2) /
+        sqrt(varU), 4).as("z"))
+  }
+
+  /** Welch's unequal-variance t-test on per-event value between the arms —
+    * completes the A/B family (z-test on rates, U on ranks, t on means):
+    * centi-unit integer moments (n, Σv, Σv²; v ≤ 5.7e4 keeps Σv² inside
+    * int64 to ~2.9e9 rows — beyond that, swap the moment columns to
+    * DECIMAL(38,0) like [[Validate]]'s z-pass) and ONE shared double
+    * spelling for mean/variance/t/df, each rounded. */
+  private val qWelch: Q = (s, sf) => {
+    val m = t(s, sf, "events").select(
+        (col("user_id") % 2 === 0).as("arma"),
+        round(col("value") * 100).cast("long").as("v"))
+      .groupBy("arma").agg(count(lit(1)).as("n"), sum("v").as("sx"),
+        sum(col("v") * col("v")).as("sxx"))
+      .agg(sum(when(col("arma"), col("n"))).as("na"),
+        sum(when(col("arma"), col("sx"))).as("sxa"),
+        sum(when(col("arma"), col("sxx"))).as("sxxa"),
+        sum(when(!col("arma"), col("n"))).as("nb"),
+        sum(when(!col("arma"), col("sx"))).as("sxb"),
+        sum(when(!col("arma"), col("sxx"))).as("sxxb"))
+    def mean(sx: Column, n: Column) = sx.cast("double") / n / 100
+    def vr(sxx: Column, sx: Column, n: Column) =
+      (sxx.cast("double") - sx.cast("double") * sx.cast("double") / n) /
+        (n - 1) / 1e4
+    val (ma, mb) = (mean(col("sxa"), col("na")), mean(col("sxb"), col("nb")))
+    val (va, vb) = (vr(col("sxxa"), col("sxa"), col("na")),
+      vr(col("sxxb"), col("sxb"), col("nb")))
+    val (qa, qb) = (va / col("na"), vb / col("nb"))
+    m.select(col("na"), col("nb"), round(ma, 4).as("mean_a"),
+      round(mb, 4).as("mean_b"),
+      round((ma - mb) / sqrt(qa + qb), 4).as("t"),
+      round((qa + qb) * (qa + qb) /
+        (qa * qa / (col("na") - 1) + qb * qb / (col("nb") - 1)), 2).as("df"))
+  }
+
+  /** Kaplan–Meier time-to-first-purchase: the survival curve S(t) over
+    * hour-grain lifetimes (first event → first purchase; users with no
+    * purchase are right-censored at the observation horizon). Per-user
+    * scan → bounded hour-grid aggregate (≤ calendar span, the qKs
+    * posture: window state O(grid), facts never sort); the product
+    * Π(1−dᵢ/nᵢ) is a running SUM of 1e-9-quantized log factors (int64,
+    * partition-order-independent — the qPsi discipline), exponentiated
+    * once; a factor of exactly zero (everyone at risk dies) is capped at
+    * ln→−90 so ANSI mode never sees log(0) and S rounds to 0 in both
+    * engines. Lifetimes use floor-second epochs DIV 3600 — the one hour
+    * arithmetic Spark's long cast and DuckDB's date_diff('second') agree
+    * on exactly. */
+  private val qSurvival: Q = (s, sf) => {
+    val e = t(s, sf, "events")
+    val per = e.groupBy("user_id").agg(min(col("ts")).as("t0"),
+      min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+    val u = per.crossJoin(broadcast(e.agg(max(col("ts")).as("hz"))))
+      .select(when(col("tp").isNotNull, 1L).otherwise(0L).as("d"),
+        (when(col("tp").isNotNull, col("tp").cast("long"))
+          .otherwise(col("hz").cast("long")) - col("t0").cast("long"))
+          .as("secs"))
+      .select(col("d"), expr("secs DIV 3600").as("lt"))
+      .localCheckpoint(true) // grid + total share it
+    val g = u.groupBy("lt")
+      .agg(sum("d").as("d"), sum(lit(1L) - col("d")).as("c"))
+    val prevW = Window.orderBy("lt").rowsBetween(Window.unboundedPreceding, -1)
+    val cumW = Window.orderBy("lt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.crossJoin(broadcast(u.agg(count(lit(1)).as("nn"))))
+      .withColumn("n_risk",
+        col("nn") - coalesce(sum(col("d") + col("c")).over(prevW), lit(0L)))
+      .withColumn("q", when(col("n_risk") === col("d"), lit(-90000000000L))
+        .otherwise(floor(log((col("n_risk") - col("d")).cast("double") /
+          col("n_risk").cast("double")) * 1e9 + 0.5).cast("long")))
+      .withColumn("qs", sum("q").over(cumW))
+      .filter(col("d") > 0)
+      .select(col("lt"), col("n_risk"), col("d"),
+        round(exp(col("qs").cast("double") / 1e9), 4).as("surv"))
+      .orderBy("lt")
+  }
+
+  /** Association rules over per-user event-type adoption — the metric
+    * layer on [[qAdoptionOverlap]]'s pair counts: support, directional
+    * confidence, and lift per unordered type pair. The pair join runs on
+    * the DISTINCT (user, type) frame (≤ users × 5 rows) equi on user;
+    * the 5-row type-total dimension and the 1-row user total attach
+    * broadcast. Counts exact; the three ratios are shared double
+    * spellings, rounded. */
+  private val qAssocRules: Q = (s, sf) => {
+    val ut = t(s, sf, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint(true) // pair join sides + totals share it
+    val tc = ut.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    val pairs = ut.as("x").join(ut.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+      .agg(count(lit(1)).as("nboth"))
+    pairs
+      .join(broadcast(tc.select(col("event_type").as("ta"),
+        col("cnt").as("ca"))), "ta")
+      .join(broadcast(tc.select(col("event_type").as("tb"),
+        col("cnt").as("cb"))), "tb")
+      .crossJoin(broadcast(ut.select("user_id").distinct()
+        .agg(count(lit(1)).as("nn"))))
+      .select(col("ta"), col("tb"), col("nboth"), col("ca"), col("cb"),
+        round(col("nboth") / col("nn").cast("double"), 4).as("supp"),
+        round(col("nboth") / col("ca").cast("double"), 4).as("conf"),
+        round(col("nboth").cast("double") * col("nn") /
+          (col("ca").cast("double") * col("cb")), 4).as("lift"))
+      .orderBy("ta", "tb")
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
     "q_rcte_decay" -> qRcteDecay,
     "q_rcte_reach" -> qRcteReach,
+    "q_mannwhitney" -> qMannwhitney,
+    "q_welch" -> qWelch,
+    "q_survival" -> qSurvival,
+    "q_assoc_rules" -> qAssocRules,
     "q_anomaly_days" -> qAnomalyDays,
     "q_freq_hist" -> qFreqHist,
     "q_adoption_overlap" -> qAdoptionOverlap,

@@ -647,6 +647,7 @@ class PlanSpec extends SparkSpec {
       "q_rank_change",     // per-nation-year frame: 25 nations × 2 years
       "q_rolling_rev",     // day grid (RANGE frame)
       "q_skyline",         // p_size grid (≤50 cells)
+      "q_survival",        // lifetime-hour grid (≤ calendar span)
       "q_weighted_median") // l_quantity grid (≤50 cells)
     // the GlobalLimit must DOMINATE the window's input — reachable from
     // its child through row-preserving/reducing unary nodes only. A limit
