@@ -658,6 +658,81 @@ object OracleSql {
         "(SELECT u.*, last_value(re IGNORE NULLS) OVER (PARTITION BY k " +
         "ORDER BY t DESC, tag ASC, re DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) mk " +
         "FROM u) w WHERE tag = 1 ORDER BY le LIMIT 100"),
+    // nearest = the backward (q_join_asof) and forward (q_asof_fwd)
+    // spellings joined on the unique left key; vt is NULL on exactly the
+    // rows re is NULL on, so both last_value(IGNORE NULLS) windows pick
+    // from the same matched row
+    "q_asof_nearest" ->
+      ("WITH u AS (SELECT user_id k, ts t, 1 tag, event_id le, " +
+        "CAST(NULL AS BIGINT) re, CAST(NULL AS TIMESTAMP) vt " +
+        "FROM events WHERE event_type = 'error' " +
+        "UNION ALL SELECT user_id, ts, 0, CAST(NULL AS BIGINT), event_id, ts " +
+        "FROM events WHERE event_type = 'view'), " +
+        "b AS (SELECT le, k, t, mk bvid, mt bvts FROM " +
+        "(SELECT u.*, last_value(re IGNORE NULLS) OVER wb mk, " +
+        "last_value(vt IGNORE NULLS) OVER wb mt FROM u " +
+        "WINDOW wb AS (PARTITION BY k ORDER BY t ASC, tag ASC, re ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) x WHERE tag = 1), " +
+        "f AS (SELECT le, mk fvid, mt fvts FROM " +
+        "(SELECT u.*, last_value(re IGNORE NULLS) OVER wf mk, " +
+        "last_value(vt IGNORE NULLS) OVER wf mt FROM u " +
+        "WINDOW wf AS (PARTITION BY k ORDER BY t DESC, tag ASC, re DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) x WHERE tag = 1) " +
+        "SELECT b.le event_id, b.k user_id, " +
+        "CASE WHEN bvts IS NULL THEN fvid WHEN fvts IS NULL THEN bvid " +
+        "WHEN epoch_us(t) - epoch_us(bvts) <= epoch_us(fvts) - epoch_us(t) " +
+        "THEN bvid ELSE fvid END near_vid, " +
+        "CASE WHEN bvts IS NULL THEN epoch_us(fvts) - epoch_us(t) " +
+        "WHEN fvts IS NULL THEN epoch_us(t) - epoch_us(bvts) " +
+        "ELSE least(epoch_us(t) - epoch_us(bvts), epoch_us(fvts) - epoch_us(t)) " +
+        "END dt_us FROM b JOIN f ON b.le = f.le ORDER BY event_id LIMIT 100"),
+    // doubled average ranks (min+max row_number per tie group) keep every
+    // moment an exact integer; DuckDB's sum(BIGINT) is HUGEINT, matching
+    // the engine's decimal(38,0) exactly, and int->double conversion is
+    // IEEE round-to-nearest in both
+    "q_spearman" ->
+      ("WITH f AS (SELECT o_custkey c, count(*) x, " +
+        "sum(CAST(round(o_totalprice*100) AS BIGINT)) y FROM orders GROUP BY 1), " +
+        "r AS (SELECT c, x, y, row_number() OVER (ORDER BY x, c) rnx, " +
+        "row_number() OVER (ORDER BY y, c) rny FROM f), " +
+        "j AS (SELECT min(rnx) OVER (PARTITION BY x) + max(rnx) OVER (PARTITION BY x) a, " +
+        "min(rny) OVER (PARTITION BY y) + max(rny) OVER (PARTITION BY y) b FROM r), " +
+        "m AS (SELECT count(*) n, sum(a) s1, sum(b) s2, sum(a*b) sab, " +
+        "sum(a*a) saa, sum(b*b) sbb FROM j) " +
+        "SELECT n, round(CAST(n*sab - s1*s2 AS DOUBLE) / " +
+        "sqrt(CAST(n*saa - s1*s1 AS DOUBLE) * CAST(n*sbb - s2*s2 AS DOUBLE)), 4) rho " +
+        "FROM m"),
+    // Poisson(1) multiplicities from integer inverse-CDF thresholds on
+    // md5-uniforms — exact in both engines; replicate means quantized to
+    // milli-cents (the q_jackknife discipline), squares in HUGEINT
+    "q_bootstrap" ->
+      ("WITH o AS (SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) c, " +
+        "unnest(range(0, 32)) b FROM orders), " +
+        "uu AS (SELECT b, c, CAST(concat('0x', substr(md5(concat_ws(':', 'bs', " +
+        "CAST(b AS VARCHAR), CAST(o_orderkey AS VARCHAR))), 1, 15)) AS BIGINT) " +
+        "% 1000000 u FROM o), " +
+        "ww AS (SELECT b, c, CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1 " +
+        "WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3 WHEN u < 996340 THEN 4 " +
+        "WHEN u < 999406 THEN 5 WHEN u < 999917 THEN 6 WHEN u < 999990 THEN 7 " +
+        "ELSE 8 END w FROM uu), " +
+        "rep AS (SELECT CAST(floor(CAST(sum(w*c) AS DOUBLE)/sum(w)*1000 + 0.5) " +
+        "AS BIGINT) mq FROM ww GROUP BY b), " +
+        "g AS (SELECT count(*) n_boot, CAST(sum(mq) AS BIGINT) sm, " +
+        "sum(CAST(mq AS HUGEINT)*mq) smm FROM rep) " +
+        "SELECT n_boot, round(CAST(sm AS DOUBLE)/n_boot/100000.0, 4) boot_mean, " +
+        "round(sqrt((CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE)*sm/n_boot)/" +
+        "(n_boot - 1))/100000.0, 4) se_boot FROM g"),
+    // per-row cents^2 fits int64 but a segment's sum does not: the product
+    // is lifted to HUGEINT (mirroring the engine's decimal(38,0) sum)
+    "q_hhi" ->
+      ("WITH per AS (SELECT c_mktsegment seg, o_custkey, " +
+        "sum(CAST(round(o_totalprice*100) AS BIGINT)) cents " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2) " +
+        "SELECT seg, count(*) n_firms, " +
+        "round(CAST(sum(CAST(cents AS HUGEINT)*cents) AS DOUBLE) / " +
+        "(CAST(sum(cents) AS DOUBLE) * CAST(sum(cents) AS DOUBLE)), 6) hhi, " +
+        "round(CAST(max(cents) AS DOUBLE) / CAST(sum(cents) AS DOUBLE), 6) top_share " +
+        "FROM per GROUP BY seg ORDER BY seg"),
     // 60-bit md5 prefix mod (tk-8), the simhashSql hash-parse spelling
     "q_span_mask" ->
       ("WITH d AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) tk " +

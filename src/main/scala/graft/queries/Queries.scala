@@ -4010,9 +4010,158 @@ object Queries {
       .orderBy("ta", "tb")
   }
 
+  /** Spearman rank correlation between per-customer order count and total
+    * spend (do frequent buyers spend more?). Both metrics are ranked
+    * globally on the distributed two-pass [[Rank.rowNumbered]] — the
+    * entity-grain global sort it exists for; a partition-less window here
+    * would serialize every customer into one task. Ties collapse to
+    * average ranks via the min(rn)+max(rn) = 2·avg-rank identity
+    * (the q_mannwhitney idiom), attached by a window PARTITIONED by the
+    * tied value — hash-distributed, no broadcast of a value table that at
+    * scale is nearly as large as the frame itself. Doubled ranks keep all
+    * five moments integral; they are summed as decimal(38,0) because
+    * n·(2n)² passes int64 around n≈2²¹ — far below 100 TB's customer
+    * count — and only the final ratio is a double, rounded where both
+    * engines agree bit-for-bit on exact integer inputs. */
+  private val qSpearman: Q = (s, sf) => {
+    val f = t(s, sf, "orders").groupBy(col("o_custkey").as("c"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+    val rx = Rank.rowNumbered(f, Seq(col("x").asc, col("c").asc), "rnx")
+    val rxy = Rank.rowNumbered(rx, Seq(col("y").asc, col("c").asc), "rny")
+    val wx = Window.partitionBy("x")
+    val wy = Window.partitionBy("y")
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val j = rxy
+      .withColumn("a", min("rnx").over(wx) + max("rnx").over(wx))
+      .withColumn("b", min("rny").over(wy) + max("rny").over(wy))
+    j.agg(count(lit(1)).as("n"), sum(dec(col("a"))).as("s1"),
+        sum(dec(col("b"))).as("s2"),
+        sum(dec(col("a")) * dec(col("b"))).as("sab"),
+        sum(dec(col("a")) * dec(col("a"))).as("saa"),
+        sum(dec(col("b")) * dec(col("b"))).as("sbb"))
+      .select(col("n"),
+        round((dec(col("n")) * col("sab") - col("s1") * col("s2"))
+            .cast("double") /
+          sqrt((dec(col("n")) * col("saa") - col("s1") * col("s1"))
+              .cast("double") *
+            (dec(col("n")) * col("sbb") - col("s2") * col("s2"))
+              .cast("double")), 4).as("rho"))
+  }
+
+  /** Herfindahl–Hirschman market-concentration index: each customer's
+    * share of their market segment's revenue, squared and summed per
+    * segment (the antitrust HHI, here on a 0–1 scale). Revenue is integer
+    * cents end-to-end; the sum of squared cents runs in decimal(38,0)
+    * (a single customer's cents² ≈ 10¹⁴ — int64 dies within ~10⁴
+    * customers) and each segment's total stays int64 (safe to ~10¹⁸
+    * total cents ≈ $10 quadrillion). One equi-join orders→customer, two
+    * hash aggregates — every stage map-side partial, no window at all. */
+  private val qHhi: Q = (s, sf) => {
+    val cust = t(s, sf, "customer")
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val per = t(s, sf, "orders")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("seg", "o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    per.groupBy("seg")
+      .agg(count(lit(1)).as("n_firms"), sum("cents").as("tc"),
+        sum(col("cents").cast("decimal(38,0)") *
+          col("cents").cast("decimal(38,0)")).as("ssq"),
+        max("cents").as("mx"))
+      .select(col("seg"), col("n_firms"),
+        round(col("ssq").cast("double") /
+          (col("tc").cast("double") * col("tc").cast("double")), 6)
+          .as("hhi"),
+        round(col("mx").cast("double") / col("tc").cast("double"), 6)
+          .as("top_share"))
+      .orderBy("seg")
+  }
+
+  /** Nearest-neighbor as-of join (pandas merge_asof direction="nearest"):
+    * each error event pairs with the view event closest in time EITHER
+    * side, ties to the earlier one. Composed from the two directional
+    * [[AsOfJoin.asOf]] passes (backward = q_join_asof's plan, forward =
+    * q_asof_fwd's flipped axis) joined on the unique left key — two
+    * per-user window shuffles plus one equi-join, no range join anywhere.
+    * The matched timestamp rides along as a duplicated carry column
+    * (vts2) because the operator returns carry fields only. Δt is exact
+    * µs-epoch arithmetic (unix_micros ≡ DuckDB epoch_us). */
+  private val qAsofNearest: Q = (s, sf) => {
+    val ev = t(s, sf, "events")
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val view = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vk"), col("ts").as("vts"),
+        col("event_id").as("vid"), col("ts").as("vts2"))
+    val back = AsOfJoin.asOf(err, view, "user_id", "vk", "ts", "vts",
+        carry = Seq("vid", "vts2"), direction = "backward")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_vid").as("bvid"), col("asof_vts2").as("bvts"))
+    val fwd = AsOfJoin.asOf(err, view, "user_id", "vk", "ts", "vts",
+        carry = Seq("vid", "vts2"), direction = "forward")
+      .select(col("event_id").as("fe"), col("asof_vid").as("fvid"),
+        col("asof_vts2").as("fvts"))
+    val db = unix_micros(col("ts")) - unix_micros(col("bvts"))
+    val df = unix_micros(col("fvts")) - unix_micros(col("ts"))
+    back.join(fwd, col("event_id") === col("fe"))
+      .select(col("event_id"), col("user_id"),
+        when(col("bvts").isNull, col("fvid"))
+          .when(col("fvts").isNull, col("bvid"))
+          .when(db <= df, col("bvid")).otherwise(col("fvid")).as("near_vid"),
+        when(col("bvts").isNull, df)
+          .when(col("fvts").isNull, db)
+          .otherwise(least(db, df)).as("dt_us"))
+      .orderBy("event_id").limit(100)
+  }
+
+  /** Poisson bootstrap standard error of the mean order value — THE
+    * distributed bootstrap (Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", Google 2012): classical resampling draws n
+    * rows WITH replacement per replicate (a shuffle per replicate, n·B
+    * draws of global coordination); the Poisson approximation gives each
+    * row an independent Poisson(1) multiplicity per replicate, so all B=32
+    * replicates form in ONE narrow pass (explode ×32 → weighted partial
+    * agg; the shuffle carries 32 rows). Multiplicities are deterministic:
+    * md5(b, key) → uniform mod 10⁶ → inverse Poisson(1) CDF on integer
+    * thresholds (exact in both engines, stable under retries). Replicate
+    * means quantize to integer milli-cents before the cross-replicate
+    * moments (the q_jackknife discipline); squared sums ride decimal ≡
+    * HUGEINT. */
+  private val qBootstrap: Q = (s, sf) => {
+    val B = 32
+    val o = t(s, sf, "orders")
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("c"),
+        explode(sequence(lit(0), lit(B - 1))).as("b"))
+    val u = pmod(conv(substring(md5(concat_ws(":", lit("bs"),
+      col("b").cast("string"), col("o_orderkey").cast("string"))),
+      1, 15), 16, 10).cast("long"), lit(1000000L))
+    // Poisson(1) inverse CDF, thresholds = round(1e6 * P(X<=k))
+    val w = when(u < 367879, 0L).when(u < 735759, 1L).when(u < 919699, 2L)
+      .when(u < 981012, 3L).when(u < 996340, 4L).when(u < 999406, 5L)
+      .when(u < 999917, 6L).when(u < 999990, 7L).otherwise(8L)
+    val rep = o.withColumn("w", w).groupBy("b")
+      .agg(sum(col("w") * col("c")).as("sc"), sum("w").as("nw"))
+      .select(floor(col("sc").cast("double") / col("nw") * 1000 + 0.5)
+        .cast("long").as("mq"))
+    rep.agg(count(lit(1)).as("n_boot"), sum("mq").as("sm"),
+        sum(col("mq").cast("decimal(38,0)") * col("mq")).as("smm"))
+      .select(col("n_boot"),
+        round(col("sm").cast("double") / col("n_boot") / 100000.0, 4)
+          .as("boot_mean"),
+        round(sqrt((col("smm").cast("double") -
+            col("sm").cast("double") * col("sm") / col("n_boot")) /
+          (col("n_boot") - 1)) / 100000.0, 4).as("se_boot"))
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_bootstrap" -> qBootstrap,
+    "q_spearman" -> qSpearman,
+    "q_hhi" -> qHhi,
+    "q_asof_nearest" -> qAsofNearest,
     "q_rcte_decay" -> qRcteDecay,
     "q_rcte_reach" -> qRcteReach,
     "q_mannwhitney" -> qMannwhitney,

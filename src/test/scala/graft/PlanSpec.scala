@@ -617,6 +617,47 @@ class PlanSpec extends SparkSpec {
     }.nonEmpty, "window input is not an aggregate:\n" + p.toString)
   }
 
+  test("q_hhi aggregates facts with map-side partials; equi join only") {
+    val p = plan("q_hhi")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // no window anywhere: pure two-level hash aggregate
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_spearman tie-group windows partition by the tied value") {
+    val p = Queries.all("q_spearman")(spark, sf001)
+      .queryExecution.optimizedPlan
+    val w = p.collect {
+      case n: org.apache.spark.sql.catalyst.plans.logical.Window => n }
+    assert(w.nonEmpty, p.toString)
+    // the average-rank attach must hash-distribute by x and by y — a
+    // broadcast of the distinct-value table would be as large as the
+    // frame at scale; Rank's internal pid windows are partitioned or
+    // bounded-grid (the global sweep vouches for those)
+    val parts = w.flatMap(_.partitionSpec)
+      .flatMap(_.references.map(_.name)).toSet
+    assert(parts.contains("x") && parts.contains("y"), p.toString)
+    assert(!p.toString.contains("CartesianProduct"), p.toString)
+  }
+
+  test("q_bootstrap forms all replicates in one narrow pass: no join, " +
+      "no window, partial aggregates") {
+    val p = plan("q_bootstrap")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    // the ×B row expansion is a Generate (explode), not a cross join
+    assert(p.contains("Generate"), p)
+  }
+
+  test("q_asof_nearest pairs directional passes by equi join, no range join") {
+    val p = plan("q_asof_nearest")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("no declared query windows an entity-grain frame without a partition") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow}
     // Every partition-less Window in every declared query's optimized plan

@@ -57,4 +57,44 @@ class StatTestsSpec extends SparkSpec {
       assert(supp > 0 && conf > 0 && lift > 0)
     }
   }
+
+  test("q_spearman: rho lies in [-1, 1] over a real frame") {
+    val r = Queries.all("q_spearman")(spark, sf001).collect().head
+    val (n, rho) = (r.getLong(0), r.getDouble(1))
+    assert(n > 0)
+    assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9)
+  }
+
+  test("q_hhi: 1/n <= hhi <= 1 and top_share^2 <= hhi per segment") {
+    val rows = Queries.all("q_hhi")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, hhi, top) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(n > 0)
+      // equal shares minimize HHI at 1/n; a monopoly maxes it at 1
+      assert(hhi >= 1.0 / n - 1e-9 && hhi <= 1.0 + 1e-9)
+      // the largest single squared share is a lower bound on the sum
+      assert(top * top <= hhi + 1e-9)
+      assert(top > 0 && top <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q_bootstrap: 32 replicates, positive mean, non-negative SE") {
+    val r = Queries.all("q_bootstrap")(spark, sf001).collect().head
+    val (nb, mean, se) = (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    assert(nb == 32)
+    assert(mean > 0)
+    assert(se >= 0)
+    // Poisson-bootstrap SE of a mean is far below the mean itself on
+    // thousands of rows — a unit mix-up (cents vs dollars) trips this
+    assert(se < mean)
+  }
+
+  test("q_asof_nearest: dt is the min of the directional passes, >= 0") {
+    val rows = Queries.all("q_asof_nearest")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      assert(r.getLong(3) >= 0L) // |Δt| by construction
+    }
+  }
 }
