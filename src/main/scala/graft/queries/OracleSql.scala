@@ -686,6 +686,72 @@ object OracleSql {
         "WHEN fvts IS NULL THEN epoch_us(t) - epoch_us(bvts) " +
         "ELSE least(epoch_us(t) - epoch_us(bvts), epoch_us(fvts) - epoch_us(t)) " +
         "END dt_us FROM b JOIN f ON b.le = f.le ORDER BY event_id LIMIT 100"),
+    // bounded month grid; both averages are integer division, which
+    // truncates toward zero in both engines (Spark div ≡ DuckDB //)
+    "q_stl" ->
+      ("WITH g AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) mon, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) rev " +
+        "FROM orders GROUP BY 1), " +
+        "t AS (SELECT mon, rev, count(*) OVER w12 n12, " +
+        "CAST(sum(rev) OVER w12 AS BIGINT) s12 FROM g " +
+        "WINDOW w12 AS (ORDER BY mon ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)), " +
+        "td AS (SELECT mon, rev, " +
+        "CASE WHEN n12 = 12 THEN s12 // 12 END trend, " +
+        "rev - CASE WHEN n12 = 12 THEN s12 // 12 END d FROM t), " +
+        "se AS (SELECT month(mon) moy, CAST(sum(d) AS BIGINT) sd, " +
+        "count(d) cd FROM td GROUP BY 1), " +
+        "ss AS (SELECT moy, CASE WHEN cd > 0 THEN sd // cd END seasonal FROM se) " +
+        "SELECT td.mon, td.rev, td.trend, ss.seasonal, td.d - ss.seasonal resid " +
+        "FROM td JOIN ss ON month(td.mon) = ss.moy ORDER BY td.mon"),
+    // the same two-state recurrence, // for DIV (both truncate toward 0)
+    "q_holt" ->
+      ("WITH RECURSIVE g AS (SELECT CAST(year(o_orderdate)*4 + " +
+        "quarter(o_orderdate) AS BIGINT) m, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) rev " +
+        "FROM orders GROUP BY 1), " +
+        "h(m, lvl, tr) AS (" +
+        "SELECT m, rev, CAST(0 AS BIGINT) FROM g " +
+        "WHERE m = (SELECT min(m) FROM g) " +
+        "UNION ALL " +
+        "SELECT x.m, x.nl, ((x.nl - x.lvl) * 3 + x.tr * 7) // 10 " +
+        "FROM (SELECT g.m, h.lvl, h.tr, " +
+        "(g.rev * 2 + (h.lvl + h.tr) * 8) // 10 AS nl " +
+        "FROM h JOIN g ON g.m = h.m + 1) x) " +
+        "SELECT m, lvl, tr, lvl + tr AS forecast_next FROM h ORDER BY m"),
+    // engine = per-pivot sorted-array combination emission; oracle = the
+    // naive e×e self-join on the same deg-capped pivot set — the
+    // 1/ln(deg) weight is 1e-9-quantized to BIGINT before summing, so
+    // pair scores compare as exact integers in both engines
+    "q_linkpred" ->
+      ("WITH d AS (SELECT l_orderkey o, count(DISTINCT l_partkey) deg " +
+        "FROM lineitem GROUP BY 1), " +
+        "dd AS (SELECT o, CAST(floor(1e9/ln(CAST(deg AS DOUBLE)) + 0.5) " +
+        "AS BIGINT) w FROM d WHERE deg BETWEEN 2 AND 100), " +
+        "e AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem), " +
+        "pr AS (SELECT e1.p a, e2.p b, dd.w FROM e e1 " +
+        "JOIN e e2 ON e1.o = e2.o AND e1.p < e2.p " +
+        "JOIN dd ON e1.o = dd.o) " +
+        "SELECT a, b, count(*) cn, CAST(sum(w) AS BIGINT) aa " +
+        "FROM pr GROUP BY a, b " +
+        "ORDER BY cn DESC, aa DESC, a, b LIMIT 20"),
+    // engine = compact-forward triangles + canonical-edge degrees; oracle
+    // = the q_triangles naive triple self-join plus a degree CTE — cc is
+    // one shared double ratio of exact ints, rounded before the ORDER BY
+    "q_cluster_coeff" ->
+      ("WITH pp AS (SELECT DISTINCT x.l_partkey a, y.l_partkey b " +
+        "FROM lineitem x JOIN lineitem y " +
+        "ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey), " +
+        "tr AS (SELECT e1.a, e1.b, e2.b c FROM pp e1 " +
+        "JOIN pp e2 ON e2.a = e1.b " +
+        "JOIN pp e3 ON e3.a = e1.a AND e3.b = e2.b), " +
+        "tc AS (SELECT node, count(*) tri FROM " +
+        "(SELECT unnest([a, b, c]) node FROM tr) GROUP BY node), " +
+        "dg AS (SELECT node, count(*) deg FROM " +
+        "(SELECT unnest([a, b]) node FROM pp) GROUP BY node) " +
+        "SELECT dg.node, deg, coalesce(tri, 0) tri, " +
+        "round(2.0 * coalesce(tri, 0) / (deg * (deg - 1)), 6) cc " +
+        "FROM dg LEFT JOIN tc ON dg.node = tc.node WHERE deg >= 5 " +
+        "ORDER BY cc DESC, dg.node LIMIT 15"),
     // doubled average ranks (min+max row_number per tie group) keep every
     // moment an exact integer; DuckDB's sum(BIGINT) is HUGEINT, matching
     // the engine's decimal(38,0) exactly, and int->double conversion is

@@ -4155,9 +4155,151 @@ object Queries {
           (col("n_boot") - 1)) / 100000.0, 4).as("se_boot"))
   }
 
+  /** Adamic–Adar link prediction over the part co-purchase bipartite
+    * graph (pivot = order): part pairs sharing orders, scored by
+    * common-pivot count and Σ 1/ln(deg(order)) — the people-who-bought
+    * recommender, where rare shared baskets weigh more than big ones.
+    * The pair stage groups by pivot and emits combinations from the
+    * sorted distinct-part array (one shuffle, no self-join — the
+    * q_triangles emission); the pivot degree is an order's distinct-part
+    * count, intrinsically bounded by its line count, and the BETWEEN
+    * 2 AND 100 guard is the maxDf-style hub cap that keeps the emission
+    * sub-quadratic on ANY pivot distribution (a hub pivot is both the
+    * blow-up and the weakest signal, 1/ln(deg) → 0). The log weight is
+    * 1e-9-quantized to int64 BEFORE summing (the q_survival discipline),
+    * so pair scores are bit-stable integers and the top-20 boundary is
+    * total under (cn, aa, a, b). */
+  private val qLinkpred: Q = (s, sf) => {
+    val byOrder = t(s, sf, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sort_array(array_distinct(collect_list(col("l_partkey").cast("long"))))
+        .as("ps"))
+      .filter(size(col("ps")).between(2, 100))
+      .withColumn("w",
+        floor(lit(1e9) / log(size(col("ps")).cast("double")) + 0.5)
+          .cast("long"))
+    byOrder.select(col("w"), explode(expr(
+        "flatten(transform(ps, (x, i) -> transform(" +
+          "slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cn"), sum("w").as("aa"))
+      .orderBy(col("cn").desc, col("aa").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  /** Local clustering coefficient of the part co-purchase graph (parts
+    * sharing an order), top 15 among degree ≥ 5: cc(v) = 2·tri(v) /
+    * (deg(v)·(deg(v)−1)). Triangles come from the degree-ordered
+    * compact-forward enumeration ([[operators.Components.triangles]],
+    * wedge count O(m^1.5)); degrees from the canonical distinct edge set,
+    * which feeds both consumers through one localCheckpoint. Zero-triangle
+    * nodes enter via left join + coalesce (totality — the q_communities
+    * labeling lesson). tri and deg are exact ints; cc is one shared
+    * double ratio rounded to 6, and the top-15 boundary tie-breaks on
+    * node id. */
+  private val qClusterCoeff: Q = (s, sf) => {
+    val canon = t(s, sf, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy("o")
+      .agg(sort_array(array_distinct(collect_list(col("p").cast("long"))))
+        .as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> transform(" +
+          "slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
+        .as("pr"))
+      .select(col("pr.a").as("src"), col("pr.b").as("dst"))
+      .distinct()
+      .localCheckpoint(true) // feeds degree count + triangle enumeration
+    val deg = canon.select(explode(array(col("src"), col("dst"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val tri = Components.triangles(canon)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    deg.filter(col("deg") >= 5)
+      .join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        round(lit(2.0) * coalesce(col("tri"), lit(0L)) /
+          (col("deg") * (col("deg") - 1)), 6).as("cc"))
+      .orderBy(col("cc").desc, col("node"))
+      .limit(15)
+  }
+
+  /** Classical seasonal decomposition (the moving-average STL shape) of
+    * monthly revenue: trend = centered 12-month moving average (full
+    * windows only), seasonal = per-calendar-month mean of the detrended
+    * series, residual = the rest. Everything happens on the BOUNDED month
+    * grid (~80 rows at any SF — the aggregate is the only pass over the
+    * fact table), so the partition-less window is a reviewed bounded-grid
+    * frame, and the 12-row seasonal dim attaches broadcast. All four
+    * components are integer cents; the two averages are integer DIV,
+    * which truncates toward zero in BOTH engines (Spark `div` ≡ DuckDB
+    * `//`, verified on negative detrended values), so the decomposition
+    * is bit-exact with no float anywhere. */
+  private val qStl: Q = (s, sf) => {
+    val g = t(s, sf, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("mon"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+    val w12 = Window.orderBy("mon").rowsBetween(-6, 5)
+    val td = g
+      .withColumn("n12", count(lit(1)).over(w12))
+      .withColumn("s12", sum("rev").over(w12))
+      .withColumn("trend", when(col("n12") === 12, expr("s12 div 12")))
+      .withColumn("d", col("rev") - col("trend"))
+    val seas = td.groupBy(month(col("mon")).as("moy"))
+      .agg(sum("d").as("sd"), count(col("d")).as("cd"))
+      .select(col("moy"),
+        when(col("cd") > 0, expr("sd div cd")).as("seasonal"))
+    td.join(broadcast(seas), month(col("mon")) === col("moy"))
+      .select(col("mon"), col("rev"), col("trend"), col("seasonal"),
+        (col("d") - col("seasonal")).as("resid"))
+      .orderBy("mon")
+  }
+
+  /** Holt's linear-trend forecast (double exponential smoothing, α=0.2,
+    * β=0.3) of quarterly revenue — the level/trend recurrence
+    * lvl_t = (2·y_t + 8·(lvl+tr)) DIV 10; tr_t = (3·Δlvl + 7·tr) DIV 10
+    * that no window frame expresses (TWO coupled carried states), spelled
+    * as `WITH RECURSIVE` through Spark 4's UnionLoop like q_rcte_decay.
+    * The trend state CAN go negative on a revenue dip: integer DIV
+    * truncates toward zero in both engines (Spark `div` ≡ DuckDB `//`,
+    * verified: −7 div 2 = −3 in both), so every step stays bit-stable.
+    * The quarter grid is checkpointed before the loop (the UnionLoop
+    * re-scan amplification documented at q_rcte_decay); per-step state is
+    * one row equi-joined against the ~27-row grid. The grid is QUARTERLY,
+    * not monthly, because UnionLoop's fixed per-round scheduling cost is
+    * the price of row recursion (measured ~0.3 s/round: the 80-round
+    * monthly spelling cost 24 s at ANY sf — grid length, not data volume,
+    * is what a recursive query pays for). forecast_next is the
+    * one-step-ahead point forecast lvl+tr. */
+  private val qHolt: Q = (s, sf) => {
+    t(s, sf, "orders")
+      .groupBy((year(col("o_orderdate")) * 4 + quarter(col("o_orderdate")))
+        .cast("long").as("m"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+      .localCheckpoint(true) // scanned once, joined ~27 times
+      .createOrReplaceTempView("g_holt_quarterly")
+    s.sql(
+      """WITH RECURSIVE h(m, lvl, tr) AS (
+        |  SELECT m, rev, CAST(0 AS BIGINT) FROM g_holt_quarterly
+        |  WHERE m = (SELECT min(m) FROM g_holt_quarterly)
+        |  UNION ALL
+        |  SELECT x.m, x.nl, ((x.nl - x.lvl) * 3 + x.tr * 7) DIV 10
+        |  FROM (SELECT g.m, h.lvl, h.tr,
+        |          (g.rev * 2 + (h.lvl + h.tr) * 8) DIV 10 AS nl
+        |        FROM h JOIN g_holt_quarterly g ON g.m = h.m + 1) x)
+        |SELECT m, lvl, tr, lvl + tr AS forecast_next
+        |FROM h ORDER BY m""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_stl" -> qStl,
+    "q_holt" -> qHolt,
+    "q_linkpred" -> qLinkpred,
+    "q_cluster_coeff" -> qClusterCoeff,
     "q_bootstrap" -> qBootstrap,
     "q_spearman" -> qSpearman,
     "q_hhi" -> qHhi,

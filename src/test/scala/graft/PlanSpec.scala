@@ -617,6 +617,28 @@ class PlanSpec extends SparkSpec {
     }.nonEmpty, "window input is not an aggregate:\n" + p.toString)
   }
 
+  test("q_linkpred emits pairs per pivot group: no self-join, no window, " +
+      "top-k as TakeOrdered") {
+    val p = plan("q_linkpred")
+    // the pair stage is a groupBy + in-array combination emission — the
+    // e×e self-join spelling (the oracle's) would shuffle lineitem twice
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_cluster_coeff: equi joins only, top-k as TakeOrdered") {
+    val p = plan("q_cluster_coeff")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_hhi aggregates facts with map-side partials; equi join only") {
     val p = plan("q_hhi")
     assert(p.contains("partial_"), p)
@@ -688,6 +710,7 @@ class PlanSpec extends SparkSpec {
       "q_rank_change",     // per-nation-year frame: 25 nations × 2 years
       "q_rolling_rev",     // day grid (RANGE frame)
       "q_skyline",         // p_size grid (≤50 cells)
+      "q_stl",             // month grid (~80 rows at any SF)
       "q_survival",        // lifetime-hour grid (≤ calendar span)
       "q_weighted_median") // l_quantity grid (≤50 cells)
     // the GlobalLimit must DOMINATE the window's input — reachable from

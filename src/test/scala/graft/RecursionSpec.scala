@@ -52,8 +52,44 @@ class RecursionSpec extends SparkSpec {
     assert(out == depth.toMap)
   }
 
+  test("q_holt matches the two-state recurrence folded on the driver") {
+    val out = Queries.all("q_holt")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val quarterly = spark.read.parquet(s"$sf001/orders.parquet")
+      .selectExpr("CAST(year(o_orderdate)*4 + quarter(o_orderdate) AS BIGINT) m",
+        "CAST(round(o_totalprice*100) AS BIGINT) c")
+      .groupBy("m").sum("c")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(quarterly.map(_._1).sliding(2).forall(w => w(1) == w(0) + 1))
+    var lvl = 0L; var tr = 0L
+    val ref = quarterly.zipWithIndex.map { case ((m, rev), i) =>
+      if (i == 0) { lvl = rev; tr = 0L }
+      else {
+        val nl = (rev * 2 + (lvl + tr) * 8) / 10 // all-positive: / == div
+        tr = ((nl - lvl) * 3 + tr * 7) / 10      // can be negative: JVM /
+        lvl = nl                                 // truncates like SQL DIV
+      }
+      (m, lvl, tr)
+    }
+    assert(out.toSeq == ref.toSeq)
+  }
+
+  test("q_stl: rev = trend + seasonal + resid wherever trend is defined") {
+    val rows = Queries.all("q_stl")(spark, sf001).collect()
+    assert(rows.length > 12)
+    val full = rows.filter(!_.isNullAt(2))
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        r.toString)
+    }
+    // edge months: no full 12-month window -> trend and resid both null
+    rows.filter(_.isNullAt(2)).foreach(r => assert(r.isNullAt(4), r.toString))
+  }
+
   test("both recursive queries plan a UnionLoop, never a cartesian") {
-    for (name <- Seq("q_rcte_decay", "q_rcte_reach")) {
+    for (name <- Seq("q_rcte_decay", "q_rcte_reach", "q_holt")) {
       val qe = Queries.all(name)(spark, sf001).queryExecution
       val loops = qe.optimizedPlan.collect { case u: UnionLoop => u }
       assert(loops.nonEmpty, s"$name lost its UnionLoop")
