@@ -686,6 +686,56 @@ object OracleSql {
         "WHEN fvts IS NULL THEN epoch_us(t) - epoch_us(bvts) " +
         "ELSE least(epoch_us(t) - epoch_us(bvts), epoch_us(fvts) - epoch_us(t)) " +
         "END dt_us FROM b JOIN f ON b.le = f.le ORDER BY event_id LIMIT 100"),
+    // components 1e-6-quantized via explicit floor(v*1e6+0.5) (round()
+    // half-handling differs on negatives across engines); the squared
+    // numerator accumulates HUGEINT ≡ the engine's decimal(38,0)
+    "q_embed_outlier" ->
+      ("WITH c AS (SELECT vec_id, label, generate_subscripts(embedding,1) i, " +
+        "unnest(embedding) v FROM embeddings), " +
+        "q AS (SELECT vec_id, label, i, " +
+        "CAST(floor(CAST(v AS DOUBLE)*1e6 + 0.5) AS BIGINT) vq FROM c), " +
+        "ct AS (SELECT label, i, CAST(sum(vq) AS BIGINT) sv, count(*) n " +
+        "FROM q GROUP BY label, i), " +
+        "d AS (SELECT q.vec_id, q.label, max(ct.n) n, " +
+        "sum(CAST(q.vq*ct.n - ct.sv AS HUGEINT) * (q.vq*ct.n - ct.sv)) d2 " +
+        "FROM q JOIN ct ON q.label = ct.label AND q.i = ct.i " +
+        "GROUP BY q.vec_id, q.label) " +
+        "SELECT vec_id, label, round(sqrt(CAST(d2 AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE)*1e6), 4) dist " +
+        "FROM d ORDER BY dist DESC, vec_id LIMIT 20"),
+    // Rank.ntiled ≡ ntile(5) OVER the same total order (RankSpec-pinned);
+    // DATE - DATE is integer days in DuckDB, datediff in Spark
+    "q_rfm" ->
+      ("WITH per AS (SELECT o_custkey, " +
+        "(SELECT max(o_orderdate) FROM orders) - max(o_orderdate) rd, " +
+        "count(*) f, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) " +
+        "AS BIGINT) m FROM orders GROUP BY 1), " +
+        "t AS (SELECT o_custkey, m, " +
+        "ntile(5) OVER (ORDER BY rd, o_custkey) r, " +
+        "ntile(5) OVER (ORDER BY f, o_custkey) fq, " +
+        "ntile(5) OVER (ORDER BY m, o_custkey) mq FROM per) " +
+        "SELECT r, fq, mq, count(*) customers, CAST(sum(m) AS BIGINT) cents " +
+        "FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"),
+    // both logs 1e-9-quantized to BIGINT before the exact moments; the
+    // cross products lift to HUGEINT ≡ decimal(38,0)
+    "q_zipf" ->
+      ("WITH f AS (SELECT w, count(*) c FROM " +
+        "(SELECT unnest(string_split(text, ' ')) w FROM documents) " +
+        "WHERE w <> '' GROUP BY w), " +
+        "r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) rk FROM f), " +
+        "l AS (SELECT CAST(floor(ln(CAST(rk AS DOUBLE))*1e9 + 0.5) AS BIGINT) lx, " +
+        "CAST(floor(ln(CAST(c AS DOUBLE))*1e9 + 0.5) AS BIGINT) ly FROM r), " +
+        "m AS (SELECT count(*) n_tokens, CAST(sum(lx) AS BIGINT) sx, " +
+        "CAST(sum(ly) AS BIGINT) sy, sum(CAST(lx AS HUGEINT)*lx) sxx, " +
+        "sum(CAST(lx AS HUGEINT)*ly) sxy FROM l) " +
+        "SELECT n_tokens, " +
+        "round(CAST(n_tokens*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE) / " +
+        "CAST(n_tokens*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE), 4) zipf_slope, " +
+        "round((CAST(sy AS DOUBLE) - " +
+        "CAST(n_tokens*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE) / " +
+        "CAST(n_tokens*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE) * " +
+        "CAST(sx AS DOUBLE)) / CAST(n_tokens AS DOUBLE) / 1e9, 4) intercept " +
+        "FROM m"),
     // bounded month grid; both averages are integer division, which
     // truncates toward zero in both engines (Spark div ≡ DuckDB //)
     "q_stl" ->

@@ -4293,9 +4293,113 @@ object Queries {
         |FROM h ORDER BY m""".stripMargin)
   }
 
+  /** Embedding-space outlier detection: distance of each vector to its
+    * label's centroid, top 20 — the "wrong-cluster / mislabeled sample"
+    * sweep a curation pipeline runs after clustering. Exact arithmetic
+    * throughout: components quantize to 1e-6 integer units via
+    * floor(v·1e6 + 0.5) (explicit floor — Spark and DuckDB round() differ
+    * in symmetric-half handling on negatives), the centroid stays an
+    * exact rational (Σ, n), and the squared distance numerator
+    * Σᵢ(vᵢ·n − Σᵢ)² accumulates in decimal(38,0) ≡ HUGEINT (vᵢ·n ≈
+    * 1e6·n — int64-safe to n ≈ 10⁹ vectors per label; the square needs
+    * decimal immediately). One sqrt + one divide at the end is the shared
+    * double spelling. Plan: posexplode → (label, dim) partial aggregate →
+    * broadcast centroid join → per-vector aggregate; the only shuffles
+    * carry dims × labels and vectors, never pairs. */
+  private val qEmbedOutlier: Q = (s, sf) => {
+    val comp = t(s, sf, "embeddings")
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "v")))
+      .withColumn("vq",
+        floor(col("v").cast("double") * 1e6 + 0.5).cast("long"))
+    val cent = comp.groupBy("label", "i")
+      .agg(sum("vq").as("sv"), count(lit(1)).as("n"))
+    comp.join(broadcast(cent), Seq("label", "i"))
+      .withColumn("dnum",
+        (col("vq") * col("n") - col("sv")).cast("decimal(38,0)") *
+          (col("vq") * col("n") - col("sv")).cast("decimal(38,0)"))
+      .groupBy("vec_id", "label", "n")
+      .agg(sum("dnum").as("d2"))
+      .select(col("vec_id"), col("label"),
+        round(sqrt(col("d2").cast("double")) /
+          (col("n").cast("double") * 1e6), 4).as("dist"))
+      .orderBy(col("dist").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  /** RFM segmentation (recency / frequency / monetary quintiles — the
+    * classic marketing cut): per-customer days-since-last-order, order
+    * count, and integer-cents spend, each quintiled GLOBALLY on
+    * [[operators.Rank.ntiled]] — three entity-grain total orders with no
+    * single-partition window anywhere (the distributed ntile is
+    * value-identical to `ntile(5) OVER (ORDER BY metric, custkey)`,
+    * pinned by RankSpec). Output is the bounded 125-cell (r,f,m) census
+    * with exact counts and cents. The reference date is the global max
+    * order date, attached as a broadcast scalar. */
+  private val qRfm: Q = (s, sf) => {
+    val o = t(s, sf, "orders")
+    val maxd = o.agg(max(col("o_orderdate")).as("maxd"))
+    val per = o.groupBy("o_custkey")
+      .agg(max(col("o_orderdate")).as("lastd"),
+        count(lit(1)).as("f"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("m"))
+      .crossJoin(broadcast(maxd))
+      .select(col("o_custkey"), datediff(col("maxd"), col("lastd")).as("rd"),
+        col("f"), col("m"))
+    val r1 = Rank.ntiled(per, Seq(col("rd").asc, col("o_custkey").asc), 5, "r")
+      .select(col("o_custkey"), col("rd"), col("f"), col("m"), col("r"))
+    val r2 = Rank.ntiled(r1, Seq(col("f").asc, col("o_custkey").asc), 5, "fq")
+      .select(col("o_custkey"), col("m"), col("r"), col("fq"))
+    Rank.ntiled(r2, Seq(col("m").asc, col("o_custkey").asc), 5, "mq")
+      .groupBy("r", "fq", "mq")
+      .agg(count(lit(1)).as("customers"), sum("m").as("cents"))
+      .orderBy("r", "fq", "mq")
+  }
+
+  /** Zipf's-law fit of the corpus token distribution: regress ln(freq)
+    * on ln(rank) by least squares over the full vocabulary — the
+    * power-law exponent every corpus-statistics report opens with
+    * (natural text ≈ −1; the synthetic corpus's flat vocab reads much
+    * shallower, which is exactly what the fit exposes). Frequencies are
+    * ranked on [[operators.Rank.rowNumbered]] (the vocab is entity-grain:
+    * unbounded in general, no partition-less window), both logs are
+    * 1e-9-quantized to int64 (the q_survival discipline), and all five
+    * regression moments accumulate exactly — Σx/Σy in int64, the
+    * products in decimal(38,0) ≡ HUGEINT. Slope and intercept are one
+    * shared double ratio each. */
+  private val qZipf: Q = (s, sf) => {
+    val freq = t(s, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val ranked = Rank.rowNumbered(freq,
+        Seq(col("c").desc, col("w").asc), "rk")
+      .select(
+        floor(log(col("rk").cast("double")) * 1e9 + 0.5).cast("long").as("lx"),
+        floor(log(col("c").cast("double")) * 1e9 + 0.5).cast("long").as("ly"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    ranked.agg(count(lit(1)).as("n_tokens"), sum("lx").as("sx"),
+        sum("ly").as("sy"), sum(dec(col("lx")) * dec(col("lx"))).as("sxx"),
+        sum(dec(col("lx")) * dec(col("ly"))).as("sxy"))
+      .select(col("n_tokens"),
+        round((dec(col("n_tokens")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+            .cast("double") /
+          (dec(col("n_tokens")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
+            .cast("double"), 4).as("zipf_slope"),
+        round((col("sy").cast("double") -
+            (dec(col("n_tokens")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+              .cast("double") /
+            (dec(col("n_tokens")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
+              .cast("double") * col("sx").cast("double")) /
+          col("n_tokens").cast("double") / 1e9, 4).as("intercept"))
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_embed_outlier" -> qEmbedOutlier,
+    "q_rfm" -> qRfm,
+    "q_zipf" -> qZipf,
     "q_stl" -> qStl,
     "q_holt" -> qHolt,
     "q_linkpred" -> qLinkpred,

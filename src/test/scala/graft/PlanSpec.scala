@@ -639,6 +639,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_embed_outlier broadcasts the centroid table; shuffles carry " +
+      "dims, never pairs") {
+    val p = plan("q_embed_outlier")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_zipf ranks the vocab on Rank and keeps exact moments partial") {
+    val p = plan("q_zipf")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the frequency-rank sort is Rank's range shuffle, not a global sort
+    // into one task; the window sweep vouches for the pid windows
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_hhi aggregates facts with map-side partials; equi join only") {
     val p = plan("q_hhi")
     assert(p.contains("partial_"), p)
