@@ -686,6 +686,38 @@ object OracleSql {
         "WHEN fvts IS NULL THEN epoch_us(t) - epoch_us(bvts) " +
         "ELSE least(epoch_us(t) - epoch_us(bvts), epoch_us(fvts) - epoch_us(t)) " +
         "END dt_us FROM b JOIN f ON b.le = f.le ORDER BY event_id LIMIT 100"),
+    // integer kappa: numerator/denominator exact via HUGEINT marginal
+    // products ≡ the engine's decimal(38,0); one shared ratio at the end
+    "q_kappa" ->
+      ("WITH b AS (SELECT lang, CASE WHEN len(list_filter(string_split(text,' '), " +
+        "w -> w IN ('the', 'a')))/CAST(len(string_split(text,' ')) AS DOUBLE) " +
+        ">= 0.05 THEN 'en' ELSE 'und' END pred FROM documents), " +
+        "t AS (SELECT count(*) n, CAST(sum(CASE WHEN lang = pred THEN 1 " +
+        "ELSE 0 END) AS BIGINT) diag FROM b), " +
+        "r AS (SELECT lang c, count(*) nl FROM b GROUP BY 1), " +
+        "c AS (SELECT pred c, count(*) np FROM b GROUP BY 1), " +
+        "p AS (SELECT coalesce(sum(CAST(nl AS HUGEINT)*np), 0) penum " +
+        "FROM r JOIN c ON r.c = c.c) " +
+        "SELECT n, diag, round(CAST(CAST(n AS HUGEINT)*diag - penum AS DOUBLE) / " +
+        "CAST(CAST(n AS HUGEINT)*n - penum AS DOUBLE), 4) kappa FROM t, p"),
+    // month index = integer y*12+m arithmetic; the running sum windows
+    // by cohort over the bounded age axis
+    "q_cohort_ltv" ->
+      ("WITH o AS (SELECT o_custkey, CAST(year(o_orderdate)*12 + " +
+        "month(o_orderdate) AS BIGINT) m, " +
+        "CAST(round(o_totalprice*100) AS BIGINT) c FROM orders), " +
+        "f AS (SELECT o_custkey, min(m) cm FROM o GROUP BY 1), " +
+        "sz AS (SELECT cm cohort, count(*) ncust FROM f GROUP BY 1), " +
+        "cell AS (SELECT f.cm cohort, o.m - f.cm age, " +
+        "CAST(sum(o.c) AS BIGINT) rev FROM o JOIN f ON o.o_custkey = f.o_custkey " +
+        "GROUP BY 1, 2), " +
+        "cc AS (SELECT cohort, age, CAST(sum(rev) OVER (PARTITION BY cohort " +
+        "ORDER BY age ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "AS BIGINT) cum FROM cell) " +
+        "SELECT cc.cohort, cc.age, sz.ncust, cc.cum, " +
+        "round(CAST(cc.cum AS DOUBLE) / 100.0 / CAST(sz.ncust AS DOUBLE), 2) ltv " +
+        "FROM cc JOIN sz ON cc.cohort = sz.cohort WHERE cc.age <= 11 " +
+        "ORDER BY cc.cohort, cc.age"),
     // components 1e-6-quantized via explicit floor(v*1e6+0.5) (round()
     // half-handling differs on negatives across engines); the squared
     // numerator accumulates HUGEINT ≡ the engine's decimal(38,0)

@@ -4394,9 +4394,72 @@ object Queries {
           col("n_tokens").cast("double") / 1e9, 4).as("intercept"))
   }
 
+  /** Cohen's kappa of the n-gram language-ID classifier against the gold
+    * `lang` label — chance-corrected agreement, the metric layer over
+    * q_lang_id's confusion matrix (annotator-agreement audits run this
+    * on every labeling pass). Integer form: κ = (n·diag − Σ_c nl_c·np_c)
+    * / (n² − Σ_c nl_c·np_c) — numerator and denominator exact
+    * (marginal products in decimal(38,0) ≡ HUGEINT; n² outgrows int64
+    * past n ≈ 3·10⁹ rows), one shared double ratio at the end. The
+    * predicted frame is checkpointed once and feeds all three aggregates
+    * (totals, row marginals, column marginals); the marginal join is
+    * |labels|², a few rows at any scale. */
+  private val qKappa: Q = (s, sf) => {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = t(s, sf, "documents")
+      .select(col("lang"), TextAnalysis.languageId("text").as("pred"))
+      .localCheckpoint(true) // three aggregate consumers
+    val tot = base.agg(count(lit(1)).as("n"),
+      sum(when(col("lang") === col("pred"), 1L).otherwise(0L)).as("diag"))
+    val rowm = base.groupBy("lang").agg(count(lit(1)).as("nl"))
+    val colm = base.groupBy("pred").agg(count(lit(1)).as("np"))
+    val pe = rowm.join(colm, col("lang") === col("pred"))
+      .agg(coalesce(sum(dec(col("nl")) * dec(col("np"))),
+        lit(0).cast("decimal(38,0)")).as("penum"))
+    tot.crossJoin(broadcast(pe))
+      .select(col("n"), col("diag"),
+        round((dec(col("n")) * dec(col("diag")) - col("penum")).cast("double") /
+          (dec(col("n")) * dec(col("n")) - col("penum")).cast("double"), 4)
+          .as("kappa"))
+  }
+
+  /** Cohort-LTV triangle (the subscription-analytics staple): customers
+    * grouped by first-order month, cumulative revenue tracked by cohort
+    * age in months, averaged per cohort member. One entity-grain
+    * aggregate finds each customer's cohort; everything after lives on
+    * the bounded cohort × age grid (~80 × 12 cells), where the running
+    * sum windows BY COHORT over age — partitioned and grid-bounded.
+    * Month index is integer (y·12+m) arithmetic, revenue integer cents;
+    * ltv is the one shared double ratio, rounded. */
+  private val qCohortLtv: Q = (s, sf) => {
+    val o = t(s, sf, "orders")
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .localCheckpoint(true) // cohort assignment + fact pass share it
+    val first = o.groupBy("o_custkey").agg(min("m").as("cm"))
+    val size = first.groupBy("cm").agg(count(lit(1)).as("ncust"))
+    val cell = o.join(first, "o_custkey")
+      .groupBy(col("cm").as("cohort"), (col("m") - col("cm")).as("age"))
+      .agg(sum("c").as("rev"))
+    val w = Window.partitionBy("cohort").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cell.withColumn("cum", sum("rev").over(w))
+      .filter(col("age") <= 11)
+      .join(broadcast(size.select(col("cm").as("cohort"), col("ncust"))),
+        "cohort")
+      .select(col("cohort"), col("age"), col("ncust"), col("cum"),
+        round(col("cum").cast("double") / 100.0 /
+          col("ncust").cast("double"), 2).as("ltv"))
+      .orderBy("cohort", "age")
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_kappa" -> qKappa,
+    "q_cohort_ltv" -> qCohortLtv,
     "q_embed_outlier" -> qEmbedOutlier,
     "q_rfm" -> qRfm,
     "q_zipf" -> qZipf,

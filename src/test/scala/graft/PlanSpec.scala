@@ -639,6 +639,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_kappa: marginal join is label-sized, aggregates partial") {
+    val p = plan("q_kappa")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is the 1-row scalar broadcast attach
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_cohort_ltv: cohort size attaches broadcast; window is " +
+      "partitioned by cohort") {
+    val p = plan("q_cohort_ltv")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("q_embed_outlier broadcasts the centroid table; shuffles carry " +
       "dims, never pairs") {
     val p = plan("q_embed_outlier")
