@@ -686,6 +686,19 @@ object OracleSql {
         "WHEN fvts IS NULL THEN epoch_us(t) - epoch_us(bvts) " +
         "ELSE least(epoch_us(t) - epoch_us(bvts), epoch_us(fvts) - epoch_us(t)) " +
         "END dt_us FROM b JOIN f ON b.le = f.le ORDER BY event_id LIMIT 100"),
+    // per-lang sums of the q_bpe_apply piece counts; exact int64 moments
+    "q_fertility" ->
+      ("SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) words, " +
+        "CAST(sum(list_sum(list_transform(list_transform(string_split(text, ' '), " +
+        "w -> trim(replace(replace(replace(concat(' ', trim(regexp_replace(w, '(.)', '\\1 ', 'g')), ' '), " +
+        "' e r ', ' er '), ' i n ', ' in '), ' o w ', ' ow '))), " +
+        "s -> len(string_split(s, ' '))))) AS BIGINT) pieces, " +
+        "round(CAST(sum(list_sum(list_transform(list_transform(string_split(text, ' '), " +
+        "w -> trim(replace(replace(replace(concat(' ', trim(regexp_replace(w, '(.)', '\\1 ', 'g')), ' '), " +
+        "' e r ', ' er '), ' i n ', ' in '), ' o w ', ' ow '))), " +
+        "s -> len(string_split(s, ' '))))) AS DOUBLE) / " +
+        "CAST(sum(len(string_split(text, ' '))) AS DOUBLE), 4) fertility " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
     // integer kappa: numerator/denominator exact via HUGEINT marginal
     // products ≡ the engine's decimal(38,0); one shared ratio at the end
     "q_kappa" ->

@@ -4455,9 +4455,32 @@ object Queries {
       .orderBy("cohort", "age")
   }
 
+  /** Tokenizer fertility by language — BPE pieces emitted per word after
+    * the fixed 3-merge vocabulary (the q_bpe_apply tokenizer), the
+    * metric a tokenizer-planning pass reports per language before
+    * committing a vocab (high-fertility languages dominate sequence
+    * length). Per-doc piece counts reuse
+    * [[operators.TextAnalysis.bpeTokenCounts]]; word/piece sums are
+    * exact int64 per language (a 5-row aggregate), fertility is the one
+    * shared rounded ratio. */
+  private val qFertility: Q = (s, sf) => {
+    val (_, nb) = TextAnalysis.bpeTokenCounts("text",
+      Seq(("e", "r"), ("i", "n"), ("o", "w")))
+    t(s, sf, "documents")
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("nw"),
+        nb.as("np"))
+      .groupBy("lang")
+      .agg(sum("nw").as("words"), sum("np").as("pieces"))
+      .select(col("lang"), col("words"), col("pieces"),
+        round(col("pieces").cast("double") / col("words").cast("double"), 4)
+          .as("fertility"))
+      .orderBy("lang")
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_fertility" -> qFertility,
     "q_kappa" -> qKappa,
     "q_cohort_ltv" -> qCohortLtv,
     "q_embed_outlier" -> qEmbedOutlier,
