@@ -226,13 +226,19 @@ object Components {
     *
     * Returns one row per triangle as (a, b, c), a < b < c by vertex id.
     * Input edges are symmetrized/deduped and self-loops dropped, so
-    * either or both directions may be supplied. */
+    * either or both directions may be supplied — unless `assumeCanonical`
+    * is set, in which case the caller guarantees src < dst, distinct, no
+    * self-loops, and an already-materialized frame (it feeds three
+    * consumers), and the canonicalizing exchange is skipped entirely. */
   def triangles(edges: DataFrame, srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
+      dstCol: String = "dst", assumeCanonical: Boolean = false): DataFrame = {
     // the canonical edge set feeds THREE consumers (degree counts, the
     // orientation join, the wedge-closing join) — materialize it once, or
     // an expensive upstream (e.g. the co-purchase self-join) runs 3×
-    val e0 = edges.select(col(srcCol).cast("long").as("x"),
+    val e0 = if (assumeCanonical)
+      edges.select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+    else edges.select(col(srcCol).cast("long").as("x"),
         col(dstCol).cast("long").as("y"))
       .where(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"),

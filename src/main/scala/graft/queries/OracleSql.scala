@@ -770,16 +770,16 @@ object OracleSql {
         "r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) rk FROM f), " +
         "l AS (SELECT CAST(floor(ln(CAST(rk AS DOUBLE))*1e9 + 0.5) AS BIGINT) lx, " +
         "CAST(floor(ln(CAST(c AS DOUBLE))*1e9 + 0.5) AS BIGINT) ly FROM r), " +
-        "m AS (SELECT count(*) n_tokens, CAST(sum(lx) AS BIGINT) sx, " +
+        "m AS (SELECT count(*) n_vocab, CAST(sum(lx) AS BIGINT) sx, " +
         "CAST(sum(ly) AS BIGINT) sy, sum(CAST(lx AS HUGEINT)*lx) sxx, " +
         "sum(CAST(lx AS HUGEINT)*ly) sxy FROM l) " +
-        "SELECT n_tokens, " +
-        "round(CAST(n_tokens*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE) / " +
-        "CAST(n_tokens*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE), 4) zipf_slope, " +
+        "SELECT n_vocab, " +
+        "round(CAST(n_vocab*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE) / " +
+        "CAST(n_vocab*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE), 4) zipf_slope, " +
         "round((CAST(sy AS DOUBLE) - " +
-        "CAST(n_tokens*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE) / " +
-        "CAST(n_tokens*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE) * " +
-        "CAST(sx AS DOUBLE)) / CAST(n_tokens AS DOUBLE) / 1e9, 4) intercept " +
+        "CAST(n_vocab*sxy - CAST(sx AS HUGEINT)*sy AS DOUBLE) / " +
+        "CAST(n_vocab*sxx - CAST(sx AS HUGEINT)*sx AS DOUBLE) * " +
+        "CAST(sx AS DOUBLE)) / CAST(n_vocab AS DOUBLE) / 1e9, 4) intercept " +
         "FROM m"),
     // bounded month grid; both averages are integer division, which
     // truncates toward zero in both engines (Spark div ≡ DuckDB //)

@@ -1126,6 +1126,14 @@ object Queries {
       .groupBy("dist").agg(count(lit(1)).as("c"), sum("id").as("chk"))
       .orderBy("dist")
 
+  /** Ordered pair combinations from a sorted distinct array column —
+    * the shared per-group emission (one shuffle, no self-join) behind
+    * q_triangles / q_basket / q_linkpred / q_cluster_coeff. Group size
+    * bounds the quadratic; struct field names are the caller's. */
+  private def pairCombosExpr(arr: String, aName: String, bName: String): String =
+    s"flatten(transform($arr, (x, i) -> transform(" +
+      s"slice($arr, i + 2, size($arr)), y -> struct(x AS $aName, y AS $bName))))"
+
   /** Per-part triangle participation in the co-purchase graph (parts
     * sharing an order), top 15. The engine enumerates via the
     * degree-ordered compact-forward join
@@ -1146,10 +1154,7 @@ object Queries {
     val e = li.groupBy("o")
       .agg(sort_array(array_distinct(collect_list(col("p").cast("long"))))
         .as("ps"))
-      .select(explode(expr(
-        "flatten(transform(ps, (x, i) -> transform(" +
-          "slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
-        .as("pr"))
+      .select(explode(expr(pairCombosExpr("ps", "a", "b"))).as("pr"))
       .select(col("pr.a").as("src"), col("pr.b").as("dst"))
     Components.triangles(e)
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
@@ -2521,10 +2526,7 @@ object Queries {
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .groupBy("o")
       .agg(sort_array(array_distinct(collect_list(col("p")))).as("ps"))
-      .select(explode(expr(
-        "flatten(transform(ps, (x, i) -> transform(" +
-          "slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"))
-        .as("pr"))
+      .select(explode(expr(pairCombosExpr("ps", "pa", "pb"))).as("pr"))
       .groupBy(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
       .agg(count(lit(1)).as("nab"))
       .filter(col("nab") >= 3)
@@ -4178,9 +4180,7 @@ object Queries {
       .withColumn("w",
         floor(lit(1e9) / log(size(col("ps")).cast("double")) + 0.5)
           .cast("long"))
-    byOrder.select(col("w"), explode(expr(
-        "flatten(transform(ps, (x, i) -> transform(" +
-          "slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
+    byOrder.select(col("w"), explode(expr(pairCombosExpr("ps", "a", "b")))
         .as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("cn"), sum("w").as("aa"))
@@ -4204,16 +4204,15 @@ object Queries {
       .groupBy("o")
       .agg(sort_array(array_distinct(collect_list(col("p").cast("long"))))
         .as("ps"))
-      .select(explode(expr(
-        "flatten(transform(ps, (x, i) -> transform(" +
-          "slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"))
-        .as("pr"))
+      .select(explode(expr(pairCombosExpr("ps", "a", "b"))).as("pr"))
       .select(col("pr.a").as("src"), col("pr.b").as("dst"))
       .distinct()
       .localCheckpoint(true) // feeds degree count + triangle enumeration
     val deg = canon.select(explode(array(col("src"), col("dst"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    val tri = Components.triangles(canon)
+    // src < dst distinct by construction (sorted-array emission +
+    // distinct above): skip triangles' re-canonicalizing exchange
+    val tri = Components.triangles(canon, assumeCanonical = true)
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri"))
     deg.filter(col("deg") >= 5)
@@ -4312,6 +4311,7 @@ object Queries {
         posexplode(col("embedding")).as(Seq("i", "v")))
       .withColumn("vq",
         floor(col("v").cast("double") * 1e6 + 0.5).cast("long"))
+      .localCheckpoint(true) // centroid aggregate + probe side share it
     val cent = comp.groupBy("label", "i")
       .agg(sum("vq").as("sv"), count(lit(1)).as("n"))
     comp.join(broadcast(cent), Seq("label", "i"))
@@ -4378,20 +4378,20 @@ object Queries {
         floor(log(col("rk").cast("double")) * 1e9 + 0.5).cast("long").as("lx"),
         floor(log(col("c").cast("double")) * 1e9 + 0.5).cast("long").as("ly"))
     def dec(c: Column) = c.cast("decimal(38,0)")
-    ranked.agg(count(lit(1)).as("n_tokens"), sum("lx").as("sx"),
+    ranked.agg(count(lit(1)).as("n_vocab"), sum("lx").as("sx"),
         sum("ly").as("sy"), sum(dec(col("lx")) * dec(col("lx"))).as("sxx"),
         sum(dec(col("lx")) * dec(col("ly"))).as("sxy"))
-      .select(col("n_tokens"),
-        round((dec(col("n_tokens")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+      .select(col("n_vocab"),
+        round((dec(col("n_vocab")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
             .cast("double") /
-          (dec(col("n_tokens")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
+          (dec(col("n_vocab")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
             .cast("double"), 4).as("zipf_slope"),
         round((col("sy").cast("double") -
-            (dec(col("n_tokens")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
+            (dec(col("n_vocab")) * col("sxy") - dec(col("sx")) * dec(col("sy")))
               .cast("double") /
-            (dec(col("n_tokens")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
+            (dec(col("n_vocab")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
               .cast("double") * col("sx").cast("double")) /
-          col("n_tokens").cast("double") / 1e9, 4).as("intercept"))
+          col("n_vocab").cast("double") / 1e9, 4).as("intercept"))
   }
 
   /** Cohen's kappa of the n-gram language-ID classifier against the gold
