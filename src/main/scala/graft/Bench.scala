@@ -71,7 +71,10 @@ object Bench {
     val iterative = Set("q_pagerank", "q_communities", "q_bfs", "q_sssp",
       "q_kcore", "q_triangles", "q_tree_depth", "q_2hop", "q_bpe_train",
       "q_random_walk", "q_hits", "q_dedup_cluster", "q_semdedup",
-      "q_neardup_lsh", "q_snapshot")
+      "q_neardup_lsh", "q_snapshot",
+      // same checkpoint-heavy profile (triangle enumeration / pair
+      // emission): measured 23.7 s in-suite vs 3.8-4.6 s isolated (r7)
+      "q_cluster_coeff", "q_linkpred")
     val settleMs = sys.env.getOrElse("SPARK_GRAFT_SETTLE_MS", "300").toLong
     val results = names.map { name =>
       // GC isolation: the queries run alphabetically in one shared JVM, so
