@@ -4279,15 +4279,18 @@ object Queries {
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
       .localCheckpoint(true) // scanned once, joined ~27 times
       .createOrReplaceTempView("g_holt_quarterly")
+    // the new level appears in both state columns: repeat the expression
+    // inline (bit-identical, integer) rather than wrapping the recursive
+    // term in a derived table — one less subplan for UnionLoop to
+    // re-plan every round
+    val nl = "(g.rev * 2 + (h.lvl + h.tr) * 8) DIV 10"
     s.sql(
-      """WITH RECURSIVE h(m, lvl, tr) AS (
+      s"""WITH RECURSIVE h(m, lvl, tr) AS (
         |  SELECT m, rev, CAST(0 AS BIGINT) FROM g_holt_quarterly
         |  WHERE m = (SELECT min(m) FROM g_holt_quarterly)
         |  UNION ALL
-        |  SELECT x.m, x.nl, ((x.nl - x.lvl) * 3 + x.tr * 7) DIV 10
-        |  FROM (SELECT g.m, h.lvl, h.tr,
-        |          (g.rev * 2 + (h.lvl + h.tr) * 8) DIV 10 AS nl
-        |        FROM h JOIN g_holt_quarterly g ON g.m = h.m + 1) x)
+        |  SELECT g.m, $nl, (($nl - h.lvl) * 3 + h.tr * 7) DIV 10
+        |  FROM h JOIN g_holt_quarterly g ON g.m = h.m + 1)
         |SELECT m, lvl, tr, lvl + tr AS forecast_next
         |FROM h ORDER BY m""".stripMargin)
   }
