@@ -151,9 +151,12 @@ object Streams {
     * pipeline really ran incrementally, StreamsSpec). */
   def incrementalEventStats(events: DataFrame, srcDir: String,
       deltaDir: String, ckptDir: String, srcFiles: Int = 8,
-      filesPerTrigger: Int = 3): (DataFrame, Long) = {
+      filesPerTrigger: Int = 3, srcPrewritten: Boolean = false): (DataFrame, Long) = {
     val spark = events.sparkSession
-    events.repartition(srcFiles).write.mode("overwrite").parquet(srcDir)
+    // srcPrewritten: the caller already materialized srcDir (e.g. a
+    // bench timing only the streaming run) — skip the landing write
+    if (!srcPrewritten)
+      events.repartition(srcFiles).write.mode("overwrite").parquet(srcDir)
     val schema = spark.read.parquet(srcDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger).parquet(srcDir)
