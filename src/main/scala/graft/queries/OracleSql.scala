@@ -686,6 +686,52 @@ object OracleSql {
         "WHEN fvts IS NULL THEN epoch_us(t) - epoch_us(bvts) " +
         "ELSE least(epoch_us(t) - epoch_us(bvts), epoch_us(fvts) - epoch_us(t)) " +
         "END dt_us FROM b JOIN f ON b.le = f.le ORDER BY event_id LIMIT 100"),
+    // exact-integer chi-square cells ((100·obs − n·w)² HUGEINT), each
+    // term's one double division 1e-6-quantized BEFORE the 3-row sum
+    "q_srm" ->
+      ("WITH b AS (SELECT doc_id, CAST(concat('0x', " +
+        "substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100 bk " +
+        "FROM documents), " +
+        "o AS (SELECT CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val' " +
+        "ELSE 'test' END split, count(*) obs FROM b GROUP BY 1), " +
+        "ow AS (SELECT split, obs, CASE split WHEN 'train' THEN 90 " +
+        "WHEN 'val' THEN 5 ELSE 5 END w FROM o), " +
+        "t AS (SELECT CAST(sum(obs) AS BIGINT) n FROM ow), " +
+        "q AS (SELECT t.n, CAST(floor(CAST(CAST(100*obs - t.n*w AS HUGEINT) * " +
+        "(100*obs - t.n*w) AS DOUBLE) / (100.0 * t.n * w) * 1e6 + 0.5) " +
+        "AS BIGINT) tq FROM ow, t) " +
+        "SELECT n, round(CAST(sum(tq) AS BIGINT) / 1e6, 4) chi2, " +
+        "CAST(sum(tq) AS BIGINT) > 13816000 srm FROM q GROUP BY n"),
+    // churn charged to the month after a gap begins, capped at horizon
+    "q_growth_accounting" ->
+      ("WITH um AS (SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) - " +
+        "DATE '1970-01-01' AS BIGINT) m FROM events), " +
+        "h AS (SELECT max(m) mx FROM um), " +
+        "st AS (SELECT user_id, m, lag(m) OVER w prev, lead(m) OVER w nxt " +
+        "FROM um WINDOW w AS (PARTITION BY user_id ORDER BY m)), " +
+        "status AS (SELECT m, CASE WHEN prev IS NULL THEN 'new' " +
+        "WHEN prev = m - 1 THEN 'retained' ELSE 'resurrected' END status " +
+        "FROM st " +
+        "UNION ALL SELECT m + 1, 'churned' FROM st, h " +
+        "WHERE (nxt IS NULL OR nxt > m + 1) AND m < h.mx) " +
+        "SELECT m, count(*) FILTER (WHERE status = 'new') \"new\", " +
+        "count(*) FILTER (WHERE status = 'retained') retained, " +
+        "count(*) FILTER (WHERE status = 'resurrected') resurrected, " +
+        "count(*) FILTER (WHERE status = 'churned') churned " +
+        "FROM status GROUP BY m ORDER BY m"),
+    // avg DAU / MAU; exact integer counts, two shared double ratios
+    "q_stickiness" ->
+      ("WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) dy FROM events), " +
+        "d AS (SELECT CAST((dy - DATE '1970-01-01') // 7 AS BIGINT) m, dy, " +
+        "count(*) dau FROM ud GROUP BY 1, 2), " +
+        "dm AS (SELECT m, CAST(sum(dau) AS BIGINT) sdau, count(*) ndays " +
+        "FROM d GROUP BY 1), " +
+        "ma AS (SELECT CAST((dy - DATE '1970-01-01') // 7 AS BIGINT) m, " +
+        "count(DISTINCT user_id) wau FROM ud GROUP BY 1) " +
+        "SELECT dm.m, dm.ndays, ma.wau, " +
+        "round(CAST(sdau AS DOUBLE) / CAST(ndays AS DOUBLE), 2) avg_dau, " +
+        "round(CAST(sdau AS DOUBLE) / CAST(ndays*wau AS DOUBLE), 4) stickiness " +
+        "FROM dm JOIN ma ON dm.m = ma.m ORDER BY dm.m"),
     // per-lang sums of the q_bpe_apply piece counts; exact int64 moments
     "q_fertility" ->
       ("SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) words, " +

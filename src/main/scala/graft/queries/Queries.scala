@@ -4480,9 +4480,105 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** Sample-ratio mismatch (SRM) check — the first gate every experiment
+    * platform runs before reading an A/B test: chi-square goodness of
+    * fit of the deterministic 90/5/5 split's observed counts against its
+    * declared weights. Exact-integer form per cell: (100·obs − n·w)² /
+    * (100·n·w) — numerator decimal(38,0) ≡ HUGEINT (100n squares past
+    * int64 at n ≈ 3·10⁸) — each term one shared double division,
+    * 1e-6-quantized BEFORE the 3-row sum (double addition is
+    * non-associative even at 3 terms; integer sums are order-free).
+    * srm flags chi2 > 13.816 (χ²₀.₉₉₉, df=2). */
+  private val qSrm: Q = (s, sf) => {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val w = typedLit(Map("train" -> 90L, "val" -> 5L, "test" -> 5L))
+    val obs = Sampling.assignSplits(t(s, sf, "documents"), "doc_id",
+        Seq("train" -> 90, "val" -> 5, "test" -> 5))
+      .groupBy("split").agg(count(lit(1)).as("obs"))
+      .withColumn("w", w(col("split")))
+    val tot = obs.agg(sum("obs").as("n"))
+    obs.crossJoin(broadcast(tot))
+      .select(col("n"),
+        floor((dec(lit(100) * col("obs") - col("n") * col("w")) *
+            dec(lit(100) * col("obs") - col("n") * col("w"))).cast("double") /
+          (lit(100.0) * col("n") * col("w")) * 1e6 + 0.5)
+          .cast("long").as("tq"))
+      .groupBy("n").agg(sum("tq").as("chi2q"))
+      .select(col("n"),
+        round(col("chi2q") / 1e6, 4).as("chi2"),
+        (col("chi2q") > 13816000L).as("srm"))
+  }
+
+  /** Growth accounting (the new/retained/resurrected/churned census —
+    * the standard active-user decomposition), on the DAY grain — the
+    * events table spans ~30 days at every SF with ~11% of users skipping
+    * any given day, so days are the grain where retention/resurrection/
+    * churn all carry signal (weeks showed 100% retention): per-user
+    * active days, each classified by its predecessor gap (first day →
+    * new, consecutive → retained, gap → resurrected), churn charged to
+    * the day AFTER an activity gap begins, capped at the observed
+    * horizon. One distinct pass over events, one per-user window
+    * (entity-PARTITIONED — as many concurrent tasks as users hash to),
+    * then a bounded day-grid census. All counts exact. */
+  private val qGrowthAccounting: Q = (s, sf) => {
+    val um = t(s, sf, "events")
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast("long").as("m"))
+      .distinct()
+      .localCheckpoint(true) // status rows + horizon share it
+    val horizon = um.agg(max("m").as("mx"))
+    val w = Window.partitionBy("user_id").orderBy("m")
+    val st = um
+      .withColumn("prev", lag("m", 1).over(w))
+      .withColumn("nxt", lead("m", 1).over(w))
+      .crossJoin(broadcast(horizon))
+    val status = st.select(col("m"),
+      when(col("prev").isNull, "new")
+        .when(col("prev") === col("m") - 1, "retained")
+        .otherwise("resurrected").as("status"))
+    val churn = st
+      .filter((col("nxt").isNull || col("nxt") > col("m") + 1) &&
+        col("m") < col("mx"))
+      .select((col("m") + 1).as("m"), lit("churned").as("status"))
+    status.union(churn)
+      .groupBy("m").pivot("status",
+        Seq("new", "retained", "resurrected", "churned"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("m")
+  }
+
+  /** Stickiness (avg DAU / WAU per week — how many of the week's
+    * actives show up on a given day; week grain for the same reason as
+    * q_growth_accounting): one distinct (user, day) pass, then day- and
+    * week-grid aggregates; avg_dau and stickiness are exact-integer
+    * ratios with one shared double spelling each. */
+  private val qStickiness: Q = (s, sf) => {
+    val wk = expr("datediff(dy, date'1970-01-01') div 7")
+    val ud = t(s, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).as("dy"))
+      .distinct()
+      .localCheckpoint(true) // day counts + week actives share it
+    val dau = ud.groupBy(wk.cast("long").as("m"), col("dy"))
+      .agg(count(lit(1)).as("dau"))
+      .groupBy("m").agg(sum("dau").as("sdau"), count(lit(1)).as("ndays"))
+    val wau = ud.groupBy(wk.cast("long").as("m"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, "m")
+      .select(col("m"), col("ndays"), col("wau"),
+        round(col("sdau").cast("double") / col("ndays").cast("double"), 2)
+          .as("avg_dau"),
+        round(col("sdau").cast("double") /
+          (col("ndays") * col("wau")).cast("double"), 4).as("stickiness"))
+      .orderBy("m")
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_srm" -> qSrm,
+    "q_growth_accounting" -> qGrowthAccounting,
+    "q_stickiness" -> qStickiness,
     "q_fertility" -> qFertility,
     "q_kappa" -> qKappa,
     "q_cohort_ltv" -> qCohortLtv,

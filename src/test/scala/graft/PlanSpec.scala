@@ -639,6 +639,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_growth_accounting windows per user; census aggregates partial") {
+    val p = Queries.all("q_growth_accounting")(spark, sf001)
+      .queryExecution.optimizedPlan
+    val w = p.collect {
+      case n: org.apache.spark.sql.catalyst.plans.logical.Window => n }
+    assert(w.nonEmpty, p.toString)
+    assert(w.forall(_.partitionSpec.nonEmpty), p.toString)
+    val phys = plan("q_growth_accounting")
+    assert(phys.contains("partial_"), phys)
+    assert(!phys.contains("CartesianProduct"), phys)
+  }
+
+  test("q_stickiness: one distinct pass feeds both grids, no nested loop") {
+    val p = plan("q_stickiness")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_kappa: marginal join is label-sized, aggregates partial") {
     val p = plan("q_kappa")
     assert(p.contains("partial_"), p)
