@@ -6,6 +6,15 @@ package graft.queries
   */
 object OracleSql {
 
+  // the three ANN ranking texts are shared: each stands as its own
+  // oracle entry AND composes into q_ann_recall's recall@10 readout
+  private val cosineTopkSql: String =
+    "WITH qv AS (SELECT u.i AS i, u.v AS v FROM (SELECT unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings WHERE vec_id=0) u), ev AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings WHERE vec_id<>0), d AS (SELECT ev.vec_id, sum(ev.v*qv.v) dot, sqrt(sum(ev.v*ev.v)) nrm FROM ev JOIN qv ON ev.i=qv.i GROUP BY ev.vec_id), nq AS (SELECT sqrt(sum(v*v)) n FROM qv) SELECT d.vec_id, round(d.dot/(d.nrm*nq.n),4) cos FROM d, nq ORDER BY cos DESC, d.vec_id LIMIT 10"
+  private val annLshSql: String =
+    "WITH b AS (SELECT vec_id, embedding, 4*(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + 2*(CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) bk FROM embeddings), qb AS (SELECT bk FROM b WHERE vec_id=0), cand AS (SELECT b.vec_id, b.embedding FROM b, qb WHERE b.bk=qb.bk AND b.vec_id<>0), qv AS (SELECT u.i i, u.v v FROM (SELECT unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings WHERE vec_id=0) u), ev AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding,1) i FROM cand), d AS (SELECT ev.vec_id, sum(ev.v*qv.v) dot, sqrt(sum(ev.v*ev.v)) nrm FROM ev JOIN qv ON ev.i=qv.i GROUP BY ev.vec_id), nq AS (SELECT sqrt(sum(v*v)) n FROM qv) SELECT d.vec_id, round(d.dot/(d.nrm*nq.n),4) cos FROM d, nq ORDER BY cos DESC, d.vec_id LIMIT 10"
+  private val annMultiprobeSql: String =
+    "WITH b AS (SELECT vec_id, embedding, 4*(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + 2*(CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) bk FROM embeddings), qb AS (SELECT bk FROM b WHERE vec_id=0), probes AS (SELECT bk FROM qb UNION SELECT xor(bk, 1) FROM qb UNION SELECT xor(bk, 2) FROM qb UNION SELECT xor(bk, 4) FROM qb), cand AS (SELECT b.vec_id, b.embedding FROM b JOIN probes ON b.bk = probes.bk WHERE b.vec_id<>0), qv AS (SELECT u.i i, u.v v FROM (SELECT unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings WHERE vec_id=0) u), ev AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding,1) i FROM cand), d AS (SELECT ev.vec_id, sum(ev.v*qv.v) dot, sqrt(sum(ev.v*ev.v)) nrm FROM ev JOIN qv ON ev.i=qv.i GROUP BY ev.vec_id), nq AS (SELECT sqrt(sum(v*v)) n FROM qv) SELECT d.vec_id, round(d.dot/(d.nrm*nq.n),4) cos FROM d, nq ORDER BY cos DESC, d.vec_id LIMIT 10"
+
   // 16-bit SimHash, generated to keep the bit loop in one place.
   private val simhashSql: String = {
     val votes = (0 until 16)
@@ -686,6 +695,17 @@ object OracleSql {
         "WHEN fvts IS NULL THEN epoch_us(t) - epoch_us(bvts) " +
         "ELSE least(epoch_us(t) - epoch_us(bvts), epoch_us(fvts) - epoch_us(t)) " +
         "END dt_us FROM b JOIN f ON b.le = f.le ORDER BY event_id LIMIT 100"),
+    // recall@10 composed from the SAME three ranking texts that back
+    // q_cosine_topk / q_ann_lsh / q_ann_multiprobe — the top-10
+    // boundaries are deterministic (ORDER BY rounded cos, vec_id), so
+    // the intersection counts are exact
+    "q_ann_recall" ->
+      (s"SELECT 10 k, lh.lsh_hits, round(lh.lsh_hits/10.0, 2) lsh_recall, " +
+        "mh.multi_hits, round(mh.multi_hits/10.0, 2) multi_recall " +
+        s"FROM (SELECT count(*) lsh_hits FROM ($cosineTopkSql) e " +
+        s"JOIN ($annLshSql) l ON e.vec_id = l.vec_id) lh, " +
+        s"(SELECT count(*) multi_hits FROM ($cosineTopkSql) e2 " +
+        s"JOIN ($annMultiprobeSql) m ON e2.vec_id = m.vec_id) mh"),
     // exact-integer chi-square cells ((100·obs − n·w)² HUGEINT), each
     // term's one double division 1e-6-quantized BEFORE the 3-row sum
     "q_srm" ->
@@ -2144,11 +2164,9 @@ object OracleSql {
         "cc AS (SELECT id, min(r) comp FROM reach GROUP BY id), " +
         "z AS (SELECT comp, count(*) c FROM cc GROUP BY comp) " +
         "SELECT count(DISTINCT cc.comp) clusters, count(*) clustered, CAST(max(z.c) AS BIGINT) max_sz, CAST(sum(cc.id) AS BIGINT) chk FROM cc JOIN z ON cc.comp = z.comp"),
-    "q_ann_lsh" ->
-      "WITH b AS (SELECT vec_id, embedding, 4*(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + 2*(CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) bk FROM embeddings), qb AS (SELECT bk FROM b WHERE vec_id=0), cand AS (SELECT b.vec_id, b.embedding FROM b, qb WHERE b.bk=qb.bk AND b.vec_id<>0), qv AS (SELECT u.i i, u.v v FROM (SELECT unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings WHERE vec_id=0) u), ev AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding,1) i FROM cand), d AS (SELECT ev.vec_id, sum(ev.v*qv.v) dot, sqrt(sum(ev.v*ev.v)) nrm FROM ev JOIN qv ON ev.i=qv.i GROUP BY ev.vec_id), nq AS (SELECT sqrt(sum(v*v)) n FROM qv) SELECT d.vec_id, round(d.dot/(d.nrm*nq.n),4) cos FROM d, nq ORDER BY cos DESC, d.vec_id LIMIT 10",
+    "q_ann_lsh" -> annLshSql,
     // multi-probe: candidates from the query bucket XOR each single bit
-    "q_ann_multiprobe" ->
-      "WITH b AS (SELECT vec_id, embedding, 4*(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + 2*(CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) bk FROM embeddings), qb AS (SELECT bk FROM b WHERE vec_id=0), probes AS (SELECT bk FROM qb UNION SELECT xor(bk, 1) FROM qb UNION SELECT xor(bk, 2) FROM qb UNION SELECT xor(bk, 4) FROM qb), cand AS (SELECT b.vec_id, b.embedding FROM b JOIN probes ON b.bk = probes.bk WHERE b.vec_id<>0), qv AS (SELECT u.i i, u.v v FROM (SELECT unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings WHERE vec_id=0) u), ev AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding,1) i FROM cand), d AS (SELECT ev.vec_id, sum(ev.v*qv.v) dot, sqrt(sum(ev.v*ev.v)) nrm FROM ev JOIN qv ON ev.i=qv.i GROUP BY ev.vec_id), nq AS (SELECT sqrt(sum(v*v)) n FROM qv) SELECT d.vec_id, round(d.dot/(d.nrm*nq.n),4) cos FROM d, nq ORDER BY cos DESC, d.vec_id LIMIT 10",
+    "q_ann_multiprobe" -> annMultiprobeSql,
     // PQ ANN (mirrors Pq.searchPq): code Hamming == per-dim sign
     // disagreements (the 8x8 sign codes tile all 64 dims), shortlist 50
     // by (ham, id), exact-cosine re-rank top 10.
@@ -2159,6 +2177,5 @@ object OracleSql {
     "q_ann_ivf_fixed" ->
       "WITH ed AS (SELECT vec_id, generate_subscripts(embedding,1) j, unnest(embedding) v FROM embeddings), mx AS (SELECT vec_id, max(v) mv FROM ed WHERE j <= 8 GROUP BY vec_id), ca AS (SELECT e.vec_id, min(e.j)-1 cell FROM ed e JOIN mx ON e.vec_id=mx.vec_id AND e.v=mx.mv WHERE e.j <= 8 GROUP BY e.vec_id), qp AS (SELECT j-1 cell FROM ed WHERE vec_id=0 AND j <= 8 ORDER BY v DESC, j LIMIT 2), qv AS (SELECT j i, v FROM ed WHERE vec_id=0), cand AS (SELECT c.vec_id FROM ca c JOIN qp ON c.cell=qp.cell WHERE c.vec_id<>0), ev AS (SELECT e.vec_id, e.j i, e.v FROM ed e JOIN cand ON e.vec_id=cand.vec_id), d AS (SELECT ev.vec_id, sum(ev.v*qv.v) dot, sqrt(sum(ev.v*ev.v)) nrm FROM ev JOIN qv ON ev.i=qv.i GROUP BY ev.vec_id), nq AS (SELECT sqrt(sum(v*v)) n FROM qv) SELECT d.vec_id, round(d.dot/(d.nrm*nq.n),4) cos FROM d, nq ORDER BY cos DESC, d.vec_id LIMIT 10",
     // DuckDB unnest+generate_subscripts vs Spark zip_with/aggregate.
-    "q_cosine_topk" ->
-      "WITH qv AS (SELECT u.i AS i, u.v AS v FROM (SELECT unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings WHERE vec_id=0) u), ev AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings WHERE vec_id<>0), d AS (SELECT ev.vec_id, sum(ev.v*qv.v) dot, sqrt(sum(ev.v*ev.v)) nrm FROM ev JOIN qv ON ev.i=qv.i GROUP BY ev.vec_id), nq AS (SELECT sqrt(sum(v*v)) n FROM qv) SELECT d.vec_id, round(d.dot/(d.nrm*nq.n),4) cos FROM d, nq ORDER BY cos DESC, d.vec_id LIMIT 10")
+    "q_cosine_topk" -> cosineTopkSql)
 }

@@ -4573,9 +4573,34 @@ object Queries {
       .orderBy("m")
   }
 
+  /** Recall@10 of the two LSH ANN paths against the exact brute-force
+    * ranking — THE quality metric an ANN deployment publishes next to
+    * its speedup (and the multi-probe path's recall must dominate the
+    * single-bucket path's by construction, asserted in SimilaritySpec's
+    * family). All three rankings share the deterministic top-10 boundary
+    * (ORDER BY rounded cos, vec_id), so the intersection counts are
+    * exact; the 10-row result frames join trivially. */
+  private val qAnnRecall: Q = (s, sf) => {
+    val emb = t(s, sf, "embeddings")
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
+      .select(col("vec_id"))
+    val lsh = Similarity.annBucketTopK(emb, "vec_id", "embedding", 0L, 10)
+      .select(col("vec_id"))
+    val multi = Similarity.annMultiProbeTopK(emb, "vec_id", "embedding", 0L, 10)
+      .select(col("vec_id"))
+    val lh = exact.join(lsh, "vec_id").agg(count(lit(1)).as("lsh_hits"))
+    val mh = exact.join(multi, "vec_id").agg(count(lit(1)).as("multi_hits"))
+    lh.crossJoin(broadcast(mh))
+      .select(lit(10L).as("k"), col("lsh_hits"),
+        round(col("lsh_hits") / 10.0, 2).as("lsh_recall"),
+        col("multi_hits"),
+        round(col("multi_hits") / 10.0, 2).as("multi_recall"))
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_ann_recall" -> qAnnRecall,
     "q_srm" -> qSrm,
     "q_growth_accounting" -> qGrowthAccounting,
     "q_stickiness" -> qStickiness,

@@ -639,6 +639,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_ann_recall: no cartesian beyond the 1-row scalar attach") {
+    val p = plan("q_ann_recall")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("q_growth_accounting windows per user; census aggregates partial") {
     val p = Queries.all("q_growth_accounting")(spark, sf001)
       .queryExecution.optimizedPlan
