@@ -12,6 +12,8 @@ object OracleSql {
     "WITH qv AS (SELECT u.i AS i, u.v AS v FROM (SELECT unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings WHERE vec_id=0) u), ev AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings WHERE vec_id<>0), d AS (SELECT ev.vec_id, sum(ev.v*qv.v) dot, sqrt(sum(ev.v*ev.v)) nrm FROM ev JOIN qv ON ev.i=qv.i GROUP BY ev.vec_id), nq AS (SELECT sqrt(sum(v*v)) n FROM qv) SELECT d.vec_id, round(d.dot/(d.nrm*nq.n),4) cos FROM d, nq ORDER BY cos DESC, d.vec_id LIMIT 10"
   private val annLshSql: String =
     "WITH b AS (SELECT vec_id, embedding, 4*(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + 2*(CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) bk FROM embeddings), qb AS (SELECT bk FROM b WHERE vec_id=0), cand AS (SELECT b.vec_id, b.embedding FROM b, qb WHERE b.bk=qb.bk AND b.vec_id<>0), qv AS (SELECT u.i i, u.v v FROM (SELECT unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings WHERE vec_id=0) u), ev AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding,1) i FROM cand), d AS (SELECT ev.vec_id, sum(ev.v*qv.v) dot, sqrt(sum(ev.v*ev.v)) nrm FROM ev JOIN qv ON ev.i=qv.i GROUP BY ev.vec_id), nq AS (SELECT sqrt(sum(v*v)) n FROM qv) SELECT d.vec_id, round(d.dot/(d.nrm*nq.n),4) cos FROM d, nq ORDER BY cos DESC, d.vec_id LIMIT 10"
+  private val annPqSql: String =
+    "WITH qv AS (SELECT generate_subscripts(embedding,1) i, unnest(embedding) v FROM embeddings WHERE vec_id=0), ev AS (SELECT vec_id, generate_subscripts(embedding,1) i, unnest(embedding) v FROM embeddings WHERE vec_id<>0), h AS (SELECT ev.vec_id, CAST(sum(CASE WHEN (ev.v>0) <> (qv.v>0) THEN 1 ELSE 0 END) AS BIGINT) ham FROM ev JOIN qv ON ev.i=qv.i GROUP BY ev.vec_id), sl AS (SELECT vec_id, ham FROM h ORDER BY ham, vec_id LIMIT 50), d AS (SELECT ev.vec_id, sum(ev.v*qv.v) dot, sqrt(sum(ev.v*ev.v)) nrm FROM ev JOIN sl ON ev.vec_id=sl.vec_id JOIN qv ON ev.i=qv.i GROUP BY ev.vec_id), nq AS (SELECT sqrt(sum(v*v)) n FROM qv) SELECT d.vec_id, sl.ham, round(d.dot/(d.nrm*nq.n),4) cos FROM d JOIN sl ON d.vec_id=sl.vec_id, nq ORDER BY cos DESC, d.vec_id LIMIT 10"
   private val annMultiprobeSql: String =
     "WITH b AS (SELECT vec_id, embedding, 4*(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END) + 2*(CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) bk FROM embeddings), qb AS (SELECT bk FROM b WHERE vec_id=0), probes AS (SELECT bk FROM qb UNION SELECT xor(bk, 1) FROM qb UNION SELECT xor(bk, 2) FROM qb UNION SELECT xor(bk, 4) FROM qb), cand AS (SELECT b.vec_id, b.embedding FROM b JOIN probes ON b.bk = probes.bk WHERE b.vec_id<>0), qv AS (SELECT u.i i, u.v v FROM (SELECT unnest(embedding) v, generate_subscripts(embedding,1) i FROM embeddings WHERE vec_id=0) u), ev AS (SELECT vec_id, unnest(embedding) v, generate_subscripts(embedding,1) i FROM cand), d AS (SELECT ev.vec_id, sum(ev.v*qv.v) dot, sqrt(sum(ev.v*ev.v)) nrm FROM ev JOIN qv ON ev.i=qv.i GROUP BY ev.vec_id), nq AS (SELECT sqrt(sum(v*v)) n FROM qv) SELECT d.vec_id, round(d.dot/(d.nrm*nq.n),4) cos FROM d, nq ORDER BY cos DESC, d.vec_id LIMIT 10"
 
@@ -701,11 +703,14 @@ object OracleSql {
     // the intersection counts are exact
     "q_ann_recall" ->
       (s"SELECT 10 k, lh.lsh_hits, round(lh.lsh_hits/10.0, 2) lsh_recall, " +
-        "mh.multi_hits, round(mh.multi_hits/10.0, 2) multi_recall " +
+        "mh.multi_hits, round(mh.multi_hits/10.0, 2) multi_recall, " +
+        "ph.pq_hits, round(ph.pq_hits/10.0, 2) pq_recall " +
         s"FROM (SELECT count(*) lsh_hits FROM ($cosineTopkSql) e " +
         s"JOIN ($annLshSql) l ON e.vec_id = l.vec_id) lh, " +
         s"(SELECT count(*) multi_hits FROM ($cosineTopkSql) e2 " +
-        s"JOIN ($annMultiprobeSql) m ON e2.vec_id = m.vec_id) mh"),
+        s"JOIN ($annMultiprobeSql) m ON e2.vec_id = m.vec_id) mh, " +
+        s"(SELECT count(*) pq_hits FROM ($cosineTopkSql) e3 " +
+        s"JOIN ($annPqSql) pq ON e3.vec_id = pq.vec_id) ph"),
     // exact-integer chi-square cells ((100·obs − n·w)² HUGEINT), each
     // term's one double division 1e-6-quantized BEFORE the 3-row sum
     "q_srm" ->
@@ -2170,8 +2175,7 @@ object OracleSql {
     // PQ ANN (mirrors Pq.searchPq): code Hamming == per-dim sign
     // disagreements (the 8x8 sign codes tile all 64 dims), shortlist 50
     // by (ham, id), exact-cosine re-rank top 10.
-    "q_ann_pq" ->
-      "WITH qv AS (SELECT generate_subscripts(embedding,1) i, unnest(embedding) v FROM embeddings WHERE vec_id=0), ev AS (SELECT vec_id, generate_subscripts(embedding,1) i, unnest(embedding) v FROM embeddings WHERE vec_id<>0), h AS (SELECT ev.vec_id, CAST(sum(CASE WHEN (ev.v>0) <> (qv.v>0) THEN 1 ELSE 0 END) AS BIGINT) ham FROM ev JOIN qv ON ev.i=qv.i GROUP BY ev.vec_id), sl AS (SELECT vec_id, ham FROM h ORDER BY ham, vec_id LIMIT 50), d AS (SELECT ev.vec_id, sum(ev.v*qv.v) dot, sqrt(sum(ev.v*ev.v)) nrm FROM ev JOIN sl ON ev.vec_id=sl.vec_id JOIN qv ON ev.i=qv.i GROUP BY ev.vec_id), nq AS (SELECT sqrt(sum(v*v)) n FROM qv) SELECT d.vec_id, sl.ham, round(d.dot/(d.nrm*nq.n),4) cos FROM d JOIN sl ON d.vec_id=sl.vec_id, nq ORDER BY cos DESC, d.vec_id LIMIT 10",
+    "q_ann_pq" -> annPqSql,
     // Fixed axis-aligned IVF (mirrors Ivf.searchFixed): cell = argmax of
     // the first 8 dims (ties -> smallest dim), probes = query's top-2 dims.
     "q_ann_ivf_fixed" ->

@@ -4573,7 +4573,8 @@ object Queries {
       .orderBy("m")
   }
 
-  /** Recall@10 of the two LSH ANN paths against the exact brute-force
+  /** Recall@10 of the three compressed/bucketed ANN paths against the
+    * exact brute-force
     * ranking — THE quality metric an ANN deployment publishes next to
     * its speedup (and the multi-probe path's recall must dominate the
     * single-bucket path's by construction, asserted in SimilaritySpec's
@@ -4588,13 +4589,19 @@ object Queries {
       .select(col("vec_id"))
     val multi = Similarity.annMultiProbeTopK(emb, "vec_id", "embedding", 0L, 10)
       .select(col("vec_id"))
+    val pq = Pq.searchPq(emb, "vec_id", "embedding",
+        queryId = 0L, k = 10, m = 8, subDim = 8, shortlist = 50)
+      .select(col("vec_id"))
     val lh = exact.join(lsh, "vec_id").agg(count(lit(1)).as("lsh_hits"))
     val mh = exact.join(multi, "vec_id").agg(count(lit(1)).as("multi_hits"))
-    lh.crossJoin(broadcast(mh))
+    val ph = exact.join(pq, "vec_id").agg(count(lit(1)).as("pq_hits"))
+    lh.crossJoin(broadcast(mh)).crossJoin(broadcast(ph))
       .select(lit(10L).as("k"), col("lsh_hits"),
         round(col("lsh_hits") / 10.0, 2).as("lsh_recall"),
         col("multi_hits"),
-        round(col("multi_hits") / 10.0, 2).as("multi_recall"))
+        round(col("multi_hits") / 10.0, 2).as("multi_recall"),
+        col("pq_hits"),
+        round(col("pq_hits") / 10.0, 2).as("pq_recall"))
   }
 
   // ---------------------------------------------------------------- map
