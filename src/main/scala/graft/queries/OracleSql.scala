@@ -697,6 +697,26 @@ object OracleSql {
         "WHEN fvts IS NULL THEN epoch_us(t) - epoch_us(bvts) " +
         "ELSE least(epoch_us(t) - epoch_us(bvts), epoch_us(fvts) - epoch_us(t)) " +
         "END dt_us FROM b JOIN f ON b.le = f.le ORDER BY event_id LIMIT 100"),
+    // milli-cent unit prices by integer truncation (div ≡ //), basket
+    // sums in HUGEINT ≡ decimal(38,0), three shared double ratios
+    "q_price_index" ->
+      ("WITH py AS (SELECT l_partkey pk, year(l_shipdate) y, " +
+        "CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) ep, " +
+        "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) q " +
+        "FROM lineitem GROUP BY 1, 2), " +
+        "p2 AS (SELECT pk, y, (ep*1000) // q pq, q FROM py), " +
+        "b AS (SELECT pk, pq p0, q q0 FROM p2 " +
+        "WHERE y = (SELECT min(y) FROM p2)), " +
+        "j AS (SELECT p2.y, sum(CAST(p2.pq AS HUGEINT)*b.q0) lnum, " +
+        "sum(CAST(b.p0 AS HUGEINT)*b.q0) lden, " +
+        "sum(CAST(p2.pq AS HUGEINT)*p2.q) pnum, " +
+        "sum(CAST(b.p0 AS HUGEINT)*p2.q) pden " +
+        "FROM p2 JOIN b ON p2.pk = b.pk GROUP BY 1) " +
+        "SELECT y, round(CAST(lnum AS DOUBLE)/CAST(lden AS DOUBLE), 4) laspeyres, " +
+        "round(CAST(pnum AS DOUBLE)/CAST(pden AS DOUBLE), 4) paasche, " +
+        "round(sqrt(CAST(lnum AS DOUBLE)/CAST(lden AS DOUBLE) * " +
+        "(CAST(pnum AS DOUBLE)/CAST(pden AS DOUBLE))), 4) fisher " +
+        "FROM j ORDER BY y"),
     // recall@10 composed from the SAME three ranking texts that back
     // q_cosine_topk / q_ann_lsh / q_ann_multiprobe — the top-10
     // boundaries are deterministic (ORDER BY rounded cos, vec_id), so

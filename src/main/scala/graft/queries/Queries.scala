@@ -4604,9 +4604,48 @@ object Queries {
         round(col("pq_hits") / 10.0, 2).as("pq_recall"))
   }
 
+  /** Laspeyres / Paasche / Fisher price indices by ship year (base =
+    * first year), over the parts present in the base year — the
+    * econ-analytics staple no one should hand-roll twice. Unit prices
+    * are exact-rational milli-cents: pq = (Σcents·1000) DIV Σqty per
+    * (part, year) — integer truncation, identical in both engines — and
+    * the four basket sums (p_t·q_0, p_0·q_0, p_t·q_t, p_0·q_t)
+    * accumulate in decimal(38,0) ≡ HUGEINT (price·qty products pass
+    * int64 around 10⁵ parts). One fact aggregate, one self-equi-join on
+    * part against the broadcast-scalar base year, three shared double
+    * ratios. */
+  private val qPriceIndex: Q = (s, sf) => {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val py = t(s, sf, "lineitem")
+      .groupBy(col("l_partkey").as("pk"), year(col("l_shipdate")).as("y"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("ep"),
+        sum(round(col("l_quantity")).cast("long")).as("q"))
+      .withColumn("pq", expr("(ep * 1000) div q"))
+      .localCheckpoint(true) // fact pass feeds base + all years
+    val minY = py.agg(min("y").as("y0"))
+    val base = py.crossJoin(broadcast(minY)).filter(col("y") === col("y0"))
+      .select(col("pk"), col("pq").as("p0"), col("q").as("q0"))
+    py.join(base, "pk")
+      .groupBy("y")
+      .agg(sum(dec(col("pq")) * dec(col("q0"))).as("lnum"),
+        sum(dec(col("p0")) * dec(col("q0"))).as("lden"),
+        sum(dec(col("pq")) * dec(col("q"))).as("pnum"),
+        sum(dec(col("p0")) * dec(col("q"))).as("pden"))
+      .select(col("y"),
+        round(col("lnum").cast("double") / col("lden").cast("double"), 4)
+          .as("laspeyres"),
+        round(col("pnum").cast("double") / col("pden").cast("double"), 4)
+          .as("paasche"),
+        round(sqrt(col("lnum").cast("double") / col("lden").cast("double") *
+          (col("pnum").cast("double") / col("pden").cast("double"))), 4)
+          .as("fisher"))
+      .orderBy("y")
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_price_index" -> qPriceIndex,
     "q_ann_recall" -> qAnnRecall,
     "q_srm" -> qSrm,
     "q_growth_accounting" -> qGrowthAccounting,

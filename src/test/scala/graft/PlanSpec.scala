@@ -639,6 +639,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_price_index: one fact aggregate, equi join on part, no window") {
+    val p = plan("q_price_index")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q_ann_recall: no cartesian beyond the 1-row scalar attach") {
     val p = plan("q_ann_recall")
     assert(!p.contains("CartesianProduct"), p)

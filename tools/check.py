@@ -123,6 +123,13 @@ for name in sorted(oracle):
         fails.append((name, f"ROWS spark={len(a)} duck={len(b)}")); continue
     if not a.equals(b):
         diff = (a != b).any(axis=1)
+        if not diff.any():
+            # equals() false with no cell-level diff: empty frames (or
+            # index/dtype-only mismatch) — idxmax on the empty mask throws
+            fails.append((name, f"UNEQUAL with no cell diff "
+                          f"(rows={len(a)}; likely dtype/index mismatch on "
+                          f"an empty or all-equal frame)"))
+            continue
         i = diff.idxmax()
         fails.append((name, f"VALUES first diff row {i}:\n  spark={a.loc[i].to_dict()}\n  duck ={b.loc[i].to_dict()}"))
         continue
