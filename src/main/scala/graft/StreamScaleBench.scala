@@ -45,21 +45,31 @@ object StreamScaleBench {
     sizes.foreach { n =>
       gen(n).repartition(8).write.mode("overwrite").parquet(s"$outRoot/n$n/src")
     }
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(s"$outRoot/warm")).deleteRecursively()
     graft.streaming.Streams.incrementalEventStats(
       spark.read.parquet(s"$outRoot/n${sizes.head}/src"),
       s"$outRoot/n${sizes.head}/src", s"$outRoot/warm/delta",
-      s"$outRoot/warm/ckpt", srcPrewritten = true)._1.count()
+      s"$outRoot/warm/ckpt", srcPrewritten = true)._1.collect()
     println("SCALE generated+warm")
 
+    // force results by COLLECTING the (5-row) aggregates: a bare count()
+    // lets column pruning delete the sums/countDistinct and times a
+    // single-column distinct instead (the RankScaleBench lesson)
     sizes.foreach { n =>
       val dir = s"$outRoot/n$n"
+      // a stale checkpoint from a previous run would mark the rewritten
+      // source files unseen/seen inconsistently and double-aggregate old
+      // delta partitions — wipe the stateful dirs, never reuse them
+      new Directory(new java.io.File(s"$dir/delta")).deleteRecursively()
+      new Directory(new java.io.File(s"$dir/ckpt")).deleteRecursively()
       val events = spark.read.parquet(s"$dir/src")
       System.gc()
       val t0 = System.nanoTime()
       val (state, batches) = graft.streaming.Streams.incrementalEventStats(
         events, s"$dir/src", s"$dir/delta", s"$dir/ckpt",
         srcPrewritten = true)
-      val rows = state.count()
+      val rows = state.collect().length
       val tStream = (System.nanoTime() - t0) / 1e9
       System.gc()
       val t1 = System.nanoTime()
@@ -68,7 +78,7 @@ object StreamScaleBench {
         .agg(count(lit(1)).as("n"),
           sum(round(col("value") * 1000).cast("long")).as("mv"),
           countDistinct(to_date(col("ts"))).as("days"))
-        .count()
+        .collect().length
       val tBatch = (System.nanoTime() - t1) / 1e9
       println(f"SCALE stream_$n $tStream%.2f s ($rows types, $batches batches)")
       println(f"SCALE batch_$n $tBatch%.2f s ($b types)")

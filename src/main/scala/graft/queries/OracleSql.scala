@@ -747,7 +747,8 @@ object OracleSql {
         "AS BIGINT) tq FROM ow, t) " +
         "SELECT n, round(CAST(sum(tq) AS BIGINT) / 1e6, 4) chi2, " +
         "CAST(sum(tq) AS BIGINT) > 13816000 srm FROM q GROUP BY n"),
-    // churn charged to the month after a gap begins, capped at horizon
+    // day grain; churn charged to the day after a gap begins, capped
+    // at the horizon
     "q_growth_accounting" ->
       ("WITH um AS (SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) - " +
         "DATE '1970-01-01' AS BIGINT) m FROM events), " +
@@ -764,7 +765,7 @@ object OracleSql {
         "count(*) FILTER (WHERE status = 'resurrected') resurrected, " +
         "count(*) FILTER (WHERE status = 'churned') churned " +
         "FROM status GROUP BY m ORDER BY m"),
-    // avg DAU / MAU; exact integer counts, two shared double ratios
+    // avg DAU / WAU per week; exact counts, two shared double ratios
     "q_stickiness" ->
       ("WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) dy FROM events), " +
         "d AS (SELECT CAST((dy - DATE '1970-01-01') // 7 AS BIGINT) m, dy, " +

@@ -4585,6 +4585,7 @@ object Queries {
     val emb = t(s, sf, "embeddings")
     val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", 0L, 10)
       .select(col("vec_id"))
+      .localCheckpoint(true) // the priciest ranking feeds all three joins
     val lsh = Similarity.annBucketTopK(emb, "vec_id", "embedding", 0L, 10)
       .select(col("vec_id"))
     val multi = Similarity.annMultiProbeTopK(emb, "vec_id", "embedding", 0L, 10)
