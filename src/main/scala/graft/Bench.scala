@@ -28,6 +28,17 @@ object Bench {
       // a 360+-execution suite otherwise accumulates per-execution status
       // (plan graphs, metrics) in the driver for the whole run — dead
       // weight the GC drags through every later query's timed window
+      // shuffle-file deletion is ASYNC by default: the ContextCleaner
+      // drains removals triggered by one query's System.gc() DURING the
+      // next query's timed window. Blocking mode charges each query its
+      // own cleanup inside its own pre-GC window — correct attribution.
+      // Honest measurement note: it did NOT eliminate the roaming
+      // in-suite outlier (one query per run lands 2-5x its isolated
+      // time — q_cluster_coeff 29.9 s, then q_video_neardup 13.2 s,
+      // then q_triangles 20.3 s across runs, each stable 3-7 s
+      // isolated and in other runs); that residue tracks the host, not
+      // cleanup debt or the plans.
+      .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
       .config("spark.sql.ui.retainedExecutions", "4")
       .config("spark.ui.retainedJobs", "50")
       .config("spark.ui.retainedStages", "50")
