@@ -697,6 +697,37 @@ object OracleSql {
         "WHEN fvts IS NULL THEN epoch_us(t) - epoch_us(bvts) " +
         "ELSE least(epoch_us(t) - epoch_us(bvts), epoch_us(fvts) - epoch_us(t)) " +
         "END dt_us FROM b JOIN f ON b.le = f.le ORDER BY event_id LIMIT 100"),
+    // exact int64 group sums over the full user universe; the four
+    // means and the DiD estimate are one shared double expression
+    "q_did" ->
+      ("WITH d0 AS (SELECT min(CAST(ts AS DATE)) d0 FROM events), " +
+        "ev AS (SELECT user_id, event_type, " +
+        "(CAST(ts AS DATE) - (SELECT d0 FROM d0)) >= 15 post, " +
+        "CAST(round(value*1000) AS BIGINT) v FROM events), " +
+        "fl AS (SELECT user_id, CASE WHEN " +
+        "sum(CASE WHEN event_type = 'signup' AND NOT post THEN 1 ELSE 0 END) > " +
+        "sum(CASE WHEN event_type = 'error' AND NOT post THEN 1 ELSE 0 END) " +
+        "THEN 1 ELSE 0 END tr FROM ev GROUP BY user_id), " +
+        "ns AS (SELECT CAST(sum(tr) AS BIGINT) nt, " +
+        "CAST(sum(1 - tr) AS BIGINT) nc FROM fl), " +
+        "pu AS (SELECT user_id, post, CAST(sum(v) AS BIGINT) sv FROM ev " +
+        "WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+        "sm AS (SELECT " +
+        "coalesce(CAST(sum(CASE WHEN tr = 1 AND post THEN sv END) AS BIGINT), 0) st_post, " +
+        "coalesce(CAST(sum(CASE WHEN tr = 1 AND NOT post THEN sv END) AS BIGINT), 0) st_pre, " +
+        "coalesce(CAST(sum(CASE WHEN tr = 0 AND post THEN sv END) AS BIGINT), 0) sc_post, " +
+        "coalesce(CAST(sum(CASE WHEN tr = 0 AND NOT post THEN sv END) AS BIGINT), 0) sc_pre " +
+        "FROM pu JOIN fl ON pu.user_id = fl.user_id) " +
+        "SELECT nt, nc, " +
+        "round(CAST(st_pre AS DOUBLE)/CAST(nt AS DOUBLE)/1000.0, 4) t_pre, " +
+        "round(CAST(st_post AS DOUBLE)/CAST(nt AS DOUBLE)/1000.0, 4) t_post, " +
+        "round(CAST(sc_pre AS DOUBLE)/CAST(nc AS DOUBLE)/1000.0, 4) c_pre, " +
+        "round(CAST(sc_post AS DOUBLE)/CAST(nc AS DOUBLE)/1000.0, 4) c_post, " +
+        "round(CAST(st_post AS DOUBLE)/CAST(nt AS DOUBLE)/1000.0 - " +
+        "CAST(st_pre AS DOUBLE)/CAST(nt AS DOUBLE)/1000.0 - " +
+        "(CAST(sc_post AS DOUBLE)/CAST(nc AS DOUBLE)/1000.0 - " +
+        "CAST(sc_pre AS DOUBLE)/CAST(nc AS DOUBLE)/1000.0), 4) did " +
+        "FROM sm, ns"),
     // milli-cent unit prices by integer truncation (div ≡ //), basket
     // sums in HUGEINT ≡ decimal(38,0), three shared double ratios
     "q_price_index" ->

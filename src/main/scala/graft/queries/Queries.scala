@@ -4643,9 +4643,65 @@ object Queries {
       .orderBy("y")
   }
 
+  /** Difference-in-differences — the workhorse quasi-experimental
+    * estimator beside the A/B family (q_abtest/q_welch/q_odds_ratio):
+    * treated = users with MORE signup than error events in the PRE
+    * period (first 15 observed days — a deterministic ~50/50 split; at
+    * this event density "has any signup" is universal and would empty
+    * the control arm), outcome = per-user purchase value (integer
+    * milli-units) in pre vs post, DiD = (T̄post − T̄pre) − (C̄post −
+    * C̄pre). Group sums are exact int64 over the full user universe
+    * (absent purchases contribute 0 by construction — the sums range
+    * over purchase rows, the denominators over ALL users), the four
+    * means and the estimate are one shared double expression. The event
+    * frame is checkpointed once for its three consumers. */
+  private val qDid: Q = (s, sf) => {
+    val d0 = t(s, sf, "events").agg(min(to_date(col("ts"))).as("d0"))
+    val ev = t(s, sf, "events")
+      .crossJoin(broadcast(d0))
+      .select(col("user_id"), col("event_type"),
+        (datediff(to_date(col("ts")), col("d0")) >= 15).as("post"),
+        round(col("value") * 1000).cast("long").as("v"))
+      .localCheckpoint(true) // treatment set + universe + outcomes
+    val flag = ev
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "signup" && !col("post"), 1L)
+          .otherwise(0L)).as("sg"),
+        sum(when(col("event_type") === "error" && !col("post"), 1L)
+          .otherwise(0L)).as("er"))
+      .select(col("user_id"),
+        when(col("sg") > col("er"), 1L).otherwise(0L).as("tr"))
+      .localCheckpoint(true) // group sizes + outcome join
+    val ns = flag.agg(sum("tr").as("nt"), sum(lit(1L) - col("tr")).as("nc"))
+    val sums = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "post").agg(sum("v").as("sv"))
+      .join(flag, "user_id")
+      .agg(
+        coalesce(sum(when(col("tr") === 1 && col("post"), col("sv"))), lit(0L))
+          .as("st_post"),
+        coalesce(sum(when(col("tr") === 1 && !col("post"), col("sv"))), lit(0L))
+          .as("st_pre"),
+        coalesce(sum(when(col("tr") === 0 && col("post"), col("sv"))), lit(0L))
+          .as("sc_post"),
+        coalesce(sum(when(col("tr") === 0 && !col("post"), col("sv"))), lit(0L))
+          .as("sc_pre"))
+    def m(sc: String, nc: String) =
+      col(sc).cast("double") / col(nc).cast("double") / 1000.0
+    sums.crossJoin(broadcast(ns))
+      .select(col("nt"), col("nc"),
+        round(m("st_pre", "nt"), 4).as("t_pre"),
+        round(m("st_post", "nt"), 4).as("t_post"),
+        round(m("sc_pre", "nc"), 4).as("c_pre"),
+        round(m("sc_post", "nc"), 4).as("c_post"),
+        round(m("st_post", "nt") - m("st_pre", "nt") -
+          (m("sc_post", "nc") - m("sc_pre", "nc")), 4).as("did"))
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_did" -> qDid,
     "q_price_index" -> qPriceIndex,
     "q_ann_recall" -> qAnnRecall,
     "q_srm" -> qSrm,

@@ -639,6 +639,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q_did: entity aggregates with partials, no window, no cartesian " +
+      "beyond the scalar attaches") {
+    val p = plan("q_did")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q_price_index: one fact aggregate, equi join on part, no window") {
     val p = plan("q_price_index")
     assert(p.contains("partial_"), p)
