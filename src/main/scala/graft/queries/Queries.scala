@@ -4653,8 +4653,13 @@ object Queries {
     * C̄pre). Group sums are exact int64 over the full user universe
     * (absent purchases contribute 0 by construction — the sums range
     * over purchase rows, the denominators over ALL users), the four
-    * means and the estimate are one shared double expression. The event
-    * frame is checkpointed once for its three consumers. */
+    * means and the estimate are one shared double expression, and
+    * assert_true guards both arm sizes IN-PLAN: double division never
+    * throws under ANSI (IEEE NaN/Inf), so an emptied arm would
+    * otherwise yield a silent NaN estimate — the guard turns it into an
+    * execution error instead. The event frame is checkpointed once for
+    * its two consumers (treatment flags, outcome sums); the universe
+    * count reads the flag checkpoint. */
   private val qDid: Q = (s, sf) => {
     val d0 = t(s, sf, "events").agg(min(to_date(col("ts"))).as("d0"))
     val ev = t(s, sf, "events")
@@ -4689,6 +4694,9 @@ object Queries {
     def m(sc: String, nc: String) =
       col(sc).cast("double") / col(nc).cast("double") / 1000.0
     sums.crossJoin(broadcast(ns))
+      .filter(assert_true(col("nt") > 0 && col("nc") > 0,
+        lit("q_did: an empty treatment or control arm leaves the " +
+          "estimator undefined")).isNull)
       .select(col("nt"), col("nc"),
         round(m("st_pre", "nt"), 4).as("t_pre"),
         round(m("st_post", "nt"), 4).as("t_post"),
