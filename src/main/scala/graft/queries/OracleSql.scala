@@ -697,6 +697,31 @@ object OracleSql {
         "WHEN fvts IS NULL THEN epoch_us(t) - epoch_us(bvts) " +
         "ELSE least(epoch_us(t) - epoch_us(bvts), epoch_us(fvts) - epoch_us(t)) " +
         "END dt_us FROM b JOIN f ON b.le = f.le ORDER BY event_id LIMIT 100"),
+    // same recursion as q_holt; per-quarter MAPE terms integer-quantized
+    // by truncating division, so the skill-score ratios are exact
+    "q_backtest" ->
+      ("WITH RECURSIVE g AS (SELECT CAST(year(o_orderdate)*4 + " +
+        "quarter(o_orderdate) AS BIGINT) m, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) rev " +
+        "FROM orders GROUP BY 1), " +
+        "h(m, lvl, tr) AS (" +
+        "SELECT m, rev, CAST(0 AS BIGINT) FROM g " +
+        "WHERE m = (SELECT min(m) FROM g) " +
+        "UNION ALL " +
+        "SELECT x.m, x.nl, ((x.nl - x.lvl) * 3 + x.tr * 7) // 10 " +
+        "FROM (SELECT g.m, h.lvl, h.tr, " +
+        "(g.rev * 2 + (h.lvl + h.tr) * 8) // 10 AS nl " +
+        "FROM h JOIN g ON g.m = h.m + 1) x), " +
+        "sc AS (SELECT h.lvl + h.tr f, a.rev a, p.rev prev FROM h " +
+        "JOIN g a ON a.m = h.m + 1 JOIN g p ON p.m = h.m), " +
+        "t AS (SELECT count(*) n, " +
+        "CAST(sum((abs(f - a) * 1000000) // a) AS BIGINT) sh, " +
+        "CAST(sum((abs(prev - a) * 1000000) // a) AS BIGINT) sn, " +
+        "CAST(sum(f - a) AS BIGINT) sb FROM sc) " +
+        "SELECT n, round(CAST(sh AS DOUBLE) / n / 1e6, 4) mape, " +
+        "round(CAST(sn AS DOUBLE) / n / 1e6, 4) naive_mape, " +
+        "round(CAST(sh AS DOUBLE) / CAST(sn AS DOUBLE), 4) mase, " +
+        "round(CAST(sb AS DOUBLE) / n / 100.0, 2) bias FROM t"),
     // exact int64 group sums over the full user universe; the four
     // means and the DiD estimate are one shared double expression
     "q_did" ->

@@ -4706,9 +4706,53 @@ object Queries {
           (m("sc_post", "nc") - m("sc_pre", "nc")), 4).as("did"))
   }
 
+  /** One-step-ahead backtest of the Holt forecast (q_holt) against the
+    * naive carry-forward baseline — the evaluation row the forecasting
+    * family was missing (retrieval has NDCG, ANN has recall,
+    * classification has kappa/AUC): each quarter's forecast_next is
+    * scored against the NEXT quarter's actual revenue; MAPE terms are
+    * per-quarter integer-quantized ((|f−a|·10⁶) DIV a — truncation,
+    * identical in both engines) so the averages are exact-int ratios,
+    * and mase = Σholt/Σnaive < 1 means the model beats carry-forward.
+    * Same checkpointed quarter grid + UnionLoop recursion as q_holt. */
+  private val qBacktest: Q = (s, sf) => {
+    t(s, sf, "orders")
+      .groupBy((year(col("o_orderdate")) * 4 + quarter(col("o_orderdate")))
+        .cast("long").as("m"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+      .localCheckpoint(true) // scanned once, joined ~27 times
+      .createOrReplaceTempView("g_backtest_quarterly")
+    val nl = "(g.rev * 2 + (h.lvl + h.tr) * 8) DIV 10"
+    s.sql(
+      s"""WITH RECURSIVE h(m, lvl, tr) AS (
+        |  SELECT m, rev, CAST(0 AS BIGINT) FROM g_backtest_quarterly
+        |  WHERE m = (SELECT min(m) FROM g_backtest_quarterly)
+        |  UNION ALL
+        |  SELECT g.m, $nl, (($nl - h.lvl) * 3 + h.tr * 7) DIV 10
+        |  FROM h JOIN g_backtest_quarterly g ON g.m = h.m + 1),
+        |sc AS (
+        |  SELECT h.lvl + h.tr AS f, a.rev AS a, p.rev AS prev
+        |  FROM h
+        |  JOIN g_backtest_quarterly a ON a.m = h.m + 1
+        |  JOIN g_backtest_quarterly p ON p.m = h.m),
+        |t AS (
+        |  SELECT count(*) AS n,
+        |    sum((abs(f - a) * 1000000) DIV a) AS sh,
+        |    sum((abs(prev - a) * 1000000) DIV a) AS sn,
+        |    sum(f - a) AS sb
+        |  FROM sc)
+        |SELECT n,
+        |  round(CAST(sh AS DOUBLE) / n / 1e6, 4) AS mape,
+        |  round(CAST(sn AS DOUBLE) / n / 1e6, 4) AS naive_mape,
+        |  round(CAST(sh AS DOUBLE) / CAST(sn AS DOUBLE), 4) AS mase,
+        |  round(CAST(sb AS DOUBLE) / n / 100.0, 2) AS bias
+        |FROM t""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_backtest" -> qBacktest,
     "q_did" -> qDid,
     "q_price_index" -> qPriceIndex,
     "q_ann_recall" -> qAnnRecall,

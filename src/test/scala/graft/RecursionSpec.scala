@@ -75,6 +75,39 @@ class RecursionSpec extends SparkSpec {
     assert(out.toSeq == ref.toSeq)
   }
 
+  test("q_backtest: skill metrics agree with a driver-side recompute") {
+    val r = Queries.all("q_backtest")(spark, sf001).collect()(0)
+    // recompute from the same fold RecursionSpec already trusts for
+    // q_holt: forecasts vs next-quarter actuals, naive = carry-forward
+    val quarterly = spark.read.parquet(s"$sf001/orders.parquet")
+      .selectExpr("CAST(year(o_orderdate)*4 + quarter(o_orderdate) AS BIGINT) m",
+        "CAST(round(o_totalprice*100) AS BIGINT) c")
+      .groupBy("m").sum("c")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var lvl = 0L; var tr = 0L
+    val st = quarterly.zipWithIndex.map { case ((m, rev), i) =>
+      if (i == 0) { lvl = rev; tr = 0L }
+      else {
+        val nl = (rev * 2 + (lvl + tr) * 8) / 10
+        tr = ((nl - lvl) * 3 + tr * 7) / 10
+        lvl = nl
+      }
+      (m, lvl + tr, rev)
+    }
+    val sc = st.zip(st.drop(1)).map { case ((_, f, prev), (_, _, a)) =>
+      (f, a, prev) }
+    val n = sc.length.toLong
+    val sh = sc.map { case (f, a, _) => math.abs(f - a) * 1000000L / a }.sum
+    val sn = sc.map { case (_, a, p) => math.abs(p - a) * 1000000L / a }.sum
+    assert(r.getLong(0) == n)
+    assert(r.getDouble(1) ==
+      BigDecimal(sh.toDouble / n / 1e6).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(3) ==
+      BigDecimal(sh.toDouble / sn.toDouble).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("q_stl: rev = trend + seasonal + resid wherever trend is defined") {
     val rows = Queries.all("q_stl")(spark, sf001).collect()
     assert(rows.length > 12)
@@ -89,7 +122,7 @@ class RecursionSpec extends SparkSpec {
   }
 
   test("both recursive queries plan a UnionLoop, never a cartesian") {
-    for (name <- Seq("q_rcte_decay", "q_rcte_reach", "q_holt")) {
+    for (name <- Seq("q_rcte_decay", "q_rcte_reach", "q_holt", "q_backtest")) {
       val qe = Queries.all(name)(spark, sf001).queryExecution
       val loops = qe.optimizedPlan.collect { case u: UnionLoop => u }
       assert(loops.nonEmpty, s"$name lost its UnionLoop")
