@@ -697,6 +697,19 @@ object OracleSql {
         "WHEN fvts IS NULL THEN epoch_us(t) - epoch_us(bvts) " +
         "ELSE least(epoch_us(t) - epoch_us(bvts), epoch_us(fvts) - epoch_us(t)) " +
         "END dt_us FROM b JOIN f ON b.le = f.le ORDER BY event_id LIMIT 100"),
+    // the q_cosine_topk ranking with the different-label exclusion
+    "q_hard_negatives" ->
+      ("WITH qv AS (SELECT generate_subscripts(embedding,1) i, " +
+        "unnest(embedding) v FROM embeddings WHERE vec_id=0), " +
+        "ev AS (SELECT vec_id, label, generate_subscripts(embedding,1) i, " +
+        "unnest(embedding) v FROM embeddings WHERE vec_id<>0 AND " +
+        "label <> (SELECT label FROM embeddings WHERE vec_id=0)), " +
+        "d AS (SELECT ev.vec_id, ev.label, sum(ev.v*qv.v) dot, " +
+        "sqrt(sum(ev.v*ev.v)) nrm FROM ev JOIN qv ON ev.i=qv.i " +
+        "GROUP BY ev.vec_id, ev.label), " +
+        "nq AS (SELECT sqrt(sum(v*v)) n FROM qv) " +
+        "SELECT d.vec_id, d.label, round(d.dot/(d.nrm*nq.n),4) cos " +
+        "FROM d, nq ORDER BY cos DESC, d.vec_id LIMIT 10"),
     // same recursion as q_holt; per-quarter MAPE terms integer-quantized
     // by truncating division, so the skill-score ratios are exact
     "q_backtest" ->

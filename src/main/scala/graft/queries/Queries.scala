@@ -4749,9 +4749,31 @@ object Queries {
         |FROM t""".stripMargin)
   }
 
+  /** Hard-negative mining for retrieval training (the contrastive-
+    * learning data step): the 10 embeddings MOST similar to the query
+    * that carry a DIFFERENT label — near the anchor in vector space yet
+    * known-irrelevant, exactly what a dual-encoder wants as negatives.
+    * Same broadcast-query codegen'd scan as q_cosine_topk (one narrow
+    * pass + TakeOrdered — the 100 TB shape) with the label exclusion
+    * pushed into the scan filter. */
+  private val qHardNegatives: Q = (s, sf) => {
+    val emb = t(s, sf, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("label").as("ql"))
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0 && col("label") =!= col("ql"))
+      .select(col("vec_id"), col("label"),
+        round(Similarity.dot("embedding", "qe") /
+          (Similarity.norm("embedding") * Similarity.norm("qe")), 4)
+          .as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_hard_negatives" -> qHardNegatives,
     "q_backtest" -> qBacktest,
     "q_did" -> qDid,
     "q_price_index" -> qPriceIndex,
