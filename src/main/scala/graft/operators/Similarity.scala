@@ -35,14 +35,24 @@ object Similarity {
     sqrt(VectorFunctions.norm2(col(a)))
 
   /** Exact cosine top-k of `emb` rows vs the row with id `queryId`.
-    * Returns (idCol, cos) ordered desc, k rows. */
+    * Returns (idCol, cos) ordered desc, k rows. With
+    * `excludeLabel = Some(c)`, candidates sharing the query row's value
+    * of column `c` are dropped (hard-negative mining: nearest vectors
+    * that are known-irrelevant) and `c` rides along in the output; the
+    * label predicate evaluates against the broadcast query row during
+    * the scan-side join (only the id filter is scan-pushable). Both
+    * modes share one ranking discipline: round to 4 dp BEFORE the
+    * order, id tie-break. */
   def cosineTopK(emb: DataFrame, idCol: String, embCol: String,
-      queryId: Long, k: Int): DataFrame = {
-    val qv = emb.filter(col(idCol) === queryId).select(col(embCol).as("qe"))
-    emb.filter(col(idCol) =!= queryId)
-      .crossJoin(broadcast(qv))
-      .select(col(idCol),
-        round(dot(embCol, "qe") / (norm(embCol) * norm("qe")), 4).as("cos"))
+      queryId: Long, k: Int,
+      excludeLabel: Option[String] = None): DataFrame = {
+    val qCols = col(embCol).as("qe") +:
+      excludeLabel.map(l => col(l).as("_ql")).toSeq
+    val qv = emb.filter(col(idCol) === queryId).select(qCols: _*)
+    var cands = emb.filter(col(idCol) =!= queryId).crossJoin(broadcast(qv))
+    excludeLabel.foreach(l => cands = cands.filter(col(l) =!= col("_ql")))
+    cands.select((col(idCol) +: excludeLabel.map(col).toSeq :+
+        round(dot(embCol, "qe") / (norm(embCol) * norm("qe")), 4).as("cos")): _*)
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }

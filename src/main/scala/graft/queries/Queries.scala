@@ -4273,26 +4273,39 @@ object Queries {
     * is what a recursive query pays for). forecast_next is the
     * one-step-ahead point forecast lvl+tr. */
   private val qHolt: Q = (s, sf) => {
+    holtQuarterlyGrid(s, sf, "g_holt_quarterly")
+    s.sql(holtRecursionSql("g_holt_quarterly") +
+      " SELECT m, lvl, tr, lvl + tr AS forecast_next FROM h ORDER BY m")
+  }
+
+  /** The checkpointed quarterly revenue grid behind the Holt recursion —
+    * shared by q_holt and q_backtest so the model they fit/score is ONE
+    * definition (the smoothing constants live only in
+    * [[holtRecursionSql]]). */
+  private def holtQuarterlyGrid(s: SparkSession, sf: String,
+      view: String): Unit =
     t(s, sf, "orders")
       .groupBy((year(col("o_orderdate")) * 4 + quarter(col("o_orderdate")))
         .cast("long").as("m"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
       .localCheckpoint(true) // scanned once, joined ~27 times
-      .createOrReplaceTempView("g_holt_quarterly")
-    // the new level appears in both state columns: repeat the expression
-    // inline (bit-identical, integer) rather than wrapping the recursive
-    // term in a derived table — one less subplan for UnionLoop to
-    // re-plan every round
-    val nl = "(g.rev * 2 + (h.lvl + h.tr) * 8) DIV 10"
-    s.sql(
-      s"""WITH RECURSIVE h(m, lvl, tr) AS (
-        |  SELECT m, rev, CAST(0 AS BIGINT) FROM g_holt_quarterly
-        |  WHERE m = (SELECT min(m) FROM g_holt_quarterly)
-        |  UNION ALL
-        |  SELECT g.m, $nl, (($nl - h.lvl) * 3 + h.tr * 7) DIV 10
-        |  FROM h JOIN g_holt_quarterly g ON g.m = h.m + 1)
-        |SELECT m, lvl, tr, lvl + tr AS forecast_next
-        |FROM h ORDER BY m""".stripMargin)
+      .createOrReplaceTempView(view)
+
+  /** The `WITH RECURSIVE h(m, lvl, tr)` Holt recursion over `view`
+    * (α=0.2, β=0.3) — callers append either the plain projection
+    * (q_holt) or further CTEs (`", sc AS (...)..."`, q_backtest). The
+    * new level appears in both state columns: the expression repeats
+    * inline (bit-identical, integer) rather than wrapping the recursive
+    * term in a derived table — one less subplan for UnionLoop to
+    * re-plan every round. */
+  private def holtRecursionSql(view: String): String = {
+    val nl = s"(g.rev * 2 + (h.lvl + h.tr) * 8) DIV 10"
+    s"""WITH RECURSIVE h(m, lvl, tr) AS (
+       |  SELECT m, rev, CAST(0 AS BIGINT) FROM $view
+       |  WHERE m = (SELECT min(m) FROM $view)
+       |  UNION ALL
+       |  SELECT g.m, $nl, (($nl - h.lvl) * 3 + h.tr * 7) DIV 10
+       |  FROM h JOIN $view g ON g.m = h.m + 1)""".stripMargin
   }
 
   /** Embedding-space outlier detection: distance of each vector to its
@@ -4716,20 +4729,9 @@ object Queries {
     * and mase = Σholt/Σnaive < 1 means the model beats carry-forward.
     * Same checkpointed quarter grid + UnionLoop recursion as q_holt. */
   private val qBacktest: Q = (s, sf) => {
-    t(s, sf, "orders")
-      .groupBy((year(col("o_orderdate")) * 4 + quarter(col("o_orderdate")))
-        .cast("long").as("m"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
-      .localCheckpoint(true) // scanned once, joined ~27 times
-      .createOrReplaceTempView("g_backtest_quarterly")
-    val nl = "(g.rev * 2 + (h.lvl + h.tr) * 8) DIV 10"
-    s.sql(
-      s"""WITH RECURSIVE h(m, lvl, tr) AS (
-        |  SELECT m, rev, CAST(0 AS BIGINT) FROM g_backtest_quarterly
-        |  WHERE m = (SELECT min(m) FROM g_backtest_quarterly)
-        |  UNION ALL
-        |  SELECT g.m, $nl, (($nl - h.lvl) * 3 + h.tr * 7) DIV 10
-        |  FROM h JOIN g_backtest_quarterly g ON g.m = h.m + 1),
+    holtQuarterlyGrid(s, sf, "g_backtest_quarterly")
+    s.sql(holtRecursionSql("g_backtest_quarterly") +
+      """,
         |sc AS (
         |  SELECT h.lvl + h.tr AS f, a.rev AS a, p.rev AS prev
         |  FROM h
@@ -4753,22 +4755,15 @@ object Queries {
     * learning data step): the 10 embeddings MOST similar to the query
     * that carry a DIFFERENT label — near the anchor in vector space yet
     * known-irrelevant, exactly what a dual-encoder wants as negatives.
-    * Same broadcast-query codegen'd scan as q_cosine_topk (one narrow
-    * pass + TakeOrdered — the 100 TB shape) with the label exclusion
-    * pushed into the scan filter. */
-  private val qHardNegatives: Q = (s, sf) => {
-    val emb = t(s, sf, "embeddings")
-    val q = emb.filter(col("vec_id") === 0)
-      .select(col("embedding").as("qe"), col("label").as("ql"))
-    emb.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= 0 && col("label") =!= col("ql"))
-      .select(col("vec_id"), col("label"),
-        round(Similarity.dot("embedding", "qe") /
-          (Similarity.norm("embedding") * Similarity.norm("qe")), 4)
-          .as("cos"))
-      .orderBy(col("cos").desc, col("vec_id"))
-      .limit(10)
-  }
+    * The ranking IS [[operators.Similarity.cosineTopK]] (same
+    * round-to-4dp-before-rank and id tie-break discipline) with its
+    * `excludeLabel` option: one narrow broadcast-query scan +
+    * TakeOrdered — the 100 TB shape; the id filter pushes to the scan,
+    * the label exclusion evaluates against the broadcast query row
+    * during the scan-side join. */
+  private val qHardNegatives: Q = (s, sf) =>
+    Similarity.cosineTopK(t(s, sf, "embeddings"), "vec_id", "embedding",
+      0L, 10, excludeLabel = Some("label"))
 
   // ---------------------------------------------------------------- map
 

@@ -94,18 +94,24 @@ class RecursionSpec extends SparkSpec {
       }
       (m, lvl + tr, rev)
     }
+    // index-paired fold assumes a gapless grid — same premise the
+    // sibling tests assert before trusting their folds
+    assert(quarterly.map(_._1).sliding(2)
+      .forall(w => w.length < 2 || w(1) == w(0) + 1))
     val sc = st.zip(st.drop(1)).map { case ((_, f, prev), (_, _, a)) =>
       (f, a, prev) }
     val n = sc.length.toLong
     val sh = sc.map { case (f, a, _) => math.abs(f - a) * 1000000L / a }.sum
     val sn = sc.map { case (_, a, p) => math.abs(p - a) * 1000000L / a }.sum
+    val sb = sc.map { case (f, a, _) => f - a }.sum
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(r.getLong(0) == n)
-    assert(r.getDouble(1) ==
-      BigDecimal(sh.toDouble / n / 1e6).setScale(4,
-        BigDecimal.RoundingMode.HALF_UP).toDouble)
-    assert(r.getDouble(3) ==
-      BigDecimal(sh.toDouble / sn.toDouble).setScale(4,
-        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(1) == r4(sh.toDouble / n / 1e6))
+    assert(r.getDouble(2) == r4(sn.toDouble / n / 1e6))
+    assert(r.getDouble(3) == r4(sh.toDouble / sn.toDouble))
+    assert(r.getDouble(4) == BigDecimal(sb.toDouble / n / 100.0)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
   test("q_stl: rev = trend + seasonal + resid wherever trend is defined") {
@@ -121,7 +127,7 @@ class RecursionSpec extends SparkSpec {
     rows.filter(_.isNullAt(2)).foreach(r => assert(r.isNullAt(4), r.toString))
   }
 
-  test("both recursive queries plan a UnionLoop, never a cartesian") {
+  test("all recursive queries plan a UnionLoop, never a cartesian") {
     for (name <- Seq("q_rcte_decay", "q_rcte_reach", "q_holt", "q_backtest")) {
       val qe = Queries.all(name)(spark, sf001).queryExecution
       val loops = qe.optimizedPlan.collect { case u: UnionLoop => u }
