@@ -1,51 +1,114 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: one warmup pass over every query at a small SF (so the
-  * timed pass measures plans, not JIT/classloader/codegen warmup — the
-  * round-1 first-query 5× artifact), then every declared query in SORTED
-  * name order at the target SF, so per-query times are attributable across
-  * rounds. Failures are reported in an explicit "errors" array and as -1
-  * in the per-query map — a broken query must never masquerade as fast. */
+/** Benchmark main. Two modes:
+  *
+  *  - FORK (default): the parent holds no SparkSession; it partitions the
+  *    suite into blocks and runs each block in a FRESH child JVM
+  *    ([[BenchChild]]), aggregating per-query times from the children.
+  *    The checkpoint-heavy iterative queries get a singleton block each;
+  *    everything else runs in blocks of ~30. Round 7's driver run showed
+  *    why this is the default: identical code benched 153.9 s on a quiet
+  *    host and 493.9 s on the driver's runner, with the inflation
+  *    concentrated 6-30x in the iterative block — one shared JVM lets a
+  *    heavy query's checkpoint blocks, codegen cache churn and G1
+  *    concurrent-cycle debt leak into its alphabetical neighbors' timed
+  *    windows, and under host contention that residue COMPOUNDS. A fresh
+  *    JVM per block is the only isolation that survives a contended
+  *    host: each block pays its own session startup OUTSIDE any timed
+  *    window and can leak nothing into the next. Child startup/warmup
+  *    cost is wall-clock only — the reported metric stays the sum of
+  *    per-query timed windows, same as in-process mode.
+  *  - IN-PROCESS (SPARK_GRAFT_FORK=0): the historical one-JVM path, one
+  *    warmup pass over every query at a small SF, then every query in
+  *    sorted name order — also the fallback if a child JVM fails twice.
+  *
+  * Either way: failures are reported in an explicit "errors" array and as
+  * -1 in the per-query map — a broken query must never masquerade as
+  * fast. Between timed windows the runner drains ALL persisted/checkpoint
+  * storage and polls `getRDDStorageInfo` to empty (bounded wait), so a
+  * query's localCheckpoint blocks are PROVABLY gone before the next
+  * window; any residue is surfaced per-query in BENCH_DETAIL.json's
+  * "leaked" column rather than silently inflating a neighbor. */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  /** Queries that run in a singleton JVM in fork mode: the multi-round
+    * iterative family (per-round localCheckpoint blocks + barrier jobs)
+    * plus every query the round-7 driver run inflated past 7 s — the
+    * measured blowup set whose in-suite times must track their isolated
+    * medians for the bench to be robust. */
+  val solo: Set[String] = Set(
+    "q_pagerank", "q_communities", "q_bfs", "q_sssp", "q_kcore",
+    "q_triangles", "q_tree_depth", "q_2hop", "q_bpe_train",
+    "q_random_walk", "q_hits", "q_dedup_cluster", "q_semdedup",
+    "q_neardup_lsh", "q_snapshot", "q_cluster_coeff", "q_linkpred",
+    "q_holt", "q_backtest", "q_holt_grouped", "q_rcte_decay",
+    "q_rcte_reach", "q_video_neardup", "q_dedup_apply", "q_stream_pipeline")
+
+  /** One timed query: seconds, success, and how many RDD storage blocks
+    * were still registered after the post-query drain (0 = clean). */
+  final case class QResult(name: String, sec: Double, ok: Boolean,
+      leaked: Int)
+
+  def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
-      // default codegen cache holds 100 generated classes — a 240-query
+      // default codegen cache holds 100 generated classes — a 270-query
       // suite evicts everything long before a query's alphabetical turn,
-      // so its timed window RE-COMPILES (and re-JITs) every fragment the
-      // warmup pass already built. Generated code depends on the plan,
-      // not the data, so with a big enough cache the warmup compile is
-      // reused at the timed SF — measured as both a level and a noise
-      // reduction on the iterative block (r7)
+      // so its timed window RE-COMPILES every fragment the warmup pass
+      // already built. Generated code depends on the plan, not the data,
+      // so with a big enough cache the warmup compile is reused at the
+      // timed SF (measured as a level AND a noise reduction, r7).
       .config("spark.sql.codegen.cache.maxEntries", "10000")
-      // a 360+-execution suite otherwise accumulates per-execution status
-      // (plan graphs, metrics) in the driver for the whole run — dead
-      // weight the GC drags through every later query's timed window
       // shuffle-file deletion is ASYNC by default: the ContextCleaner
       // drains removals triggered by one query's System.gc() DURING the
       // next query's timed window. Blocking mode charges each query its
-      // own cleanup inside its own pre-GC window — correct attribution.
-      // Honest measurement note: it did NOT eliminate the roaming
-      // in-suite outlier (one query per run lands 2-5x its isolated
-      // time — q_cluster_coeff 29.9 s, then q_video_neardup 13.2 s,
-      // then q_triangles 20.3 s across runs, each stable 3-7 s
-      // isolated and in other runs); that residue tracks the host, not
-      // cleanup debt or the plans.
+      // own cleanup inside its own pre-GC window.
       .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
+      // per-execution status (plan graphs, metrics) otherwise accumulates
+      // in the driver for the whole run — dead GC weight
       .config("spark.sql.ui.retainedExecutions", "4")
       .config("spark.ui.retainedJobs", "50")
       .config("spark.ui.retainedStages", "50")
       .config("spark.ui.retainedTasks", "500")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    spark
+  }
+
+  /** Drop every persisted RDD (incl. localCheckpoint storage) and cached
+    * plan, then poll storage down to empty: unpersist is synchronous for
+    * registered RDDs, but blocks whose owning RDD is only WEAKLY held
+    * (a finished query's checkpoint) need a GC + ContextCleaner pass to
+    * be reclaimed — so GC and re-poll until clean or `deadlineMs`.
+    * Returns the number of RDDs still holding blocks (0 = verified
+    * clean; >0 is surfaced per-query as the "leaked" column). */
+  def drainStorage(spark: SparkSession, deadlineMs: Long = 5000): Int = {
+    val sc = spark.sparkContext
+    sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
+    def residue(): Int =
+      sc.getRDDStorageInfo.count(_.numCachedPartitions > 0)
+    var left = residue()
+    val t0 = System.nanoTime()
+    while (left > 0 && (System.nanoTime() - t0) / 1e6 < deadlineMs) {
+      System.gc()
+      Thread.sleep(100)
+      sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      left = residue()
+    }
+    left
+  }
+
+  /** Warm `names` at `warmDir` (JIT + codegen, never timed), then time
+    * each at `sfDir` with storage drained and a full GC before every
+    * window. Shared by the in-process path, [[BenchChild]], and the
+    * fork-failure fallback — ONE timing discipline everywhere. */
+  def runQueries(spark: SparkSession, names: Seq[String], sfDir: String,
+      warmDir: String): Seq[QResult] = {
     var warmFailures = 0
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, warmDir).count()
@@ -54,49 +117,17 @@ object Bench {
     if (warmFailures > 0)
       // a silently skipped warmup would re-introduce the first-query JIT
       // artifact with zero signal — say so loudly
-      System.err.println(s"[bench] WARNING: $warmFailures/${names.size} warmup " +
-        s"queries failed against $warmDir; timings may absorb JIT warmup")
-    // Storage isolation: the iterative queries cut lineage with eager
-    // localCheckpoint, whose MEMORY_AND_DISK blocks are reclaimed only when
-    // the async ContextCleaner notices the RDD refs are gone — in a 137-query
-    // suite the blocks pile up and round 5 measured q_triangles at 10.3 s
-    // in-suite vs 4.6 s isolated (memory pressure + GC, not the plan).
-    // Synchronously dropping every persisted RDD and cached plan between
-    // queries charges each query its own storage, like System.gc() below
-    // charges it its own garbage.
-    def releaseStorage(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      spark.catalog.clearCache()
-    }
-    releaseStorage() // warmup leftovers
-    // The iterative block (multi-round loops: per-round localCheckpoint
-    // blocks + barrier jobs) is the one family whose in-suite times still
-    // swing 2x run-to-run on plan-identical executions (r5/r6 verdicts) —
-    // G1's concurrent cycle from the PREVIOUS query's garbage keeps
-    // running into the next timed window. For exactly these queries, let
-    // the collector settle: a short sleep after the full GC, then a
-    // second GC to sweep what the concurrent phase surfaced. ~15 queries
-    // x settleMs is the whole cost; the remaining 200+ queries keep the
-    // single-GC path.
-    val iterative = Set("q_pagerank", "q_communities", "q_bfs", "q_sssp",
-      "q_kcore", "q_triangles", "q_tree_depth", "q_2hop", "q_bpe_train",
-      "q_random_walk", "q_hits", "q_dedup_cluster", "q_semdedup",
-      "q_neardup_lsh", "q_snapshot",
-      // same checkpoint-heavy profile (triangle enumeration / pair
-      // emission): measured 23.7 s in-suite vs 3.8-4.6 s isolated (r7)
-      "q_cluster_coeff", "q_linkpred")
+      System.err.println(s"[bench] WARNING: $warmFailures/${names.size} " +
+        s"warmup queries failed against $warmDir; timings may absorb JIT")
+    drainStorage(spark) // warmup leftovers
     val settleMs = sys.env.getOrElse("SPARK_GRAFT_SETTLE_MS", "300").toLong
-    val results = names.map { name =>
-      // GC isolation: the queries run alphabetically in one shared JVM, so
-      // a heavy query's garbage (millions of candidate-pair rows) was
-      // being collected DURING its alphabetical neighbors' timed windows —
-      // round 4 showed untouched queries (q_quota, q_pack, q_regex) regress
-      // 3-7x purely from sitting downstream of the new dedup block. A full
-      // GC before each timed window charges every query its own garbage.
-      releaseStorage()
+    names.map { name =>
+      // GC isolation: a heavy query's garbage (millions of candidate-pair
+      // rows) must be collected in ITS OWN window, not its successor's
+      val leaked = drainStorage(spark)
       System.gc()
-      if (iterative(name) && settleMs > 0) {
+      if (solo(name) && settleMs > 0) {
+        // let G1's concurrent cycle settle before an iterative query
         Thread.sleep(settleMs)
         System.gc()
       }
@@ -104,39 +135,196 @@ object Bench {
       val ok =
         try { SparkEntry.queries(name)(spark, sfDir).count(); true }
         catch { case scala.util.control.NonFatal(_) => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      QResult(name, (System.nanoTime() - t0) / 1e9, ok, leaked)
     }
+  }
+
+  // ------------------------------------------------------------- fork
+
+  /** Split sorted names into blocks: solo queries alone, the rest in
+    * chunks of `blockSize`, preserving sorted order. */
+  def blocks(names: Seq[String], blockSize: Int): Seq[Seq[String]] = {
+    val out = Seq.newBuilder[Seq[String]]
+    val cur = Seq.newBuilder[String]
+    var n = 0
+    names.foreach { q =>
+      if (solo(q)) {
+        if (n > 0) { out += cur.result(); cur.clear(); n = 0 }
+        out += Seq(q)
+      } else {
+        cur += q; n += 1
+        if (n >= blockSize) { out += cur.result(); cur.clear(); n = 0 }
+      }
+    }
+    if (n > 0) out += cur.result()
+    out.result()
+  }
+
+  /** Matches org.apache.spark.launcher.JavaModuleOptions (Spark 4 on
+    * JDK 17 outside spark-submit) — same list as build.sbt's fork opts. */
+  private val jdk17AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Run one block in a fresh child JVM; parse its TSV result file.
+    * Returns None if the child failed to produce a complete result. */
+  private def runChildBlock(block: Seq[String], sfDir: String,
+      warmDir: String, cpus: String, idx: Int): Option[Seq[QResult]] = {
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    // run/fork := true in build.sbt, so java.class.path IS the real
+    // application classpath (project classes + /opt/spark/jars/*)
+    val cp = System.getProperty("java.class.path")
+    val out = java.nio.file.Files.createTempFile(s"graft_bench_$idx", ".tsv")
+    val mem = sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM", "16g")
+    val cmd: Seq[String] = Seq(javaBin) ++ jdk17AddOpens ++ Seq(
+      s"-Xmx$mem", "-Xmn2g",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", cp, "graft.BenchChild",
+      out.toString, sfDir, warmDir, cpus) ++ block
+    val pb = new ProcessBuilder(cmd: _*)
+    // child stdout (Spark banners, stray prints) must never land near the
+    // parent's final JSON line in the harness's stdout tail — and the
+    // pre-setLogLevel INFO flood on stderr (~100 lines per child session
+    // startup) would drown the tail 20+ times over, so BOTH streams go to
+    // a per-block log; its tail is surfaced only when the child fails
+    val logFile = java.io.File.createTempFile(s"graft_bench_out_$idx", ".log")
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(ProcessBuilder.Redirect.to(logFile))
+    val proc = pb.start()
+    val done = proc.waitFor(sys.env.getOrElse("SPARK_GRAFT_CHILD_TIMEOUT_MIN",
+      "20").toLong, java.util.concurrent.TimeUnit.MINUTES)
+    if (!done) { proc.destroyForcibly(); proc.waitFor() }
+    val lines =
+      try scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(out)).asScala.toSeq
+      catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    java.nio.file.Files.deleteIfExists(out)
+    val parsed = lines.flatMap { l =>
+      l.split('\t') match {
+        case Array(n, s, ok, lk) =>
+          try Some(QResult(n, s.toDouble, ok == "1", lk.toInt))
+          catch { case _: NumberFormatException => None }
+        case _ => None
+      }
+    }
+    val got = parsed.map(_.name).toSet
+    if (done && proc.exitValue() == 0 && block.forall(got)) {
+      logFile.delete()
+      Some(parsed)
+    } else {
+      System.err.println(s"[bench] child block $idx (${block.size} queries, " +
+        s"first=${block.headOption.getOrElse("")}) " +
+        (if (!done) "timed out" else s"exit=${proc.exitValue()}, " +
+          s"parsed ${parsed.size}/${block.size}"))
+      try {
+        val log = java.nio.file.Files.readString(logFile.toPath)
+        System.err.println(log.substring(math.max(0, log.length - 3000)))
+      } catch { case scala.util.control.NonFatal(_) => }
+      None
+    }
+  }
+
+  // ------------------------------------------------------------- main
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val fork = sys.env.getOrElse("SPARK_GRAFT_FORK", "1") != "0"
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // lazy: in fork mode the parent only builds a session if a child
+    // fails twice and its block must run in-process as a fallback
+    var parentSession: SparkSession = null
+    def session(): SparkSession = {
+      if (parentSession == null) parentSession = buildSession(cpus)
+      parentSession
+    }
+    val results: Seq[QResult] =
+      if (!fork) runQueries(session(), names, sfDir, warmDir)
+      else {
+        val blockSize = sys.env.getOrElse("SPARK_GRAFT_BLOCK", "30").toInt
+        blocks(names, blockSize).zipWithIndex.flatMap { case (b, i) =>
+          runChildBlock(b, sfDir, warmDir, cpus, i)
+            .orElse(runChildBlock(b, sfDir, warmDir, cpus, i)) // retry once
+            .getOrElse {
+              // a flaky fork must not turn into bench "errors": run the
+              // block in-process with the same timing discipline
+              System.err.println(s"[bench] block $i falling back in-process")
+              runQueries(session(), b, sfDir, warmDir)
+            }
+        }
+      }
+    if (parentSession != null) parentSession.stop()
+    emit(results, sfDir, if (fork) "fork" else "inproc")
+  }
+
+  /** Write BENCH_DETAIL.json (full per-query record + leaked column) and
+    * print the one harness-parsed JSON line (total + slowest queries —
+    * the harness keeps only the last ~2000 chars of stdout, and at 270
+    * queries the full map is ~2.4 KB, which truncated rounds 1-2 and 4). */
+  def emit(results: Seq[QResult], sfDir: String, mode: String): Unit = {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def entry(k: String, v: Double, ok: Boolean): String =
-      s""""$k":${if (ok) f3(v) else -1}"""
-    val errors = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val total = results.filter(_._3).map(_._2).sum
-    // The harness keeps only the LAST ~2000 chars of stdout and parses the
-    // JSON line out of that tail. At 109 queries even the 3-decimal map is
-    // ~2.4 KB — rounds 1-2 AND 4 shipped parsed:null with the first
-    // entries truncated. So: the FULL per-query record goes to a committed
-    // file (BENCH_DETAIL.json, the durable cross-round record), and the
-    // printed line — last, so it survives the tail window — carries the
-    // total plus only the slowest queries (the ones worth tracking in the
-    // harness record), capped to keep the line well under the window.
+    def entry(r: QResult): String =
+      s""""${r.name}":${if (r.ok) f3(r.sec) else -1}"""
+    val errors =
+      results.filterNot(_.ok).map("\"" + _.name + "\"").mkString("[", ",", "]")
+    val total = results.filter(_.ok).map(_.sec).sum
+    val sorted = results.sortBy(_.name)
+    val leakedJson = sorted.filter(_.leaked > 0)
+      .map(r => s""""${r.name}":${r.leaked}""").mkString("{", ",", "}")
     val detailJson =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${
-        results.map(r => entry(r._1, r._2, r._3)).mkString("{", ",", "}")
-      },"sf":"$sfDir","errors":$errors}"""
+        sorted.map(entry).mkString("{", ",", "}")
+      },"leaked":$leakedJson,"mode":"$mode","sf":"$sfDir","errors":$errors}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
     // escaped where it is interpolated into the JSON line: a quote or
     // backslash in the env-provided path must not yield an unparseable
     // record (the exact failure this output format exists to avoid)
     val detailPathJson = detailPath.replace("\\", "\\\\").replace("\"", "\\\"")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detailJson + "\n")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(detailPath), detailJson + "\n")
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not write $detailPath: ${e.getMessage}") }
-    val slow = results.filter(_._3).sortBy(-_._2).take(24)
-    val slowSet = slow.map(_._1).toSet
-    val qs = results // keep sorted name order; errors always included as -1
-      .filter(r => !r._3 || slowSet(r._1))
-      .map(r => entry(r._1, r._2, r._3)).mkString("{", ",", "}")
+    val slowSet = results.filter(_.ok).sortBy(-_.sec).take(24).map(_.name).toSet
+    val qs = sorted // sorted name order; errors always included as -1
+      .filter(r => !r.ok || slowSet(r.name))
+      .map(entry).mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errors,"detail":"$detailPathJson"}""")
-    spark.stop()
+  }
+}
+
+/** Child JVM entry for [[Bench]] fork mode: args = outFile sfDir warmDir
+  * cpus name... — builds a fresh session, runs its block through the
+  * shared [[Bench.runQueries]] discipline, writes one TSV row per query
+  * (name, seconds, ok, leaked), and hard-exits (local-mode executor
+  * threads are non-daemon; a child that lingers after spark.stop() would
+  * serialize the whole suite behind its shutdown hooks). */
+object BenchChild {
+  def main(args: Array[String]): Unit = {
+    val Array(outFile, sfDir, warmDir, cpus) = args.take(4)
+    val names = args.drop(4).toSeq
+    var code = 0
+    try {
+      val spark = Bench.buildSession(cpus)
+      val results = Bench.runQueries(spark, names, sfDir, warmDir)
+      def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+      val tsv = results.map(r =>
+        s"${r.name}\t${f3(r.sec)}\t${if (r.ok) 1 else 0}\t${r.leaked}")
+        .mkString("", "\n", "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), tsv)
+      spark.stop()
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench-child] ${e.getClass.getName}: ${e.getMessage}")
+      code = 1
+    }
+    sys.exit(code)
   }
 }

@@ -246,6 +246,19 @@ object Components {
       .distinct().cut
     val deg = e0.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("dg"))
+    triangleProbe(e0, deg)
+      // canonicalize by sorting the triple — a sum-minus-extremes middle
+      // would wrap int64 for hash-derived vertex ids near 2⁶²
+      .select(sort_array(array(col("u"), col("w"), col("t"))).as("s"))
+      .select(col("s")(0).as("a"), col("s")(1).as("b"), col("s")(2).as("c"))
+  }
+
+  /** The compact-forward probe over a canonical edge set `e0` (a < b,
+    * distinct, materialized) given its degree frame `deg` (v, dg): one row
+    * per triangle as the UNSORTED (u, w, t) triple in (degree, id)
+    * orientation order. Shared by [[triangles]] (which canonicalizes the
+    * triple) and [[triangleCounts]] (which only needs the endpoints). */
+  private def triangleProbe(e0: DataFrame, deg: DataFrame): DataFrame = {
     val aFirst = // true when a precedes b in the (degree, id) total order
       col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
     val oriented = e0
@@ -282,10 +295,27 @@ object Components {
       .select(col("u"), col("w"),
         explode(graft.functions.VectorFunctions
           .sortedIntersect(col("nu"), col("nw"))).as("t"))
-      // canonicalize by sorting the triple — a sum-minus-extremes middle
-      // would wrap int64 for hash-derived vertex ids near 2⁶²
-      .select(sort_array(array(col("u"), col("w"), col("t"))).as("s"))
-      .select(col("s")(0).as("a"), col("s")(1).as("b"), col("s")(2).as("c"))
+  }
+
+  /** Per-node (node, deg, tri) over a CANONICAL edge frame (src < dst,
+    * distinct, no self-loops, materialized) — the clustering-coefficient
+    * shape. ONE degree pass feeds the orientation step AND the caller's
+    * denominator (q_cluster_coeff previously aggregated degrees twice
+    * over the same frame), and the per-triangle triple is exploded
+    * straight into counts with no canonicalizing sort — counts are
+    * orientation-invariant. Zero-triangle nodes appear with tri = 0. */
+  def triangleCounts(canon: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e0 = canon.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    val deg = e0.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("dg"))
+    val tri = triangleProbe(e0, deg)
+      .select(explode(array(col("u"), col("w"), col("t"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    deg.select(col("v").as("node"), col("dg").as("deg"))
+      .join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
   }
 
   /** PageRank over a directed edge list, run ENTIRELY in scaled integer

@@ -728,8 +728,10 @@ object OracleSql {
         "sc AS (SELECT h.lvl + h.tr f, a.rev a, p.rev prev FROM h " +
         "JOIN g a ON a.m = h.m + 1 JOIN g p ON p.m = h.m), " +
         "t AS (SELECT count(*) n, " +
-        "CAST(sum((abs(f - a) * 1000000) // a) AS BIGINT) sh, " +
-        "CAST(sum((abs(prev - a) * 1000000) // a) AS BIGINT) sn, " +
+        // MAPE terms lifted to HUGEINT before the *1e6: quarterly sums at
+        // very large SF (~1e15 cents) would overflow int64 in the multiply
+        "CAST(sum((CAST(abs(f - a) AS HUGEINT) * 1000000) // a) AS BIGINT) sh, " +
+        "CAST(sum((CAST(abs(prev - a) AS HUGEINT) * 1000000) // a) AS BIGINT) sn, " +
         "CAST(sum(f - a) AS BIGINT) sb FROM sc) " +
         "SELECT n, round(CAST(sh AS DOUBLE) / n / 1e6, 4) mape, " +
         "round(CAST(sn AS DOUBLE) / n / 1e6, 4) naive_mape, " +
@@ -808,8 +810,11 @@ object OracleSql {
         "FROM documents), " +
         "o AS (SELECT CASE WHEN bk < 90 THEN 'train' WHEN bk < 95 THEN 'val' " +
         "ELSE 'test' END split, count(*) obs FROM b GROUP BY 1), " +
-        "ow AS (SELECT split, obs, CASE split WHEN 'train' THEN 90 " +
-        "WHEN 'val' THEN 5 ELSE 5 END w FROM o), " +
+        // literal 3-row dim + coalesce(obs,0): an EMPTY split still
+        // contributes its (0 - n*w)^2 cell (the case SRM exists to flag)
+        "ow AS (SELECT d.split, coalesce(o.obs, 0) obs, d.w " +
+        "FROM (VALUES ('train', 90), ('val', 5), ('test', 5)) d(split, w) " +
+        "LEFT JOIN o ON o.split = d.split), " +
         "t AS (SELECT CAST(sum(obs) AS BIGINT) n FROM ow), " +
         "q AS (SELECT t.n, CAST(floor(CAST(CAST(100*obs - t.n*w AS HUGEINT) * " +
         "(100*obs - t.n*w) AS DOUBLE) / (100.0 * t.n * w) * 1e6 + 0.5) " +
@@ -974,6 +979,29 @@ object OracleSql {
         "(g.rev * 2 + (h.lvl + h.tr) * 8) // 10 AS nl " +
         "FROM h JOIN g ON g.m = h.m + 1) x) " +
         "SELECT m, lvl, tr, lvl + tr AS forecast_next FROM h ORDER BY m"),
+    // recurrence × group: one Holt recurrence per mktsegment in lockstep
+    // (per-round frontier = one state row per segment); grid densified
+    // (cross join + coalesce 0) so a silent quarter smooths through as a
+    // zero observation instead of breaking that segment's m+1 chain
+    "q_holt_grouped" ->
+      ("WITH RECURSIVE gq AS (SELECT c_mktsegment seg, " +
+        "CAST(year(o_orderdate)*4 + quarter(o_orderdate) AS BIGINT) m, " +
+        "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) rev " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2), " +
+        "g AS (SELECT qs.m, sg.seg, coalesce(gq.rev, 0) rev " +
+        "FROM (SELECT DISTINCT m FROM gq) qs " +
+        "CROSS JOIN (SELECT DISTINCT seg FROM gq) sg " +
+        "LEFT JOIN gq ON gq.m = qs.m AND gq.seg = sg.seg), " +
+        "h(seg, m, lvl, tr) AS (" +
+        "SELECT seg, m, rev, CAST(0 AS BIGINT) FROM g " +
+        "WHERE m = (SELECT min(m) FROM g) " +
+        "UNION ALL " +
+        "SELECT x.seg, x.m, x.nl, ((x.nl - x.lvl) * 3 + x.tr * 7) // 10 " +
+        "FROM (SELECT g.seg, g.m, h.lvl, h.tr, " +
+        "(g.rev * 2 + (h.lvl + h.tr) * 8) // 10 AS nl " +
+        "FROM h JOIN g ON g.seg = h.seg AND g.m = h.m + 1) x) " +
+        "SELECT seg, m, lvl, tr, lvl + tr AS forecast_next FROM h " +
+        "ORDER BY seg, m"),
     // engine = per-pivot sorted-array combination emission; oracle = the
     // naive e×e self-join on the same deg-capped pivot set — the
     // 1/ln(deg) weight is 1e-9-quantized to BIGINT before summing, so
@@ -994,9 +1022,13 @@ object OracleSql {
     // = the q_triangles naive triple self-join plus a degree CTE — cc is
     // one shared double ratio of exact ints, rounded before the ORDER BY
     "q_cluster_coeff" ->
-      ("WITH pp AS (SELECT DISTINCT x.l_partkey a, y.l_partkey b " +
+      // ow mirrors the engine's hub cap (order width BETWEEN 2 AND 100)
+      ("WITH ow AS (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey " +
+        "HAVING count(DISTINCT l_partkey) BETWEEN 2 AND 100), " +
+        "pp AS (SELECT DISTINCT x.l_partkey a, y.l_partkey b " +
         "FROM lineitem x JOIN lineitem y " +
-        "ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey), " +
+        "ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey " +
+        "WHERE x.l_orderkey IN (SELECT l_orderkey FROM ow)), " +
         "tr AS (SELECT e1.a, e1.b, e2.b c FROM pp e1 " +
         "JOIN pp e2 ON e2.a = e1.b " +
         "JOIN pp e3 ON e3.a = e1.a AND e3.b = e2.b), " +

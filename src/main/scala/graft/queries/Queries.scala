@@ -4190,10 +4190,10 @@ object Queries {
 
   /** Local clustering coefficient of the part co-purchase graph (parts
     * sharing an order), top 15 among degree ≥ 5: cc(v) = 2·tri(v) /
-    * (deg(v)·(deg(v)−1)). Triangles come from the degree-ordered
-    * compact-forward enumeration ([[operators.Components.triangles]],
-    * wedge count O(m^1.5)); degrees from the canonical distinct edge set,
-    * which feeds both consumers through one localCheckpoint. Zero-triangle
+    * (deg(v)·(deg(v)−1)). Per-node (deg, tri) come from the degree-ordered
+    * compact-forward enumeration ([[operators.Components.triangleCounts]],
+    * wedge count O(m^1.5), one shared degree pass) over the canonical
+    * distinct edge set, materialized once by localCheckpoint. Zero-triangle
     * nodes enter via left join + coalesce (totality — the q_communities
     * labeling lesson). tri and deg are exact ints; cc is one shared
     * double ratio rounded to 6, and the top-15 boundary tie-breaks on
@@ -4204,22 +4204,22 @@ object Queries {
       .groupBy("o")
       .agg(sort_array(array_distinct(collect_list(col("p").cast("long"))))
         .as("ps"))
+      // the q_linkpred hub cap: a pivot's pair emission is quadratic in
+      // its width, so BETWEEN 2 AND 100 keeps the emission sub-quadratic
+      // on ANY order distribution — TPC-H order width (≤7 parts) bounds
+      // it by luck today, a wide-basket corpus would not
+      .filter(size(col("ps")).between(2, 100))
       .select(explode(expr(pairCombosExpr("ps", "a", "b"))).as("pr"))
       .select(col("pr.a").as("src"), col("pr.b").as("dst"))
       .distinct()
       .localCheckpoint(true) // feeds degree count + triangle enumeration
-    val deg = canon.select(explode(array(col("src"), col("dst"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
     // src < dst distinct by construction (sorted-array emission +
-    // distinct above): skip triangles' re-canonicalizing exchange
-    val tri = Components.triangles(canon, assumeCanonical = true)
-      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("tri"))
-    deg.filter(col("deg") >= 5)
-      .join(tri, Seq("node"), "left")
-      .select(col("node"), col("deg"),
-        coalesce(col("tri"), lit(0L)).as("tri"),
-        round(lit(2.0) * coalesce(col("tri"), lit(0L)) /
+    // distinct above): triangleCounts takes the canonical frame directly
+    // and shares ONE degree pass between orientation and the denominator
+    Components.triangleCounts(canon)
+      .filter(col("deg") >= 5)
+      .select(col("node"), col("deg"), col("tri"),
+        round(lit(2.0) * col("tri") /
           (col("deg") * (col("deg") - 1)), 6).as("cc"))
       .orderBy(col("cc").desc, col("node"))
       .limit(15)
@@ -4278,6 +4278,47 @@ object Queries {
       " SELECT m, lvl, tr, lvl + tr AS forecast_next FROM h ORDER BY m")
   }
 
+  /** Per-segment Holt forecast — the recurrence × GROUP shape
+    * (q_rcte_reach proves the multi-row recursive frontier, q_holt the
+    * coupled two-state carry; this row combines them): one independent
+    * Holt level/trend recurrence per c_mktsegment over the shared
+    * quarterly grid, advanced in LOCKSTEP — each UnionLoop round carries
+    * one state row per segment, so the round count stays the QUARTER
+    * count (~27; UnionLoop charges ~0.3 s/round regardless of data, so
+    * rounds — not rows — are what a recursive query pays for), never
+    * quarters × segments. The grid is densified (quarters × segments
+    * cross join, coalesce(rev, 0)) BEFORE the loop: a segment with a
+    * silent quarter must smooth through the gap as a zero-revenue
+    * observation, not fall out of the recursion when its m+1 join finds
+    * no row. Same smoothing constants and integer-DIV discipline as
+    * [[holtRecursionSql]] (DIV truncates toward zero in both engines,
+    * verified on negative trend states); grid checkpointed once (the
+    * UnionLoop re-scan amplification documented at q_rcte_decay). */
+  private val qHoltGrouped: Q = (s, sf) => {
+    val rev = t(s, sf, "orders")
+      .join(t(s, sf, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        (year(col("o_orderdate")) * 4 + quarter(col("o_orderdate")))
+          .cast("long").as("m"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+    rev.select("m").distinct()
+      .crossJoin(rev.select("seg").distinct())
+      .join(rev, Seq("m", "seg"), "left")
+      .select(col("seg"), col("m"), coalesce(col("rev"), lit(0L)).as("rev"))
+      .localCheckpoint(true) // scanned once, joined ~27 times
+      .createOrReplaceTempView("g_holt_seg")
+    val nl = "(g.rev * 2 + (h.lvl + h.tr) * 8) DIV 10"
+    s.sql(
+      s"""WITH RECURSIVE h(seg, m, lvl, tr) AS (
+         |  SELECT seg, m, rev, CAST(0 AS BIGINT) FROM g_holt_seg
+         |  WHERE m = (SELECT min(m) FROM g_holt_seg)
+         |  UNION ALL
+         |  SELECT g.seg, g.m, $nl, (($nl - h.lvl) * 3 + h.tr * 7) DIV 10
+         |  FROM h JOIN g_holt_seg g ON g.seg = h.seg AND g.m = h.m + 1)
+         |SELECT seg, m, lvl, tr, lvl + tr AS forecast_next FROM h
+         |ORDER BY seg, m""".stripMargin)
+  }
+
   /** The checkpointed quarterly revenue grid behind the Holt recursion —
     * shared by q_holt and q_backtest so the model they fit/score is ONE
     * definition (the smoothing constants live only in
@@ -4334,8 +4375,12 @@ object Queries {
       .withColumn("dnum",
         (col("vq") * col("n") - col("sv")).cast("decimal(38,0)") *
           (col("vq") * col("n") - col("sv")).cast("decimal(38,0)"))
-      .groupBy("vec_id", "label", "n")
-      .agg(sum("dnum").as("d2"))
+      // group by the vector identity ONLY and take max(n) alongside the
+      // sum (mirroring the oracle's max(ct.n)): grouping by the
+      // per-(label,dim) count column would split one vector into several
+      // output rows if embedding arrays were ever ragged
+      .groupBy("vec_id", "label")
+      .agg(sum("dnum").as("d2"), max("n").as("n"))
       .select(col("vec_id"), col("label"),
         round(sqrt(col("d2").cast("double")) /
           (col("n").cast("double") * 1e6), 4).as("dist"))
@@ -4501,14 +4546,24 @@ object Queries {
     * int64 at n ≈ 3·10⁸) — each term one shared double division,
     * 1e-6-quantized BEFORE the 3-row sum (double addition is
     * non-associative even at 3 terms; integer sums are order-free).
+    * The observed counts LEFT-join onto the literal 3-row split
+    * dimension with coalesce(obs, 0): a split with ZERO rows — the
+    * pathological broken-split case SRM exists to flag — must still
+    * contribute its (0 − n·w)² cell rather than silently dropping it.
     * srm flags chi2 > 13.816 (χ²₀.₉₉₉, df=2). */
   private val qSrm: Q = (s, sf) => {
     def dec(c: Column) = c.cast("decimal(38,0)")
-    val w = typedLit(Map("train" -> 90L, "val" -> 5L, "test" -> 5L))
-    val obs = Sampling.assignSplits(t(s, sf, "documents"), "doc_id",
-        Seq("train" -> 90, "val" -> 5, "test" -> 5))
-      .groupBy("split").agg(count(lit(1)).as("obs"))
-      .withColumn("w", w(col("split")))
+    val dim = s.createDataFrame(
+      Seq(("train", 90L), ("val", 5L), ("test", 5L))).toDF("split", "w")
+    // no broadcast hint: the 3-row dim is the BUILD-ineligible left side
+    // of the left join (hinting it logs an unsupported-hint warning);
+    // both inputs are ≤3 rows post-aggregate, AQE picks the join
+    val obs = dim
+      .join(Sampling.assignSplits(t(s, sf, "documents"), "doc_id",
+          Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        .groupBy("split").agg(count(lit(1)).as("obs")),
+        Seq("split"), "left")
+      .select(col("split"), coalesce(col("obs"), lit(0L)).as("obs"), col("w"))
     val tot = obs.agg(sum("obs").as("n"))
     obs.crossJoin(broadcast(tot))
       .select(col("n"),
@@ -4739,8 +4794,8 @@ object Queries {
         |  JOIN g_backtest_quarterly p ON p.m = h.m),
         |t AS (
         |  SELECT count(*) AS n,
-        |    sum((abs(f - a) * 1000000) DIV a) AS sh,
-        |    sum((abs(prev - a) * 1000000) DIV a) AS sn,
+        |    sum((CAST(abs(f - a) AS DECIMAL(38,0)) * 1000000) DIV a) AS sh,
+        |    sum((CAST(abs(prev - a) AS DECIMAL(38,0)) * 1000000) DIV a) AS sn,
         |    sum(f - a) AS sb
         |  FROM sc)
         |SELECT n,
@@ -4784,6 +4839,7 @@ object Queries {
     "q_zipf" -> qZipf,
     "q_stl" -> qStl,
     "q_holt" -> qHolt,
+    "q_holt_grouped" -> qHoltGrouped,
     "q_linkpred" -> qLinkpred,
     "q_cluster_coeff" -> qClusterCoeff,
     "q_bootstrap" -> qBootstrap,

@@ -774,22 +774,35 @@ class PlanSpec extends SparkSpec {
     // (customer/user/supplier/doc grain grows with the data) fails here
     // until it is rewritten on Rank / limit-then-rank or consciously
     // allow-listed.
+    // Every entry names its CARDINALITY BOUND and why it is independent
+    // of data VOLUME (a 100× corpus adds rows, not calendar days, not
+    // schema domain values) — the review a new entry must pass. Grid
+    // kinds: calendar grids (days/months/quarters of the observed span —
+    // ≤3.7e3 days even at a decade; volume adds rows per day, not days),
+    // schema-domain grids (a column's value domain fixed by the
+    // generator/schema), and quantization grids (explicitly capped by a
+    // rounding step). Anything that could exceed ~10⁴ rows at 100× must
+    // ride the Rank pattern instead of entering this list.
     val boundedGrid: Set[String] = Set(
-      "q_anomaly_days",    // day grid (RANGE frame over day index)
-      "q_auc",             // 4-dp-quantized score grid, ≤10⁴ cells
-      "q_changepoint",     // day grid
-      "q_cte",             // month grid (~80 rows)
-      "q_cum_uniques",     // day grid
-      "q_exact_median",    // floor(value) grid (~400 cells); the bin
-                           // sliver itself ranks via Rank
-      "q_ks",              // pooled floor(value) grid
-      "q_pop",             // month grid
-      "q_rank_change",     // per-nation-year frame: 25 nations × 2 years
-      "q_rolling_rev",     // day grid (RANGE frame)
-      "q_skyline",         // p_size grid (≤50 cells)
-      "q_stl",             // month grid (~80 rows at any SF)
-      "q_survival",        // lifetime-hour grid (≤ calendar span)
-      "q_weighted_median") // l_quantity grid (≤50 cells)
+      "q_anomaly_days",    // calendar day grid, ≤3.7e3 at a decade
+      "q_auc",             // 4-dp-quantized score grid: ≤10⁴ cells by the
+                           // rounding step itself
+      "q_changepoint",     // calendar day grid, ≤3.7e3 at a decade
+      "q_cte",             // calendar month grid, 12·years (~80 rows)
+      "q_cum_uniques",     // calendar day grid, ≤3.7e3 at a decade
+      "q_exact_median",    // floor(o_totalprice/1e3) grid: order-value
+                           // DOMAIN (~600 cells, set by the price schema,
+                           // not row count); the bin sliver ranks via Rank
+      "q_ks",              // pooled floor(value) grid: per-user-mean
+                           // domain, bounded by the value schema (~100)
+      "q_pop",             // calendar month grid, 12·years
+      "q_rank_change",     // nation×year schema grid: 25 nations × 2 years
+      "q_rolling_rev",     // calendar day grid, ≤3.7e3 at a decade
+      "q_skyline",         // p_size schema domain, ≤50 cells
+      "q_stl",             // calendar month grid, 12·years (~80 rows)
+      "q_survival",        // lifetime-hour grid ≤ observed span in hours
+                           // (~720 for the 30-day events window)
+      "q_weighted_median") // l_quantity schema domain, 1..50 = 50 cells
     // the GlobalLimit must DOMINATE the window's input — reachable from
     // its child through row-preserving/reducing unary nodes only. A limit
     // merely somewhere in the subtree (e.g. on a join's broadcast dim

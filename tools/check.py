@@ -124,11 +124,17 @@ for name in sorted(oracle):
     if not a.equals(b):
         diff = (a != b).any(axis=1)
         if not diff.any():
-            # equals() false with no cell-level diff: empty frames (or
-            # index/dtype-only mismatch) — idxmax on the empty mask throws
+            if len(a) == 0:
+                # two genuinely matching zero-row results can still differ
+                # in post-norm index/dtype details; dtype CLASSES were
+                # already checked by dtype_diff above, so empty == empty
+                print(f"  OK  {name} (0 rows)")
+                continue
+            # equals() false with no cell-level diff on non-empty frames:
+            # index/dtype-only mismatch — idxmax on the empty mask throws
             fails.append((name, f"UNEQUAL with no cell diff "
                           f"(rows={len(a)}; likely dtype/index mismatch on "
-                          f"an empty or all-equal frame)"))
+                          f"an all-equal frame)"))
             continue
         i = diff.idxmax()
         fails.append((name, f"VALUES first diff row {i}:\n  spark={a.loc[i].to_dict()}\n  duck ={b.loc[i].to_dict()}"))
