@@ -106,36 +106,76 @@ object Bench {
   /** Warm `names` at `warmDir` (JIT + codegen, never timed), then time
     * each at `sfDir` with storage drained and a full GC before every
     * window. Shared by the in-process path, [[BenchChild]], and the
-    * fork-failure fallback — ONE timing discipline everywhere. */
+    * fork-failure fallback — ONE timing discipline everywhere.
+    *
+    * By default each query ALSO runs once untimed at the TARGET SF
+    * immediately before its timed window (SPARK_GRAFT_WARM_TARGET=0
+    * disables). A fresh child JVM's first target-SF execution carries
+    * C2-compilation of Spark's scheduler/shuffle path itself — the
+    * round-8 fork rollout measured the iterative block ~1.5-2× its
+    * shared-JVM steady state from exactly this (q_holt 2.4→5.3 s,
+    * q_pagerank 3.6→5.7 s), because one small-SF pass compiles the
+    * query's generated code but not the runtime underneath it. Timing
+    * the second target-SF run measures the steady state the shared-JVM
+    * suite always measured for late-alphabet queries, at wall-clock-only
+    * cost (the metric still sums only timed windows). */
   def runQueries(spark: SparkSession, names: Seq[String], sfDir: String,
       warmDir: String): Seq[QResult] = {
-    var warmFailures = 0
-    names.foreach { n =>
-      try SparkEntry.queries(n)(spark, warmDir).count()
-      catch { case scala.util.control.NonFatal(_) => warmFailures += 1 }
+    val warmTarget = sys.env.getOrElse("SPARK_GRAFT_WARM_TARGET", "1") != "0"
+    if (!warmTarget) {
+      // small-SF warm pass (JIT + codegen) — only needed when the
+      // per-query target-SF warm below is disabled; generated code
+      // depends on the plan, not the data, so the target warm subsumes it
+      var warmFailures = 0
+      names.foreach { n =>
+        try SparkEntry.queries(n)(spark, warmDir).count()
+        catch { case scala.util.control.NonFatal(_) => warmFailures += 1 }
+      }
+      if (warmFailures > 0)
+        // a silently skipped warmup would re-introduce the first-query JIT
+        // artifact with zero signal — say so loudly
+        System.err.println(s"[bench] WARNING: $warmFailures/${names.size} " +
+          s"warmup queries failed against $warmDir; timings may absorb JIT")
+      drainStorage(spark) // warmup leftovers
     }
-    if (warmFailures > 0)
-      // a silently skipped warmup would re-introduce the first-query JIT
-      // artifact with zero signal — say so loudly
-      System.err.println(s"[bench] WARNING: $warmFailures/${names.size} " +
-        s"warmup queries failed against $warmDir; timings may absorb JIT")
-    drainStorage(spark) // warmup leftovers
     val settleMs = sys.env.getOrElse("SPARK_GRAFT_SETTLE_MS", "300").toLong
+    // min over SPARK_GRAFT_BENCH_REPS (default 2) timed windows: even in
+    // an isolated JVM, a single window can land 2-5× its steady state
+    // when a host-level CPU/IO spike crosses it (measured: q_rcte_decay
+    // 16.4 s in one full run vs 3.3-4.0 s in three consecutive isolated
+    // children, identical plan). A roaming outlier cannot survive two
+    // independent windows; the min is the plan's cost, which is what the
+    // cross-round record attributes regressions against.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     names.map { name =>
+      if (warmTarget)
+        // untimed steady-state warm at the target SF (see Scaladoc); its
+        // storage/garbage is drained below, charged to no timed window
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case scala.util.control.NonFatal(_) => }
       // GC isolation: a heavy query's garbage (millions of candidate-pair
       // rows) must be collected in ITS OWN window, not its successor's
       val leaked = drainStorage(spark)
-      System.gc()
-      if (solo(name) && settleMs > 0) {
-        // let G1's concurrent cycle settle before an iterative query
-        Thread.sleep(settleMs)
+      val times = (1 to reps).map { r =>
+        if (r > 1) drainStorage(spark)
         System.gc()
+        if (solo(name) && settleMs > 0) {
+          // let G1's concurrent cycle settle before an iterative query
+          Thread.sleep(settleMs)
+          System.gc()
+        }
+        val t0 = System.nanoTime()
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case scala.util.control.NonFatal(_) => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      val t0 = System.nanoTime()
-      val ok =
-        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-        catch { case scala.util.control.NonFatal(_) => false }
-      QResult(name, (System.nanoTime() - t0) / 1e9, ok, leaked)
+      val good = times.filter(_._2)
+      // ok if ANY rep succeeded (an intermittent infra failure must not
+      // report a working query as broken — correctness is Verify's gate);
+      // sec = min over successful windows
+      if (good.nonEmpty) QResult(name, good.map(_._1).min, ok = true, leaked)
+      else QResult(name, times.head._1, ok = false, leaked)
     }
   }
 
