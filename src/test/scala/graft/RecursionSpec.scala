@@ -75,6 +75,46 @@ class RecursionSpec extends SparkSpec {
     assert(out.toSeq == ref.toSeq)
   }
 
+  test("q_holt_grouped matches the per-segment recurrence folded on the driver") {
+    val out = Queries.all("q_holt_grouped")(spark, sf001)
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out.nonEmpty)
+    // independent reference: per-segment quarterly cents, folded
+    // sequentially per segment over the DENSE quarter range — a segment
+    // missing a quarter contributes rev = 0, exactly the densified grid
+    val rev = spark.read.parquet(s"$sf001/orders.parquet")
+      .join(spark.read.parquet(s"$sf001/customer.parquet"),
+        org.apache.spark.sql.functions.expr("o_custkey = c_custkey"))
+      .selectExpr("c_mktsegment seg",
+        "CAST(year(o_orderdate)*4 + quarter(o_orderdate) AS BIGINT) m",
+        "CAST(round(o_totalprice*100) AS BIGINT) c")
+      .groupBy("seg", "m").sum("c")
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    val ms = rev.keys.map(_._2)
+    val (lo, hi) = (ms.min, ms.max)
+    val segs = rev.keys.map(_._1).toSeq.distinct.sorted
+    assert(segs.size > 1, "need several segments for the × group shape")
+    for (s <- segs) {
+      var lvl = 0L; var tr = 0L
+      for ((m, i) <- (lo to hi).zipWithIndex) {
+        val r = rev.getOrElse((s, m), 0L)
+        if (i == 0) { lvl = r; tr = 0L }
+        else {
+          val nl = (r * 2 + (lvl + tr) * 8) / 10 // JVM / truncates toward
+          tr = ((nl - lvl) * 3 + tr * 7) / 10    // zero like SQL DIV, so
+          lvl = nl                               // negative trend is safe
+        }
+        assert(out((s, m)) == ((lvl, tr, lvl + tr)), s"seg=$s m=$m")
+      }
+    }
+    // totality: every (segment, quarter) cell exists exactly once
+    assert(out.size == segs.size * (hi - lo + 1).toInt)
+  }
+
   test("q_backtest: skill metrics agree with a driver-side recompute") {
     val r = Queries.all("q_backtest")(spark, sf001).collect()(0)
     // recompute from the same fold RecursionSpec already trusts for
@@ -128,7 +168,8 @@ class RecursionSpec extends SparkSpec {
   }
 
   test("all recursive queries plan a UnionLoop, never a cartesian") {
-    for (name <- Seq("q_rcte_decay", "q_rcte_reach", "q_holt", "q_backtest")) {
+    for (name <- Seq("q_rcte_decay", "q_rcte_reach", "q_holt", "q_backtest",
+        "q_holt_grouped")) {
       val qe = Queries.all(name)(spark, sf001).queryExecution
       val loops = qe.optimizedPlan.collect { case u: UnionLoop => u }
       assert(loops.nonEmpty, s"$name lost its UnionLoop")
