@@ -155,7 +155,7 @@ object Bench {
         catch { case scala.util.control.NonFatal(_) => }
       // GC isolation: a heavy query's garbage (millions of candidate-pair
       // rows) must be collected in ITS OWN window, not its successor's
-      val leaked = drainStorage(spark)
+      drainStorage(spark)
       val times = (1 to reps).map { r =>
         if (r > 1) drainStorage(spark)
         System.gc()
@@ -170,6 +170,11 @@ object Bench {
           catch { case scala.util.control.NonFatal(_) => false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      // the leaked column must attribute residue to the query that LEFT
+      // it: drain AFTER this query's last window (a pre-window drain
+      // would charge query N's leftovers to query N+1, and the last
+      // query of a block would never be measured at all)
+      val leaked = drainStorage(spark)
       val good = times.filter(_._2)
       // ok if ANY rep succeeded (an intermittent infra failure must not
       // report a working query as broken — correctness is Verify's gate);
@@ -182,22 +187,14 @@ object Bench {
   // ------------------------------------------------------------- fork
 
   /** Split sorted names into blocks: solo queries alone, the rest in
-    * chunks of `blockSize`, preserving sorted order. */
+    * contiguous chunks of `blockSize`. Non-solo chunks carry ACROSS solo
+    * boundaries — each block is an isolated JVM, so per-query attribution
+    * no longer depends on global order, and flushing the chunk at every
+    * solo name would fragment ~245 non-solo queries into dozens of short
+    * blocks each paying a full JVM + session startup. */
   def blocks(names: Seq[String], blockSize: Int): Seq[Seq[String]] = {
-    val out = Seq.newBuilder[Seq[String]]
-    val cur = Seq.newBuilder[String]
-    var n = 0
-    names.foreach { q =>
-      if (solo(q)) {
-        if (n > 0) { out += cur.result(); cur.clear(); n = 0 }
-        out += Seq(q)
-      } else {
-        cur += q; n += 1
-        if (n >= blockSize) { out += cur.result(); cur.clear(); n = 0 }
-      }
-    }
-    if (n > 0) out += cur.result()
-    out.result()
+    val (solos, rest) = names.partition(solo)
+    solos.map(Seq(_)) ++ rest.grouped(blockSize).map(_.toSeq)
   }
 
   /** Matches org.apache.spark.launcher.JavaModuleOptions (Spark 4 on
@@ -222,9 +219,14 @@ object Bench {
     // application classpath (project classes + /opt/spark/jars/*)
     val cp = System.getProperty("java.class.path")
     val out = java.nio.file.Files.createTempFile(s"graft_bench_$idx", ".tsv")
-    val mem = sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM", "16g")
-    val cmd: Seq[String] = Seq(javaBin) ++ jdk17AddOpens ++ Seq(
-      s"-Xmx$mem", "-Xmn2g",
+    val mem = sys.env.get("SPARK_GRAFT_CHILD_MEM")
+    // pin the 2g nursery only for the DEFAULT heap (the build.sbt rule:
+    // an explicit small heap + -Xmn2g is an unstartable JVM); an explicit
+    // SPARK_GRAFT_XMN overrides either way
+    val xmn = sys.env.get("SPARK_GRAFT_XMN")
+      .orElse(if (mem.isDefined) None else Some("2g"))
+    val cmd: Seq[String] = Seq(javaBin) ++ jdk17AddOpens ++
+      Seq(s"-Xmx${mem.getOrElse("16g")}") ++ xmn.map(v => s"-Xmn$v") ++ Seq(
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", cp, "graft.BenchChild",
       out.toString, sfDir, warmDir, cpus) ++ block
@@ -267,6 +269,7 @@ object Bench {
         val log = java.nio.file.Files.readString(logFile.toPath)
         System.err.println(log.substring(math.max(0, log.length - 3000)))
       } catch { case scala.util.control.NonFatal(_) => }
+      logFile.delete() // failed attempts must not accumulate in tmp
       None
     }
   }
@@ -360,7 +363,12 @@ object BenchChild {
         s"${r.name}\t${f3(r.sec)}\t${if (r.ok) 1 else 0}\t${r.leaked}")
         .mkString("", "\n", "\n")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), tsv)
-      spark.stop()
+      // once the TSV is written the block's results are valid — a
+      // stop-time shutdown race must not flip the exit code and make the
+      // parent discard a complete multi-minute run
+      try spark.stop()
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench-child] ignoring stop failure: ${e.getMessage}") }
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench-child] ${e.getClass.getName}: ${e.getMessage}")
       code = 1

@@ -989,7 +989,10 @@ object OracleSql {
         "CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) rev " +
         "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2), " +
         "g AS (SELECT qs.m, sg.seg, coalesce(gq.rev, 0) rev " +
-        "FROM (SELECT DISTINCT m FROM gq) qs " +
+        // dense min..max quarter axis: a globally empty quarter must not
+        // break the m+1 chain (mirrors the engine's sequence(lo, hi))
+        "FROM (SELECT unnest(generate_series((SELECT min(m) FROM gq), " +
+        "(SELECT max(m) FROM gq))) m) qs " +
         "CROSS JOIN (SELECT DISTINCT seg FROM gq) sg " +
         "LEFT JOIN gq ON gq.m = qs.m AND gq.seg = sg.seg), " +
         "h(seg, m, lvl, tr) AS (" +

@@ -4286,11 +4286,11 @@ object Queries {
     * one state row per segment, so the round count stays the QUARTER
     * count (~27; UnionLoop charges ~0.3 s/round regardless of data, so
     * rounds — not rows — are what a recursive query pays for), never
-    * quarters × segments. The grid is densified (quarters × segments
-    * cross join, coalesce(rev, 0)) BEFORE the loop: a segment with a
-    * silent quarter must smooth through the gap as a zero-revenue
-    * observation, not fall out of the recursion when its m+1 join finds
-    * no row. Same smoothing constants and integer-DIV discipline as
+    * quarters × segments. The grid is densified BEFORE the loop — the
+    * DENSE min..max quarter range (sequence, not the observed quarter
+    * set) crossed with the segments, coalesce(rev, 0) — so a quarter
+    * silent in one segment OR in all of them smooths through as a
+    * zero-revenue observation instead of breaking the m+1 chain. Same smoothing constants and integer-DIV discipline as
     * [[holtRecursionSql]] (DIV truncates toward zero in both engines,
     * verified on negative trend states); grid checkpointed once (the
     * UnionLoop re-scan amplification documented at q_rcte_decay). */
@@ -4301,7 +4301,11 @@ object Queries {
         (year(col("o_orderdate")) * 4 + quarter(col("o_orderdate")))
           .cast("long").as("m"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
-    rev.select("m").distinct()
+    // the quarter axis is the DENSE min..max range, not the observed
+    // quarter set: a quarter empty across ALL segments would otherwise
+    // vanish from the grid and break every segment's m+1 chain
+    rev.agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("m"))
       .crossJoin(rev.select("seg").distinct())
       .join(rev, Seq("m", "seg"), "left")
       .select(col("seg"), col("m"), coalesce(col("rev"), lit(0L)).as("rev"))
