@@ -51,19 +51,30 @@ object CorpusModule {
     df.withColumn("text", TextAnalysis.scrubPii(col("text")))
 
   /** The pipes, wired over a block source named `docs`: normalize →
-    * (optional) benchmark-decontaminate → PII-scrub → exact-dedupe →
-    * score → filter on quality AND repetition. `benchmark` is the eval
-    * set to decontaminate against; None skips the stage. */
+    * (optional) language-gate → (optional) benchmark-decontaminate →
+    * PII-scrub → exact-dedupe → score → filter on quality AND
+    * repetition. `benchmark` is the eval set to decontaminate against;
+    * None skips the stage. `langs` is a language allowlist gate (the
+    * CCNet/fineweb-style first cut); Nil skips it. The gate sits FIRST
+    * after normalization on purpose: it is a source-column predicate, so
+    * Catalyst pushes it through the normalize node's boundary into the
+    * parquet scan itself — at 100 TB the non-allowlisted languages are
+    * never decompressed, and every downstream stage (decontaminate's
+    * shingle join, the dedupe shuffle) sees only the gated volume. */
   def nodes(minQuality: Double = 0.5, maxRepetition: Double = 0.9,
-      benchmark: Option[DataFrame] = None): Seq[Node] = {
+      benchmark: Option[DataFrame] = None, langs: Seq[String] = Nil): Seq[Node] = {
+    val gate = if (langs.isEmpty) Nil else Seq(
+      Node("gated", Seq("normalized"),
+        m => m("normalized").filter(col("lang").isin(langs: _*))))
+    val afterGate = if (langs.isEmpty) "normalized" else "gated"
     val decon = benchmark.toSeq.map { bench =>
-      Node("decontaminated", Seq("normalized"),
-        m => Dedup.decontaminate(m("normalized"), bench, "id", "text", 5))
+      Node("decontaminated", Seq(afterGate),
+        m => Dedup.decontaminate(m(afterGate), bench, "id", "text", 5))
     }
-    val afterNorm = if (benchmark.isDefined) "decontaminated" else "normalized"
+    val afterNorm = if (benchmark.isDefined) "decontaminated" else afterGate
     Seq(
       Node("normalized", Seq("docs"), m => Incremental.schemaCast(m("docs"), schema))) ++
-      decon ++ Seq(
+      gate ++ decon ++ Seq(
       Node("scrubbed", Seq(afterNorm), m => scrub(m(afterNorm))),
       Node("deduped", Seq("scrubbed"), m => dedupe(m("scrubbed"))),
       Node("scored", Seq("deduped"), m => score(m("deduped"))),
@@ -72,8 +83,8 @@ object CorpusModule {
   }
 
   def graph(minQuality: Double = 0.5, maxRepetition: Double = 0.9,
-      benchmark: Option[DataFrame] = None): Graph =
-    new Graph(nodes(minQuality, maxRepetition, benchmark))
+      benchmark: Option[DataFrame] = None, langs: Seq[String] = Nil): Graph =
+    new Graph(nodes(minQuality, maxRepetition, benchmark, langs))
 
   /** Per-doc MinHash signatures of one block: (id, sig). Partial-agg
     * friendly (typed Aggregator → map-side combine before the shuffle). */

@@ -1013,7 +1013,7 @@ object OracleSql {
       ("WITH d AS (SELECT l_orderkey o, count(DISTINCT l_partkey) deg " +
         "FROM lineitem GROUP BY 1), " +
         "dd AS (SELECT o, CAST(floor(1e9/ln(CAST(deg AS DOUBLE)) + 0.5) " +
-        "AS BIGINT) w FROM d WHERE deg BETWEEN 2 AND 100), " +
+        s"AS BIGINT) w FROM d WHERE deg BETWEEN ${Queries.hubCapLo} AND ${Queries.hubCapHi}), " +
         "e AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem), " +
         "pr AS (SELECT e1.p a, e2.p b, dd.w FROM e e1 " +
         "JOIN e e2 ON e1.o = e2.o AND e1.p < e2.p " +
@@ -1025,9 +1025,10 @@ object OracleSql {
     // = the q_triangles naive triple self-join plus a degree CTE — cc is
     // one shared double ratio of exact ints, rounded before the ORDER BY
     "q_cluster_coeff" ->
-      // ow mirrors the engine's hub cap (order width BETWEEN 2 AND 100)
+      // ow mirrors the engine's hub cap (Queries.hubCapLo..hubCapHi —
+      // interpolated from the ONE shared constant, per the r8 advice)
       ("WITH ow AS (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey " +
-        "HAVING count(DISTINCT l_partkey) BETWEEN 2 AND 100), " +
+        s"HAVING count(DISTINCT l_partkey) BETWEEN ${Queries.hubCapLo} AND ${Queries.hubCapHi}), " +
         "pp AS (SELECT DISTINCT x.l_partkey a, y.l_partkey b " +
         "FROM lineitem x JOIN lineitem y " +
         "ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey " +
@@ -1235,6 +1236,28 @@ object OracleSql {
       ("SELECT o_custkey, count(*) n, round(sum(o_totalprice), 2) s " +
         "FROM orders WHERE o_totalprice > 100000 " +
         "GROUP BY o_custkey ORDER BY n DESC, o_custkey LIMIT 20"),
+    // CorpusModule's five-node DAG flattened: normalize -> lang gate ->
+    // PII scrub ('g' flag: replace-all) -> exact dedupe keep-min-id on
+    // md5 of the SCRUBBED text -> floor-quantized quality (q_quality
+    // spelling) + bigram repetition (q_repetition spelling) -> filter
+    "q_corpus_pipeline" ->
+      ("WITH n AS (SELECT CAST(doc_id AS BIGINT) id, text, lang, CAST(n_chars AS INT) n_chars " +
+        "FROM documents WHERE lang = 'en'), " +
+        "sc AS (SELECT id, regexp_replace(regexp_replace(text, " +
+        "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS \"text\", lang, n_chars FROM n), " +
+        "dd AS (SELECT * FROM sc QUALIFY row_number() OVER (PARTITION BY md5(\"text\") ORDER BY id) = 1), " +
+        "gr AS (SELECT id, lang, n_chars, string_split(\"text\", ' ') ws FROM dd), " +
+        "rep AS (SELECT id, floor((1 - count(DISTINCT s)/CAST(count(*) AS DOUBLE))*10000 + 0.5)/10000 repetition " +
+        "FROM (SELECT id, array_to_string(ws[i:i+1], ' ') s " +
+        "FROM (SELECT id, ws, unnest(range(1, greatest(len(ws)-1,1)+1)) i FROM gr) t) sh GROUP BY id), " +
+        "scored AS (SELECT gr.id, gr.lang, gr.n_chars, " +
+        "floor((least(gr.n_chars/400.0, 1.0)*0.5 + " +
+        "(len(list_filter(gr.ws, w -> w IN ('the', 'a')))/CAST(len(gr.ws) AS DOUBLE))*0.3 + " +
+        "least(len(gr.ws)/80.0, 1.0)*0.2)*10000 + 0.5)/10000 quality, rep.repetition " +
+        "FROM gr JOIN rep USING (id)) " +
+        "SELECT id, lang, n_chars, quality, repetition FROM scored " +
+        "WHERE quality >= 0.5 AND repetition <= 0.9 ORDER BY id LIMIT 100"),
     "q_minhash_est" -> minhashEstSql,
     // schema-evolution union: missing columns null-filled per side
     "q_union_schema" ->

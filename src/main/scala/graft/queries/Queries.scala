@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.operators.{AsOfJoin, Bloom, Components, Dedup, Incremental, IntervalJoin, Iterate, Ivf, Multimodal, Pq, Rank, Retrieval, Sampling, Similarity, Skew, TextAnalysis, Validate}
 import graft.engine.{Graph, Node, RunLog, Snapshot}
+import graft.modules.CorpusModule
 import graft.sources.Layout
 
 /** The declared query inventory (SURVEY.md §2) as idiomatic DataFrame-API
@@ -24,6 +25,15 @@ import graft.sources.Layout
   */
 object Queries {
   type Q = (SparkSession, String) => DataFrame
+
+  /** The maxDf-style pivot hub cap shared by q_linkpred and
+    * q_cluster_coeff (a pivot's pair emission is quadratic in its
+    * width). ONE definition, interpolated into the [[OracleSql]] texts
+    * for both queries, so the engine and its oracle can never silently
+    * diverge on the query definition (a mismatch would otherwise be
+    * invisible on narrow-basket data, where the cap is a no-op). */
+  val hubCapLo = 2
+  val hubCapHi = 100
 
   private def t(spark: SparkSession, sf: String, name: String): DataFrame =
     Tables.table(spark, sf, name)
@@ -4176,7 +4186,7 @@ object Queries {
       .groupBy("l_orderkey")
       .agg(sort_array(array_distinct(collect_list(col("l_partkey").cast("long"))))
         .as("ps"))
-      .filter(size(col("ps")).between(2, 100))
+      .filter(size(col("ps")).between(hubCapLo, hubCapHi))
       .withColumn("w",
         floor(lit(1e9) / log(size(col("ps")).cast("double")) + 0.5)
           .cast("long"))
@@ -4205,10 +4215,10 @@ object Queries {
       .agg(sort_array(array_distinct(collect_list(col("p").cast("long"))))
         .as("ps"))
       // the q_linkpred hub cap: a pivot's pair emission is quadratic in
-      // its width, so BETWEEN 2 AND 100 keeps the emission sub-quadratic
-      // on ANY order distribution — TPC-H order width (≤7 parts) bounds
-      // it by luck today, a wide-basket corpus would not
-      .filter(size(col("ps")).between(2, 100))
+      // its width, so the cap keeps the emission sub-quadratic on ANY
+      // order distribution — TPC-H order width (≤7 parts) bounds it by
+      // luck today, a wide-basket corpus would not
+      .filter(size(col("ps")).between(hubCapLo, hubCapHi))
       .select(explode(expr(pairCombosExpr("ps", "a", "b"))).as("pr"))
       .select(col("pr.a").as("src"), col("pr.b").as("dst"))
       .distinct()
@@ -4301,6 +4311,10 @@ object Queries {
         (year(col("o_orderdate")) * 4 + quarter(col("o_orderdate")))
           .cast("long").as("m"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+      // segments × quarters rows, materialized ONCE: the grid below
+      // derives lo/hi, the segment list, AND the left join from it —
+      // without this the orders ⋈ customer aggregate runs three times
+      .localCheckpoint(true)
     // the quarter axis is the DENSE min..max range, not the observed
     // quarter set: a quarter empty across ALL segments would otherwise
     // vanish from the grid and break every segment's m+1 chain
@@ -4824,9 +4838,34 @@ object Queries {
     Similarity.cosineTopK(t(s, sf, "embeddings"), "vec_id", "embedding",
       0L, 10, excludeLabel = Some("label"))
 
+  /** The packaged corpus-intake module run END-TO-END as a declared row —
+    * the dags composition story at query grain: [[CorpusModule.graph]]
+    * (normalize → language-gate → PII-scrub → exact-dedupe → score →
+    * quality/repetition filter) wired through [[Graph.run]]'s topo order,
+    * oracled by the flattened SQL (the q_sql_node playbook, one module
+    * deep instead of two SQL pipes). Because every node is a pure lazy
+    * DataFrame transformation, the whole five-node DAG is ONE Catalyst
+    * plan: the gate's `lang IN ('en')` — declared in the SECOND node —
+    * crosses the normalize node's boundary and lands in the parquet
+    * scan's PushedFilters (plan-asserted in CorpusPipelineSpec), and
+    * ReadSchema prunes to the four consumed columns. At 100 TB the
+    * non-English ~60% of the corpus is never decompressed, and the only
+    * shuffle is the dedupe window over md5 fingerprints of the GATED
+    * volume. Quality and repetition are the module's floor-quantized
+    * scores (bit-identical cross-engine; same spellings as
+    * q_quality/q_repetition). */
+  private val qCorpusPipeline: Q = (s, sf) =>
+    CorpusModule.graph(minQuality = 0.5, maxRepetition = 0.9,
+        langs = Seq("en"))
+      .run(Map("docs" -> t(s, sf, "documents")))("kept")
+      .select(col("id"), col("lang"), col("n_chars"),
+        col("quality"), col("repetition"))
+      .orderBy("id").limit(100)
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_corpus_pipeline" -> qCorpusPipeline,
     "q_hard_negatives" -> qHardNegatives,
     "q_backtest" -> qBacktest,
     "q_did" -> qDid,

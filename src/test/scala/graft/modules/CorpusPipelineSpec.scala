@@ -1,0 +1,71 @@
+package graft.modules
+
+import graft.SparkSpec
+import graft.queries.Queries
+import org.apache.spark.sql.functions.col
+
+/** The declared q_corpus_pipeline row (the CorpusModule DAG run through
+  * Graph.run): plan-level scale assertions — the language gate declared
+  * in the SECOND node must cross the normalize node's boundary into the
+  * parquet scan's PushedFilters, and the scan must prune to the four
+  * consumed columns — plus the gate's value semantics. */
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q_corpus_pipeline pushes the lang gate into the parquet scan") {
+    val df = Queries.all("q_corpus_pipeline")(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    // the gate predicate, declared one node ABOVE the scan, must reach it
+    assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"),
+      p)
+    // and the scan must prune to the consumed columns (documents has 5;
+    // `source` is never touched)
+    val schemaLine = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!schemaLine.contains("source"), schemaLine)
+    Seq("doc_id", "text", "lang", "n_chars").foreach(c =>
+      assert(schemaLine.contains(c), schemaLine))
+  }
+
+  test("q_corpus_pipeline output honors the module's gates") {
+    val rows = Queries.all("q_corpus_pipeline")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("lang") == "en")
+      assert(r.getAs[Double]("quality") >= 0.5)
+      assert(r.getAs[Double]("repetition") <= 0.9)
+    }
+  }
+
+  test("language gate keeps only allowlisted langs, before the dedupe") {
+    val block = Seq(
+      (1L, "the cat sat on the mat with a hat and a bat near the door", "en", 58),
+      (2L, "le chat est assis sur le tapis pres de la porte en silence", "fr", 59),
+      (3L, "the cat sat on the mat with a hat and a bat near the door", "en", 58))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val out = CorpusModule.graph(minQuality = 0.0, langs = Seq("en"))
+      .run(Map("docs" -> block))
+    assert(out("gated").select("lang").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("en"))
+    // dedupe sees only gated docs: 1 and 3 collapse, 2 is gone already
+    assert(out("deduped").select("id").collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+  }
+
+  test("no langs param means no gate node (module default unchanged)") {
+    assert(!CorpusModule.nodes().exists(_.id == "gated"))
+    assert(CorpusModule.nodes(langs = Seq("en")).map(_.id).take(2)
+      == Seq("normalized", "gated"))
+  }
+
+  test("q_corpus_pipeline has a single shuffle: the dedupe window") {
+    val df = Queries.all("q_corpus_pipeline")(spark, sf001)
+      .filter(col("id") >= 0) // keep the TakeOrdered boundary out of scope
+    val p = df.queryExecution.executedPlan.toString
+    // narrow stages (gate/scrub/score) must not add exchanges: the only
+    // repartitioning is the dedupe window's hash by fingerprint (+ the
+    // final TakeOrdered's singlePartition gather, which explain prints
+    // as part of the limit, not an Exchange over data columns)
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(exchanges <= 2, p)
+  }
+}
