@@ -4862,10 +4862,42 @@ object Queries {
         col("quality"), col("repetition"))
       .orderBy("id").limit(100)
 
+  /** The corpus module consumed INCREMENTALLY — the reference's defining
+    * block-consumption semantic at query grain: the corpus arrives as two
+    * blocks (doc_id parity); run 1 sees b0, run 2 sees both but
+    * [[Graph.runIncremental]] hands the pipeline ONLY the fresh b1 (the
+    * RunLog ledger filters consumed blocks — the second run never
+    * re-scans b0). The corpus view is the union of the runs' `kept`
+    * outputs. Dedupe is therefore exact-dedupe WITHIN each delta — the
+    * module's documented incremental scope — which the oracle mirrors by
+    * partitioning the keep-min-id window on (block, fingerprint). At
+    * 100 TB this is the shape that matters: a daily ingest run costs the
+    * new day's scan, never the backlog's, and the per-delta plans are
+    * the same scan-speed narrow stages + one dedupe shuffle as the batch
+    * row. */
+  private val qCorpusIncr: Q = (s, sf) => {
+    val docs = t(s, sf, "documents")
+    val blk = Map(
+      "b0" -> docs.filter(col("doc_id") % 2 === 0),
+      "b1" -> docs.filter(col("doc_id") % 2 === 1))
+    val log = new RunLog(scratchDir("corpusincr"))
+    val g = CorpusModule.graph(minQuality = 0.5, maxRepetition = 0.9)
+    val arrival = Seq("b0", "b1")
+    val keeps = (1 to 2).map { i => // i-th run: one more block arrived
+      g.runIncremental(
+        Map("docs" -> arrival.take(i).map(b => b -> blk(b))), log)("kept")
+    }
+    keeps.reduce(_.unionByName(_))
+      .select(col("id"), col("lang"), col("n_chars"),
+        col("quality"), col("repetition"))
+      .orderBy("id").limit(100)
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
     "q_corpus_pipeline" -> qCorpusPipeline,
+    "q_corpus_incr" -> qCorpusIncr,
     "q_hard_negatives" -> qHardNegatives,
     "q_backtest" -> qBacktest,
     "q_did" -> qDid,

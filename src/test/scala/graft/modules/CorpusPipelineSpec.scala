@@ -57,6 +57,19 @@ class CorpusPipelineSpec extends SparkSpec {
       == Seq("normalized", "gated"))
   }
 
+  test("q_corpus_incr: block-scoped dedupe, full parity coverage") {
+    val rows = Queries.all("q_corpus_incr")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getAs[Long]("id")).toSeq
+    assert(ids == ids.sorted)
+    // both parity blocks (delta 1 and delta 2) contribute to the view
+    assert(ids.exists(_ % 2 == 0) && ids.exists(_ % 2 == 1))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("quality") >= 0.5)
+      assert(r.getAs[Double]("repetition") <= 0.9)
+    }
+  }
+
   test("q_corpus_pipeline has a single shuffle: the dedupe window") {
     val df = Queries.all("q_corpus_pipeline")(spark, sf001)
       .filter(col("id") >= 0) // keep the TakeOrdered boundary out of scope
