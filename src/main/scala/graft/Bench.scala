@@ -47,12 +47,31 @@ object Bench {
 
   /** One timed query: seconds, success, how many RDD storage blocks were
     * still registered after the post-query drain (0 = clean), and how
-    * many of its target-SF runs — warm or timed — failed (0 = clean; a
-    * query that OOMs on 1 of 2 reps still reports ok=true with the
-    * surviving window, so without this column intermittent target-SF
-    * flakiness would be invisible in the bench record). */
+    * many of its target-SF runs failed (0 = clean; a query that OOMs on
+    * 1 of 2 reps still reports ok=true with the surviving window, so
+    * without these columns intermittent target-SF flakiness would be
+    * invisible in the bench record). Untimed warm-pass failures and
+    * timed-rep failures are SEPARATE counters: a solo query takes up to
+    * [[soloWarms]] warm passes but only [[benchReps]] timed windows, so
+    * one conflated count could exceed the stamped reps value and read as
+    * more timed windows failing than were run. */
   final case class QResult(name: String, sec: Double, ok: Boolean,
-      leaked: Int, failedReps: Int = 0)
+      leaked: Int, failedWarms: Int = 0, failedReps: Int = 0)
+
+  /** Timing-discipline knobs, parsed ONCE at object init and read by
+    * BOTH the timing loop ([[runQueries]]) and the BENCH_DETAIL stamp
+    * ([[emit]]) — two independent env parses with duplicated default
+    * literals could silently diverge after an edit, making the stamp
+    * misreport the discipline that produced the numbers (the exact
+    * failure the stamp exists to prevent). Fork children inherit the
+    * parent's env (ProcessBuilder default), so one parse per JVM yields
+    * the same values fleet-wide. */
+  val warmTarget: Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_WARM_TARGET", "1") != "0"
+  val benchReps: Int =
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+  val soloWarms: Int =
+    sys.env.getOrElse("SPARK_GRAFT_SOLO_WARMS", "3").toInt.max(1)
 
   def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
@@ -125,7 +144,6 @@ object Bench {
     * cost (the metric still sums only timed windows). */
   def runQueries(spark: SparkSession, names: Seq[String], sfDir: String,
       warmDir: String): Seq[QResult] = {
-    val warmTarget = sys.env.getOrElse("SPARK_GRAFT_WARM_TARGET", "1") != "0"
     if (!warmTarget) {
       // small-SF warm pass (JIT + codegen) — only needed when the
       // per-query target-SF warm below is disabled; generated code
@@ -143,36 +161,35 @@ object Bench {
       drainStorage(spark) // warmup leftovers
     }
     val settleMs = sys.env.getOrElse("SPARK_GRAFT_SETTLE_MS", "300").toLong
-    // min over SPARK_GRAFT_BENCH_REPS (default 2) timed windows: even in
+    // min over [[benchReps]] (default 2) timed windows: even in
     // an isolated JVM, a single window can land 2-5× its steady state
     // when a host-level CPU/IO spike crosses it (measured: q_rcte_decay
     // 16.4 s in one full run vs 3.3-4.0 s in three consecutive isolated
     // children, identical plan). A roaming outlier cannot survive two
     // independent windows; the min is the plan's cost, which is what the
     // cross-round record attributes regressions against.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
-    // solo queries get a DEEPER untimed warm (default 3 target-SF passes
-    // vs 1): a fresh singleton child's single warm pass does not replace
-    // a shared JVM's suite-long JIT warmth for short multi-job queries —
-    // the round-8 artifact reported 8 solo queries at ~2× their
-    // shared-JVM reference from exactly this (q_kcore 2.57→5.79 s,
-    // q_rcte_decay 2.50→5.07 s), with plans unchanged and plan-asserted.
-    // Non-solo queries share their block-mates' warmth and keep 1 pass.
-    val soloWarms =
-      sys.env.getOrElse("SPARK_GRAFT_SOLO_WARMS", "3").toInt.max(1)
+    //
+    // Solo queries get a DEEPER untimed warm ([[soloWarms]], default 3
+    // target-SF passes vs 1): a fresh singleton child's single warm pass
+    // does not replace a shared JVM's suite-long JIT warmth for short
+    // multi-job queries — the round-8 artifact reported 8 solo queries
+    // at ~2× their shared-JVM reference from exactly this (q_kcore
+    // 2.57→5.79 s, q_rcte_decay 2.50→5.07 s), with plans unchanged and
+    // plan-asserted. Non-solo queries share their block-mates' warmth
+    // and keep 1 pass.
     names.map { name =>
-      var failedReps = 0
+      var failedWarms = 0
       if (warmTarget)
         // untimed steady-state warm at the target SF (see Scaladoc); its
         // storage/garbage is drained below, charged to no timed window
         (1 to (if (solo(name)) soloWarms else 1)).foreach { _ =>
           try SparkEntry.queries(name)(spark, sfDir).count()
-          catch { case scala.util.control.NonFatal(_) => failedReps += 1 }
+          catch { case scala.util.control.NonFatal(_) => failedWarms += 1 }
         }
       // GC isolation: a heavy query's garbage (millions of candidate-pair
       // rows) must be collected in ITS OWN window, not its successor's
       drainStorage(spark)
-      val times = (1 to reps).map { r =>
+      val times = (1 to benchReps).map { r =>
         if (r > 1) drainStorage(spark)
         System.gc()
         if (solo(name) && settleMs > 0) {
@@ -192,13 +209,15 @@ object Bench {
       // query of a block would never be measured at all)
       val leaked = drainStorage(spark)
       val good = times.filter(_._2)
-      failedReps += times.count(!_._2)
+      val failedReps = times.count(!_._2)
       // ok if ANY rep succeeded (an intermittent infra failure must not
       // report a working query as broken — correctness is Verify's gate);
       // sec = min over successful windows
       if (good.nonEmpty)
-        QResult(name, good.map(_._1).min, ok = true, leaked, failedReps)
-      else QResult(name, times.head._1, ok = false, leaked, failedReps)
+        QResult(name, good.map(_._1).min, ok = true, leaked,
+          failedWarms, failedReps)
+      else QResult(name, times.head._1, ok = false, leaked,
+        failedWarms, failedReps)
     }
   }
 
@@ -268,8 +287,9 @@ object Bench {
     java.nio.file.Files.deleteIfExists(out)
     val parsed = lines.flatMap { l =>
       l.split('\t') match {
-        case Array(n, s, ok, lk, fr) =>
-          try Some(QResult(n, s.toDouble, ok == "1", lk.toInt, fr.toInt))
+        case Array(n, s, ok, lk, fw, fr) =>
+          try Some(QResult(n, s.toDouble, ok == "1", lk.toInt,
+            fw.toInt, fr.toInt))
           catch { case _: NumberFormatException => None }
         case _ => None
       }
@@ -341,24 +361,25 @@ object Bench {
     val sorted = results.sortBy(_.name)
     val leakedJson = sorted.filter(_.leaked > 0)
       .map(r => s""""${r.name}":${r.leaked}""").mkString("{", ",", "}")
-    // intermittent target-SF failures (a warm run or 1-of-N timed reps)
-    // surface here even when ok=true — an all-zero map is the healthy case
+    // intermittent target-SF failures (an untimed warm pass or 1-of-N
+    // timed reps) surface here even when ok=true — an all-zero map is
+    // the healthy case. Warm and timed counters are separate columns so
+    // failed_reps stays comparable to the stamped `reps` value.
+    val failedWarmJson = sorted.filter(_.failedWarms > 0)
+      .map(r => s""""${r.name}":${r.failedWarms}""").mkString("{", ",", "}")
     val failedJson = sorted.filter(_.failedReps > 0)
       .map(r => s""""${r.name}":${r.failedReps}""").mkString("{", ",", "}")
     // the timing-discipline stamp: min-of-`reps` windows after
     // `warm_target` untimed target-SF passes (`solo_warms` for singleton
-    // queries). Cross-round comparisons need this to tell a steady-state
-    // record (r8+) from the cold-window totals of rounds 1-7.
-    val warmTarget = sys.env.getOrElse("SPARK_GRAFT_WARM_TARGET", "1") != "0"
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
-    val soloWarms =
-      sys.env.getOrElse("SPARK_GRAFT_SOLO_WARMS", "3").toInt.max(1)
+    // queries) — the object-level knobs the timing loop itself read.
+    // Cross-round comparisons need this to tell a steady-state record
+    // (r8+) from the cold-window totals of rounds 1-7.
     val detailJson =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${
         sorted.map(entry).mkString("{", ",", "}")
-      },"leaked":$leakedJson,"failed_reps":$failedJson,"mode":"$mode","warm_target":${
+      },"leaked":$leakedJson,"failed_warms":$failedWarmJson,"failed_reps":$failedJson,"mode":"$mode","warm_target":${
         if (warmTarget) 1 else 0
-      },"solo_warms":$soloWarms,"reps":$reps,"sf":"$sfDir","errors":$errors}"""
+      },"solo_warms":$soloWarms,"reps":$benchReps,"sf":"$sfDir","errors":$errors}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
     // escaped where it is interpolated into the JSON line: a quote or
     // backslash in the env-provided path must not yield an unparseable
@@ -379,7 +400,8 @@ object Bench {
 /** Child JVM entry for [[Bench]] fork mode: args = outFile sfDir warmDir
   * cpus name... — builds a fresh session, runs its block through the
   * shared [[Bench.runQueries]] discipline, writes one TSV row per query
-  * (name, seconds, ok, leaked), and hard-exits (local-mode executor
+  * (name, seconds, ok, leaked, failedWarms, failedReps), and hard-exits
+  * (local-mode executor
   * threads are non-daemon; a child that lingers after spark.stop() would
   * serialize the whole suite behind its shutdown hooks). */
 object BenchChild {
@@ -392,7 +414,7 @@ object BenchChild {
       val results = Bench.runQueries(spark, names, sfDir, warmDir)
       def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
       val tsv = results.map(r =>
-        s"${r.name}\t${f3(r.sec)}\t${if (r.ok) 1 else 0}\t${r.leaked}\t${r.failedReps}")
+        s"${r.name}\t${f3(r.sec)}\t${if (r.ok) 1 else 0}\t${r.leaked}\t${r.failedWarms}\t${r.failedReps}")
         .mkString("", "\n", "\n")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), tsv)
       // once the TSV is written the block's results are valid — a

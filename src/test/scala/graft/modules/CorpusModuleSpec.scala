@@ -42,6 +42,32 @@ class CorpusModuleSpec extends SparkSpec {
     assert(out("kept").columns.contains("repetition"))
   }
 
+  test("langs + benchmark combined: decontaminate consumes GATED docs") {
+    // the two options are tested separately elsewhere; this pins their
+    // COMBINED wiring — the decon node must depend on "gated" (not
+    // "normalized"), so a non-allowlisted doc never reaches the shingle
+    // join, and a gated-in doc that leaks a benchmark 5-gram is dropped
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    val block = docs(
+      (1L, "intro words then the quick brown fox jumps over copied verbatim here", "en", 69), // en + leaked
+      (2L, "le chat est assis sur le tapis pres de la porte en silence ce soir", "fr", 67), // gated out
+      (3L, "another perfectly ordinary document with a good number of words", "en", 64))
+    val nodes = CorpusModule.nodes(minQuality = 0.0,
+      benchmark = Some(bench), langs = Seq("en"))
+    // structural pin: the wiring itself, not just this run's values
+    assert(nodes.map(n => n.id -> n.deps).take(3) == Seq(
+      "normalized" -> Seq("docs"),
+      "gated" -> Seq("normalized"),
+      "decontaminated" -> Seq("gated")))
+    val out = CorpusModule.graph(minQuality = 0.0,
+      benchmark = Some(bench), langs = Seq("en")).run(Map("docs" -> block))
+    // the decon stage's input is the gated set only
+    assert(out("decontaminated").select("lang").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("en"))
+    assert(out("kept").collect().map(_.getAs[Long]("id")).toSeq == Seq(3L))
+  }
+
   test("module runs incrementally: second run touches only the new block") {
     val dir = Files.createTempDirectory("graftmod").toString
     val log = new RunLog(dir)
