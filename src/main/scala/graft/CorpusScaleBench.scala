@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.RunLog
+import graft.modules.CorpusModule
+
+/** Scaling-evidence run for the corpus-intake MODULE — the composed
+  * pipeline behind q_corpus_pipeline/q_corpus_incr, not a single
+  * operator. Times, at 1×/3×/10× the sf0.1 corpus size over the same
+  * hash-deterministic Zipfian docs as [[ScaleBench]]:
+  *
+  *   - batch: `CorpusModule.graph(langs=en, benchmark=Some(eval)).run`
+  *     end-to-end (normalize → lang gate → decontaminate shingle-join →
+  *     scrub → dedupe shuffle → score → filter) — expected to scale like
+  *     the dedupe shuffle, the pipeline's only exchange over data
+  *   - incremental: a FIXED 2.5k-doc delta block consumed through
+  *     `Graph.runIncremental` against an already-consumed backlog of
+  *     each size — the daily-ingest production question; the RunLog
+  *     ledger must make this FLAT in backlog size (run 2 never re-scans
+  *     consumed blocks; the plan is wired from the delta alone)
+  *
+  * The timed action aggregates the COMPUTED columns (sum of quality +
+  * repetition), not a bare count — count() would let column pruning
+  * delete the scoring stage from row-count-preserving plans.
+  * Output lines (`SCALE corpus_* ...`) feed SCALING.md.
+  */
+object CorpusScaleBench {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val outRoot = args.headOption.getOrElse("/tmp/graft_scale_corpus")
+    val sizes = Seq(5000L, 15000L, 50000L) // sf0.1 docs × {1, 3, 10}
+    sizes.foreach(n => ScaleBench.genDocs(spark, n, s"$outRoot/docs_$n"))
+    println("SCALE corpus generated")
+
+    // a small fixed eval set for the decontaminate stage: 500 docs drawn
+    // from a DISJOINT hash stream (ids offset far past any corpus id)
+    val bench = spark.range(500).select(
+      ($"id" + 900000000L).as("id"),
+      array_join(transform(sequence(lit(0), lit(ScaleBench.tokensPerDoc - 1)),
+        k => ScaleBench.zipfToken($"id" + 900000000L, k)), " ").as("text"))
+
+    // fixed 2.5k-doc delta for the incremental path (fresh hash stream)
+    val delta = spark.range(2500).select(
+      ($"id" + 800000000L).as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(ScaleBench.tokensPerDoc - 1)),
+        k => ScaleBench.zipfToken($"id" + 800000000L, k)), " ").as("text"),
+      lit("en").as("lang"), lit("synb").as("source"),
+      lit(400).as("n_chars"))
+
+    def g = CorpusModule.graph(minQuality = 0.0, maxRepetition = 1.0,
+      benchmark = Some(bench), langs = Seq("en"))
+
+    // force the computed columns through the action (see Scaladoc)
+    def settle(kept: DataFrame): Long =
+      kept.agg(sum($"quality") + sum($"repetition")).collect().head.size
+
+    def time(label: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      body
+      println(f"SCALE $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    // each RunLog gets a FRESH temp dir: the ledger is durable by design,
+    // so a fixed path would mark every block consumed on the first
+    // invocation and no-op (empty map) all later runs of this bench
+    def freshLog(): RunLog = new RunLog(
+      java.nio.file.Files.createTempDirectory("graft_csb_log").toString)
+
+    // warm both plan shapes on the smallest corpus
+    settle(g.run(Map("docs" ->
+      spark.read.parquet(s"$outRoot/docs_5000")))("kept"))
+    locally {
+      val log = freshLog()
+      g.runIncremental(Map("docs" -> Seq(
+        "backlog" -> spark.read.parquet(s"$outRoot/docs_5000"))), log)
+      settle(g.runIncremental(Map("docs" -> Seq(
+        "backlog" -> spark.read.parquet(s"$outRoot/docs_5000"),
+        "delta" -> delta)), log)("kept"))
+    }
+
+    sizes.foreach { n =>
+      val docs = spark.read.parquet(s"$outRoot/docs_$n")
+      time(s"corpus_batch_$n") { settle(g.run(Map("docs" -> docs))("kept")) }
+      // consume the backlog OUTSIDE the timed window (ingest-time work),
+      // then time the delta-only run — the production daily-ingest cost
+      val log = freshLog()
+      g.runIncremental(Map("docs" -> Seq("backlog" -> docs)), log)
+      time(s"corpus_incr_$n") {
+        settle(g.runIncremental(Map("docs" -> Seq(
+          "backlog" -> docs, "delta" -> delta)), log)("kept"))
+      }
+    }
+    spark.stop()
+  }
+}

@@ -26,6 +26,40 @@ import graft.operators.{Dedup, Similarity}
   * hash-deterministic — no rand(), stable across runs/partitionings.
   */
 object ScaleBench {
+
+  val vocab = 20000
+  val tokensPerDoc = 80
+
+  // token k of doc i: Zipf-ish via inverse transform floor(V^u) with a
+  // hash-uniform u — pmf ∝ 1/rank, matching natural-language token skew
+  def zipfToken(doc: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) = {
+    val u = pmod(xxhash64(doc, k), lit(1000000)).cast("double") / 1000000.0
+    concat(lit("w"), floor(pow(lit(vocab.toDouble), u)).cast("long").cast("string"))
+  }
+
+  /** Hash-deterministic Zipfian corpus at `n` base docs + 5% planted
+    * near-dups — shared with [[CorpusScaleBench]] so every doc-shaped
+    * scaling curve measures the SAME synthetic distribution. */
+  def genDocs(spark: SparkSession, n: Long, path: String): Unit = {
+    import spark.implicits._
+    val base = spark.range(n).select(
+      $"id".as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(tokensPerDoc - 1)),
+        k => zipfToken($"id", k)), " ").as("text"),
+      element_at(array(lit("en"), lit("de"), lit("fr")),
+        (pmod(xxhash64($"id", lit(7)), lit(3)) + 1).cast("int")).as("lang"))
+    // 5% near-dups: same tokens + 3 fresh ones appended (Jaccard ≈ 0.95
+    // on the distinct sets), same language, ids offset by n
+    val dups = base.filter(pmod($"doc_id", lit(20)) === 0)
+      .select(($"doc_id" + n).as("doc_id"),
+        concat($"text", lit(" zz1x zz2x zz3x")).as("text"), $"lang")
+    base.unionByName(dups)
+      .withColumn("source", lit("synb"))
+      .withColumn("n_chars", length($"text"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(path)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -35,34 +69,9 @@ object ScaleBench {
     import spark.implicits._
 
     val outRoot = args.headOption.getOrElse("/tmp/graft_scale")
-    val vocab = 20000
-    val tokensPerDoc = 80
 
-    // token k of doc i: Zipf-ish via inverse transform floor(V^u) with a
-    // hash-uniform u — pmf ∝ 1/rank, matching natural-language token skew
-    def zipfToken(doc: org.apache.spark.sql.Column, k: org.apache.spark.sql.Column) = {
-      val u = pmod(xxhash64(doc, k), lit(1000000)).cast("double") / 1000000.0
-      concat(lit("w"), floor(pow(lit(vocab.toDouble), u)).cast("long").cast("string"))
-    }
-
-    def genDocs(n: Long, path: String): Unit = {
-      val base = spark.range(n).select(
-        $"id".as("doc_id"),
-        array_join(transform(sequence(lit(0), lit(tokensPerDoc - 1)),
-          k => zipfToken($"id", k)), " ").as("text"),
-        element_at(array(lit("en"), lit("de"), lit("fr")),
-          (pmod(xxhash64($"id", lit(7)), lit(3)) + 1).cast("int")).as("lang"))
-      // 5% near-dups: same tokens + 3 fresh ones appended (Jaccard ≈ 0.95
-      // on the distinct sets), same language, ids offset by n
-      val dups = base.filter(pmod($"doc_id", lit(20)) === 0)
-        .select(($"doc_id" + n).as("doc_id"),
-          concat($"text", lit(" zz1x zz2x zz3x")).as("text"), $"lang")
-      base.unionByName(dups)
-        .withColumn("source", lit("synb"))
-        .withColumn("n_chars", length($"text"))
-        .repartition(32)
-        .write.mode("overwrite").parquet(path)
-    }
+    def genDocs(n: Long, path: String): Unit =
+      ScaleBench.genDocs(spark, n, path)
 
     def genEmb(n: Long, path: String): Unit = {
       val base = spark.range(n).select(
