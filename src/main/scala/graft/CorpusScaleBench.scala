@@ -23,12 +23,20 @@ import graft.modules.CorpusModule
   * The timed action aggregates the COMPUTED columns (sum of quality +
   * repetition), not a bare count — count() would let column pruning
   * delete the scoring stage from row-count-preserving plans.
-  * Output lines (`SCALE corpus_* ...`) feed SCALING.md.
+  * Output lines (`SCALE corpus_* ...`) feed SCALING.md — BOTH regimes
+  * in its table come from this harness: the default-AQE rows as-is,
+  * the coalescing-off rows via GRAFT_CSB_COALESCE=0 (at these corpus
+  * sizes the dedupe shuffle is far below AQE's 64 MB advisory target,
+  * so coalescing caps parallelism and wall time tracks granted
+  * partitions, not work; disabling it isolates the algorithmic slope).
   */
 object CorpusScaleBench {
   def main(args: Array[String]): Unit = {
+    val coalesce = sys.env.getOrElse("GRAFT_CSB_COALESCE", "1") != "0"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        coalesce.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -58,10 +66,10 @@ object CorpusScaleBench {
       benchmark = Some(bench), langs = Seq("en"))
 
     // force the computed columns through the action (see Scaladoc)
-    def settle(kept: DataFrame): Long =
-      kept.agg(sum($"quality") + sum($"repetition")).collect().head.size
+    def settle(kept: DataFrame): Unit =
+      kept.agg(sum($"quality") + sum($"repetition")).collect()
 
-    def time(label: String)(body: => Long): Unit = {
+    def time(label: String)(body: => Unit): Unit = {
       val t0 = System.nanoTime()
       body
       println(f"SCALE $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
