@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.engine.{Graph, Node}
 import graft.functions.MinHashDocAgg
-import graft.operators.{Dedup, Incremental, TextAnalysis}
+import graft.operators.{Components, Dedup, Incremental, TextAnalysis}
 
 /** A packaged, reusable module in the reference's sense — a bundled schema
   * plus pipes you drop into any DAG (the pattern its shipped modules use:
@@ -50,19 +50,40 @@ object CorpusModule {
   def scrub(df: DataFrame): DataFrame =
     df.withColumn("text", TextAnalysis.scrubPii(col("text")))
 
+  /** Drop every member of a near-dup cluster except its keeper (min id):
+    * exact within-lang token-Jaccard pairs ≥ `tau` (inverted-index join,
+    * sub-quadratic per shared-token bucket) transitively closed by
+    * distributed hash-min components; the loser id set is tiny relative
+    * to the corpus, so the removal is one broadcast anti-join. At corpus
+    * scale swap the edge source for [[Dedup.lshVerifiedPairs]] (same
+    * downstream closure — it is threshold-agnostic) and/or pass a
+    * hot-token `maxDf` cap; the exact pairs keep this node oracle-able. */
+  def nearDedupe(df: DataFrame, tau: Double): DataFrame = {
+    val losers = Components.connectedComponents(
+      Dedup.jaccardPairs(df, "id", "lang", "text", tau), "da", "db")
+      .filter(col("id") =!= col("comp"))
+      .select(col("id"))
+    df.join(broadcast(losers), Seq("id"), "left_anti")
+  }
+
   /** The pipes, wired over a block source named `docs`: normalize →
     * (optional) language-gate → (optional) benchmark-decontaminate →
-    * PII-scrub → exact-dedupe → score → filter on quality AND
-    * repetition. `benchmark` is the eval set to decontaminate against;
-    * None skips the stage. `langs` is a language allowlist gate (the
-    * CCNet/fineweb-style first cut); Nil skips it. The gate sits FIRST
-    * after normalization on purpose: it is a source-column predicate, so
-    * Catalyst pushes it through the normalize node's boundary into the
-    * parquet scan itself — at 100 TB the non-allowlisted languages are
-    * never decompressed, and every downstream stage (decontaminate's
-    * shingle join, the dedupe shuffle) sees only the gated volume. */
+    * PII-scrub → exact-dedupe → (optional) near-dedupe → score → filter
+    * on quality AND repetition. `benchmark` is the eval set to
+    * decontaminate against; None skips the stage. `langs` is a language
+    * allowlist gate (the CCNet/fineweb-style first cut); Nil skips it.
+    * The gate sits FIRST after normalization on purpose: it is a
+    * source-column predicate, so Catalyst pushes it through the
+    * normalize node's boundary into the parquet scan itself — at 100 TB
+    * the non-allowlisted languages are never decompressed, and every
+    * downstream stage (decontaminate's shingle join, the dedupe shuffle)
+    * sees only the gated volume. `nearDupJaccard` adds [[nearDedupe]]
+    * AFTER the exact stage — exact dedupe first is the production order:
+    * it is one cheap hash shuffle and every byte-identical copy it
+    * removes never enters the near-dup pair join. */
   def nodes(minQuality: Double = 0.5, maxRepetition: Double = 0.9,
-      benchmark: Option[DataFrame] = None, langs: Seq[String] = Nil): Seq[Node] = {
+      benchmark: Option[DataFrame] = None, langs: Seq[String] = Nil,
+      nearDupJaccard: Option[Double] = None): Seq[Node] = {
     val gate = if (langs.isEmpty) Nil else Seq(
       Node("gated", Seq("normalized"),
         m => m("normalized").filter(col("lang").isin(langs: _*))))
@@ -72,19 +93,25 @@ object CorpusModule {
         m => Dedup.decontaminate(m(afterGate), bench, "id", "text", 5))
     }
     val afterNorm = if (benchmark.isDefined) "decontaminated" else afterGate
+    val near = nearDupJaccard.toSeq.map { tau =>
+      Node("neardeduped", Seq("deduped"), m => nearDedupe(m("deduped"), tau))
+    }
+    val afterDedupe = if (nearDupJaccard.isDefined) "neardeduped" else "deduped"
     Seq(
       Node("normalized", Seq("docs"), m => Incremental.schemaCast(m("docs"), schema))) ++
       gate ++ decon ++ Seq(
       Node("scrubbed", Seq(afterNorm), m => scrub(m(afterNorm))),
-      Node("deduped", Seq("scrubbed"), m => dedupe(m("scrubbed"))),
-      Node("scored", Seq("deduped"), m => score(m("deduped"))),
+      Node("deduped", Seq("scrubbed"), m => dedupe(m("scrubbed")))) ++
+      near ++ Seq(
+      Node("scored", Seq(afterDedupe), m => score(m(afterDedupe))),
       Node("kept", Seq("scored"), m => m("scored")
         .filter(col("quality") >= minQuality && col("repetition") <= maxRepetition)))
   }
 
   def graph(minQuality: Double = 0.5, maxRepetition: Double = 0.9,
-      benchmark: Option[DataFrame] = None, langs: Seq[String] = Nil): Graph =
-    new Graph(nodes(minQuality, maxRepetition, benchmark, langs))
+      benchmark: Option[DataFrame] = None, langs: Seq[String] = Nil,
+      nearDupJaccard: Option[Double] = None): Graph =
+    new Graph(nodes(minQuality, maxRepetition, benchmark, langs, nearDupJaccard))
 
   /** Per-doc MinHash signatures of one block: (id, sig). Partial-agg
     * friendly (typed Aggregator → map-side combine before the shuffle). */

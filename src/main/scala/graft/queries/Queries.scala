@@ -4893,11 +4893,34 @@ object Queries {
       .orderBy("id").limit(100)
   }
 
+  /** The corpus module with its near-dup stage engaged — the full
+    * production dedupe ladder at query grain: gate → scrub → exact-dedupe
+    * (hash shuffle) → NEAR-dedupe (exact within-lang token-Jaccard ≥ 0.9
+    * pairs → hash-min components → keeper election → broadcast anti-join)
+    * → score → filter, all through `Graph.run`. Input is bounded to
+    * doc_id < 200 because the ORACLE's closure is an all-pairs recursive
+    * CTE (the q_dedup_cluster precedent); the engine side is the
+    * inverted-index pair join + distributed components that the
+    * standalone flagships measure sub-quadratic at scale. The Jaccard
+    * threshold is an integer-ratio compare (inter/(na+nb−inter), same
+    * int64 counts both engines), so the edge set — and hence the cluster
+    * keepers — are bit-identical cross-engine. */
+  private val qCorpusNeardup: Q = (s, sf) => {
+    val docs = t(s, sf, "documents").filter(col("doc_id") < 200)
+    CorpusModule.graph(minQuality = 0.5, maxRepetition = 0.9,
+      langs = Seq("en"), nearDupJaccard = Some(0.9))
+      .run(Map("docs" -> docs))("kept")
+      .select(col("id"), col("lang"), col("n_chars"),
+        col("quality"), col("repetition"))
+      .orderBy("id").limit(100)
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
     "q_corpus_pipeline" -> qCorpusPipeline,
     "q_corpus_incr" -> qCorpusIncr,
+    "q_corpus_neardup" -> qCorpusNeardup,
     "q_hard_negatives" -> qHardNegatives,
     "q_backtest" -> qBacktest,
     "q_did" -> qDid,

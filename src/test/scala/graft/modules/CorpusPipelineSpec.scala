@@ -69,6 +69,42 @@ class CorpusPipelineSpec extends SparkSpec {
     }
   }
 
+  test("nearDedupe drops non-keepers; exact stage feeds it first") {
+    // doc 2 is a near-dup of doc 1 (one token differs in 20 → jac 19/21
+    // ≈ 0.905 ≥ 0.9); doc 3 is a BYTE-identical copy of doc 1 (exact
+    // stage removes it before the pair join); doc 4 is unrelated
+    val t1 = "a b c d e f g h i j k l m n o p q r s t"
+    val block = Seq(
+      (1L, t1, "en", 40), (2L, t1.replace(" t", " z"), "en", 40),
+      (3L, t1, "en", 40), (4L, "u v w x y", "en", 10))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val nodes = CorpusModule.nodes(nearDupJaccard = Some(0.9))
+    assert(nodes.map(_.id).containsSlice(
+      Seq("deduped", "neardeduped", "scored")))
+    assert(nodes.find(_.id == "neardeduped").get.deps == Seq("deduped"))
+    assert(nodes.find(_.id == "scored").get.deps == Seq("neardeduped"))
+    val out = CorpusModule.graph(minQuality = 0.0, maxRepetition = 1.0,
+      nearDupJaccard = Some(0.9)).run(Map("docs" -> block))
+    assert(out("deduped").select("id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L, 4L)) // exact copy 3 gone
+    assert(out("neardeduped").select("id").collect().map(_.getLong(0))
+      .sorted.toSeq == Seq(1L, 4L)) // near-dup 2 collapsed to keeper 1
+    assert(out("kept").collect().map(_.getAs[Long]("id")).sorted.toSeq
+      == Seq(1L, 4L))
+  }
+
+  test("q_corpus_neardup removes docs the exact stage alone keeps") {
+    val bounded = graft.sources.Tables.table(spark, sf001, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 200)
+    val exactOnly = CorpusModule.graph(minQuality = 0.5,
+      langs = Seq("en")).run(Map("docs" -> bounded))("deduped").count()
+    val withNear = CorpusModule.graph(minQuality = 0.5, langs = Seq("en"),
+      nearDupJaccard = Some(0.9)).run(Map("docs" -> bounded))("neardeduped")
+      .count()
+    assert(withNear < exactOnly, s"near-dup stage dropped nothing " +
+      s"($withNear vs $exactOnly) — corpus should contain near-dups")
+  }
+
   test("q_corpus_pipeline has a single shuffle: the dedupe window") {
     val df = Queries.all("q_corpus_pipeline")(spark, sf001)
     val p = df.queryExecution.executedPlan.toString
