@@ -43,7 +43,8 @@ object Bench {
     "q_random_walk", "q_hits", "q_dedup_cluster", "q_semdedup",
     "q_neardup_lsh", "q_snapshot", "q_cluster_coeff", "q_linkpred",
     "q_holt", "q_backtest", "q_holt_grouped", "q_rcte_decay",
-    "q_rcte_reach", "q_video_neardup", "q_dedup_apply", "q_stream_pipeline")
+    "q_rcte_reach", "q_video_neardup", "q_dedup_apply", "q_stream_pipeline",
+    "q_corpus_neardup")
 
   /** One timed query: seconds, success, how many RDD storage blocks were
     * still registered after the post-query drain (0 = clean), and how

@@ -4915,12 +4915,45 @@ object Queries {
       .orderBy("id").limit(100)
   }
 
+  /** The {incremental} × {near-dup} cell of the corpus-module matrix
+    * (q_corpus_pipeline = batch·exact, q_corpus_neardup = batch·near,
+    * q_corpus_incr = incremental·exact): two parity blocks arrive across
+    * two `runIncremental` calls and the FULL dedupe ladder — exact window
+    * then Jaccard ≥ 0.9 keeper election — runs per DELTA (the module's
+    * documented incremental scope: a run's pipeline sees only its fresh
+    * block). The oracle mirrors both scopes by partitioning the exact
+    * window on (blk, fingerprint) and constraining the pair join to
+    * a.blk = b.blk, which makes the recursive closure block-local for
+    * free. Input bounded to doc_id < 400 (~200 docs/block) because the
+    * oracle's pair CTE is all-pairs and the synthetic corpus is
+    * pathologically near-dup; the engine path is the same sub-quadratic
+    * ladder as the batch row. */
+  private val qCorpusIncrNeardup: Q = (s, sf) => {
+    val docs = t(s, sf, "documents").filter(col("doc_id") < 400)
+    val blk = Map(
+      "b0" -> docs.filter(col("doc_id") % 2 === 0),
+      "b1" -> docs.filter(col("doc_id") % 2 === 1))
+    val log = new RunLog(scratchDir("corpusincrnd"))
+    val g = CorpusModule.graph(minQuality = 0.5, maxRepetition = 0.9,
+      nearDupJaccard = Some(0.9))
+    val arrival = Seq("b0", "b1")
+    val keeps = (1 to 2).map { i =>
+      g.runIncremental(
+        Map("docs" -> arrival.take(i).map(b => b -> blk(b))), log)("kept")
+    }
+    keeps.reduce(_.unionByName(_))
+      .select(col("id"), col("lang"), col("n_chars"),
+        col("quality"), col("repetition"))
+      .orderBy("id").limit(100)
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
     "q_corpus_pipeline" -> qCorpusPipeline,
     "q_corpus_incr" -> qCorpusIncr,
     "q_corpus_neardup" -> qCorpusNeardup,
+    "q_corpus_incr_neardup" -> qCorpusIncrNeardup,
     "q_hard_negatives" -> qHardNegatives,
     "q_backtest" -> qBacktest,
     "q_did" -> qDid,

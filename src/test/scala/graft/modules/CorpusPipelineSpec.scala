@@ -105,6 +105,27 @@ class CorpusPipelineSpec extends SparkSpec {
       s"($withNear vs $exactOnly) — corpus should contain near-dups")
   }
 
+  test("q_corpus_incr_neardup: near-dedupe scopes per delta") {
+    // within-block near-dups collapse; a near-dup pair SPLIT across the
+    // two parity blocks survives (per-delta scope, the module's
+    // documented incremental semantic — cross-run dedupe happens at
+    // materialization, as the exact-stage test above pins)
+    val rows = Queries.all("q_corpus_incr_neardup")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val ids = rows.map(_.getAs[Long]("id")).toSeq
+    assert(ids == ids.sorted)
+    assert(ids.exists(_ % 2 == 0) && ids.exists(_ % 2 == 1))
+    // the per-delta scope keeps MORE docs than the batch ladder over the
+    // same bound would: batch closure sees cross-parity pairs too
+    val batchKept = CorpusModule.graph(minQuality = 0.5,
+      nearDupJaccard = Some(0.9))
+      .run(Map("docs" -> graft.sources.Tables.table(spark, sf001, "documents")
+        .filter(org.apache.spark.sql.functions.col("doc_id") < 400)))("kept")
+      .count()
+    assert(rows.length >= batchKept,
+      s"per-delta scope (${rows.length}) vs batch closure ($batchKept)")
+  }
+
   test("q_corpus_pipeline has a single shuffle: the dedupe window") {
     val df = Queries.all("q_corpus_pipeline")(spark, sf001)
     val p = df.queryExecution.executedPlan.toString
