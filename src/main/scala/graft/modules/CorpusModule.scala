@@ -10,8 +10,9 @@ import graft.operators.{Components, Dedup, Incremental, TextAnalysis}
   * plus pipes you drop into any DAG (the pattern its shipped modules use:
   * declare the shape once, reuse the pipeline everywhere). This one is the
   * canonical training-corpus intake: normalize onto the module schema →
-  * (optional) benchmark-decontaminate → PII-scrub → exact-dedupe by
-  * content → quality/repetition-score → filter.
+  * (optional) language-gate → (optional) benchmark-decontaminate →
+  * PII-scrub → exact-dedupe by content → (optional) near-dedupe keeper
+  * election → quality/repetition-score → filter.
   *
   * Every pipe is a pure DataFrame transformation, so the module composes
   * with [[graft.engine.Graph.runIncremental]]: each run processes only new
@@ -53,18 +54,17 @@ object CorpusModule {
   /** Drop every member of a near-dup cluster except its keeper (min id):
     * exact within-lang token-Jaccard pairs ≥ `tau` (inverted-index join,
     * sub-quadratic per shared-token bucket) transitively closed by
-    * distributed hash-min components; the loser id set is tiny relative
-    * to the corpus, so the removal is one broadcast anti-join. At corpus
-    * scale swap the edge source for [[Dedup.lshVerifiedPairs]] (same
-    * downstream closure — it is threshold-agnostic) and/or pass a
-    * hot-token `maxDf` cap; the exact pairs keep this node oracle-able. */
-  def nearDedupe(df: DataFrame, tau: Double): DataFrame = {
-    val losers = Components.connectedComponents(
-      Dedup.jaccardPairs(df, "id", "lang", "text", tau), "da", "db")
-      .filter(col("id") =!= col("comp"))
-      .select(col("id"))
-    df.join(broadcast(losers), Seq("id"), "left_anti")
-  }
+    * distributed hash-min components, losers removed by
+    * [[Components.keepClusterKeepers]] (AQE-sized anti-join — never a
+    * forced broadcast collect of the loser set). At corpus scale swap
+    * the edge source for [[Dedup.lshVerifiedPairs]] (same downstream
+    * closure — it is threshold-agnostic) and/or pass a hot-token `maxDf`
+    * cap; the exact pairs keep this node oracle-able. `maxIter` bounds
+    * the components rounds — raise it for chain-shaped near-dup graphs
+    * (successive edit versions) whose diameter exceeds 20. */
+  def nearDedupe(df: DataFrame, tau: Double, maxIter: Int = 20): DataFrame =
+    Components.keepClusterKeepers(df, "id",
+      Dedup.jaccardPairs(df, "id", "lang", "text", tau), "da", "db", maxIter)
 
   /** The pipes, wired over a block source named `docs`: normalize →
     * (optional) language-gate → (optional) benchmark-decontaminate →
@@ -80,7 +80,17 @@ object CorpusModule {
     * sees only the gated volume. `nearDupJaccard` adds [[nearDedupe]]
     * AFTER the exact stage — exact dedupe first is the production order:
     * it is one cheap hash shuffle and every byte-identical copy it
-    * removes never enters the near-dup pair join. */
+    * removes never enters the near-dup pair join.
+    *
+    * CAVEAT — the near-dup node is EAGER: hash-min components runs its
+    * iterative rounds (jobs + localCheckpoints) when the node function
+    * is invoked during graph wiring, unlike every other node, which only
+    * builds a lazy plan. Under [[graft.engine.Graph.runIncremental]]'s
+    * at-least-once sink contract that means the pair-join + components
+    * cost lands BEFORE the sink's durability point and is repaid
+    * wholesale on a retry — acceptable because the stage is
+    * deterministic and idempotent, but callers wiring the graph purely
+    * for plan inspection should leave `nearDupJaccard` off. */
   def nodes(minQuality: Double = 0.5, maxRepetition: Double = 0.9,
       benchmark: Option[DataFrame] = None, langs: Seq[String] = Nil,
       nearDupJaccard: Option[Double] = None): Seq[Node] = {

@@ -98,6 +98,24 @@ object Components {
       .select(col("id"), col("comp"), col("sz"))
   }
 
+  /** The dedupe DELIVERABLE shared by the declared q_dedup_apply row and
+    * the corpus module's near-dup stage: drop every clustered vertex
+    * except its cluster keeper (min id) from `df`. The loser set is
+    * usually far smaller than the corpus, but it is NOT forced broadcast:
+    * AQE broadcasts it when its runtime size allows and falls back to a
+    * shuffled anti-join when it doesn't — at web scale near-dup losers
+    * can be a large fraction of all documents, and a forced broadcast
+    * would collect them all to the driver. `maxIter` bounds the
+    * components rounds (chain-shaped near-dup graphs — successive edit
+    * versions — can exceed the default diameter bound of 20). */
+  def keepClusterKeepers(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol, maxIter)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Cheapest paths within a hop budget — `hops` rounds of Bellman–Ford
     * relaxation over integer edge weights: dist'(v) = min(dist(v),
     * min_{u→v}(dist(u) + w(u,v))). The hop bound IS the semantic (the

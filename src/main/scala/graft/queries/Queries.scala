@@ -1684,16 +1684,15 @@ object Queries {
         round(avg("jac"), 4).as("aj"))
 
   /** The dedup DELIVERABLE: the cleaned corpus after cluster collapse —
-    * every clustered doc except its cluster keeper (min id) is dropped via
-    * one broadcast anti-join of the (tiny) non-keeper id set against the
-    * corpus. Pairs → clusters → cleaned corpus, end to end. */
+    * every clustered doc except its cluster keeper (min id) is dropped by
+    * [[Components.keepClusterKeepers]] (the same helper the corpus
+    * module's near-dup stage uses; the anti-join is AQE-sized, so the
+    * tiny loser set broadcasts at runtime without a forced driver-side
+    * collect). Pairs → clusters → cleaned corpus, end to end. */
   private val qDedupApply: Q = (s, sf) => {
     val docs = t(s, sf, "documents").filter(col("doc_id") < 200)
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "lang", "text", 0.9)
-    val losers = Components.connectedComponents(pairs, "da", "db")
-      .filter(col("id") =!= col("comp"))
-      .select(col("id").as("doc_id"))
-    docs.join(broadcast(losers), Seq("doc_id"), "left_anti")
+    Components.keepClusterKeepers(docs, "doc_id", pairs, "da", "db")
       .agg(count(lit(1)).as("kept"),
         sum(col("doc_id")).cast("bigint").as("chk"))
   }
