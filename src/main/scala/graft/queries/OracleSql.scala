@@ -1978,6 +1978,10 @@ object OracleSql {
     "q_neardup_incr" -> incrNeardupSql,
     // identical semantics through the persisted band/token-hash index
     "q_neardup_incr_indexed" -> incrNeardupSql,
+    // same semantics again through the module-grain orchestration
+    // (RunLog ledger + sink-gated persisted index): the row pins that
+    // the composition preserves the operator's result exactly
+    "q_corpus_index_probe" -> incrNeardupSql,
     "q_passage_dedup" -> passageDedupSql,
     "q_embed_decontaminate" -> embedDecontaminateSql,
     // rank-based U: tie groups contribute min(rn)+max(rn) = 2·avg rank,

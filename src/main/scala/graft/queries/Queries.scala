@@ -4946,6 +4946,55 @@ object Queries {
       .orderBy("id").limit(100)
   }
 
+  /** Durable-state incremental composition — the one dags semantic not
+    * yet declared as a row: an ingest run consumes the backlog block and
+    * persists its LSH band + token-hash index THROUGH the sink (blocks
+    * are marked consumed only after the parquet write returns —
+    * [[Graph.runIncremental]]'s at-least-once contract guards the
+    * index's durability point); a second run then probes ONLY the fresh
+    * delta against the PERSISTED index read back from parquet. The
+    * ledger is shared across the two graphs, so the probe run's
+    * pipeline never sees — never re-scans — the backlog. Semantically
+    * identical to the standalone q_neardup_incr_indexed (same split,
+    * params, τ; same oracle text): what this row pins is that the
+    * module-grain orchestration (ledger + sink-gated state) preserves
+    * the operator's result exactly. At 100 TB this is the production
+    * ingest shape: the index append costs the new block's scan, the
+    * probe costs O(delta + matches) through band-partitioned files. */
+  private val qCorpusIndexProbe: Q = (s, sf) => {
+    val numHashes = 8
+    val bands = 2
+    val docs = t(s, sf, "documents")
+    val backlog = docs.filter(col("doc_id") % 10 =!= 0)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val work = scratchDir("corpusixprobe")
+    val log = new RunLog(s"$work/log")
+    val ix = new Graph(Seq(
+      Node("bands", Seq("docs"), m =>
+        Dedup.lshBands(m("docs"), "doc_id", "text", numHashes, bands)),
+      Node("tokens", Seq("docs"), m =>
+        Dedup.tokenHashIndex(m("docs"), "doc_id", "text"))))
+    ix.runIncremental(Map("docs" -> Seq("backlog" -> backlog)), log,
+      sink = out => {
+        out("bands").write.mode("append").partitionBy("band_id")
+          .parquet(s"$work/bands")
+        out("tokens").write.mode("append").parquet(s"$work/tokens")
+      })
+    val probe = new Graph(Seq(
+      Node("pairs", Seq("docs"), m =>
+        Dedup.incrementalLshVerifiedPairs(
+          s.read.parquet(s"$work/bands"), s.read.parquet(s"$work/tokens"),
+          m("docs"), "doc_id", "text", numHashes, bands, 0.8))))
+    probe.runIncremental(
+      Map("docs" -> Seq("backlog" -> backlog, "delta" -> delta)),
+      log)("pairs")
+      .agg(count(lit(1)).as("pairs"),
+        sum(col("da") + col("db")).as("chk"),
+        round(avg("jac"), 4).as("aj"),
+        sum(when(col("da") % 10 === 0 && col("db") % 10 === 0, 1L)
+          .otherwise(0L)).as("nn"))
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
@@ -4953,6 +5002,7 @@ object Queries {
     "q_corpus_incr" -> qCorpusIncr,
     "q_corpus_neardup" -> qCorpusNeardup,
     "q_corpus_incr_neardup" -> qCorpusIncrNeardup,
+    "q_corpus_index_probe" -> qCorpusIndexProbe,
     "q_hard_negatives" -> qHardNegatives,
     "q_backtest" -> qBacktest,
     "q_did" -> qDid,

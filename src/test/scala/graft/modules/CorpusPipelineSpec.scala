@@ -133,6 +133,19 @@ class CorpusPipelineSpec extends SparkSpec {
         "expected a surviving cross-parity near-dup pair")
   }
 
+  test("q_corpus_index_probe equals the standalone indexed probe") {
+    // the module-grain orchestration (shared ledger, sink-gated index
+    // persist, delta-only probe run) must preserve the operator's result
+    // EXACTLY — both rows share one oracle text, so cross-checking the
+    // two engine paths against each other pins the composition layer
+    val viaModule = Queries.all("q_corpus_index_probe")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    val standalone = Queries.all("q_neardup_incr_indexed")(spark, sf001)
+      .collect().map(_.toSeq).toSeq
+    assert(viaModule == standalone)
+    assert(viaModule.head.head.asInstanceOf[Long] > 0) // pairs found
+  }
+
   test("q_corpus_pipeline has a single shuffle: the dedupe window") {
     val df = Queries.all("q_corpus_pipeline")(spark, sf001)
     val p = df.queryExecution.executedPlan.toString
