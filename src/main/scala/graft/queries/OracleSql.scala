@@ -1874,6 +1874,39 @@ object OracleSql {
       "SELECT upper(substr(p_name,1,3)) pre, count(*) c FROM part WHERE p_name LIKE '%a%' GROUP BY pre ORDER BY c DESC, pre LIMIT 20",
     "q_date" ->
       "SELECT CAST(date_trunc('month', o_orderdate) AS DATE) m, count(*) c, round(sum(o_totalprice),2) s FROM orders GROUP BY m ORDER BY m",
+    // q_variant's oracle computes the SAME aggregate from the base
+    // columns (no JSON round-trip): a match proves the engine's
+    // to_json -> parse_json -> variant_get path is lossless and
+    // correctly typed. nmiss == n because try_variant_get on the
+    // missing path must be NULL on every row.
+    "q_variant" ->
+      ("SELECT event_type AS t, count(*) AS n, round(sum(value),2) AS sv, " +
+        "CAST(sum(user_id) AS BIGINT) AS su, " +
+        "CAST(sum(CAST(json_extract(props,'$.k') AS INTEGER)) AS BIGINT) AS sk, " +
+        "count(*) AS nmiss FROM events GROUP BY event_type ORDER BY t"),
+    // q_sql_pipe's oracle is the ANSI lowering of the pipe text: |>
+    // WHERE pre-agg = WHERE, |> EXTEND = select-list expr, |> AGGREGATE
+    // ... GROUP BY = GROUP BY, post-agg |> WHERE = HAVING.
+    "q_sql_pipe" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "round(sum(round(l_extendedprice*(1-l_discount),2)),2) AS rev, " +
+        "count(*) AS n FROM lineitem WHERE l_quantity > 10 " +
+        "GROUP BY l_returnflag, l_linestatus HAVING count(*) > 100 " +
+        "ORDER BY l_returnflag, l_linestatus"),
+    // UTF8_LCASE grouping spelled as explicit lower() for DuckDB.
+    "q_collation" ->
+      ("WITH m AS (SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand) " +
+        "ELSE lower(p_brand) END AS b, p_retailprice FROM part) " +
+        "SELECT lower(b) AS brand, count(*) AS n, " +
+        "round(sum(p_retailprice),2) AS s FROM m GROUP BY lower(b) " +
+        "ORDER BY brand"),
+    // DuckDB spelling of LISTAGG ... WITHIN GROUP: string_agg with an
+    // in-aggregate ORDER BY.
+    "q_listagg" ->
+      ("SELECT o_orderpriority, " +
+        "string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus) " +
+        "AS statuses, count(*) AS n FROM orders GROUP BY o_orderpriority " +
+        "ORDER BY o_orderpriority"),
     // DuckDB spelling: json_extract + CAST (Spark: get_json_object).
     "q_json" ->
       "SELECT CAST(json_extract(props,'$.k') AS INTEGER) % 10 kb, count(*) c FROM events GROUP BY kb ORDER BY kb",

@@ -4995,9 +4995,107 @@ object Queries {
           .otherwise(0L)).as("nn"))
   }
 
+  // ------------------------------------------- modern SQL surface (ISO
+  // SQL:2023 / Spark 4 additions: VARIANT, pipe syntax, collations,
+  // LISTAGG — the open-schema + SQL-pipe surfaces a 2026 lakehouse user
+  // expects from the engine)
+
+  /** Spark 4 VARIANT path — the open-schema ingest shape: each event's
+    * typed columns are rendered to one nested JSON document in-plan,
+    * parsed ONCE into a VARIANT, and every downstream access is a typed
+    * `variant_get` path (top-level string, nested struct field, array
+    * element, plus a key lifted out of the raw `props` JSON). The oracle
+    * computes the identical aggregate from the BASE columns, so a match
+    * proves the variant round-trip is lossless and correctly typed at
+    * every access; `try_variant_get` on a missing path must yield NULL
+    * for every row (the nmiss column counts it). Scale: VARIANT is
+    * parse-once/binary-encoded — N path accesses cost N cheap binary
+    * probes instead of N full JSON string re-parses, and the shape stays
+    * narrow + codegen'd (no shuffle before the final aggregate). */
+  private val qVariant: Q = (s, sf) => {
+    val doc = to_json(struct(
+      col("event_type").as("t"),
+      struct(col("user_id").as("u"), col("value").as("v")).as("m"),
+      array(col("event_id"), col("user_id")).as("ids"),
+      get_json_object(col("props"), "$.k").cast("int").as("k")))
+    t(s, sf, "events")
+      .select(parse_json(doc).as("va"))
+      .select(
+        expr("variant_get(va, '$.t', 'string')").as("t"),
+        expr("variant_get(va, '$.m.v', 'double')").as("v"),
+        expr("variant_get(va, '$.ids[1]', 'bigint')").as("uid"),
+        expr("variant_get(va, '$.k', 'int')").cast("long").as("k"),
+        expr("try_variant_get(va, '$.missing', 'int')").as("miss"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n"),
+        round(sum("v"), 2).as("sv"),
+        sum("uid").as("su"),
+        sum("k").as("sk"),
+        sum(when(col("miss").isNull, 1L).otherwise(0L)).as("nmiss"))
+      .orderBy("t")
+  }
+
+  /** Spark 4 SQL pipe syntax — the dags SQL-pipe surface in its modern
+    * spelling: each `|>` stage is one pipe operator (filter → derived
+    * column → aggregate → post-aggregation filter on the aggregate →
+    * order), reading top-to-bottom in DAG order like the reference's
+    * pipes compose. Pure parser surface: the text lowers to the same
+    * Catalyst aggregate the ANSI form produces (the oracle IS that ANSI
+    * form), so pushdown, partial aggregation and codegen are unchanged
+    * — grammar sugar, not a new executor. */
+  private val qSqlPipe: Q = (s, sf) => {
+    t(s, sf, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql("""FROM lineitem
+             |> WHERE l_quantity > 10
+             |> EXTEND round(l_extendedprice * (1 - l_discount), 2) AS net
+             |> AGGREGATE round(sum(net), 2) AS rev, count(*) AS n
+                  GROUP BY l_returnflag, l_linestatus
+             |> WHERE n > 100
+             |> ORDER BY l_returnflag, l_linestatus""")
+  }
+
+  /** Spark 4 collation-aware grouping: mixed-case renderings of the same
+    * brand (upper for even part keys, lower for odd) collapse to ONE
+    * group under UTF8_LCASE — the collation travels with the column and
+    * the group-by hash/equality honor it in-plan, with no lower()
+    * rewrite of the data itself. The output key is normalized through
+    * lower() and cast back to the default collation, because a CI
+    * group's representative is whichever member a partition saw first
+    * (legitimately nondeterministic under parallelism — same reason
+    * first() isn't in any oracle); the oracle mirrors with explicit
+    * lower() grouping. One hash aggregate, map-side partials intact. */
+  private val qCollation: Q = (s, sf) =>
+    t(s, sf, "part")
+      .select(
+        when(col("p_partkey") % 2 === 0, upper(col("p_brand")))
+          .otherwise(lower(col("p_brand"))).as("b"),
+        col("p_retailprice"))
+      .groupBy(expr("collate(b, 'UTF8_LCASE')").as("bc"))
+      .agg(count(lit(1)).as("n"), round(sum("p_retailprice"), 2).as("s"))
+      .select(lower(col("bc")).cast("string").as("brand"), col("n"),
+        col("s"))
+      .orderBy("brand")
+
+  /** ISO SQL:2023 LISTAGG ... WITHIN GROUP (Spark 4.1 native) — the
+    * standard ordered string aggregation, previously only expressible
+    * here as array_join(array_sort(collect_set(...))) ([[qStringAgg]]).
+    * DISTINCT + the explicit WITHIN GROUP order make the concatenation
+    * deterministic under any partitioning/merge order. */
+  private val qListagg: Q = (s, sf) =>
+    t(s, sf, "orders")
+      .groupBy("o_orderpriority")
+      .agg(expr("listagg(DISTINCT o_orderstatus, '|') " +
+          "WITHIN GROUP (ORDER BY o_orderstatus)").as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_variant" -> qVariant,
+    "q_sql_pipe" -> qSqlPipe,
+    "q_collation" -> qCollation,
+    "q_listagg" -> qListagg,
     "q_corpus_pipeline" -> qCorpusPipeline,
     "q_corpus_incr" -> qCorpusIncr,
     "q_corpus_neardup" -> qCorpusNeardup,
