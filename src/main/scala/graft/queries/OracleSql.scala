@@ -1240,6 +1240,35 @@ object OracleSql {
     // PII scrub ('g' flag: replace-all) -> exact dedupe keep-min-id on
     // md5 of the SCRUBBED text -> floor-quantized quality (q_quality
     // spelling) + bigram repetition (q_repetition spelling) -> filter
+    // q_corpus_observed: every stage's gauge recomputed from the
+    // flattened chain (same scrub/dedupe/score spellings as
+    // q_corpus_pipeline, minus the lang filter in `n` — the observed
+    // row gauges the PRE-gate intake too). sum() lifted from HUGEINT.
+    "q_corpus_observed" ->
+      ("WITH n AS (SELECT CAST(doc_id AS BIGINT) id, text, lang, CAST(n_chars AS INT) n_chars FROM documents), " +
+        "g AS (SELECT * FROM n WHERE lang = 'en'), " +
+        "sc AS (SELECT id, regexp_replace(regexp_replace(text, " +
+        "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS \"text\", lang, n_chars FROM g), " +
+        "dd AS (SELECT * FROM sc QUALIFY row_number() OVER (PARTITION BY md5(\"text\") ORDER BY id) = 1), " +
+        "gr AS (SELECT id, lang, n_chars, string_split(\"text\", ' ') ws FROM dd), " +
+        "rep AS (SELECT id, floor((1 - count(DISTINCT s)/CAST(count(*) AS DOUBLE))*10000 + 0.5)/10000 repetition " +
+        "FROM (SELECT id, array_to_string(ws[i:i+1], ' ') s " +
+        "FROM (SELECT id, ws, unnest(range(1, greatest(len(ws)-1,1)+1)) i FROM gr) t) sh GROUP BY id), " +
+        "scored AS (SELECT gr.id, gr.lang, gr.n_chars, " +
+        "floor((least(gr.n_chars/400.0, 1.0)*0.5 + " +
+        "(len(list_filter(gr.ws, w -> w IN ('the', 'a')))/CAST(len(gr.ws) AS DOUBLE))*0.3 + " +
+        "least(len(gr.ws)/80.0, 1.0)*0.2)*10000 + 0.5)/10000 quality, rep.repetition " +
+        "FROM gr JOIN rep USING (id)), " +
+        "k AS (SELECT * FROM scored WHERE quality >= 0.5 AND repetition <= 0.9) " +
+        "SELECT * FROM (" +
+        "SELECT 1 AS ord, 'normalized' AS stage, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS n_chars_sum FROM n " +
+        "UNION ALL SELECT 2, 'gated', count(*), CAST(sum(n_chars) AS BIGINT) FROM g " +
+        "UNION ALL SELECT 3, 'scrubbed', count(*), CAST(sum(n_chars) AS BIGINT) FROM sc " +
+        "UNION ALL SELECT 4, 'deduped', count(*), CAST(sum(n_chars) AS BIGINT) FROM dd " +
+        "UNION ALL SELECT 5, 'scored', count(*), CAST(sum(n_chars) AS BIGINT) FROM scored " +
+        "UNION ALL SELECT 6, 'kept', count(*), CAST(sum(n_chars) AS BIGINT) FROM k) " +
+        "ORDER BY ord"),
     "q_corpus_pipeline" ->
       ("WITH n AS (SELECT CAST(doc_id AS BIGINT) id, text, lang, CAST(n_chars AS INT) n_chars " +
         "FROM documents WHERE lang = 'en'), " +

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import graft.operators.{AsOfJoin, Bloom, Components, Dedup, Incremental, IntervalJoin, Iterate, Ivf, Multimodal, Pq, Rank, Retrieval, Sampling, Similarity, Skew, TextAnalysis, Validate}
-import graft.engine.{Graph, Node, RunLog, Snapshot}
+import graft.engine.{Graph, Node, Observed, RunLog, Snapshot}
 import graft.modules.CorpusModule
 import graft.sources.Layout
 
@@ -5089,6 +5089,39 @@ object Queries {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** The corpus pipeline with PER-NODE OBSERVABILITY — the reference's
+    * per-pipe run statistics as a declared row: [[Observed.instrument]]
+    * wraps every CorpusModule node in `Dataset.observe` (a Catalyst
+    * `CollectMetrics` barrier), ONE count() materializes `kept`, and all
+    * six stages' gauges (row count + total chars) arrive on that single
+    * job's metrics channel — partial-agg per task, accumulator-merged on
+    * the driver, zero extra scans or actions. The result frame is built
+    * driver-side from the six tiny metric rows; the oracle recomputes
+    * every stage's count/volume from the flattened SQL chain, so a match
+    * proves the observed values are EXACT (not sampled) at every node
+    * boundary. 100 TB: the naive audit (df.count() per stage) re-scans
+    * the corpus once per gauge; this row pays one pass. Observing the
+    * pre-gate intake deliberately holds the lang gate out of the scan —
+    * gate selectivity (normalized vs gated volume, the #1 pipeline
+    * health metric) cannot be measured without reading the intake; when
+    * that gauge isn't needed, `only=` restores full pushdown
+    * (plan-asserted both ways in ObservedSpec). */
+  private val qCorpusObserved: Q = (s, sf) => {
+    import s.implicits._
+    val (g, h) = Observed.instrument(
+      CorpusModule.graph(minQuality = 0.5, maxRepetition = 0.9,
+        langs = Seq("en")),
+      metrics = _ => Seq(count(lit(1)).as("n_rows"),
+        sum(col("n_chars").cast("long")).as("n_chars_sum")))
+    g.run(Map("docs" -> t(s, sf, "documents")))("kept").count()
+    Seq("normalized", "gated", "scrubbed", "deduped", "scored", "kept")
+      .zipWithIndex.map { case (st, i) =>
+        val m = h.metrics(st)
+        (i + 1, st, m("n_rows").asInstanceOf[Long],
+          m("n_chars_sum").asInstanceOf[Long])
+      }.toDF("ord", "stage", "n_rows", "n_chars_sum").orderBy("ord")
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
@@ -5096,6 +5129,7 @@ object Queries {
     "q_sql_pipe" -> qSqlPipe,
     "q_collation" -> qCollation,
     "q_listagg" -> qListagg,
+    "q_corpus_observed" -> qCorpusObserved,
     "q_corpus_pipeline" -> qCorpusPipeline,
     "q_corpus_incr" -> qCorpusIncr,
     "q_corpus_neardup" -> qCorpusNeardup,
