@@ -1,5 +1,6 @@
 package graft.engine
 
+import scala.collection.concurrent.TrieMap
 import scala.concurrent.Await
 import scala.concurrent.duration.Duration
 import java.util.concurrent.TimeUnit
@@ -35,6 +36,24 @@ import org.apache.spark.sql.functions.{count, lit}
   * aggregates without DISTINCT, and only nodes that are ancestors of a
   * materialized output ever fire (a node outside the action's lineage
   * stays pending — read it with [[Handle.metricsOrEmpty]] or a timeout).
+  * An observation's execution listener is unregistered only when its
+  * metrics row is DELIVERED, so an instrumented graph that is wired but
+  * never materialized (e.g. plan inspection) parks its listeners on the
+  * session for the session's life — bounded (one per gauged node, no-op
+  * on dispatch) but cumulative; don't instrument plan-inspection-only
+  * wiring in a long-lived session.
+  *
+  * EMPTY-STAGE quirk, normalized here: a gauge whose subtree the
+  * optimizer folds to a statically-empty relation (e.g. a filter over a
+  * local relation that keeps nothing) executes as an RDD with ZERO
+  * partitions, so no task ever merges a partial into the metrics
+  * accumulator and Spark delivers an EMPTY row (no fields) instead of
+  * the aggregates-over-empty-input values. [[Handle]] detects the
+  * zero-field delivery and re-evaluates the same metric columns over
+  * `limit(0)` of the node's output — count gauges read 0, sum/min/max
+  * gauges read NULL, exactly what an aggregate over an empty stage
+  * means. (A runtime-empty stage with real input partitions doesn't hit
+  * this: its tasks run and merge genuine empty-input partials.)
   */
 object Observed {
 
@@ -42,7 +61,9 @@ object Observed {
   val rowCount: String => Seq[Column] = _ => Seq(count(lit(1)).as("n_rows"))
 
   /** Read-side of one instrumented run. */
-  final class Handle private[engine] (private val obs: Map[String, Observation]) {
+  final class Handle private[engine] (
+      private val obs: Map[String, Observation],
+      private val emptyStage: TrieMap[String, () => Map[String, Any]]) {
     def nodeIds: Set[String] = obs.keySet
 
     /** This node's metrics; blocks (up to `timeoutMs`) until the action
@@ -51,16 +72,28 @@ object Observed {
       * means nothing materialized this node (wrong output, or a node off
       * the sink's lineage). */
     def metrics(nodeId: String, timeoutMs: Long = 120000L): Map[String, Any] = {
-      val o = obs(nodeId)
+      val o = lookup(nodeId)
       Await.ready(o.future, Duration(timeoutMs, TimeUnit.MILLISECONDS))
-      o.get
+      normalize(nodeId, o.get)
     }
 
     /** Non-blocking read: empty until the metrics row has been delivered. */
     def metricsOrEmpty(nodeId: String): Map[String, Any] = {
-      val o = obs(nodeId)
-      if (o.future.isCompleted) o.get else Map.empty
+      val o = lookup(nodeId)
+      if (o.future.isCompleted) normalize(nodeId, o.get) else Map.empty
     }
+
+    /** Zero-field delivery = zero-partition subtree (see EMPTY-STAGE in
+      * the object doc): substitute aggregates-over-empty-input. Metric
+      * columns are required nonEmpty at instrument time, so a genuine
+      * delivery always has fields. */
+    private def normalize(nodeId: String, m: Map[String, Any]): Map[String, Any] =
+      if (m.nonEmpty) m else emptyStage.get(nodeId).fold(m)(_.apply())
+
+    private def lookup(nodeId: String): Observation =
+      obs.getOrElse(nodeId, throw new IllegalArgumentException(
+        s"no observation for node '$nodeId' — instrumented nodes: " +
+          obs.keys.toSeq.sorted.mkString(", ")))
   }
 
   /** Instrument `g`: each chosen node's output gains an observation named
@@ -79,14 +112,20 @@ object Observed {
     require(unknown.isEmpty, s"only= names unknown nodes: ${unknown.mkString(", ")}")
     val picked = if (only.isEmpty) g.nodes.map(_.id).toSet else only
     val obs = picked.map(id => id -> new Observation(s"graft.$id")).toMap
+    val emptyStage = TrieMap.empty[String, () => Map[String, Any]]
     val wrapped = g.nodes.map { n =>
       if (!picked(n.id)) n
       else n.copy(fn = upstream => {
         val ms = metrics(n.id)
         require(ms.nonEmpty, s"node ${n.id}: metrics() returned no columns")
-        n.fn(upstream).observe(obs(n.id), ms.head, ms.tail: _*)
+        val out = n.fn(upstream)
+        emptyStage.put(n.id, () => {
+          val r = out.limit(0).agg(ms.head, ms.tail: _*).head()
+          r.getValuesMap[Any](r.schema.fieldNames)
+        })
+        out.observe(obs(n.id), ms.head, ms.tail: _*)
       })
     }
-    (new Graph(wrapped), new Handle(obs))
+    (new Graph(wrapped), new Handle(obs, emptyStage))
   }
 }

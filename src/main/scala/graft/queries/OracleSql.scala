@@ -1236,10 +1236,6 @@ object OracleSql {
       ("SELECT o_custkey, count(*) n, round(sum(o_totalprice), 2) s " +
         "FROM orders WHERE o_totalprice > 100000 " +
         "GROUP BY o_custkey ORDER BY n DESC, o_custkey LIMIT 20"),
-    // CorpusModule's five-node DAG flattened: normalize -> lang gate ->
-    // PII scrub ('g' flag: replace-all) -> exact dedupe keep-min-id on
-    // md5 of the SCRUBBED text -> floor-quantized quality (q_quality
-    // spelling) + bigram repetition (q_repetition spelling) -> filter
     // q_corpus_observed: every stage's gauge recomputed from the
     // flattened chain (same scrub/dedupe/score spellings as
     // q_corpus_pipeline, minus the lang filter in `n` — the observed
@@ -1269,6 +1265,43 @@ object OracleSql {
         "UNION ALL SELECT 5, 'scored', count(*), CAST(sum(n_chars) AS BIGINT) FROM scored " +
         "UNION ALL SELECT 6, 'kept', count(*), CAST(sum(n_chars) AS BIGINT) FROM k) " +
         "ORDER BY ord"),
+    // q_corpus_incr_observed: the q_corpus_observed chain carried
+    // through a `run` column (run 1 = even doc_id block, run 2 = odd —
+    // the delta each incremental run sees); the dedupe window adds run
+    // to its partition so each run's chain stays block-local, and every
+    // stage gauge is recomputed GROUP BY run. id is globally unique, so
+    // the repetition regroup needs no run key.
+    "q_corpus_incr_observed" ->
+      ("WITH r(run, par) AS (VALUES (1, 0), (2, 1)), " +
+        "n AS (SELECT r.run, CAST(doc_id AS BIGINT) id, text, lang, CAST(n_chars AS INT) n_chars " +
+        "FROM documents JOIN r ON doc_id % 2 = r.par), " +
+        "g AS (SELECT * FROM n WHERE lang = 'en'), " +
+        "sc AS (SELECT run, id, regexp_replace(regexp_replace(text, " +
+        "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS \"text\", lang, n_chars FROM g), " +
+        "dd AS (SELECT * FROM sc QUALIFY row_number() OVER (PARTITION BY run, md5(\"text\") ORDER BY id) = 1), " +
+        "gr AS (SELECT run, id, lang, n_chars, string_split(\"text\", ' ') ws FROM dd), " +
+        "rep AS (SELECT id, floor((1 - count(DISTINCT s)/CAST(count(*) AS DOUBLE))*10000 + 0.5)/10000 repetition " +
+        "FROM (SELECT id, array_to_string(ws[i:i+1], ' ') s " +
+        "FROM (SELECT id, ws, unnest(range(1, greatest(len(ws)-1,1)+1)) i FROM gr) t) sh GROUP BY id), " +
+        "scored AS (SELECT gr.run, gr.id, gr.lang, gr.n_chars, " +
+        "floor((least(gr.n_chars/400.0, 1.0)*0.5 + " +
+        "(len(list_filter(gr.ws, w -> w IN ('the', 'a')))/CAST(len(gr.ws) AS DOUBLE))*0.3 + " +
+        "least(len(gr.ws)/80.0, 1.0)*0.2)*10000 + 0.5)/10000 quality, rep.repetition " +
+        "FROM gr JOIN rep USING (id)), " +
+        "k AS (SELECT * FROM scored WHERE quality >= 0.5 AND repetition <= 0.9) " +
+        "SELECT * FROM (" +
+        "SELECT run, 1 AS ord, 'normalized' AS stage, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS n_chars_sum FROM n GROUP BY run " +
+        "UNION ALL SELECT run, 2, 'gated', count(*), CAST(sum(n_chars) AS BIGINT) FROM g GROUP BY run " +
+        "UNION ALL SELECT run, 3, 'scrubbed', count(*), CAST(sum(n_chars) AS BIGINT) FROM sc GROUP BY run " +
+        "UNION ALL SELECT run, 4, 'deduped', count(*), CAST(sum(n_chars) AS BIGINT) FROM dd GROUP BY run " +
+        "UNION ALL SELECT run, 5, 'scored', count(*), CAST(sum(n_chars) AS BIGINT) FROM scored GROUP BY run " +
+        "UNION ALL SELECT run, 6, 'kept', count(*), CAST(sum(n_chars) AS BIGINT) FROM k GROUP BY run) " +
+        "ORDER BY run, ord"),
+    // CorpusModule's five-node DAG flattened: normalize -> lang gate ->
+    // PII scrub ('g' flag: replace-all) -> exact dedupe keep-min-id on
+    // md5 of the SCRUBBED text -> floor-quantized quality (q_quality
+    // spelling) + bigram repetition (q_repetition spelling) -> filter
     "q_corpus_pipeline" ->
       ("WITH n AS (SELECT CAST(doc_id AS BIGINT) id, text, lang, CAST(n_chars AS INT) n_chars " +
         "FROM documents WHERE lang = 'en'), " +

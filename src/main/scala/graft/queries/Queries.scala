@@ -5114,12 +5114,54 @@ object Queries {
       metrics = _ => Seq(count(lit(1)).as("n_rows"),
         sum(col("n_chars").cast("long")).as("n_chars_sum")))
     g.run(Map("docs" -> t(s, sf, "documents")))("kept").count()
-    Seq("normalized", "gated", "scrubbed", "deduped", "scored", "kept")
-      .zipWithIndex.map { case (st, i) =>
+    // stage list = the graph's own topo order (single source of truth
+    // with CorpusModule's node ids); sum-of-empty-stage is NULL on both
+    // engines, so the gauge stays Option — never silently unboxed to 0
+    g.topoOrder.map(_.id).zipWithIndex.map { case (st, i) =>
+      val m = h.metrics(st)
+      (i + 1, st, m("n_rows").asInstanceOf[Long],
+        Option(m("n_chars_sum")).map(_.asInstanceOf[Long]))
+    }.toDF("ord", "stage", "n_rows", "n_chars_sum").orderBy("ord")
+  }
+
+  /** Per-RUN node gauges through [[Graph.runIncremental]] — the
+    * reference's per-run pipeline report: two parity blocks arrive
+    * across two incremental runs, each run is instrumented fresh
+    * ([[Observed.instrument]] is single-use by construction) and its
+    * gauges ride the run's OWN materialization — the `sink` hook, the
+    * at-least-once commit point. That placement is the contract being
+    * pinned: blocks are marked consumed only after the sink returns, so
+    * by the time a run's ledger entry exists its six stage gauges have
+    * already been delivered on the same job — a crashed run leaves
+    * neither a ledger row nor a gauge row, never one without the other.
+    * Output = (run, ord, stage, n_rows, n_chars_sum) per run × stage;
+    * the oracle replays both delta-scoped chains (parity-split, dedupe
+    * window partitioned by run) and recomputes every gauge, so a match
+    * proves per-run observability is exact, not sampled. 100 TB: one
+    * pass per run (gauges are accumulator-merged on the delta's job),
+    * and a run costs its fresh block's scan, never the backlog's. */
+  private val qCorpusIncrObserved: Q = (s, sf) => {
+    import s.implicits._
+    val docs = t(s, sf, "documents")
+    val blk = Seq(
+      "b0" -> docs.filter(col("doc_id") % 2 === 0),
+      "b1" -> docs.filter(col("doc_id") % 2 === 1))
+    val log = new RunLog(scratchDir("corpusincrobs"))
+    (1 to 2).flatMap { i => // i-th run: one more block arrived
+      val (g, h) = Observed.instrument(
+        CorpusModule.graph(minQuality = 0.5, maxRepetition = 0.9,
+          langs = Seq("en")),
+        metrics = _ => Seq(count(lit(1)).as("n_rows"),
+          sum(col("n_chars").cast("long")).as("n_chars_sum")))
+      g.runIncremental(Map("docs" -> blk.take(i)), log,
+        sink = out => { out("kept").count(); () })
+      g.topoOrder.map(_.id).zipWithIndex.map { case (st, j) =>
         val m = h.metrics(st)
-        (i + 1, st, m("n_rows").asInstanceOf[Long],
-          m("n_chars_sum").asInstanceOf[Long])
-      }.toDF("ord", "stage", "n_rows", "n_chars_sum").orderBy("ord")
+        (i, j + 1, st, m("n_rows").asInstanceOf[Long],
+          Option(m("n_chars_sum")).map(_.asInstanceOf[Long]))
+      }
+    }.toDF("run", "ord", "stage", "n_rows", "n_chars_sum")
+      .orderBy("run", "ord")
   }
 
   // ---------------------------------------------------------------- map
@@ -5130,6 +5172,7 @@ object Queries {
     "q_collation" -> qCollation,
     "q_listagg" -> qListagg,
     "q_corpus_observed" -> qCorpusObserved,
+    "q_corpus_incr_observed" -> qCorpusIncrObserved,
     "q_corpus_pipeline" -> qCorpusPipeline,
     "q_corpus_incr" -> qCorpusIncr,
     "q_corpus_neardup" -> qCorpusNeardup,

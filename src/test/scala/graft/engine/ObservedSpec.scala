@@ -27,10 +27,12 @@ class ObservedSpec extends SparkSpec {
     assert(h.metricsOrEmpty("kept").isEmpty) // nothing materialized yet
     out("kept").count() // THE action; no per-stage counts anywhere below
     val want = base.run(Map("docs" -> block))
-    Seq("normalized", "gated", "scrubbed", "deduped", "scored", "kept")
-      .foreach { id =>
-        assert(h.metrics(id)("n_rows") === want(id).count(), id)
-      }
+    val stages = base.topoOrder.map(_.id)
+    assert(stages === Seq("normalized", "gated", "scrubbed", "deduped",
+      "scored", "kept")) // the chain the oracle's ord column pins
+    stages.foreach { id =>
+      assert(h.metrics(id)("n_rows") === want(id).count(), id)
+    }
     // non-blocking read works once delivered
     assert(h.metricsOrEmpty("gated")("n_rows") === 3L)
   }
@@ -78,6 +80,42 @@ class ObservedSpec extends SparkSpec {
     val m = h.metrics("gated")
     assert(m("n_rows") === 3L)
     assert(m("n_chars_sum") === (58L + 58L + 57L))
+  }
+
+  test("metrics() for an uninstrumented node names the valid ids") {
+    val (g, h) = Observed.instrument(
+      CorpusModule.graph(minQuality = 0.0, langs = Seq("en")),
+      only = Set("kept"))
+    g.run(Map("docs" -> block))("kept").count()
+    val e = intercept[IllegalArgumentException] { h.metrics("scrubbed") }
+    assert(e.getMessage.contains("scrubbed") && e.getMessage.contains("kept"))
+  }
+
+  test("an empty stage reports a NULL volume gauge, not 0") {
+    val (g, h) = Observed.instrument(
+      CorpusModule.graph(minQuality = 0.0, langs = Seq("xx")), // gate keeps nothing
+      metrics = _ => Seq(count(lit(1)).as("n_rows"),
+        sum(col("n_chars").cast("long")).as("n_chars_sum")),
+      only = Set("gated"))
+    g.run(Map("docs" -> block))("kept").count()
+    val m = h.metrics("gated")
+    assert(m("n_rows") === 0L)
+    assert(Option(m("n_chars_sum")).isEmpty) // sum over no rows is NULL
+  }
+
+  test("q_corpus_incr_observed: per-run gauges equal each delta's direct run") {
+    val got = Queries.all("q_corpus_incr_observed")(spark, sf001).collect()
+    assert(got.length === 12) // 2 runs x 6 stages
+    val docs = graft.sources.Tables.table(spark, sf001, "documents")
+    (1 to 2).foreach { run =>
+      val delta = docs.filter(col("doc_id") % 2 === (run - 1))
+      val direct = CorpusModule.graph(minQuality = 0.5, maxRepetition = 0.9,
+        langs = Seq("en")).run(Map("docs" -> delta))
+      got.filter(_.getInt(0) === run).foreach { r =>
+        assert(r.getLong(3) === direct(r.getString(2)).count(),
+          s"run $run stage ${r.getString(2)}")
+      }
+    }
   }
 
   test("q_corpus_observed equals a direct per-stage recomputation") {
