@@ -77,18 +77,28 @@ object Observed {
       normalize(nodeId, o.get)
     }
 
-    /** Non-blocking read: empty until the metrics row has been delivered. */
+    /** Non-blocking read: empty until the metrics row has been delivered.
+      * (One caveat: the FIRST read of an empty-stage gauge runs the tiny
+      * limit(0) substitution action below — cached for later reads.) */
     def metricsOrEmpty(nodeId: String): Map[String, Any] = {
       val o = lookup(nodeId)
       if (o.future.isCompleted) normalize(nodeId, o.get) else Map.empty
     }
 
+    private val normalized = TrieMap.empty[String, Map[String, Any]]
+
     /** Zero-field delivery = zero-partition subtree (see EMPTY-STAGE in
-      * the object doc): substitute aggregates-over-empty-input. Metric
+      * the object doc): substitute aggregates-over-empty-input, computed
+      * once per node and cached (the substitution is a driver-local
+      * limit(0) action — cheap, but not free on a polling path). Metric
       * columns are required nonEmpty at instrument time, so a genuine
       * delivery always has fields. */
     private def normalize(nodeId: String, m: Map[String, Any]): Map[String, Any] =
-      if (m.nonEmpty) m else emptyStage.get(nodeId).fold(m)(_.apply())
+      if (m.nonEmpty) m
+      else emptyStage.get(nodeId) match {
+        case None => m
+        case Some(eval) => normalized.getOrElseUpdate(nodeId, eval())
+      }
 
     private def lookup(nodeId: String): Observation =
       obs.getOrElse(nodeId, throw new IllegalArgumentException(

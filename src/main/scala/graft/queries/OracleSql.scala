@@ -1290,13 +1290,16 @@ object OracleSql {
         "least(len(gr.ws)/80.0, 1.0)*0.2)*10000 + 0.5)/10000 quality, rep.repetition " +
         "FROM gr JOIN rep USING (id)), " +
         "k AS (SELECT * FROM scored WHERE quality >= 0.5 AND repetition <= 0.9) " +
+        // each gauge LEFT JOINs from the run spine: a run whose stage is
+        // empty still yields its (run, 0, NULL) row — matching the
+        // engine, which always reports every instrumented stage
         "SELECT * FROM (" +
-        "SELECT run, 1 AS ord, 'normalized' AS stage, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS n_chars_sum FROM n GROUP BY run " +
-        "UNION ALL SELECT run, 2, 'gated', count(*), CAST(sum(n_chars) AS BIGINT) FROM g GROUP BY run " +
-        "UNION ALL SELECT run, 3, 'scrubbed', count(*), CAST(sum(n_chars) AS BIGINT) FROM sc GROUP BY run " +
-        "UNION ALL SELECT run, 4, 'deduped', count(*), CAST(sum(n_chars) AS BIGINT) FROM dd GROUP BY run " +
-        "UNION ALL SELECT run, 5, 'scored', count(*), CAST(sum(n_chars) AS BIGINT) FROM scored GROUP BY run " +
-        "UNION ALL SELECT run, 6, 'kept', count(*), CAST(sum(n_chars) AS BIGINT) FROM k GROUP BY run) " +
+        "SELECT r.run, 1 AS ord, 'normalized' AS stage, count(n.id) AS n_rows, CAST(sum(n.n_chars) AS BIGINT) AS n_chars_sum FROM r LEFT JOIN n ON n.run = r.run GROUP BY r.run " +
+        "UNION ALL SELECT r.run, 2, 'gated', count(g.id), CAST(sum(g.n_chars) AS BIGINT) FROM r LEFT JOIN g ON g.run = r.run GROUP BY r.run " +
+        "UNION ALL SELECT r.run, 3, 'scrubbed', count(sc.id), CAST(sum(sc.n_chars) AS BIGINT) FROM r LEFT JOIN sc ON sc.run = r.run GROUP BY r.run " +
+        "UNION ALL SELECT r.run, 4, 'deduped', count(dd.id), CAST(sum(dd.n_chars) AS BIGINT) FROM r LEFT JOIN dd ON dd.run = r.run GROUP BY r.run " +
+        "UNION ALL SELECT r.run, 5, 'scored', count(scored.id), CAST(sum(scored.n_chars) AS BIGINT) FROM r LEFT JOIN scored ON scored.run = r.run GROUP BY r.run " +
+        "UNION ALL SELECT r.run, 6, 'kept', count(k.id), CAST(sum(k.n_chars) AS BIGINT) FROM r LEFT JOIN k ON k.run = r.run GROUP BY r.run) " +
         "ORDER BY run, ord"),
     // CorpusModule's five-node DAG flattened: normalize -> lang gate ->
     // PII scrub ('g' flag: replace-all) -> exact dedupe keep-min-id on

@@ -5106,22 +5106,33 @@ object Queries {
     * health metric) cannot be measured without reading the intake; when
     * that gauge isn't needed, `only=` restores full pushdown
     * (plan-asserted both ways in ObservedSpec). */
+  /** The {row count, Σ n_chars} gauge pair both observed corpus rows
+    * carry — ONE spelling, because both oracles assume it bit-exactly. */
+  private val corpusGauges: String => Seq[Column] =
+    _ => Seq(count(lit(1)).as("n_rows"),
+      sum(col("n_chars").cast("long")).as("n_chars_sum"))
+
+  /** Per-stage gauge extraction shared by the observed corpus rows:
+    * stage list = the graph's own topo order (single source of truth
+    * with CorpusModule's node ids); sum-of-empty-stage is NULL on both
+    * engines, so the gauge stays Option — never silently unboxed to 0. */
+  private def stageGauges(g: graft.engine.Graph, h: Observed.Handle)
+      : Seq[(Int, String, Long, Option[Long])] =
+    g.topoOrder.map(_.id).zipWithIndex.map { case (st, i) =>
+      val m = h.metrics(st)
+      (i + 1, st, m("n_rows").asInstanceOf[Long],
+        Option(m("n_chars_sum")).map(_.asInstanceOf[Long]))
+    }
+
   private val qCorpusObserved: Q = (s, sf) => {
     import s.implicits._
     val (g, h) = Observed.instrument(
       CorpusModule.graph(minQuality = 0.5, maxRepetition = 0.9,
         langs = Seq("en")),
-      metrics = _ => Seq(count(lit(1)).as("n_rows"),
-        sum(col("n_chars").cast("long")).as("n_chars_sum")))
+      metrics = corpusGauges)
     g.run(Map("docs" -> t(s, sf, "documents")))("kept").count()
-    // stage list = the graph's own topo order (single source of truth
-    // with CorpusModule's node ids); sum-of-empty-stage is NULL on both
-    // engines, so the gauge stays Option — never silently unboxed to 0
-    g.topoOrder.map(_.id).zipWithIndex.map { case (st, i) =>
-      val m = h.metrics(st)
-      (i + 1, st, m("n_rows").asInstanceOf[Long],
-        Option(m("n_chars_sum")).map(_.asInstanceOf[Long]))
-    }.toDF("ord", "stage", "n_rows", "n_chars_sum").orderBy("ord")
+    stageGauges(g, h)
+      .toDF("ord", "stage", "n_rows", "n_chars_sum").orderBy("ord")
   }
 
   /** Per-RUN node gauges through [[Graph.runIncremental]] — the
@@ -5151,15 +5162,10 @@ object Queries {
       val (g, h) = Observed.instrument(
         CorpusModule.graph(minQuality = 0.5, maxRepetition = 0.9,
           langs = Seq("en")),
-        metrics = _ => Seq(count(lit(1)).as("n_rows"),
-          sum(col("n_chars").cast("long")).as("n_chars_sum")))
+        metrics = corpusGauges)
       g.runIncremental(Map("docs" -> blk.take(i)), log,
         sink = out => { out("kept").count(); () })
-      g.topoOrder.map(_.id).zipWithIndex.map { case (st, j) =>
-        val m = h.metrics(st)
-        (i, j + 1, st, m("n_rows").asInstanceOf[Long],
-          Option(m("n_chars_sum")).map(_.asInstanceOf[Long]))
-      }
+      stageGauges(g, h).map { case (ord, st, n, sum) => (i, ord, st, n, sum) }
     }.toDF("run", "ord", "stage", "n_rows", "n_chars_sum")
       .orderBy("run", "ord")
   }

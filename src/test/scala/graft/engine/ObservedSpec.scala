@@ -112,8 +112,12 @@ class ObservedSpec extends SparkSpec {
       val direct = CorpusModule.graph(minQuality = 0.5, maxRepetition = 0.9,
         langs = Seq("en")).run(Map("docs" -> delta))
       got.filter(_.getInt(0) === run).foreach { r =>
-        assert(r.getLong(3) === direct(r.getString(2)).count(),
+        val df = direct(r.getString(2))
+        assert(r.getLong(3) === df.count(),
           s"run $run stage ${r.getString(2)}")
+        assert(r.getLong(4) ===
+          df.agg(sum(col("n_chars").cast("long"))).head.getLong(0),
+          s"run $run stage ${r.getString(2)} volume")
       }
     }
   }
