@@ -6,6 +6,28 @@ package graft.queries
   */
 object OracleSql {
 
+  /** Block-scoped corpus chain shared by q_corpus_incr (ledger-fed
+    * parity blocks) and q_corpus_stream (micro-batch-fed parity blocks):
+    * identical delta semantics, one SQL spelling. */
+  private val corpusIncrSql: String =
+    ("WITH n AS (SELECT CAST(doc_id AS BIGINT) id, text, lang, CAST(n_chars AS INT) n_chars, " +
+        "doc_id % 2 AS blk FROM documents), " +
+        "sc AS (SELECT id, regexp_replace(regexp_replace(text, " +
+        "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS \"text\", lang, n_chars, blk FROM n), " +
+        "dd AS (SELECT * FROM sc QUALIFY row_number() OVER (PARTITION BY blk, md5(\"text\") ORDER BY id) = 1), " +
+        "gr AS (SELECT id, lang, n_chars, string_split(\"text\", ' ') ws FROM dd), " +
+        "rep AS (SELECT id, floor((1 - count(DISTINCT s)/CAST(count(*) AS DOUBLE))*10000 + 0.5)/10000 repetition " +
+        "FROM (SELECT id, array_to_string(ws[i:i+1], ' ') s " +
+        "FROM (SELECT id, ws, unnest(range(1, greatest(len(ws)-1,1)+1)) i FROM gr) t) sh GROUP BY id), " +
+        "scored AS (SELECT gr.id, gr.lang, gr.n_chars, " +
+        "floor((least(gr.n_chars/400.0, 1.0)*0.5 + " +
+        "(len(list_filter(gr.ws, w -> w IN ('the', 'a')))/CAST(len(gr.ws) AS DOUBLE))*0.3 + " +
+        "least(len(gr.ws)/80.0, 1.0)*0.2)*10000 + 0.5)/10000 quality, rep.repetition " +
+        "FROM gr JOIN rep USING (id)) " +
+        "SELECT id, lang, n_chars, quality, repetition FROM scored " +
+        "WHERE quality >= 0.5 AND repetition <= 0.9 ORDER BY id LIMIT 100")
+
   // the three ANN ranking texts are shared: each stands as its own
   // oracle entry AND composes into q_ann_recall's recall@10 readout
   private val cosineTopkSql: String =
@@ -1327,24 +1349,11 @@ object OracleSql {
     // partitions on (block, fingerprint) — runIncremental hands the
     // pipeline one DELTA at a time, so exact-dedupe scopes to the block
     // (the module's documented incremental semantic)
-    "q_corpus_incr" ->
-      ("WITH n AS (SELECT CAST(doc_id AS BIGINT) id, text, lang, CAST(n_chars AS INT) n_chars, " +
-        "doc_id % 2 AS blk FROM documents), " +
-        "sc AS (SELECT id, regexp_replace(regexp_replace(text, " +
-        "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
-        "'\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS \"text\", lang, n_chars, blk FROM n), " +
-        "dd AS (SELECT * FROM sc QUALIFY row_number() OVER (PARTITION BY blk, md5(\"text\") ORDER BY id) = 1), " +
-        "gr AS (SELECT id, lang, n_chars, string_split(\"text\", ' ') ws FROM dd), " +
-        "rep AS (SELECT id, floor((1 - count(DISTINCT s)/CAST(count(*) AS DOUBLE))*10000 + 0.5)/10000 repetition " +
-        "FROM (SELECT id, array_to_string(ws[i:i+1], ' ') s " +
-        "FROM (SELECT id, ws, unnest(range(1, greatest(len(ws)-1,1)+1)) i FROM gr) t) sh GROUP BY id), " +
-        "scored AS (SELECT gr.id, gr.lang, gr.n_chars, " +
-        "floor((least(gr.n_chars/400.0, 1.0)*0.5 + " +
-        "(len(list_filter(gr.ws, w -> w IN ('the', 'a')))/CAST(len(gr.ws) AS DOUBLE))*0.3 + " +
-        "least(len(gr.ws)/80.0, 1.0)*0.2)*10000 + 0.5)/10000 quality, rep.repetition " +
-        "FROM gr JOIN rep USING (id)) " +
-        "SELECT id, lang, n_chars, quality, repetition FROM scored " +
-        "WHERE quality >= 0.5 AND repetition <= 0.9 ORDER BY id LIMIT 100"),
+    // shared with q_corpus_stream: the stream row's micro-batches ARE
+    // the parity blocks (one landing file per parity, one file per
+    // trigger), so the block-scoped chain below replays both
+    "q_corpus_incr" -> corpusIncrSql,
+    "q_corpus_stream" -> corpusIncrSql,
     // the near-dup variant: after the exact-dedupe window, within-lang
     // token-Jaccard >= 0.9 pairs over the SCRUBBED text are transitively
     // closed (recursive min-reachable-id, the q_dedup_cluster closure)

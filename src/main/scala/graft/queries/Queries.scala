@@ -5170,6 +5170,28 @@ object Queries {
       .orderBy("run", "ord")
   }
 
+  /** The {stream} row of the corpus-module matrix — the module consumed
+    * from a LIVE Structured-Streaming source ([[Streams.corpusIngest]]):
+    * the corpus lands as one file per doc_id parity, `readStream` with
+    * `maxFilesPerTrigger=1` makes each micro-batch exactly one parity
+    * block, and every batch flows through `Graph.runIncremental` whose
+    * ledger turns foreachBatch's at-least-once replay into exactly-once
+    * block consumption (replayed batch → consumed block → no-op BEFORE
+    * the sink). Because block membership is parity — not batch order —
+    * the per-delta dedupe scope is deterministic, so the stream result
+    * is batch-oracle-able: the oracle is VERBATIM q_corpus_incr's (same
+    * parity-block-scoped chain), pinning stream-fed == ledger-fed. */
+  private val qCorpusStream: Q = (s, sf) => {
+    val work = scratchDir("corpusstream")
+    val g = CorpusModule.graph(minQuality = 0.5, maxRepetition = 0.9)
+    val (kept, _) = graft.streaming.Streams.corpusIngest(
+      t(s, sf, "documents"), g,
+      s"$work/src", s"$work/kept", s"$work/ckpt", s"$work/log")
+    kept.select(col("id"), col("lang"), col("n_chars"),
+      col("quality"), col("repetition"))
+      .orderBy("id").limit(100)
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
@@ -5179,6 +5201,7 @@ object Queries {
     "q_listagg" -> qListagg,
     "q_corpus_observed" -> qCorpusObserved,
     "q_corpus_incr_observed" -> qCorpusIncrObserved,
+    "q_corpus_stream" -> qCorpusStream,
     "q_corpus_pipeline" -> qCorpusPipeline,
     "q_corpus_incr" -> qCorpusIncr,
     "q_corpus_neardup" -> qCorpusNeardup,

@@ -186,4 +186,66 @@ object Streams {
         countDistinct("dy").as("days"))
     (state, nBatches.get())
   }
+
+  /** STREAM-FED MODULE INGEST — the dags production shape where a
+    * pipeline graph consumes a stream: every micro-batch becomes one
+    * [[graft.engine.RunLog]] block and flows through
+    * [[graft.engine.Graph.runIncremental]], whose consumed-block ledger
+    * upgrades foreachBatch's at-least-once replay contract to
+    * EXACTLY-ONCE at block grain: a replayed batchId is already in the
+    * ledger, so `runIncremental` no-ops BEFORE the sink — the module's
+    * pipeline, its durable writes, and its lineage rows all fire at most
+    * once per block (and the per-block overwrite keeps the one genuine
+    * crash window — sink committed, ledger not yet — idempotent too).
+    * Compare [[incrementalEventStats]], which gets idempotence from
+    * additive partials; this needs none — the ledger gates everything,
+    * so even NON-commutative per-delta logic (the module's block-scoped
+    * dedupe) streams correctly.
+    *
+    * The corpus lands as one file per doc_id parity and the stream reads
+    * `maxFilesPerTrigger=1`, so each micro-batch is exactly one parity
+    * block REGARDLESS of file-discovery order — block membership (hence
+    * the module's per-delta dedupe scope, hence the kept union) is
+    * deterministic and batch-oracle-able, the q_stream_pipeline
+    * principle applied to a whole module. 100 TB posture: each trigger
+    * costs its delta's scan + the module's per-delta plan; the backlog
+    * is never re-read (ledger), and state never accumulates in the
+    * stream itself (the module is stateless per block; durable state
+    * lives in the kept parquet).
+    *
+    * Returns (kept union read back from the per-block sink dirs, number
+    * of micro-batches processed). */
+  def corpusIngest(docs: DataFrame, graph: graft.engine.Graph,
+      srcDir: String, keptDir: String, ckptDir: String,
+      logDir: String): (DataFrame, Long) = {
+    val spark = docs.sparkSession
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$srcDir/p0")
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("overwrite").parquet(s"$srcDir/p1")
+    val schema = spark.read.parquet(s"$srcDir/p0").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/p*")
+    val log = new graft.engine.RunLog(logDir)
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        nBatches.incrementAndGet()
+        // batchId is stable under replay — the ledger key that makes
+        // the replayed batch a no-op
+        graph.runIncremental(
+          Map("docs" -> Seq(s"batch$batchId" -> batch)), log,
+          sink = out => {
+            out("kept").write.mode("overwrite")
+              .parquet(s"$keptDir/batch=$batchId")
+            ()
+          })
+        ()
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    (spark.read.parquet(keptDir).drop("batch"), nBatches.get())
+  }
 }

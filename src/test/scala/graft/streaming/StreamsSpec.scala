@@ -444,4 +444,31 @@ class StreamsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.sameElements(want))
   }
+
+  test("corpusIngest: stream-fed module == per-parity module runs, " +
+      "exactly-once at block grain") {
+    import graft.sources.Tables
+    import graft.modules.CorpusModule
+    val docs = Tables.table(spark, sf001, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graftcstream").toString
+    val g = CorpusModule.graph(minQuality = 0.5, maxRepetition = 0.9)
+    val (kept, nBatches) = Streams.corpusIngest(docs, g,
+      s"$dir/src", s"$dir/kept", s"$dir/ckpt", s"$dir/log")
+    // one parity file per trigger: the stream must have split in two
+    assert(nBatches === 2L, s"expected 2 micro-batches, got $nBatches")
+    val got = kept.select("id").as[Long].collect().sorted
+    val want = (0 to 1).flatMap { par =>
+      CorpusModule.graph(minQuality = 0.5, maxRepetition = 0.9)
+        .run(Map("docs" -> docs.filter(col("doc_id") % 2 === par)))("kept")
+        .select("id").as[Long].collect()
+    }.sorted.toArray
+    assert(got.sameElements(want))
+    // EXACTLY-ONCE at block grain: re-offering a consumed batchId to the
+    // same ledger no-ops BEFORE plan wiring or the sink — the streaming
+    // replay path (crash after checkpoint-uncommitted foreachBatch)
+    val log = new graft.engine.RunLog(s"$dir/log")
+    val replay = g.runIncremental(
+      Map("docs" -> Seq("batch0" -> docs.limit(1))), log)
+    assert(replay.isEmpty)
+  }
 }
