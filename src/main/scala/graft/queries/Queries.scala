@@ -5184,9 +5184,15 @@ object Queries {
   private val qCorpusStream: Q = (s, sf) => {
     val work = scratchDir("corpusstream")
     val g = CorpusModule.graph(minQuality = 0.5, maxRepetition = 0.9)
-    val (kept, _) = graft.streaming.Streams.corpusIngest(
+    val (kept, nBatches) = graft.streaming.Streams.corpusIngest(
       t(s, sf, "documents"), g,
       s"$work/src", s"$work/kept", s"$work/ckpt", s"$work/log")
+    // the oracle's dedupe scope is per PARITY BLOCK; that only matches
+    // the stream if each parity file really arrived as its own
+    // micro-batch — fail fast here, not as a puzzling value mismatch
+    // at oracle-compare time
+    require(nBatches == 2,
+      s"expected 2 one-file micro-batches, got $nBatches")
     kept.select(col("id"), col("lang"), col("n_chars"),
       col("quality"), col("repetition"))
       .orderBy("id").limit(100)

@@ -219,10 +219,23 @@ object Streams {
       srcDir: String, keptDir: String, ckptDir: String,
       logDir: String): (DataFrame, Long) = {
     val spark = docs.sparkSession
-    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
-      .write.mode("overwrite").parquet(s"$srcDir/p0")
-    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
-      .write.mode("overwrite").parquet(s"$srcDir/p1")
+    // land each parity once and NEVER rewrite: a restart with the same
+    // dirs must see the same part-file names the checkpoint's
+    // file-source log recorded, or the resumed stream would treat a
+    // rewrite's fresh UUID-named files as new data and re-ingest the
+    // parity under fresh batchIds that bypass the ledger. With stable
+    // landing files, a resume processes only genuinely-unseen files and
+    // a replayed (checkpoint-uncommitted) batch keeps its batchId — the
+    // ledger key — so the exactly-once claim survives the restart path,
+    // not just the single-process run. repartition(1) (not coalesce:
+    // that would collapse the upstream scan to one task) yields the one
+    // file per parity that maxFilesPerTrigger=1 turns into one block.
+    if (!new java.io.File(s"$srcDir/p0").exists) {
+      docs.filter(col("doc_id") % 2 === 0).repartition(1)
+        .write.mode("overwrite").parquet(s"$srcDir/p0")
+      docs.filter(col("doc_id") % 2 === 1).repartition(1)
+        .write.mode("overwrite").parquet(s"$srcDir/p1")
+    }
     val schema = spark.read.parquet(s"$srcDir/p0").schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$srcDir/p*")

@@ -470,5 +470,14 @@ class StreamsSpec extends SparkSpec {
     val replay = g.runIncremental(
       Map("docs" -> Seq("batch0" -> docs.limit(1))), log)
     assert(replay.isEmpty)
+    // RESTART path: re-invoking with the SAME dirs must resume the
+    // checkpoint against the STABLE landing files (never rewritten) —
+    // zero new batches, kept unchanged. A landing rewrite would mint
+    // new part-file names the file-source log has not seen and
+    // re-ingest both parities under fresh ledger keys.
+    val (kept2, nBatches2) = Streams.corpusIngest(docs, g,
+      s"$dir/src", s"$dir/kept", s"$dir/ckpt", s"$dir/log")
+    assert(nBatches2 === 0L, s"restart re-ingested $nBatches2 batches")
+    assert(kept2.select("id").as[Long].collect().sorted.sameElements(got))
   }
 }
