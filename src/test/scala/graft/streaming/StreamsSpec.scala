@@ -480,4 +480,60 @@ class StreamsSpec extends SparkSpec {
     assert(nBatches2 === 0L, s"restart re-ingested $nBatches2 batches")
     assert(kept2.select("id").as[Long].collect().sorted.sameElements(got))
   }
+
+  test("corpusIngest: both crash-replay windows are exactly-once — " +
+      "checkpoint-commit lost (ledger gates), ledger-entry lost " +
+      "(per-block overwrite is idempotent)") {
+    import graft.sources.Tables
+    import graft.modules.CorpusModule
+    val docs = Tables.table(spark, sf001, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graftcrash").toString
+    val g = CorpusModule.graph(minQuality = 0.5, maxRepetition = 0.9)
+    val (kept0, n0) = Streams.corpusIngest(docs, g,
+      s"$dir/src", s"$dir/kept", s"$dir/ckpt", s"$dir/log")
+    assert(n0 === 2L)
+    val want = kept0.select("id").as[Long].collect().sorted
+
+    // WINDOW A: crash after foreachBatch ran batch 1 to completion but
+    // before the streaming checkpoint committed it. The restart replays
+    // batch 1 under the SAME batchId; the ledger already holds batch1,
+    // so runIncremental no-ops BEFORE plan wiring — neither the module,
+    // nor its sink, nor its lineage rows fire a second time.
+    // a commit marker is the file AND its Hadoop checksum sidecar: a
+    // stale .1.crc would fail the replayed commit's atomic rename (it
+    // surfaces as "multiple streaming queries concurrently using")
+    def dropCommit1(): Unit = {
+      assert(java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(s"$dir/ckpt/commits/1")),
+        "checkpoint layout changed: expected a commits/1 marker")
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$dir/ckpt/commits/.1.crc"))
+      ()
+    }
+    dropCommit1()
+    val lineageBefore = new graft.engine.RunLog(s"$dir/log").lineage.size
+    val (keptA, nA) = Streams.corpusIngest(docs, g,
+      s"$dir/src", s"$dir/kept", s"$dir/ckpt", s"$dir/log")
+    assert(nA === 1L, s"expected exactly the replayed batch, got $nA")
+    assert(keptA.select("id").as[Long].collect().sorted.sameElements(want))
+    assert(new graft.engine.RunLog(s"$dir/log").lineage.size === lineageBefore,
+      "a ledger-gated replay must not append lineage rows")
+
+    // WINDOW B: crash BETWEEN the sink's durable write and the ledger
+    // append — the one window where the module genuinely re-runs. Drop
+    // batch1 from the consumed ledger AND the checkpoint commit; the
+    // replay re-runs the block through the module, the per-block
+    // overwrite lands the same rows, and the ledger heals.
+    dropCommit1()
+    val consumed = java.nio.file.Paths.get(s"$dir/log/consumed/docs")
+    val lines = java.nio.file.Files.readAllLines(consumed)
+    assert(lines.remove("batch1"), "ledger layout changed: no batch1 entry")
+    java.nio.file.Files.write(consumed, lines)
+    val (keptB, nB) = Streams.corpusIngest(docs, g,
+      s"$dir/src", s"$dir/kept", s"$dir/ckpt", s"$dir/log")
+    assert(nB === 1L, s"expected exactly the replayed batch, got $nB")
+    assert(keptB.select("id").as[Long].collect().sorted.sameElements(want))
+    assert(new graft.engine.RunLog(s"$dir/log").consumedBlocks("docs")("batch1"),
+      "the re-run replay must re-mark the block consumed")
+  }
 }
