@@ -105,6 +105,56 @@ object CorpusScaleBench {
           "backlog" -> docs, "delta" -> delta)), log)("kept"))
       }
     }
+
+    // STREAM-FED ingest ([[graft.streaming.Streams.corpusIngest]] — the
+    // q_corpus_stream surface): FIXED block size (2.5k base docs), growing
+    // block COUNT. Two accumulation hazards the batch/incremental rows
+    // above cannot see: the file-source's seen-files map and the
+    // checkpoint offset/commit logs both grow with every block ever
+    // ingested. Flat wall/block across N means neither shows at this
+    // scale; the RESUME row (ONE fresh block landed after N are already
+    // consumed, same dirs) is the production morning-run cost and must
+    // track the new block, not the backlog. No settle(): the stream's
+    // foreachBatch sink WRITES the kept parquet (scores included), so the
+    // work is forced inside the timed window by construction.
+    def streamDirs(tag: String): String = java.nio.file.Files
+      .createTempDirectory(s"graft_csb_stream_$tag").toString
+    def land(docs: org.apache.spark.sql.DataFrame, nb: Int,
+        src: String): Unit =
+      (0 until nb).foreach { par =>
+        docs.filter(pmod($"doc_id", lit(nb)) === par).repartition(1)
+          .write.mode("overwrite").parquet(s"$src/p$par")
+      }
+    locally { // warm the streaming plan shape once, untimed
+      val w = streamDirs("warm")
+      val docs = spark.read.parquet(s"$outRoot/docs_5000").limit(500)
+        .localCheckpoint(true)
+      land(docs, 2, s"$w/src")
+      graft.streaming.Streams.corpusIngest(docs, g, s"$w/src", s"$w/kept",
+        s"$w/ckpt", s"$w/log", nBlocks = 2)
+    }
+    Seq(2, 8, 32).foreach { nb =>
+      ScaleBench.genDocs(spark, nb * 2500L, s"$outRoot/sdocs_$nb")
+      val docs = spark.read.parquet(s"$outRoot/sdocs_$nb")
+      val root = streamDirs(s"n$nb")
+      land(docs, nb, s"$root/src") // landing untimed: upstream reality
+      time(s"corpus_stream_${nb}blocks") {
+        val (_, n) = graft.streaming.Streams.corpusIngest(docs, g,
+          s"$root/src", s"$root/kept", s"$root/ckpt", s"$root/log",
+          nBlocks = nb)
+        require(n == nb, s"expected $nb micro-batches, got $n")
+      }
+      // one fresh 2.5k-doc block after nb consumed blocks — same dirs,
+      // the checkpoint resumes and the ledger holds batch0..batch{nb-1}
+      delta.repartition(1).write.mode("overwrite")
+        .parquet(s"$root/src/p$nb")
+      time(s"corpus_stream_resume_after_$nb") {
+        val (_, n) = graft.streaming.Streams.corpusIngest(docs, g,
+          s"$root/src", s"$root/kept", s"$root/ckpt", s"$root/log",
+          nBlocks = nb)
+        require(n == 1, s"expected 1 resumed micro-batch, got $n")
+      }
+    }
     spark.stop()
   }
 }

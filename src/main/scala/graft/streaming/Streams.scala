@@ -202,8 +202,9 @@ object Streams {
     * so even NON-commutative per-delta logic (the module's block-scoped
     * dedupe) streams correctly.
     *
-    * The corpus lands as one file per doc_id parity and the stream reads
-    * `maxFilesPerTrigger=1`, so each micro-batch is exactly one parity
+    * The corpus lands as one file per doc_id residue class mod `nBlocks`
+    * (default 2 — the declared row's two parities) and the stream reads
+    * `maxFilesPerTrigger=1`, so each micro-batch is exactly one residue
     * block REGARDLESS of file-discovery order — block membership (hence
     * the module's per-delta dedupe scope, hence the kept union) is
     * deterministic and batch-oracle-able, the q_stream_pipeline
@@ -217,7 +218,8 @@ object Streams {
     * of micro-batches processed). */
   def corpusIngest(docs: DataFrame, graph: graft.engine.Graph,
       srcDir: String, keptDir: String, ckptDir: String,
-      logDir: String): (DataFrame, Long) = {
+      logDir: String, nBlocks: Int = 2): (DataFrame, Long) = {
+    require(nBlocks >= 1, s"nBlocks must be >= 1, got $nBlocks")
     val spark = docs.sparkSession
     // land each parity once and NEVER rewrite: a restart with the same
     // dirs must see the same part-file names the checkpoint's
@@ -231,10 +233,10 @@ object Streams {
     // that would collapse the upstream scan to one task) yields the one
     // file per parity that maxFilesPerTrigger=1 turns into one block.
     if (!new java.io.File(s"$srcDir/p0").exists) {
-      docs.filter(col("doc_id") % 2 === 0).repartition(1)
-        .write.mode("overwrite").parquet(s"$srcDir/p0")
-      docs.filter(col("doc_id") % 2 === 1).repartition(1)
-        .write.mode("overwrite").parquet(s"$srcDir/p1")
+      (0 until nBlocks).foreach { par =>
+        docs.filter(col("doc_id") % nBlocks === par).repartition(1)
+          .write.mode("overwrite").parquet(s"$srcDir/p$par")
+      }
     }
     val schema = spark.read.parquet(s"$srcDir/p0").schema
     val stream = spark.readStream.schema(schema)
