@@ -119,12 +119,11 @@ object CorpusScaleBench {
     // work is forced inside the timed window by construction.
     def streamDirs(tag: String): String = java.nio.file.Files
       .createTempDirectory(s"graft_csb_stream_$tag").toString
+    // landing goes through the module's OWN helper — the bench must
+    // measure the real landing contract, not a lookalike
     def land(docs: org.apache.spark.sql.DataFrame, nb: Int,
         src: String): Unit =
-      (0 until nb).foreach { par =>
-        docs.filter(pmod($"doc_id", lit(nb)) === par).repartition(1)
-          .write.mode("overwrite").parquet(s"$src/p$par")
-      }
+      graft.streaming.Streams.landBlocks(docs, src, nb)
     locally { // warm the streaming plan shape once, untimed
       val w = streamDirs("warm")
       val docs = spark.read.parquet(s"$outRoot/docs_5000").limit(500)

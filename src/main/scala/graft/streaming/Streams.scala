@@ -216,27 +216,76 @@ object Streams {
     *
     * Returns (kept union read back from the per-block sink dirs, number
     * of micro-batches processed). */
+  private def allBlocksLanded(fs: org.apache.hadoop.fs.FileSystem,
+      srcDir: String, nBlocks: Int): Boolean =
+    (0 until nBlocks).forall(i =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$srcDir/p$i")))
+
+  /** Land `docs` under `srcDir` as `nBlocks` one-file block dirs
+    * (`p<i>` = residue class pmod(doc_id, nBlocks) — pmod, not `%`,
+    * so negative ids land too) in ONE pass over the source: a
+    * partitioned staging write hash-distributes the residue column
+    * across `nBlocks` tasks, so every class lives wholly in one task
+    * and `partitionBy` emits exactly one file per class (classes may
+    * share a task; that still yields one file per directory), then the
+    * class dirs rename (a metadata op on any Hadoop filesystem) to the
+    * stable `p<i>` names the streaming contract expects. An empty
+    * residue class still lands as one empty file so block count —
+    * hence micro-batch count — stays `nBlocks` on any corpus. Partial
+    * landings (crash mid-write) are wiped and redone: the caller
+    * guarantees no stream has recorded the old names (corpusIngest
+    * lands before its first trigger and refuses this path once a
+    * checkpoint exists). All filesystem ops go through the Hadoop
+    * `FileSystem` of `srcDir`, not java.io — the dirs need not be
+    * local. */
+  def landBlocks(docs: DataFrame, srcDir: String, nBlocks: Int): Unit = {
+    require(nBlocks >= 1, s"nBlocks must be >= 1, got $nBlocks")
+    val conf = docs.sparkSession.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = root.getFileSystem(conf)
+    def block(i: Int) = new org.apache.hadoop.fs.Path(root, s"p$i")
+    (0 until nBlocks).foreach(i => fs.delete(block(i), true))
+    val stage = new org.apache.hadoop.fs.Path(root, ".landing")
+    docs.withColumn("par", pmod(col("doc_id"), lit(nBlocks)))
+      .repartition(nBlocks, col("par"))
+      .write.mode("overwrite").partitionBy("par").parquet(stage.toString)
+    (0 until nBlocks).foreach { i =>
+      val landed = new org.apache.hadoop.fs.Path(stage, s"par=$i")
+      if (fs.exists(landed)) {
+        require(fs.rename(landed, block(i)), s"rename $landed -> p$i failed")
+      } else { // empty residue class: one empty file keeps block count
+        docs.filter(lit(false)).repartition(1)
+          .write.parquet(block(i).toString)
+      }
+    }
+    fs.delete(stage, true)
+    ()
+  }
+
   def corpusIngest(docs: DataFrame, graph: graft.engine.Graph,
       srcDir: String, keptDir: String, ckptDir: String,
       logDir: String, nBlocks: Int = 2): (DataFrame, Long) = {
     require(nBlocks >= 1, s"nBlocks must be >= 1, got $nBlocks")
     val spark = docs.sparkSession
-    // land each parity once and NEVER rewrite: a restart with the same
+    // land each block once and NEVER rewrite: a restart with the same
     // dirs must see the same part-file names the checkpoint's
     // file-source log recorded, or the resumed stream would treat a
     // rewrite's fresh UUID-named files as new data and re-ingest the
-    // parity under fresh batchIds that bypass the ledger. With stable
-    // landing files, a resume processes only genuinely-unseen files and
-    // a replayed (checkpoint-uncommitted) batch keeps its batchId — the
-    // ledger key — so the exactly-once claim survives the restart path,
-    // not just the single-process run. repartition(1) (not coalesce:
-    // that would collapse the upstream scan to one task) yields the one
-    // file per parity that maxFilesPerTrigger=1 turns into one block.
-    if (!new java.io.File(s"$srcDir/p0").exists) {
-      (0 until nBlocks).foreach { par =>
-        docs.filter(col("doc_id") % nBlocks === par).repartition(1)
-          .write.mode("overwrite").parquet(s"$srcDir/p$par")
-      }
+    // block under fresh batchIds that bypass the ledger. A COMPLETE
+    // landing is therefore immutable; a PARTIAL one (crash mid-landing)
+    // may only be rewritten if no stream ever started — landBlocks
+    // checks all nBlocks dirs, and the require below rejects the one
+    // inconsistent state it cannot repair: a checkpoint that exists
+    // while the landing it recorded is incomplete (a foreign checkpoint
+    // or an nBlocks changed between invocations over the same srcDir).
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcFs = new org.apache.hadoop.fs.Path(srcDir).getFileSystem(conf)
+    if (!allBlocksLanded(srcFs, srcDir, nBlocks)) {
+      require(!srcFs.exists(new org.apache.hadoop.fs.Path(ckptDir)),
+        s"checkpoint $ckptDir exists but $srcDir has fewer than " +
+          s"$nBlocks landed blocks — refusing to rewrite landing files " +
+          "a recorded stream may have seen (was nBlocks changed?)")
+      landBlocks(docs, srcDir, nBlocks)
     }
     val schema = spark.read.parquet(s"$srcDir/p0").schema
     val stream = spark.readStream.schema(schema)

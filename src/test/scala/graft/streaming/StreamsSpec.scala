@@ -536,4 +536,42 @@ class StreamsSpec extends SparkSpec {
     assert(new graft.engine.RunLog(s"$dir/log").consumedBlocks("docs")("batch1"),
       "the re-run replay must re-mark the block consumed")
   }
+
+  test("landBlocks: one file per residue block, pmod semantics, empty " +
+      "classes land, partial landings repair, checkpoints block rewrites") {
+    val dir = java.nio.file.Files.createTempDirectory("graftland").toString
+    val docs = Seq((-3L, "a"), (0L, "b"), (1L, "c"), (4L, "d"))
+      .toDF("doc_id", "text")
+    Streams.landBlocks(docs, s"$dir/src", 3)
+    // pmod, not %: -3 lands in class 0 (Spark % would put it nowhere)
+    def ids(i: Int): Array[Long] = spark.read.parquet(s"$dir/src/p$i")
+      .select("doc_id").as[Long].collect().sorted
+    assert(ids(0).sameElements(Array(-3L, 0L)))
+    assert(ids(1).sameElements(Array(1L, 4L)))
+    assert(ids(2).isEmpty) // empty class still lands (block count holds)
+    // exactly ONE data file per block — the maxFilesPerTrigger=1
+    // contract that makes each block one micro-batch
+    (0 to 2).foreach { i =>
+      val parts = new java.io.File(s"$dir/src/p$i").listFiles()
+        .count(_.getName.startsWith("part-"))
+      assert(parts === 1, s"block p$i has $parts part files")
+    }
+    // a partial landing (crash remnant) is wiped and redone
+    import scala.reflect.io.Directory
+    assert(new Directory(new java.io.File(s"$dir/src/p2")).deleteRecursively())
+    Streams.landBlocks(docs, s"$dir/src", 3)
+    assert(ids(0).sameElements(Array(-3L, 0L)) && ids(2).isEmpty)
+    // but corpusIngest refuses to repair UNDER an existing checkpoint —
+    // rewriting landing files a recorded stream may have seen re-ingests
+    // them under fresh batchIds (the nBlocks-changed hazard)
+    assert(new Directory(new java.io.File(s"$dir/src/p2")).deleteRecursively())
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/ckpt"))
+    val g = graft.modules.CorpusModule.graph(
+      minQuality = 0.5, maxRepetition = 0.9)
+    val ex = intercept[IllegalArgumentException] {
+      Streams.corpusIngest(docs, g, s"$dir/src", s"$dir/kept",
+        s"$dir/ckpt", s"$dir/log", nBlocks = 3)
+    }
+    assert(ex.getMessage.contains("refusing to rewrite"))
+  }
 }
