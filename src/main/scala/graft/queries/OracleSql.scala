@@ -9,6 +9,36 @@ object OracleSql {
   /** Block-scoped corpus chain shared by q_corpus_incr (ledger-fed
     * parity blocks) and q_corpus_stream (micro-batch-fed parity blocks):
     * identical delta semantics, one SQL spelling. */
+  private val corpusIncrNeardupSql: String =
+      ("WITH RECURSIVE n AS (SELECT CAST(doc_id AS BIGINT) id, text, lang, CAST(n_chars AS INT) n_chars, " +
+        "doc_id % 2 AS blk FROM documents WHERE doc_id < 400), " +
+        "sc AS (SELECT id, regexp_replace(regexp_replace(text, " +
+        "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS \"text\", lang, n_chars, blk FROM n), " +
+        "dd AS (SELECT * FROM sc QUALIFY row_number() OVER (PARTITION BY blk, md5(\"text\") ORDER BY id) = 1), " +
+        "d2 AS (SELECT id, blk, lang, list_distinct(string_split(\"text\", ' ')) toks FROM dd), " +
+        "tok AS (SELECT id, blk, lang, len(toks) nt, unnest(toks) w FROM d2), " +
+        "g AS (SELECT a.id da, b.id db, a.nt na, b.nt nb, count(*) inter " +
+        "FROM tok a JOIN tok b ON a.w = b.w AND a.blk = b.blk AND a.lang = b.lang AND a.id < b.id GROUP BY 1,2,3,4), " +
+        "p AS (SELECT da, db FROM g WHERE inter/CAST(na+nb-inter AS DOUBLE) >= 0.9), " +
+        "sym AS (SELECT da s, db t FROM p UNION SELECT db, da FROM p), " +
+        "reach(id, r) AS (SELECT s, s FROM (SELECT DISTINCT s FROM sym) u " +
+        "UNION SELECT sym.t, reach.r FROM reach JOIN sym ON sym.s = reach.id), " +
+        "cc AS (SELECT id, min(r) comp FROM reach GROUP BY id), " +
+        "losers AS (SELECT id FROM cc WHERE id <> comp), " +
+        "nd AS (SELECT * FROM dd WHERE id NOT IN (SELECT id FROM losers)), " +
+        "gr AS (SELECT id, lang, n_chars, string_split(\"text\", ' ') ws FROM nd), " +
+        "rep AS (SELECT id, floor((1 - count(DISTINCT s)/CAST(count(*) AS DOUBLE))*10000 + 0.5)/10000 repetition " +
+        "FROM (SELECT id, array_to_string(ws[i:i+1], ' ') s " +
+        "FROM (SELECT id, ws, unnest(range(1, greatest(len(ws)-1,1)+1)) i FROM gr) t) sh GROUP BY id), " +
+        "scored AS (SELECT gr.id, gr.lang, gr.n_chars, " +
+        "floor((least(gr.n_chars/400.0, 1.0)*0.5 + " +
+        "(len(list_filter(gr.ws, w -> w IN ('the', 'a')))/CAST(len(gr.ws) AS DOUBLE))*0.3 + " +
+        "least(len(gr.ws)/80.0, 1.0)*0.2)*10000 + 0.5)/10000 quality, rep.repetition " +
+        "FROM gr JOIN rep USING (id)) " +
+        "SELECT id, lang, n_chars, quality, repetition FROM scored " +
+        "WHERE quality >= 0.5 AND repetition <= 0.9 ORDER BY id LIMIT 100")
+
   private val corpusIncrSql: String =
     ("WITH n AS (SELECT CAST(doc_id AS BIGINT) id, text, lang, CAST(n_chars AS INT) n_chars, " +
         "doc_id % 2 AS blk FROM documents), " +
@@ -1391,35 +1421,11 @@ object OracleSql {
     // exact window partitions on (blk, fingerprint) and the pair join
     // requires a.blk = b.blk, which makes the recursive closure
     // block-local without touching the reach CTE
-    "q_corpus_incr_neardup" ->
-      ("WITH RECURSIVE n AS (SELECT CAST(doc_id AS BIGINT) id, text, lang, CAST(n_chars AS INT) n_chars, " +
-        "doc_id % 2 AS blk FROM documents WHERE doc_id < 400), " +
-        "sc AS (SELECT id, regexp_replace(regexp_replace(text, " +
-        "'[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
-        "'\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g') AS \"text\", lang, n_chars, blk FROM n), " +
-        "dd AS (SELECT * FROM sc QUALIFY row_number() OVER (PARTITION BY blk, md5(\"text\") ORDER BY id) = 1), " +
-        "d2 AS (SELECT id, blk, lang, list_distinct(string_split(\"text\", ' ')) toks FROM dd), " +
-        "tok AS (SELECT id, blk, lang, len(toks) nt, unnest(toks) w FROM d2), " +
-        "g AS (SELECT a.id da, b.id db, a.nt na, b.nt nb, count(*) inter " +
-        "FROM tok a JOIN tok b ON a.w = b.w AND a.blk = b.blk AND a.lang = b.lang AND a.id < b.id GROUP BY 1,2,3,4), " +
-        "p AS (SELECT da, db FROM g WHERE inter/CAST(na+nb-inter AS DOUBLE) >= 0.9), " +
-        "sym AS (SELECT da s, db t FROM p UNION SELECT db, da FROM p), " +
-        "reach(id, r) AS (SELECT s, s FROM (SELECT DISTINCT s FROM sym) u " +
-        "UNION SELECT sym.t, reach.r FROM reach JOIN sym ON sym.s = reach.id), " +
-        "cc AS (SELECT id, min(r) comp FROM reach GROUP BY id), " +
-        "losers AS (SELECT id FROM cc WHERE id <> comp), " +
-        "nd AS (SELECT * FROM dd WHERE id NOT IN (SELECT id FROM losers)), " +
-        "gr AS (SELECT id, lang, n_chars, string_split(\"text\", ' ') ws FROM nd), " +
-        "rep AS (SELECT id, floor((1 - count(DISTINCT s)/CAST(count(*) AS DOUBLE))*10000 + 0.5)/10000 repetition " +
-        "FROM (SELECT id, array_to_string(ws[i:i+1], ' ') s " +
-        "FROM (SELECT id, ws, unnest(range(1, greatest(len(ws)-1,1)+1)) i FROM gr) t) sh GROUP BY id), " +
-        "scored AS (SELECT gr.id, gr.lang, gr.n_chars, " +
-        "floor((least(gr.n_chars/400.0, 1.0)*0.5 + " +
-        "(len(list_filter(gr.ws, w -> w IN ('the', 'a')))/CAST(len(gr.ws) AS DOUBLE))*0.3 + " +
-        "least(len(gr.ws)/80.0, 1.0)*0.2)*10000 + 0.5)/10000 quality, rep.repetition " +
-        "FROM gr JOIN rep USING (id)) " +
-        "SELECT id, lang, n_chars, quality, repetition FROM scored " +
-        "WHERE quality >= 0.5 AND repetition <= 0.9 ORDER BY id LIMIT 100"),
+    "q_corpus_incr_neardup" -> corpusIncrNeardupSql,
+    // stream × near-dup: the stream row's micro-batches ARE the parity
+    // blocks (one landing file per parity, one file per trigger), so the
+    // same block-scoped chain replays the stream-fed dedupe ladder
+    "q_corpus_stream_neardup" -> corpusIncrNeardupSql,
     "q_minhash_est" -> minhashEstSql,
     // schema-evolution union: missing columns null-filled per side
     "q_union_schema" ->

@@ -5198,6 +5198,35 @@ object Queries {
       .orderBy("id").limit(100)
   }
 
+  /** The {stream} × {near-dup} cell — the LAST of the corpus-module
+    * matrix (batch/incremental/stream × exact/near-dup): the FULL
+    * dedupe ladder (exact fingerprint window, then Jaccard ≥ 0.9 pair
+    * join → hash-min components → keeper election → anti-join) consumed
+    * from a live micro-batch stream. This is the cell where
+    * exactly-once EARNS its keep: the ladder is NON-commutative per
+    * block (a replayed block would re-elect keepers against whatever
+    * competition the rerun sees), so only the ledger's replay-no-op —
+    * not additive-partial idempotence — keeps the stream result equal
+    * to the ledger-fed run. Block membership is parity, not batch
+    * order, so the result is batch-oracle-able: the oracle is VERBATIM
+    * q_corpus_incr_neardup's block-scoped chain. Same doc_id < 400
+    * bound as that row (the oracle's pair closure is an all-pairs
+    * recursive CTE; the engine side is the sub-quadratic indexed
+    * ladder). */
+  private val qCorpusStreamNeardup: Q = (s, sf) => {
+    val work = scratchDir("corpusstreamnd")
+    val g = CorpusModule.graph(minQuality = 0.5, maxRepetition = 0.9,
+      nearDupJaccard = Some(0.9))
+    val (kept, nBatches) = graft.streaming.Streams.corpusIngest(
+      t(s, sf, "documents").filter(col("doc_id") < 400), g,
+      s"$work/src", s"$work/kept", s"$work/ckpt", s"$work/log")
+    require(nBatches == 2,
+      s"expected 2 one-file micro-batches, got $nBatches")
+    kept.select(col("id"), col("lang"), col("n_chars"),
+      col("quality"), col("repetition"))
+      .orderBy("id").limit(100)
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
@@ -5208,6 +5237,7 @@ object Queries {
     "q_corpus_observed" -> qCorpusObserved,
     "q_corpus_incr_observed" -> qCorpusIncrObserved,
     "q_corpus_stream" -> qCorpusStream,
+    "q_corpus_stream_neardup" -> qCorpusStreamNeardup,
     "q_corpus_pipeline" -> qCorpusPipeline,
     "q_corpus_incr" -> qCorpusIncr,
     "q_corpus_neardup" -> qCorpusNeardup,

@@ -537,6 +537,26 @@ class StreamsSpec extends SparkSpec {
       "the re-run replay must re-mark the block consumed")
   }
 
+  test("corpusIngest with the near-dup ladder == per-parity module runs " +
+      "(the non-commutative cell: only the ledger keeps replays exact)") {
+    import graft.sources.Tables
+    import graft.modules.CorpusModule
+    val docs = Tables.table(spark, sf001, "documents")
+      .filter(col("doc_id") < 400)
+    val dir = java.nio.file.Files.createTempDirectory("graftcsnd").toString
+    def g = CorpusModule.graph(minQuality = 0.5, maxRepetition = 0.9,
+      nearDupJaccard = Some(0.9))
+    val (kept, nBatches) = Streams.corpusIngest(docs, g,
+      s"$dir/src", s"$dir/kept", s"$dir/ckpt", s"$dir/log")
+    assert(nBatches === 2L, s"expected 2 micro-batches, got $nBatches")
+    val got = kept.select("id").as[Long].collect().sorted
+    val want = (0 to 1).flatMap { par =>
+      g.run(Map("docs" -> docs.filter(col("doc_id") % 2 === par)))("kept")
+        .select("id").as[Long].collect()
+    }.sorted.toArray
+    assert(got.sameElements(want))
+  }
+
   test("landBlocks: one file per residue block, pmod semantics, empty " +
       "classes land, partial landings repair, checkpoints block rewrites") {
     val dir = java.nio.file.Files.createTempDirectory("graftland").toString
