@@ -6,9 +6,13 @@ package graft.queries
   */
 object OracleSql {
 
-  /** Block-scoped corpus chain shared by q_corpus_incr (ledger-fed
-    * parity blocks) and q_corpus_stream (micro-batch-fed parity blocks):
-    * identical delta semantics, one SQL spelling. */
+  /** Block-scoped corpus chain WITH the near-dup ladder, shared by
+    * q_corpus_incr_neardup (ledger-fed parity blocks) and
+    * q_corpus_stream_neardup (micro-batch-fed parity blocks): identical
+    * per-delta semantics, one SQL spelling. Both dedupe scopes are
+    * block-local — the exact window partitions on (blk, fingerprint)
+    * and the pair join requires a.blk = b.blk, which makes the
+    * recursive closure block-local without touching the reach CTE. */
   private val corpusIncrNeardupSql: String =
       ("WITH RECURSIVE n AS (SELECT CAST(doc_id AS BIGINT) id, text, lang, CAST(n_chars AS INT) n_chars, " +
         "doc_id % 2 AS blk FROM documents WHERE doc_id < 400), " +
@@ -39,6 +43,10 @@ object OracleSql {
         "SELECT id, lang, n_chars, quality, repetition FROM scored " +
         "WHERE quality >= 0.5 AND repetition <= 0.9 ORDER BY id LIMIT 100")
 
+  /** Block-scoped corpus chain (exact dedupe only), shared by
+    * q_corpus_incr (ledger-fed parity blocks) and q_corpus_stream
+    * (micro-batch-fed parity blocks): identical delta semantics, one
+    * SQL spelling. */
   private val corpusIncrSql: String =
     ("WITH n AS (SELECT CAST(doc_id AS BIGINT) id, text, lang, CAST(n_chars AS INT) n_chars, " +
         "doc_id % 2 AS blk FROM documents), " +

@@ -5181,22 +5181,28 @@ object Queries {
     * the per-delta dedupe scope is deterministic, so the stream result
     * is batch-oracle-able: the oracle is VERBATIM q_corpus_incr's (same
     * parity-block-scoped chain), pinning stream-fed == ledger-fed. */
-  private val qCorpusStream: Q = (s, sf) => {
-    val work = scratchDir("corpusstream")
-    val g = CorpusModule.graph(minQuality = 0.5, maxRepetition = 0.9)
+  /** Shared plumbing of the two stream cells: ingest `docs` through
+    * `graph` as parity micro-batches and project the kept rows. The
+    * oracle's dedupe scope is per PARITY BLOCK; that only matches the
+    * stream if each parity file really arrived as its own micro-batch —
+    * the require fails fast here, not as a puzzling value mismatch at
+    * oracle-compare time. */
+  private def streamCell(scratch: String, graph: graft.engine.Graph,
+      docs: DataFrame): DataFrame = {
+    val work = scratchDir(scratch)
     val (kept, nBatches) = graft.streaming.Streams.corpusIngest(
-      t(s, sf, "documents"), g,
+      docs, graph,
       s"$work/src", s"$work/kept", s"$work/ckpt", s"$work/log")
-    // the oracle's dedupe scope is per PARITY BLOCK; that only matches
-    // the stream if each parity file really arrived as its own
-    // micro-batch — fail fast here, not as a puzzling value mismatch
-    // at oracle-compare time
     require(nBatches == 2,
       s"expected 2 one-file micro-batches, got $nBatches")
     kept.select(col("id"), col("lang"), col("n_chars"),
       col("quality"), col("repetition"))
       .orderBy("id").limit(100)
   }
+
+  private val qCorpusStream: Q = (s, sf) => streamCell("corpusstream",
+    CorpusModule.graph(minQuality = 0.5, maxRepetition = 0.9),
+    t(s, sf, "documents"))
 
   /** The {stream} × {near-dup} cell — the LAST of the corpus-module
     * matrix (batch/incremental/stream × exact/near-dup): the FULL
@@ -5213,19 +5219,11 @@ object Queries {
     * bound as that row (the oracle's pair closure is an all-pairs
     * recursive CTE; the engine side is the sub-quadratic indexed
     * ladder). */
-  private val qCorpusStreamNeardup: Q = (s, sf) => {
-    val work = scratchDir("corpusstreamnd")
-    val g = CorpusModule.graph(minQuality = 0.5, maxRepetition = 0.9,
-      nearDupJaccard = Some(0.9))
-    val (kept, nBatches) = graft.streaming.Streams.corpusIngest(
-      t(s, sf, "documents").filter(col("doc_id") < 400), g,
-      s"$work/src", s"$work/kept", s"$work/ckpt", s"$work/log")
-    require(nBatches == 2,
-      s"expected 2 one-file micro-batches, got $nBatches")
-    kept.select(col("id"), col("lang"), col("n_chars"),
-      col("quality"), col("repetition"))
-      .orderBy("id").limit(100)
-  }
+  private val qCorpusStreamNeardup: Q = (s, sf) =>
+    streamCell("corpusstreamnd",
+      CorpusModule.graph(minQuality = 0.5, maxRepetition = 0.9,
+        nearDupJaccard = Some(0.9)),
+      t(s, sf, "documents").filter(col("doc_id") < 400))
 
   // ---------------------------------------------------------------- map
 
