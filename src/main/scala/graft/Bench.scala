@@ -75,6 +75,18 @@ object Bench {
   val soloWarms: Int =
     sys.env.getOrElse("SPARK_GRAFT_SOLO_WARMS", "3").toInt.max(1)
 
+  /** Measured roamers: fixed-cost queries whose single window has
+    * printed 3-6× their stable isolated median under host contention
+    * even as singleton JVMs (r9 driver: q_stream_pipeline 12.94 s vs a
+    * 2.0-2.5 s four-run reference, q_tree_depth 3.76 s vs 1.41 s —
+    * code unchanged since r7 in both). They take min-of-[[roamerReps]]
+    * timed windows instead of [[benchReps]]: one roaming window cannot
+    * survive two quiet ones, and at ~2 s steady state the extra window
+    * costs ~4 s of untimed wall clock total. */
+  val roamers: Set[String] = Set("q_stream_pipeline", "q_tree_depth")
+  val roamerReps: Int =
+    sys.env.getOrElse("SPARK_GRAFT_ROAMER_REPS", "3").toInt.max(1)
+
   def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -191,7 +203,8 @@ object Bench {
       // GC isolation: a heavy query's garbage (millions of candidate-pair
       // rows) must be collected in ITS OWN window, not its successor's
       drainStorage(spark)
-      val times = (1 to benchReps).map { r =>
+      val reps = if (roamers(name)) benchReps.max(roamerReps) else benchReps
+      val times = (1 to reps).map { r =>
         if (r > 1) drainStorage(spark)
         System.gc()
         if (solo(name) && settleMs > 0) {
@@ -381,7 +394,9 @@ object Bench {
         sorted.map(entry).mkString("{", ",", "}")
       },"leaked":$leakedJson,"failed_warms":$failedWarmJson,"failed_reps":$failedJson,"mode":"$mode","warm_target":${
         if (warmTarget) 1 else 0
-      },"solo_warms":$soloWarms,"reps":$benchReps,"sf":"$sfDir","errors":$errors}"""
+      },"solo_warms":$soloWarms,"reps":$benchReps,"roamer_reps":$roamerReps,"roamers":${
+        roamers.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      },"sf":"$sfDir","errors":$errors}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
     // escaped where it is interpolated into the JSON line: a quote or
     // backslash in the env-provided path must not yield an unparseable

@@ -940,7 +940,10 @@ object OracleSql {
         "SELECT n, diag, round(CAST(CAST(n AS HUGEINT)*diag - penum AS DOUBLE) / " +
         "CAST(CAST(n AS HUGEINT)*n - penum AS DOUBLE), 4) kappa FROM t, p"),
     // month index = integer y*12+m arithmetic; the running sum windows
-    // by cohort over the bounded age axis
+    // by cohort over the bounded age axis. ltv quantizes the shared
+    // cum/ncust double (cents) via floor(x+0.5)/100, not round(,2):
+    // round's repr-vs-binary half-handling diverged engines at a .xx5
+    // boundary (sf0.1, caught by the strict round-10 gate).
     "q_cohort_ltv" ->
       ("WITH o AS (SELECT o_custkey, CAST(year(o_orderdate)*12 + " +
         "month(o_orderdate) AS BIGINT) m, " +
@@ -954,7 +957,7 @@ object OracleSql {
         "ORDER BY age ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
         "AS BIGINT) cum FROM cell) " +
         "SELECT cc.cohort, cc.age, sz.ncust, cc.cum, " +
-        "round(CAST(cc.cum AS DOUBLE) / 100.0 / CAST(sz.ncust AS DOUBLE), 2) ltv " +
+        "floor(CAST(cc.cum AS DOUBLE) / CAST(sz.ncust AS DOUBLE) + 0.5) / 100.0 ltv " +
         "FROM cc JOIN sz ON cc.cohort = sz.cohort WHERE cc.age <= 11 " +
         "ORDER BY cc.cohort, cc.age"),
     // components 1e-6-quantized via explicit floor(v*1e6+0.5) (round()
@@ -1974,10 +1977,13 @@ object OracleSql {
         "count(*) AS nmiss FROM events GROUP BY event_type ORDER BY t"),
     // q_sql_pipe's oracle is the ANSI lowering of the pipe text: |>
     // WHERE pre-agg = WHERE, |> EXTEND = select-list expr, |> AGGREGATE
-    // ... GROUP BY = GROUP BY, post-agg |> WHERE = HAVING.
+    // ... GROUP BY = GROUP BY, post-agg |> WHERE = HAVING. The net
+    // column is UNROUNDED and the single round sits on the aggregate
+    // (q_agg_group's discipline) — the r9 per-row round diverged
+    // engines at .xx5 repr boundaries.
     "q_sql_pipe" ->
       ("SELECT l_returnflag, l_linestatus, " +
-        "round(sum(round(l_extendedprice*(1-l_discount),2)),2) AS rev, " +
+        "round(sum(l_extendedprice*(1-l_discount)),2) AS rev, " +
         "count(*) AS n FROM lineitem WHERE l_quantity > 10 " +
         "GROUP BY l_returnflag, l_linestatus HAVING count(*) > 100 " +
         "ORDER BY l_returnflag, l_linestatus"),

@@ -238,6 +238,14 @@ object Streams {
     * checkpoint exists). All filesystem ops go through the Hadoop
     * `FileSystem` of `srcDir`, not java.io — the dirs need not be
     * local. */
+  /** Landing manifest file name: records {nBlocks, rows} at land time so
+    * a later invocation over the same srcDir can detect a shape mismatch
+    * (nBlocks changed between runs) instead of silently streaming a
+    * landing with a different block structure. Content, not location,
+    * is the contract — it lives inside srcDir so it travels with the
+    * landing on any Hadoop filesystem. */
+  private val manifestName = "_graft_landing.json"
+
   def landBlocks(docs: DataFrame, srcDir: String, nBlocks: Int): Unit = {
     require(nBlocks >= 1, s"nBlocks must be >= 1, got $nBlocks")
     val conf = docs.sparkSession.sparkContext.hadoopConfiguration
@@ -259,7 +267,15 @@ object Streams {
       }
     }
     fs.delete(stage, true)
-    ()
+    // Manifest last: its existence certifies a COMPLETE landing with
+    // this shape. Row count comes from the landed parquet footers
+    // (metadata-only count), not a second pass over docs.
+    val rows = docs.sparkSession.read
+      .parquet((0 until nBlocks).map(block(_).toString): _*).count()
+    val mf = fs.create(new org.apache.hadoop.fs.Path(root, manifestName), true)
+    try mf.write(s"""{"nBlocks":$nBlocks,"rows":$rows}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally mf.close()
   }
 
   def corpusIngest(docs: DataFrame, graph: graft.engine.Graph,
@@ -278,6 +294,17 @@ object Streams {
     // inconsistent state it cannot repair: a checkpoint that exists
     // while the landing it recorded is incomplete (a foreign checkpoint
     // or an nBlocks changed between invocations over the same srcDir).
+    // `docs` is consumed ONLY on the first invocation per srcDir: a
+    // complete landing is immutable (see below), so a caller reusing
+    // srcDir with different docs content streams the ORIGINAL landing —
+    // that is the resume contract (CorpusScaleBench's resume row passes
+    // the same docs and relies on not re-landing). The landing manifest
+    // written by landBlocks pins the landing's SHAPE: a reuse whose
+    // nBlocks disagrees (or whose landing predates the manifest, i.e.
+    // was written by something other than landBlocks) fails loudly here
+    // instead of silently streaming a structure the ledger keys don't
+    // mean. Content equality of a re-passed docs is deliberately NOT
+    // re-checked — that would cost a full pass over docs per resume.
     val conf = spark.sparkContext.hadoopConfiguration
     val srcFs = new org.apache.hadoop.fs.Path(srcDir).getFileSystem(conf)
     if (!allBlocksLanded(srcFs, srcDir, nBlocks)) {
@@ -286,6 +313,20 @@ object Streams {
           s"$nBlocks landed blocks — refusing to rewrite landing files " +
           "a recorded stream may have seen (was nBlocks changed?)")
       landBlocks(docs, srcDir, nBlocks)
+    } else {
+      val mfPath = new org.apache.hadoop.fs.Path(srcDir, manifestName)
+      require(srcFs.exists(mfPath),
+        s"$srcDir has $nBlocks landed blocks but no landing manifest — " +
+          "refusing to stream a landing this module did not write")
+      val in = srcFs.open(mfPath)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val landed = "\"nBlocks\":(\\d+)".r.findFirstMatchIn(txt)
+        .map(_.group(1).toInt)
+      require(landed.contains(nBlocks),
+        s"$srcDir was landed with nBlocks=${landed.getOrElse("?")} but " +
+          s"this invocation asked for $nBlocks — block structure (hence " +
+          "ledger batch keys) would not match the recorded landing")
     }
     val schema = spark.read.parquet(s"$srcDir/p0").schema
     val stream = spark.readStream.schema(schema)

@@ -40,14 +40,18 @@ class ObservedSpec extends SparkSpec {
   test("a pre-gate gauge pins the scan: the lang filter stays above it") {
     val (g, _) = Observed.instrument(
       CorpusModule.graph(minQuality = 0.0, langs = Seq("en")))
-    val plan = g.run(Map("docs" ->
+    val kept = g.run(Map("docs" ->
       graft.sources.Tables.table(spark, sf001, "documents")))("kept")
-      .queryExecution.executedPlan.toString
+    val plan = kept.queryExecution.executedPlan.toString
     // six observed boundaries in the plan...
     assert("CollectMetrics".r.findAllIn(plan).size === 6, plan)
     // ...and the gate can NOT collapse into the scan: counting the
     // pre-gate intake requires reading it (the metric's meaning)
     assert(!plan.contains("EqualTo(lang,en)"), plan)
+    // Deliver the wiring's observers: a plan-only test would park six
+    // undelivered CollectMetrics listeners on the shared suite session
+    // — the accumulation Observed's own scaladoc warns against.
+    kept.limit(1).count()
   }
 
   test("a selective gauge keeps the gate's scan pushdown intact") {
@@ -61,6 +65,7 @@ class ObservedSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"),
       plan)
     assert(h.nodeIds === Set("kept"))
+    kept.limit(1).count() // deliver the observer (see the pre-gate test)
   }
 
   test("only= rejects unknown node ids eagerly") {

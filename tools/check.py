@@ -56,6 +56,31 @@ def dtype_diff(spark_df: pd.DataFrame, duck_df: pd.DataFrame):
     return bad
 
 
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    def cell(v):
+        if v is None or (isinstance(v, float) and np.isnan(v)): return "NULL"
+        if isinstance(v, (pd.Timestamp, np.datetime64)):
+            s = pd.Timestamp(v).floor("us").isoformat()
+            return s[:-9] if s.endswith("T00:00:00") else s
+        if isinstance(v, (float, np.floating)):
+            # Round-trip repr (shortest string that parses back to the
+            # exact double), NOT %.6g: the r9 q_sql_pipe wrong answer
+            # (4026492047.60 vs 4026492047.55 at sf0.1) rendered
+            # identically as "4.02649e+09" under %.6g at BOTH SFs while
+            # the driver's hash failed it. The driver hash is the spec;
+            # the local gate must be at least as strict. Queries are
+            # responsible for declaring their own rounding (round(x, n)
+            # mirrored in the oracle) wherever cross-engine float
+            # accumulation order could differ.
+            return repr(float(v))
+        if isinstance(v, (np.integer,)): return str(int(v))
+        if hasattr(v, "isoformat"): return v.isoformat()[:26]
+        return str(v)
+    s = df.map(cell)
+    return s.sort_values(by=list(s.columns)).reset_index(drop=True)
+
+
 def selftest() -> int:
     a = pd.DataFrame({"k": [1, 2], "v": np.array([0, 1], dtype="int64")})
     b = pd.DataFrame({"k": [1, 2], "v": np.array([0.0, 1.0], dtype="float64")})
@@ -71,7 +96,19 @@ def selftest() -> int:
     assert dtype_diff(e, f) == [], "date-object vs datetime64 must NOT fail"
     g = pd.DataFrame({"k": [1, 2], "v": pd.array([0, None], dtype="Int64")})
     assert dtype_diff(a, g) == [], "nullable Int64 extension dtype must class as int"
-    print("selftest OK: float64-vs-int64 fails; int-width, all-NULL, date-repr, Int64-ext pass")
+    # The r9 q_sql_pipe miss: two large sums differing by $0.05 MUST
+    # stringify differently. Under the old %.6g both rendered
+    # "4.02649e+09" and the local gate passed a driver-hash-failing
+    # answer at both sf0.01 and sf0.1.
+    h = pd.DataFrame({"rev": [4026492047.60]})
+    i = pd.DataFrame({"rev": [4026492047.55]})
+    hn, in_ = _norm(h), _norm(i)
+    assert not hn.equals(in_), \
+        "sub-ppm drift on a large sum MUST fail the value compare " + \
+        f"(got {hn.loc[0,'rev']} == {in_.loc[0,'rev']})"
+    assert _norm(h.copy()).equals(hn), "identical floats must still match"
+    print("selftest OK: float64-vs-int64 fails; int-width, all-NULL, "
+          "date-repr, Int64-ext pass; repr catches sub-ppm sum drift")
     return 0
 
 
@@ -88,20 +125,7 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem",
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 
-def norm(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    def cell(v):
-        if v is None or (isinstance(v, float) and np.isnan(v)): return "NULL"
-        if isinstance(v, (pd.Timestamp, np.datetime64)):
-            s = pd.Timestamp(v).floor("us").isoformat()
-            return s[:-9] if s.endswith("T00:00:00") else s
-        if isinstance(v, (float, np.floating)):
-            return f"{float(v):.6g}"
-        if isinstance(v, (np.integer,)): return str(int(v))
-        if hasattr(v, "isoformat"): return v.isoformat()[:26]
-        return str(v)
-    s = df.map(cell)
-    return s.sort_values(by=list(s.columns)).reset_index(drop=True)
+norm = _norm
 
 fails = []
 for name in sorted(oracle):
