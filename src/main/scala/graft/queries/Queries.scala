@@ -38,6 +38,28 @@ object Queries {
   private def t(spark: SparkSession, sf: String, name: String): DataFrame =
     Tables.table(spark, sf, name)
 
+  /** Run one sql() text over query-scoped temp views: each frame
+    * registers under a UNIQUE name (base + uuid), `build` receives the
+    * names in order, and the views drop right after the eager analysis
+    * — no declared query leaves catalog residue, so a later
+    * catalog-resolving consumer (a Node.sql, a user's spark.sql) can
+    * never silently bind a view that captured whichever SF ran last
+    * (round-9 ADVICE, generalized from q_sql_pipe to every sql-text
+    * query). sql() analysis inlines the view subplan into the returned
+    * frame, so execution never re-reads the catalog; a localCheckpoint
+    * referenced by the subplan stays alive through the plan itself. */
+  private def withViews(s: SparkSession, frames: (String, DataFrame)*)(
+      build: Seq[String] => String): DataFrame = {
+    val names = frames.map { case (base, df) =>
+      val v = base + "_" +
+        java.util.UUID.randomUUID().toString.takeWhile(_ != '-')
+      df.createOrReplaceTempView(v)
+      v
+    }
+    try s.sql(build(names))
+    finally names.foreach(s.catalog.dropTempView(_))
+  }
+
   // ---------------------------------------------------------------- scans
 
   private val qScan: Q = (s, sf) =>
@@ -222,39 +244,39 @@ object Queries {
     * balance) through the SQL runtime — Catalyst decorrelates it to an
     * aggregate + join, no per-row subquery execution. The mean is rounded
     * before comparing so the threshold is engine-portable. */
-  private val qCorrelated: Q = (s, sf) => {
-    t(s, sf, "customer").createOrReplaceTempView("customer")
-    s.sql("""SELECT c_nationkey, count(*) AS c FROM customer c1
-             WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2)
-                                FROM customer c2
-                                WHERE c2.c_nationkey = c1.c_nationkey)
-             GROUP BY c_nationkey ORDER BY c_nationkey""")
-  }
+  private val qCorrelated: Q = (s, sf) =>
+    withViews(s, "customer" -> t(s, sf, "customer")) { case Seq(c) =>
+      s"""SELECT c_nationkey, count(*) AS c FROM $c c1
+          WHERE c_acctbal > (SELECT round(avg(c_acctbal), 2)
+                             FROM $c c2
+                             WHERE c2.c_nationkey = c1.c_nationkey)
+          GROUP BY c_nationkey ORDER BY c_nationkey"""
+    }
 
   /** CTE pipeline through the SQL runtime: monthly revenue then
     * month-over-month delta. The window is over the ~80-row aggregate
     * output, not raw orders, so the single-partition sort is trivial. */
-  private val qCte: Q = (s, sf) => {
-    t(s, sf, "orders").createOrReplaceTempView("orders")
-    s.sql("""WITH mo AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
-                    round(sum(o_totalprice), 2) AS rev
-                 FROM orders GROUP BY m)
-             SELECT m, rev,
-                    round(rev - lag(rev, 1, 0.0) OVER (ORDER BY m), 2) AS d
-             FROM mo ORDER BY m""")
-  }
+  private val qCte: Q = (s, sf) =>
+    withViews(s, "orders" -> t(s, sf, "orders")) { case Seq(o) =>
+      s"""WITH mo AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                 round(sum(o_totalprice), 2) AS rev
+              FROM $o GROUP BY m)
+          SELECT m, rev,
+                 round(rev - lag(rev, 1, 0.0) OVER (ORDER BY m), 2) AS d
+          FROM mo ORDER BY m"""
+    }
 
   /** Correlated LATERAL subquery: top-2 nations per region without a
     * window — the lateral per-row subquery surface of the SQL runtime. */
-  private val qLateral: Q = (s, sf) => {
-    t(s, sf, "region").createOrReplaceTempView("region")
-    t(s, sf, "nation").createOrReplaceTempView("nation")
-    s.sql("""SELECT r_name, n_name
-             FROM region, LATERAL (SELECT n_name FROM nation
-                                   WHERE n_regionkey = r_regionkey
-                                   ORDER BY n_name LIMIT 2)
-             ORDER BY r_name, n_name""")
-  }
+  private val qLateral: Q = (s, sf) =>
+    withViews(s, "region" -> t(s, sf, "region"),
+        "nation" -> t(s, sf, "nation")) { case Seq(r, n) =>
+      s"""SELECT r_name, n_name
+          FROM $r, LATERAL (SELECT n_name FROM $n
+                            WHERE n_regionkey = r_regionkey
+                            ORDER BY n_name LIMIT 2)
+          ORDER BY r_name, n_name"""
+    }
 
   /** Array-valued aggregation: the distinct set per group, sorted so the
     * array value is deterministic (collect_set order is not). The array is
@@ -783,13 +805,13 @@ object Queries {
   /** Scalar subquery in the SELECT list (uncorrelated): each row carries
     * the corpus-wide aggregate — planned as a broadcast of one value, not
     * a per-row execution. */
-  private val qScalarSubq: Q = (s, sf) => {
-    t(s, sf, "customer").createOrReplaceTempView("customer")
-    s.sql("""SELECT c_mktsegment,
-               round(avg(c_acctbal), 2) seg_avg,
-               round((SELECT avg(c_acctbal) FROM customer), 2) all_avg
-             FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")
-  }
+  private val qScalarSubq: Q = (s, sf) =>
+    withViews(s, "customer" -> t(s, sf, "customer")) { case Seq(c) =>
+      s"""SELECT c_mktsegment,
+            round(avg(c_acctbal), 2) seg_avg,
+            round((SELECT avg(c_acctbal) FROM $c), 2) all_avg
+          FROM $c GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+    }
 
   /** Sessionize with a 30-minute inactivity gap: lag → break flag →
     * running sum = session id → distinct sessions per user. */
@@ -3864,21 +3886,21 @@ object Queries {
     * (measured here: 7.5 s → 2.9 s at sf0.1; the rest is the ~0.1 s/round
     * fixed UnionLoop scheduling cost, amortized at real per-step volume). */
   private val qRcteDecay: Q = (s, sf) => {
-    t(s, sf, "orders")
+    val grid = t(s, sf, "orders")
       .groupBy((year(col("o_orderdate")) * 4 + quarter(col("o_orderdate")))
         .cast("long").as("q"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
       .localCheckpoint(true) // scanned once, joined 27 times
-      .createOrReplaceTempView("g_rcte_quarterly")
-    s.sql(
-      """WITH RECURSIVE acc(q, carry) AS (
-        |  SELECT q, rev FROM g_rcte_quarterly
-        |  WHERE q = (SELECT min(q) FROM g_rcte_quarterly)
-        |  UNION ALL
-        |  SELECT g.q, (a.carry * 9) DIV 10 + g.rev
-        |  FROM acc a JOIN g_rcte_quarterly g ON g.q = a.q + 1)
-        |SELECT q, CAST(carry AS DOUBLE) / 100 AS decayed
-        |FROM acc ORDER BY q""".stripMargin)
+    withViews(s, "g_rcte_quarterly" -> grid) { case Seq(g) =>
+      s"""WITH RECURSIVE acc(q, carry) AS (
+         |  SELECT q, rev FROM $g
+         |  WHERE q = (SELECT min(q) FROM $g)
+         |  UNION ALL
+         |  SELECT g.q, (a.carry * 9) DIV 10 + g.rev
+         |  FROM acc a JOIN $g g ON g.q = a.q + 1)
+         |SELECT q, CAST(carry AS DOUBLE) / 100 AS decayed
+         |FROM acc ORDER BY q""".stripMargin
+    }
   }
 
   /** Min-hop reachability within 3 hops of the low-id seed customers on
@@ -3892,18 +3914,17 @@ object Queries {
     * does, so the per-node min depth is oracle-exact. The engine-loop
     * form of this workload is [[operators.Components.bfsDistances]]
     * (q_bfs); this row pins the user-facing SQL syntax. */
-  private val qRcteReach: Q = (s, sf) => {
-    tradeEdges(s, sf).createOrReplaceTempView("g_rcte_edges")
-    s.sql(
-      """WITH RECURSIVE reach(node, depth) AS (
-        |  SELECT DISTINCT s, CAST(0 AS BIGINT) FROM g_rcte_edges WHERE s < 20
-        |  UNION ALL
-        |  SELECT DISTINCT e.d, r.depth + 1
-        |  FROM reach r JOIN g_rcte_edges e ON e.s = r.node
-        |  WHERE r.depth < 3)
-        |SELECT node, min(depth) AS depth FROM reach
-        |GROUP BY node ORDER BY node""".stripMargin)
-  }
+  private val qRcteReach: Q = (s, sf) =>
+    withViews(s, "g_rcte_edges" -> tradeEdges(s, sf)) { case Seq(e) =>
+      s"""WITH RECURSIVE reach(node, depth) AS (
+         |  SELECT DISTINCT s, CAST(0 AS BIGINT) FROM $e WHERE s < 20
+         |  UNION ALL
+         |  SELECT DISTINCT e.d, r.depth + 1
+         |  FROM reach r JOIN $e e ON e.s = r.node
+         |  WHERE r.depth < 3)
+         |SELECT node, min(depth) AS depth FROM reach
+         |GROUP BY node ORDER BY node""".stripMargin
+    }
 
   /** Mann–Whitney U between the id-parity arms on per-user engagement —
     * the NONPARAMETRIC A/B readout beside [[qAbtest]] (z-test) /
@@ -4300,11 +4321,11 @@ object Queries {
     * monthly spelling cost 24 s at ANY sf — grid length, not data volume,
     * is what a recursive query pays for). forecast_next is the
     * one-step-ahead point forecast lvl+tr. */
-  private val qHolt: Q = (s, sf) => {
-    holtQuarterlyGrid(s, sf, "g_holt_quarterly")
-    s.sql(holtRecursionSql("g_holt_quarterly") +
-      " SELECT m, lvl, tr, lvl + tr AS forecast_next FROM h ORDER BY m")
-  }
+  private val qHolt: Q = (s, sf) =>
+    withViews(s, "g_holt_quarterly" -> holtQuarterlyGrid(s, sf)) {
+      case Seq(g) => holtRecursionSql(g) +
+        " SELECT m, lvl, tr, lvl + tr AS forecast_next FROM h ORDER BY m"
+    }
 
   /** Per-segment Holt forecast — the recurrence × GROUP shape
     * (q_rcte_reach proves the multi-row recursive frontier, q_holt the
@@ -4336,37 +4357,35 @@ object Queries {
     // the quarter axis is the DENSE min..max range, not the observed
     // quarter set: a quarter empty across ALL segments would otherwise
     // vanish from the grid and break every segment's m+1 chain
-    rev.agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+    val grid = rev.agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("m"))
       .crossJoin(rev.select("seg").distinct())
       .join(rev, Seq("m", "seg"), "left")
       .select(col("seg"), col("m"), coalesce(col("rev"), lit(0L)).as("rev"))
       .localCheckpoint(true) // scanned once, joined ~27 times
-      .createOrReplaceTempView("g_holt_seg")
     val nl = "(g.rev * 2 + (h.lvl + h.tr) * 8) DIV 10"
-    s.sql(
+    withViews(s, "g_holt_seg" -> grid) { case Seq(g) =>
       s"""WITH RECURSIVE h(seg, m, lvl, tr) AS (
-         |  SELECT seg, m, rev, CAST(0 AS BIGINT) FROM g_holt_seg
-         |  WHERE m = (SELECT min(m) FROM g_holt_seg)
+         |  SELECT seg, m, rev, CAST(0 AS BIGINT) FROM $g
+         |  WHERE m = (SELECT min(m) FROM $g)
          |  UNION ALL
          |  SELECT g.seg, g.m, $nl, (($nl - h.lvl) * 3 + h.tr * 7) DIV 10
-         |  FROM h JOIN g_holt_seg g ON g.seg = h.seg AND g.m = h.m + 1)
+         |  FROM h JOIN $g g ON g.seg = h.seg AND g.m = h.m + 1)
          |SELECT seg, m, lvl, tr, lvl + tr AS forecast_next FROM h
-         |ORDER BY seg, m""".stripMargin)
+         |ORDER BY seg, m""".stripMargin
+    }
   }
 
   /** The checkpointed quarterly revenue grid behind the Holt recursion —
     * shared by q_holt and q_backtest so the model they fit/score is ONE
     * definition (the smoothing constants live only in
-    * [[holtRecursionSql]]). */
-  private def holtQuarterlyGrid(s: SparkSession, sf: String,
-      view: String): Unit =
+    * [[holtRecursionSql]]); callers bind it through [[withViews]]. */
+  private def holtQuarterlyGrid(s: SparkSession, sf: String): DataFrame =
     t(s, sf, "orders")
       .groupBy((year(col("o_orderdate")) * 4 + quarter(col("o_orderdate")))
         .cast("long").as("m"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
       .localCheckpoint(true) // scanned once, joined ~27 times
-      .createOrReplaceTempView(view)
 
   /** The `WITH RECURSIVE h(m, lvl, tr)` Holt recursion over `view`
     * (α=0.2, β=0.3) — callers append either the plain projection
@@ -4825,15 +4844,15 @@ object Queries {
     * identical in both engines) so the averages are exact-int ratios,
     * and mase = Σholt/Σnaive < 1 means the model beats carry-forward.
     * Same checkpointed quarter grid + UnionLoop recursion as q_holt. */
-  private val qBacktest: Q = (s, sf) => {
-    holtQuarterlyGrid(s, sf, "g_backtest_quarterly")
-    s.sql(holtRecursionSql("g_backtest_quarterly") +
-      """,
+  private val qBacktest: Q = (s, sf) =>
+    withViews(s, "g_backtest_quarterly" -> holtQuarterlyGrid(s, sf)) {
+      case Seq(g) => holtRecursionSql(g) +
+      s""",
         |sc AS (
         |  SELECT h.lvl + h.tr AS f, a.rev AS a, p.rev AS prev
         |  FROM h
-        |  JOIN g_backtest_quarterly a ON a.m = h.m + 1
-        |  JOIN g_backtest_quarterly p ON p.m = h.m),
+        |  JOIN $g a ON a.m = h.m + 1
+        |  JOIN $g p ON p.m = h.m),
         |t AS (
         |  SELECT count(*) AS n,
         |    sum((CAST(abs(f - a) AS DECIMAL(38,0)) * 1000000) DIV a) AS sh,
@@ -4845,8 +4864,8 @@ object Queries {
         |  round(CAST(sn AS DOUBLE) / n / 1e6, 4) AS naive_mape,
         |  round(CAST(sh AS DOUBLE) / CAST(sn AS DOUBLE), 4) AS mase,
         |  round(CAST(sb AS DOUBLE) / n / 100.0, 2) AS bias
-        |FROM t""".stripMargin)
-  }
+        |FROM t""".stripMargin
+    }
 
   /** Hard-negative mining for retrieval training (the contrastive-
     * learning data step): the 10 embeddings MOST similar to the query
@@ -5077,25 +5096,20 @@ object Queries {
     * per-row disagreements survived the outer round ($0.03 at sf0.01,
     * $0.45 at sf0.1). Never round(double) per row in an oracled sum.
     *
-    * The pipe text needs a catalog name for its FROM, so the view name
-    * is query-scoped (pid-unique) and dropped right after analysis —
-    * the only catalog mutation any declared query performs, and it
-    * leaves no trace (round-9 ADVICE: a session-global `lineitem` view
-    * would capture whichever SF ran last for any later catalog
-    * resolver). sql() analyzes eagerly, so the returned frame holds the
-    * resolved plan and never re-reads the catalog. */
-  private val qSqlPipe: Q = (s, sf) => {
-    val v = s"lineitem_pipe_${java.util.UUID.randomUUID().toString.takeWhile(_ != '-')}"
-    t(s, sf, "lineitem").createOrReplaceTempView(v)
-    try s.sql(s"""FROM $v
-             |> WHERE l_quantity > 10
-             |> EXTEND l_extendedprice * (1 - l_discount) AS net
-             |> AGGREGATE round(sum(net), 2) AS rev, count(*) AS n
-                  GROUP BY l_returnflag, l_linestatus
-             |> WHERE n > 100
-             |> ORDER BY l_returnflag, l_linestatus""")
-    finally s.catalog.dropTempView(v)
-  }
+    * The pipe text needs a catalog name for its FROM; [[withViews]]
+    * binds it query-scoped and drops it after the eager analysis
+    * (round-9 ADVICE: a session-global `lineitem` view would capture
+    * whichever SF ran last for any later catalog resolver). */
+  private val qSqlPipe: Q = (s, sf) =>
+    withViews(s, "lineitem_pipe" -> t(s, sf, "lineitem")) { case Seq(v) =>
+      s"""FROM $v
+          |> WHERE l_quantity > 10
+          |> EXTEND l_extendedprice * (1 - l_discount) AS net
+          |> AGGREGATE round(sum(net), 2) AS rev, count(*) AS n
+               GROUP BY l_returnflag, l_linestatus
+          |> WHERE n > 100
+          |> ORDER BY l_returnflag, l_linestatus"""
+    }
 
   /** Spark 4 collation-aware grouping: mixed-case renderings of the same
     * brand (upper for even part keys, lower for odd) collapse to ONE
