@@ -221,6 +221,14 @@ object Streams {
     (0 until nBlocks).forall(i =>
       fs.exists(new org.apache.hadoop.fs.Path(s"$srcDir/p$i")))
 
+  /** Landing manifest file name: records {nBlocks, rows} at land time so
+    * a later invocation over the same srcDir can detect a shape mismatch
+    * (nBlocks changed between runs) instead of silently streaming a
+    * landing with a different block structure. Content, not location,
+    * is the contract — it lives inside srcDir so it travels with the
+    * landing on any Hadoop filesystem. */
+  private val manifestName = "_graft_landing.json"
+
   /** Land `docs` under `srcDir` as `nBlocks` one-file block dirs
     * (`p<i>` = residue class pmod(doc_id, nBlocks) — pmod, not `%`,
     * so negative ids land too) in ONE pass over the source: a
@@ -238,14 +246,6 @@ object Streams {
     * checkpoint exists). All filesystem ops go through the Hadoop
     * `FileSystem` of `srcDir`, not java.io — the dirs need not be
     * local. */
-  /** Landing manifest file name: records {nBlocks, rows} at land time so
-    * a later invocation over the same srcDir can detect a shape mismatch
-    * (nBlocks changed between runs) instead of silently streaming a
-    * landing with a different block structure. Content, not location,
-    * is the contract — it lives inside srcDir so it travels with the
-    * landing on any Hadoop filesystem. */
-  private val manifestName = "_graft_landing.json"
-
   def landBlocks(docs: DataFrame, srcDir: String, nBlocks: Int): Unit = {
     require(nBlocks >= 1, s"nBlocks must be >= 1, got $nBlocks")
     val conf = docs.sparkSession.sparkContext.hadoopConfiguration
