@@ -16,6 +16,24 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("no oracle rounds per row inside an aggregate (SURVEY 7.4 rule 2)") {
+    // round(x, n) BEFORE an oracled sum/avg accumulates engine-divergent
+    // ±1-ulp-of-scale rows: Spark rounds the double's shortest decimal
+    // repr HALF_UP, DuckDB the binary value, and they split at .xx5
+    // boundaries (q_sql_pipe, the round-9 red row: ±$0.45 at sf0.1).
+    // The legal shapes are round(sum(...), n) — one round, on the
+    // aggregate — and scale-to-integer quantization round(x*100) with
+    // NO scale arg (exact-cents inputs sit nowhere near .5). This guard
+    // scans the ORACLE texts; the Spark side mirrors them by the
+    // column-name contract, so a violation cannot hide on one side.
+    val perRowRound = """(?i)\b(sum|avg)\s*\(\s*round\s*\([^()]*,""".r
+    val offenders = SparkEntry.oracleSql.collect {
+      case (name, sql) if perRowRound.findFirstIn(sql).isDefined => name
+    }
+    assert(offenders.isEmpty,
+      s"per-row round(x, n) inside an aggregate in oracles: $offenders")
+  }
+
   test("entry (flagship) returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
