@@ -16,13 +16,20 @@ final case class Node(id: String, deps: Seq[String],
 object Node {
   /** A SQL pipe (the reference's signature node kind): upstream frames are
     * registered as temp views named after their node ids, then the SQL text
-    * runs against them — Catalyst plans it like any DataFrame node. */
+    * runs against them — Catalyst plans it like any DataFrame node. The
+    * views are dropped right after the eager sql() analysis (which inlines
+    * their subplans into the returned frame): wiring a graph must not
+    * leave dep-named session views behind, or a later catalog resolver —
+    * another graph's sql node with an overlapping dep name, a user's
+    * spark.sql — would silently bind whichever upstream this node wired
+    * last (the Queries.withViews discipline, applied to the module API). */
   def sql(id: String, deps: Seq[String], query: String): Node =
     Node(id, deps, upstream => {
       require(upstream.nonEmpty, s"sql node $id needs at least one upstream")
       val spark = upstream.values.head.sparkSession
       upstream.foreach { case (name, df) => df.createOrReplaceTempView(name) }
-      spark.sql(query)
+      try spark.sql(query)
+      finally upstream.keys.foreach(spark.catalog.dropTempView(_))
     })
 }
 

@@ -833,4 +833,30 @@ class PlanSpec extends SparkSpec {
     assert(flagged.isEmpty,
       s"unreviewed partition-less windows in: ${flagged.mkString(", ")}")
   }
+
+  test("no declared query leaves catalog residue (withViews contract)") {
+    // Round-10 invariant: every sql-text query binds its tables through
+    // Queries.withViews (query-scoped uuid view, dropped after the
+    // eager analysis) and Node.sql drops its dep views the same way. A
+    // query that registers a session-global view captures whichever SF
+    // it last ran at — a later catalog resolver would silently bind
+    // stale data. Build every declared query on a FRESH newSession()
+    // (isolated, empty temp-view registry — the shared suite session
+    // carries views from other tests, which would mask a leaker whose
+    // name collides) and assert the catalog is empty AFTER EACH build,
+    // so a violation names its query instead of the sweep's tail.
+    val s = spark.newSession()
+    val leakers = Queries.all.keys.toSeq.sorted.flatMap { name =>
+      Queries.all(name)(s, sf001)
+      // temp views only: the catalog also lists the PERSISTENT bucketed
+      // tables (g6_*, spark-warehouse) that q_bucket_join depends on —
+      // durable by design, not per-query residue
+      val left = s.catalog.listTables().collect()
+        .filter(_.isTemporary).map(_.name).toSet
+      left.foreach(v => s.catalog.dropTempView(v)) // isolate per query
+      if (left.nonEmpty) Some(s"$name -> ${left.mkString(",")}") else None
+    }
+    assert(leakers.isEmpty,
+      s"queries leaving catalog residue: ${leakers.mkString("; ")}")
+  }
 }
