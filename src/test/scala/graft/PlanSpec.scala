@@ -16,6 +16,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("IsNotNull(l_shipdate)") || p.contains("GreaterThanOrEqual"), p)
   }
 
+  test("q_sql_pipe: the |> WHERE stage reaches the parquet scan's PushedFilters") {
+    // pipe syntax is grammar sugar — the pre-aggregation |> WHERE must
+    // lower to the same pushed predicate the ANSI WHERE produces, through
+    // the withViews temp-view boundary (views inline at analysis; a
+    // filter stuck above the scan would read all of lineitem at 100 TB)
+    val p = plan("q_sql_pipe")
+    assert(p.contains("GreaterThan(l_quantity,10"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,10"), p)
+  }
+
   test("q_join_bcast broadcasts the dimension side") {
     assert(plan("q_join_bcast").contains("BroadcastHashJoin"))
   }
