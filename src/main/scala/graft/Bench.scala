@@ -87,6 +87,14 @@ object Bench {
   val roamerReps: Int =
     sys.env.getOrElse("SPARK_GRAFT_ROAMER_REPS", "3").toInt.max(1)
 
+  /** Effective timed-window count for one query — the SINGLE source both
+    * the timing loop and the BENCH_DETAIL stamp read, so the per-query
+    * `query_reps` annotation can never drift from what actually ran.
+    * (Deterministic from the name + env, so parent and fork children
+    * agree without threading it through the child TSV.) */
+  def repsFor(name: String): Int =
+    if (roamers(name)) benchReps.max(roamerReps) else benchReps
+
   def buildSession(cpus: String): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -203,7 +211,7 @@ object Bench {
       // GC isolation: a heavy query's garbage (millions of candidate-pair
       // rows) must be collected in ITS OWN window, not its successor's
       drainStorage(spark)
-      val reps = if (roamers(name)) benchReps.max(roamerReps) else benchReps
+      val reps = repsFor(name)
       val times = (1 to reps).map { r =>
         if (r > 1) drainStorage(spark)
         System.gc()
@@ -396,6 +404,14 @@ object Bench {
         if (warmTarget) 1 else 0
       },"solo_warms":$soloWarms,"reps":$benchReps,"roamer_reps":$roamerReps,"roamers":${
         roamers.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+      },"query_reps":${
+        // per-query annotation (ADVICE r10): any query timed with a rep
+        // count OTHER than the top-level `reps` is listed here, so
+        // cross-round diffing tools can exclude or adjust it without
+        // knowing the roamers convention
+        sorted.filter(r => repsFor(r.name) != benchReps)
+          .map(r => s""""${r.name}":${repsFor(r.name)}""")
+          .mkString("{", ",", "}")
       },"sf":"$sfDir","errors":$errors}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
     // escaped where it is interpolated into the JSON line: a quote or

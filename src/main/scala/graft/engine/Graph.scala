@@ -15,21 +15,47 @@ final case class Node(id: String, deps: Seq[String],
 
 object Node {
   /** A SQL pipe (the reference's signature node kind): upstream frames are
-    * registered as temp views named after their node ids, then the SQL text
-    * runs against them — Catalyst plans it like any DataFrame node. The
-    * views are dropped right after the eager sql() analysis (which inlines
-    * their subplans into the returned frame): wiring a graph must not
-    * leave dep-named session views behind, or a later catalog resolver —
-    * another graph's sql node with an overlapping dep name, a user's
-    * spark.sql — would silently bind whichever upstream this node wired
-    * last (the Queries.withViews discipline, applied to the module API). */
+    * registered as temp views, then the SQL text runs against them —
+    * Catalyst plans it like any DataFrame node.
+    *
+    * The views are UUID-SUFFIXED and the dep names are bound to them by a
+    * prepended CTE clause (`WITH dep AS (SELECT * FROM dep_g<uuid>) …`):
+    * CTE names shadow catalog views during analysis, so the query text
+    * keeps referring to plain dep names while the session catalog only
+    * ever sees this node's private view names. That closes both hazards
+    * of plain-name binding — a pre-existing user temp view sharing a dep
+    * name is never replaced or dropped, and two graphs with overlapping
+    * dep names can evaluate concurrently in one session without
+    * cross-binding inside the create/sql window (the Queries.withViews
+    * discipline, applied to the module API). The uuid views are dropped
+    * right after the eager sql() analysis, which inlines their subplans
+    * into the returned frame. One documented restriction: the query text
+    * may not define a CTE with the SAME name as a dep (the prepended
+    * definition would collide — analysis fails loudly rather than
+    * silently shadowing). */
   def sql(id: String, deps: Seq[String], query: String): Node =
     Node(id, deps, upstream => {
       require(upstream.nonEmpty, s"sql node $id needs at least one upstream")
       val spark = upstream.values.head.sparkSession
-      upstream.foreach { case (name, df) => df.createOrReplaceTempView(name) }
-      try spark.sql(query)
-      finally upstream.keys.foreach(spark.catalog.dropTempView(_))
+      val sfx = java.util.UUID.randomUUID().toString.replace("-", "")
+      val bound = upstream.keys.map(n => n -> s"${n}_g$sfx").toMap
+      val cteDefs = bound.toSeq.sortBy(_._1)
+        .map { case (n, v) => s"$n AS (SELECT * FROM $v)" }.mkString(", ")
+      // merge with the query's own WITH clause if it has one (RECURSIVE
+      // applies to the whole clause, so the prefix keeps it leading)
+      val recRe = "(?is)^\\s*WITH\\s+RECURSIVE\\b".r
+      val withRe = "(?is)^\\s*WITH\\b".r
+      val quoted = java.util.regex.Matcher.quoteReplacement(cteDefs)
+      val rewritten =
+        if (recRe.findFirstIn(query).isDefined)
+          recRe.replaceFirstIn(query, s"WITH RECURSIVE $quoted,")
+        else if (withRe.findFirstIn(query).isDefined)
+          withRe.replaceFirstIn(query, s"WITH $quoted,")
+        else s"WITH $cteDefs $query"
+      upstream.foreach { case (name, df) =>
+        df.createOrReplaceTempView(bound(name)) }
+      try spark.sql(rewritten)
+      finally bound.values.foreach(spark.catalog.dropTempView(_))
     })
 }
 

@@ -315,9 +315,22 @@ object Streams {
       landBlocks(docs, srcDir, nBlocks)
     } else {
       val mfPath = new org.apache.hadoop.fs.Path(srcDir, manifestName)
-      require(srcFs.exists(mfPath),
-        s"$srcDir has $nBlocks landed blocks but no landing manifest — " +
-          "refusing to stream a landing this module did not write")
+      if (!srcFs.exists(mfPath)) {
+        // a landing whose blocks completed but whose manifest never
+        // landed (crash between the two writes, or a landing made before
+        // manifests existed) is recoverable exactly when no stream has
+        // recorded a checkpoint over it: re-land, same safety argument
+        // as the partial-landing branch above (no recorded stream ⇒ no
+        // seen-files map to betray). With a checkpoint the files are
+        // immutable — refuse, and name the recovery step.
+        require(!srcFs.exists(new org.apache.hadoop.fs.Path(ckptDir)),
+          s"$srcDir has $nBlocks landed blocks but no landing manifest, " +
+            s"and checkpoint $ckptDir already recorded a stream over it — " +
+            "refusing to rewrite landing files that stream has seen. " +
+            s"Recovery: delete both $srcDir and $ckptDir, then re-invoke " +
+            "to land and stream afresh")
+        landBlocks(docs, srcDir, nBlocks)
+      } else {
       val in = srcFs.open(mfPath)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
@@ -327,6 +340,7 @@ object Streams {
         s"$srcDir was landed with nBlocks=${landed.getOrElse("?")} but " +
           s"this invocation asked for $nBlocks — block structure (hence " +
           "ledger batch keys) would not match the recorded landing")
+      }
     }
     val schema = spark.read.parquet(s"$srcDir/p0").schema
     val stream = spark.readStream.schema(schema)

@@ -26,9 +26,62 @@ class EntrySpec extends SparkSpec {
     // NO scale arg (exact-cents inputs sit nowhere near .5). This guard
     // scans the ORACLE texts; the Spark side mirrors them by the
     // column-name contract, so a violation cannot hide on one side.
-    val perRowRound = """(?i)\b(sum|avg)\s*\(\s*round\s*\([^()]*,""".r
+    // detector: anywhere inside a sum(/avg( argument (ANY depth — a
+    // cast() or (a*b) wrapper must not hide it), a round( whose own
+    // top-level argument list contains a comma, i.e. round with a scale
+    // arg. round(sum(...), n) never matches (the round is OUTSIDE the
+    // aggregate) and sum(round(x*100)) never matches (no scale arg =
+    // exact integer quantization).
+    def perRowScaledRound(sqlRaw: String): Boolean = {
+      val s = sqlRaw.toLowerCase(java.util.Locale.ROOT)
+      def wordAt(i: Int, w: String): Boolean =
+        s.startsWith(w, i) &&
+          (i == 0 || !(s(i - 1).isLetterOrDigit || s(i - 1) == '_'))
+      def roundHasScaleArg(open: Int): Boolean = {
+        var j = open + 1; var d = 1
+        while (j < s.length && d > 0) {
+          s(j) match {
+            case '(' => d += 1
+            case ')' => d -= 1
+            case ',' if d == 1 => return true
+            case _ =>
+          }
+          j += 1
+        }
+        false
+      }
+      var i = 0
+      while (i < s.length) {
+        if ((wordAt(i, "sum") || wordAt(i, "avg")) && {
+              var j = i + 3; while (j < s.length && s(j).isWhitespace) j += 1
+              j < s.length && s(j) == '('
+            }) {
+          var j = s.indexOf('(', i + 3) + 1
+          var d = 1
+          while (j < s.length && d > 0) {
+            if (wordAt(j, "round")) {
+              var k = j + 5; while (k < s.length && s(k).isWhitespace) k += 1
+              if (k < s.length && s(k) == '(' && roundHasScaleArg(k))
+                return true
+            }
+            s(j) match { case '(' => d += 1; case ')' => d -= 1; case _ => }
+            j += 1
+          }
+        }
+        i += 1
+      }
+      false
+    }
+    // selftest: the shapes the round-10 ADVICE showed the old regex
+    // missing, plus the two legal shapes
+    assert(perRowScaledRound("SELECT sum(round(x, 2)) FROM t"))
+    assert(perRowScaledRound("SELECT sum(round(cast(x AS DOUBLE), 2)) FROM t"))
+    assert(perRowScaledRound("SELECT sum(round((a*b), 2)) FROM t"))
+    assert(perRowScaledRound("SELECT avg(1 + round(coalesce(a, b), 2)) FROM t"))
+    assert(!perRowScaledRound("SELECT round(sum(x*(1-d)), 2) FROM t"))
+    assert(!perRowScaledRound("SELECT sum(round(x*100)) FROM t"))
     val offenders = SparkEntry.oracleSql.collect {
-      case (name, sql) if perRowRound.findFirstIn(sql).isDefined => name
+      case (name, sql) if perRowScaledRound(sql) => name
     }
     assert(offenders.isEmpty,
       s"per-row round(x, n) inside an aggregate in oracles: $offenders")

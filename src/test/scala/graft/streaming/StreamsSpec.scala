@@ -594,4 +594,31 @@ class StreamsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("refusing to rewrite"))
   }
+
+  test("corpusIngest: a complete landing missing its manifest re-lands " +
+      "when no checkpoint exists, refuses (with a recovery step) when " +
+      "one does") {
+    val dir = java.nio.file.Files.createTempDirectory("graftmf").toString
+    val docs = graft.sources.Tables.table(spark, sf001, "documents")
+    val g = graft.modules.CorpusModule.graph(
+      minQuality = 0.5, maxRepetition = 0.9)
+    // land, then lose the manifest (crash between blocks and manifest
+    // write, or a landing predating manifests)
+    Streams.landBlocks(docs, s"$dir/src", 2)
+    val mf = java.nio.file.Paths.get(s"$dir/src/_graft_landing.json")
+    assert(java.nio.file.Files.deleteIfExists(mf))
+    // no checkpoint ⇒ recoverable: re-lands (manifest restored) + streams
+    val (kept, nBatches) = Streams.corpusIngest(docs, g, s"$dir/src",
+      s"$dir/kept", s"$dir/ckpt", s"$dir/log", nBlocks = 2)
+    assert(java.nio.file.Files.exists(mf))
+    assert(nBatches === 2L)
+    assert(kept.count() > 0)
+    // checkpoint exists ⇒ immutable: refuse, and say how to recover
+    assert(java.nio.file.Files.deleteIfExists(mf))
+    val ex = intercept[IllegalArgumentException] {
+      Streams.corpusIngest(docs, g, s"$dir/src", s"$dir/kept",
+        s"$dir/ckpt", s"$dir/log", nBlocks = 2)
+    }
+    assert(ex.getMessage.contains("Recovery: delete both"))
+  }
 }
