@@ -452,4 +452,53 @@ object Components {
     }
     induced.groupBy(col("s").as("id")).agg(count(lit(1)).as("deg"))
   }
+
+  /** Newman–Girvan modularity (Newman PNAS 2006) of a labeling over an
+    * UNDIRECTED graph, in exact integer arithmetic: with m = |edges|,
+    * m_c = intra-community edges and d_c = summed member degrees,
+    *
+    *   Q · 4m² = Σ_c (4·m·m_c − d_c²)
+    *
+    * — every term integer, so cross-multiplying removes the one float
+    * division and the quality score of an iterative community algorithm
+    * (e.g. [[labelPropagation]]) becomes bit-exactly oracle-able, like
+    * the algorithm itself. Returned as micro-units (Q·10⁶, truncated
+    * toward zero — Spark `div` ≡ DuckDB `//`).
+    *
+    * `undirected`: each undirected edge EXACTLY ONCE (any orientation),
+    * no self-loops. `labels`: total (id, lbl) over the edge vertices —
+    * [[labelPropagation]]'s output contract. Scale shape: one degree
+    * aggregate + two id-grain joins of node-level frames; the edge list
+    * is scanned twice and never self-joined. The in-plan bound m ≤ 1.5e6
+    * keeps Q·10⁶·4m² inside BIGINT; past that drop to milli-units. */
+  def modularity(undirected: DataFrame, labels: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val oi = undirected.select(col(srcCol).cast("long").as("s"),
+      col(dstCol).cast("long").as("d"))
+    val e = oi.union(oi.select(col("d").as("s"), col("s").as("d")))
+    val lbl = labels.select(col("id").cast("long").as("id"),
+      col("lbl").cast("long").as("lbl"))
+    val deg = e.groupBy(col("s").as("id")).agg(count(lit(1)).as("deg"))
+    val dC = deg.join(lbl, "id").groupBy("lbl")
+      .agg(sum("deg").as("dc"))
+    val mC = oi
+      .join(lbl.select(col("id").as("s"), col("lbl").as("ls")), "s")
+      .join(lbl.select(col("id").as("d"), col("lbl").as("ld")), "d")
+      .filter(col("ls") === col("ld"))
+      .groupBy(col("ls").as("lbl")).agg(count(lit(1)).as("mc"))
+    val m = oi.agg(count(lit(1)).as("m"))
+    // a community with zero intra edges still contributes its −d_c² term
+    dC.join(mC, Seq("lbl"), "left")
+      .select(col("lbl"), col("dc"), coalesce(col("mc"), lit(0L)).as("mc"))
+      .crossJoin(broadcast(m))
+      .agg(count(lit(1)).as("n_comm"), max("m").as("m"),
+        sum(expr("4 * m * mc - dc * dc")).as("num"))
+      // the guard rides as a filter (the q_approx_distinct pattern —
+      // a projected-then-dropped assert column would be pruned away)
+      .filter(assert_true(col("m") <= 1500000L,
+        lit("modularity: m too large for micro-unit BIGINT arithmetic " +
+          "— use milli-units")).isNull)
+      .select(col("n_comm"), col("m"),
+        expr("num * 1000000 div (4 * m * m)").as("q_micro"))
+  }
 }

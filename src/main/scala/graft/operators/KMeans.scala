@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Integer-exact Lloyd's k-means (Lloyd 1982; the MacQueen'67 batch
+  * variant) over embedding columns — the cluster-analysis primitive next
+  * to [[Ivf]]'s float centroids, built so an ITERATIVE TRAINED algorithm
+  * can carry a bit-exact cross-engine oracle (the q_pagerank / q_bpe_train
+  * discipline):
+  *
+  *   - vectors are quantized ONCE to integer grid points
+  *     (`floor(x·scale + 0.5)` — half-up on the binary value, identical in
+  *     Spark and DuckDB for signed data, unlike `round`);
+  *   - assignment = argmin of exact INTEGER squared-L2 distance, ties to
+  *     the smaller cell id — order-independent, no float drift;
+  *   - update = per-coordinate floor division `sum DIV count` (truncation
+  *     toward zero, verified identical in Spark `div` and DuckDB `//`),
+  *     so centroids stay integer grid points every round;
+  *   - a cell that loses all members KEEPS its previous centroid (the
+  *     deterministic convention the oracle mirrors with a LEFT JOIN).
+  *
+  * Scale shape: quantization + assignment are narrow codegen'd scans (one
+  * zip_with/aggregate fold per centroid — same k·dim codegen budget as
+  * [[Ivf.cellOf]], k ≤ 64 enforced); each round's update is ONE partial
+  * aggregate whose shuffle carries k·dim (cell, coord) rows, never the
+  * corpus; centroids are bounded driver state (k·dim longs), the same
+  * trained-artifact pattern as [[Ivf.train]]'s float centroids and
+  * TextAnalysis.bpeTrain's merge list. At 100 TB the per-round cost is one
+  * corpus scan + one k·dim-row shuffle — Lloyd's lower bound.
+  */
+object KMeans {
+
+  /** Quantize a float-array column to integer grid points:
+    * floor(x·scale + 0.5) per element — the signed-safe half-up both
+    * engines compute identically on the binary double (SURVEY §7.4). */
+  def quantize(embCol: Column, scale: Int): Column =
+    // widen float→double EXPLICITLY before the multiply: the widening is
+    // exact and the double multiply is IEEE-identical cross-engine,
+    // whereas mixed float×int arithmetic is promoted differently by
+    // different engines (a 1-ulp float multiply difference would move a
+    // grid point and break the bit-exact oracle)
+    transform(embCol,
+      v => floor(v.cast("double") * scale + lit(0.5)).cast("long"))
+
+  /** Exact integer squared-L2 distance from a quantized array column to a
+    * literal centroid, as a single codegen'd fold. */
+  private def dist2(qCol: Column, c: Array[Long]): Column =
+    aggregate(
+      zip_with(qCol, typedlit(c.toSeq), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Nearest-centroid cell id for a quantized vector column: argmin of
+    * integer distance, first occurrence on ties (= the smaller cell id —
+    * the convention the oracle's `ORDER BY d2, cell` mirrors). One
+    * distance fold per centroid is inlined into codegen, so k is bounded
+    * like [[Ivf.cellOf]]'s. */
+  def cellOf(centroids: Array[Array[Long]], qCol: Column): Column = {
+    require(centroids.nonEmpty && centroids.length <= 64,
+      s"cellOf supports 1..64 centroids (got ${centroids.length}) — one " +
+        "distance fold per centroid is inlined into codegen")
+    val ds = array(centroids.map(c => dist2(qCol, c)): _*)
+    (array_position(ds, array_min(ds)) - 1).cast("int")
+  }
+
+  /** The integer distance to the assigned (nearest) centroid — the
+    * per-row inertia term. */
+  def minDist2(centroids: Array[Array[Long]], qCol: Column): Column =
+    array_min(array(centroids.map(c => dist2(qCol, c)): _*))
+
+  /** Train k centroids with `iters` Lloyd rounds over `emb(idCol, embCol)`.
+    * Init = the first k vectors in `idCol` order (deterministic, the
+    * [[Ivf.train]] convention). Returns the trained integer centroids,
+    * cell id = array index. */
+  def train(emb: DataFrame, idCol: String, embCol: String, k: Int,
+      iters: Int, scale: Int = 1000): Array[Array[Long]] = {
+    require(k >= 1 && iters >= 0, s"need k >= 1, iters >= 0 (got $k, $iters)")
+    val q = emb.select(col(idCol).cast("long").as("id"),
+      quantize(col(embCol), scale).as("q"))
+    var cent: Array[Array[Long]] = q.orderBy("id").limit(k)
+      .orderBy("id").collect()
+      .map(_.getSeq[Long](1).toArray)
+    require(cent.length == k, s"need at least $k vectors (got ${cent.length})")
+    for (_ <- 1 to iters) {
+      // one partial-agg pass: the shuffle carries (cell, coord) rows —
+      // k·dim of them — never the corpus
+      val stats = q
+        .select(cellOf(cent, col("q")).as("cell"),
+          posexplode(col("q")).as(Seq("i", "v")))
+        .groupBy("cell", "i")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = stats.groupBy(_.getInt(0))
+      cent = cent.zipWithIndex.map { case (old, cell) =>
+        byCell.get(cell) match {
+          // Long division truncates toward zero — the same contract as
+          // Spark `div` and DuckDB `//` (verified on negatives), so the
+          // unrolled oracle reproduces every coordinate bit-exactly
+          case Some(rows) => rows.sortBy(_.getInt(1))
+            .map(r => r.getLong(2) / r.getLong(3))
+          case None => old // an emptied cell keeps its centroid
+        }
+      }
+    }
+    cent
+  }
+
+  /** Final assignment census under trained centroids: one row per cell —
+    * member count, exact integer inertia (sum of assigned distances) and
+    * a centroid checksum (Σ (i+1)·c_i, 1-based) that pins every trained
+    * coordinate into the oracle compare. */
+  def census(emb: DataFrame, idCol: String, embCol: String,
+      centroids: Array[Array[Long]], scale: Int = 1000): DataFrame = {
+    val q = emb.select(col(idCol).cast("long").as("id"),
+      quantize(col(embCol), scale).as("q"))
+    val chk = centroids.zipWithIndex.map { case (c, cell) =>
+      (cell, c.zipWithIndex.map { case (v, i) => v * (i + 1) }.sum)
+    }
+    val chkDf = emb.sparkSession.createDataFrame(chk.toSeq)
+      .toDF("cell", "chk")
+    val stats = q
+      .select(cellOf(centroids, col("q")).as("cell"),
+        minDist2(centroids, col("q")).as("d2"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum("d2").as("inertia"))
+    // k-row frame joins k-row frame: preserve every cell (an emptied one
+    // reports n=0 with its kept centroid's checksum)
+    chkDf.join(stats, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("inertia"), lit(0L)).as("inertia"), col("chk"))
+  }
+}

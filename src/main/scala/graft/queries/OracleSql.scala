@@ -154,19 +154,87 @@ object OracleSql {
   // deterministic synchronous LPA unrolled 3 rounds: the window argmax
   // (count DESC, label ASC) is the ANSI spelling of the engine's
   // max(struct(count, -label)) — integer labels, bit-exact.
-  private val communitiesSql: String = {
+  /** The 3-round synchronous-LPA CTE chain over the symmetrized trade
+    * graph (ends at `l3`, with `oi`/`e` in scope) — shared by
+    * q_communities (the labeling itself) and q_modularity (the quality
+    * score OF the labeling), so the two rows can never silently diverge
+    * on the community definition. */
+  private val lpaCtes: String = {
     val rounds = (1 to 3).map { i =>
       s"l$i AS (SELECT id, lbl FROM (SELECT e.d id, l${i - 1}.lbl, " +
         s"row_number() OVER (PARTITION BY e.d ORDER BY count(*) DESC, l${i - 1}.lbl) rn " +
         s"FROM l${i - 1} JOIN e ON e.s = l${i - 1}.id GROUP BY e.d, l${i - 1}.lbl) t " +
         "WHERE rn = 1)"
     }.mkString(", ")
-    "WITH oi AS (SELECT DISTINCT 2*o_custkey AS s, 2*l_suppkey+1 AS d " +
+    "oi AS (SELECT DISTINCT 2*o_custkey AS s, 2*l_suppkey+1 AS d " +
       "FROM orders JOIN lineitem ON l_orderkey = o_orderkey), " +
       "e AS (SELECT s, d FROM oi UNION ALL SELECT d AS s, s AS d FROM oi), " +
       "n AS (SELECT s AS id FROM e UNION SELECT d FROM e), " +
-      "l0 AS (SELECT id, id lbl FROM n), " + rounds + " " +
-      "SELECT id, lbl FROM l3 ORDER BY id LIMIT 100"
+      "l0 AS (SELECT id, id lbl FROM n), " + rounds
+  }
+
+  private val communitiesSql: String =
+    s"WITH $lpaCtes SELECT id, lbl FROM l3 ORDER BY id LIMIT 100"
+
+  // Newman modularity of the l3 labeling in exact integers:
+  // Q·4m² = Σ_c(4·m·m_c − d_c²); micro-units via BIGINT `//`
+  // (truncation toward zero ≡ Spark div). A community with zero intra
+  // edges still contributes its −d_c² term (LEFT JOIN + coalesce).
+  private val modularitySql: String =
+    s"WITH $lpaCtes, " +
+      "deg AS (SELECT s id, count(*) deg FROM e GROUP BY 1), " +
+      "dc AS (SELECT l3.lbl, CAST(sum(deg.deg) AS BIGINT) dc " +
+      "FROM deg JOIN l3 ON deg.id = l3.id GROUP BY 1), " +
+      "mm AS (SELECT count(*) m FROM oi), " +
+      "mc AS (SELECT a.lbl, count(*) mc FROM oi " +
+      "JOIN l3 a ON oi.s = a.id JOIN l3 b ON oi.d = b.id " +
+      "WHERE b.lbl = a.lbl GROUP BY 1), " +
+      "tt AS (SELECT dc.lbl, dc.dc, coalesce(mc.mc, 0) mc " +
+      "FROM dc LEFT JOIN mc ON dc.lbl = mc.lbl) " +
+      "SELECT CAST(count(*) AS BIGINT) n_comm, mm.m, " +
+      "CAST(sum(4*mm.m*tt.mc - tt.dc*tt.dc) AS BIGINT) * 1000000 " +
+      "// (4*mm.m*mm.m) q_micro FROM tt, mm GROUP BY mm.m"
+
+  // Lloyd's k-means unrolled: quantize once (floor(x·1000+0.5) on the
+  // DOUBLE-widened value — the engine quantizes identically), seed from
+  // the first 4 vec_ids, then 3 rounds of (integer-argmin assign,
+  // floor-div update with emptied cells keeping their centroid), and a
+  // final assignment census under the trained centroids. generate_
+  // subscripts is 1-based, so the checksum Σ c·i equals the engine's
+  // 0-based Σ c_i·(i+1).
+  private val kmeansSql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"d$i AS (SELECT q.id, c${i - 1}.cell, " +
+        s"sum((q.v - c${i - 1}.c)*(q.v - c${i - 1}.c)) d2 " +
+        s"FROM q JOIN c${i - 1} ON q.i = c${i - 1}.i GROUP BY 1, 2), " +
+        s"a$i AS (SELECT id, cell FROM (SELECT id, cell, " +
+        s"row_number() OVER (PARTITION BY id ORDER BY d2, cell) rn " +
+        s"FROM d$i) t WHERE rn = 1), " +
+        s"m$i AS (SELECT a$i.cell, q.i, " +
+        s"CAST(sum(q.v) AS BIGINT) // count(*) c " +
+        s"FROM q JOIN a$i ON q.id = a$i.id GROUP BY 1, 2), " +
+        s"c$i AS (SELECT c${i - 1}.cell, c${i - 1}.i, " +
+        s"coalesce(m$i.c, c${i - 1}.c) c FROM c${i - 1} " +
+        s"LEFT JOIN m$i ON m$i.cell = c${i - 1}.cell AND m$i.i = c${i - 1}.i)"
+    }.mkString(", ")
+    "WITH q AS (SELECT vec_id id, generate_subscripts(embedding, 1) i, " +
+      "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) v " +
+      "FROM embeddings), " +
+      "seed AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4), " +
+      "c0 AS (SELECT CAST(dense_rank() OVER (ORDER BY q.id) - 1 AS INT) cell, " +
+      "q.i, q.v c FROM q JOIN seed ON q.id = seed.vec_id), " +
+      rounds + ", " +
+      "df AS (SELECT q.id, c3.cell, sum((q.v - c3.c)*(q.v - c3.c)) d2 " +
+      "FROM q JOIN c3 ON q.i = c3.i GROUP BY 1, 2), " +
+      "af AS (SELECT id, cell, d2 FROM (SELECT id, cell, d2, " +
+      "row_number() OVER (PARTITION BY id ORDER BY d2, cell) rn FROM df) t " +
+      "WHERE rn = 1), " +
+      "chk AS (SELECT cell, CAST(sum(c * i) AS BIGINT) chk FROM c3 GROUP BY cell), " +
+      "cen AS (SELECT cell, count(*) n, CAST(sum(d2) AS BIGINT) inertia " +
+      "FROM af GROUP BY cell) " +
+      "SELECT chk.cell, coalesce(cen.n, 0) n, " +
+      "coalesce(cen.inertia, 0) inertia, chk.chk " +
+      "FROM chk LEFT JOIN cen ON chk.cell = cen.cell ORDER BY chk.cell"
   }
 
   // 4 Bellman-Ford rounds from node 2, integer edge costs = per-pair
@@ -452,6 +520,24 @@ object OracleSql {
       "CAST(sum(CASE WHEN NOT arma THEN n END) AS BIGINT) nb, CAST(sum(CASE WHEN NOT arma THEN k END) AS BIGINT) kb FROM g) "
 
   val all: Map[String, String] = Map(
+    "q_kmeans" -> kmeansSql,
+    "q_modularity" -> modularitySql,
+    // compaction is physical layout only — same values as the source
+    // table (the q_bucket_join contract); files_shrunk pins the layout
+    // effect as an oracled literal. l_quantity is integer-valued, so
+    // the BIGINT cast keeps the sum exact at any partitioning.
+    "q_compact" ->
+      ("SELECT l_returnflag, count(*) n, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) sq, " +
+        "true files_shrunk FROM lineitem " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // the sketch estimate enters as the est_ok VALUE (literal TRUE
+    // here): a drifting day→week HLL merge on the engine side fails
+    // the hash compare, not just an in-plan assert
+    "q_hll_rollup" ->
+      ("SELECT CAST(date_trunc('week', ts) AS DATE) AS week, " +
+        "count(DISTINCT user_id) exact_users, true est_ok " +
+        "FROM events GROUP BY 1 ORDER BY week"),
     // z>2 cross-multiplied to A>0 and A^2>4B, exact int64 end to end
     "q_anomaly_days" ->
       ("WITH d0 AS (SELECT CAST(o_orderdate AS DATE) dy, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) cc " +

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Bloom, Components, Dedup, Incremental, IntervalJoin, Iterate, Ivf, Multimodal, Pq, Rank, Retrieval, Sampling, Similarity, Skew, TextAnalysis, Validate}
+import graft.operators.{AsOfJoin, Bloom, Components, Dedup, Incremental, IntervalJoin, Iterate, Ivf, KMeans, Multimodal, Pq, Rank, Retrieval, Sampling, Similarity, Skew, TextAnalysis, Validate}
 import graft.engine.{Graph, Node, Observed, RunLog, Snapshot}
 import graft.modules.CorpusModule
 import graft.sources.Layout
@@ -1923,12 +1923,19 @@ object Queries {
   private val qStreamPipeline: Q = (s, sf) => {
     val dir = scratchDir("stream") // delta + ckpt: fresh every invocation
     val src = streamSrcLanded.synchronized {
-      streamSrcLanded.getOrElseUpdate(sf, {
-        val d = scratchDir("streamsrc-" +
-          java.lang.Integer.toHexString(sf.hashCode))
+      // the cache is per-process but the dir lives in scratch — anything
+      // that wipes the scratch tree mid-process would leave a dangling
+      // path here and fail every later invocation with no re-land, so
+      // validate the landing's _SUCCESS marker before trusting the entry
+      val cached = streamSrcLanded.get(sf).filter(d => java.nio.file.Files
+        .exists(java.nio.file.Paths.get(d, "_SUCCESS")))
+      cached.getOrElse {
+        val d = streamSrcLanded.getOrElse(sf, scratchDir("streamsrc-" +
+          java.lang.Integer.toHexString(sf.hashCode)))
         t(s, sf, "events").repartition(8).write.mode("overwrite").parquet(d)
+        streamSrcLanded(sf) = d
         d
-      })
+      }
     }
     val (state, _) = graft.streaming.Streams.incrementalEventStats(
       t(s, sf, "events"), src, s"$dir/delta", s"$dir/ckpt",
@@ -5282,9 +5289,101 @@ object Queries {
         nearDupJaccard = Some(0.9)),
       t(s, sf, "documents").filter(col("doc_id") < 400))
 
+  // ------------------------------------------------------- round 11
+
+  /** Integer-exact Lloyd's k-means over the embeddings table
+    * ([[operators.KMeans]]): k=4 centroids, 3 training rounds, vectors
+    * quantized once to a 1/1000 grid. Assignment = integer argmin,
+    * update = floor-div mean, so the DuckDB oracle — the same three
+    * rounds unrolled as CTE chains — reproduces every trained
+    * coordinate bit-exactly (the q_pagerank / q_bpe_train discipline
+    * applied to the canonical clustering algorithm). Output: per-cell
+    * member count, exact integer inertia, and a centroid checksum that
+    * pins all 64 trained coordinates per cell into the hash compare.
+    * Scale: per round one narrow codegen'd assignment scan + one
+    * k·dim-row shuffle; centroids are bounded driver state (k·dim
+    * longs, the [[operators.Ivf.train]] pattern). */
+  private val qKmeans: Q = (s, sf) => {
+    val emb = t(s, sf, "embeddings")
+    val cent = KMeans.train(emb, "vec_id", "embedding", k = 4, iters = 3)
+    KMeans.census(emb, "vec_id", "embedding", cent).orderBy("cell")
+  }
+
+  /** Modularity of the 3-round label-propagation communities on the
+    * undirected trade graph ([[operators.Components.modularity]]):
+    * Q·4m² = Σ_c(4·m·m_c − d_c²) in exact BIGINT arithmetic, reported
+    * in micro-units — the quality score OF an iterative algorithm's
+    * output, oracle-exact because the one float division is
+    * cross-multiplied away. The oracle re-derives the same labeling
+    * with q_communities' unrolled LPA rounds, then spells the same
+    * integer identity. */
+  private val qModularity: Q = (s, sf) => {
+    val oi = t(s, sf, "orders")
+      .join(t(s, sf, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("s"), (col("l_suppkey") * 2 + 1).as("d"))
+      .distinct()
+      .localCheckpoint(true) // feeds LPA (symmetrized) AND the m_c join
+    val e = oi.union(oi.select(col("d"), col("s")))
+    val labels = Components.labelPropagation(e, "s", "d", rounds = 3)
+    Components.modularity(oi, labels, "s", "d")
+  }
+
+  /** Small-file compaction as a DECLARED row ([[sources.Layout.compact]],
+    * the OPTIMIZE move — previously unit-only): lineitem is written as
+    * 64 deliberately-small files, compacted to ~4 MB targets, and the
+    * compacted copy is aggregated. The oracle is the SAME aggregate over
+    * the original table (compaction is physical layout only — the
+    * q_bucket_join contract), plus a `files_shrunk` flag that pins the
+    * layout effect itself into the oracled row. Timed cost deliberately
+    * includes the rewrite: the amortized write IS the operator. */
+  private val qCompact: Q = (s, sf) => {
+    val dir = scratchDir("compact")
+    t(s, sf, "lineitem").repartition(64).write
+      .mode("overwrite").parquet(s"$dir/in")
+    val before = graft.sources.Layout.dataFiles(s"$dir/in")
+    graft.sources.Layout.compact(s, s"$dir/in", s"$dir/out",
+      targetFileBytes = 4L << 20)
+    val after = graft.sources.Layout.dataFiles(s"$dir/out")
+    s.read.parquet(s"$dir/out")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sq"))
+      .withColumn("files_shrunk", lit(after < before))
+      .orderBy("l_returnflag")
+  }
+
+  /** Re-aggregatable distinct-count sketches (Apache DataSketches HLL,
+    * the Spark 3.5+ hll_sketch_agg family): per-DAY user sketches built
+    * once, then MERGED to ISO weeks with hll_union_agg — the
+    * pre-aggregation pattern that answers "distinct users this week /
+    * month / quarter" from stored day sketches without ever rescanning
+    * the 100 TB event log. The oracled columns are the exact weekly
+    * distinct counts plus `est_ok` — the sketch estimate's 5%-or-±3
+    * bound as a VALUE (oracle says literal TRUE), so a drifting sketch
+    * merge fails the hash compare, not just an in-plan assert. */
+  private val qHllRollup: Q = (s, sf) => {
+    val ev = t(s, sf, "events")
+    val daySketch = ev
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    daySketch
+      .groupBy(to_date(date_trunc("week", col("day"))).as("week"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .join(ev.groupBy(to_date(date_trunc("week", col("ts"))).as("week"))
+        .agg(countDistinct("user_id").as("exact_users")), Seq("week"))
+      .select(col("week"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <=
+          greatest(lit(3.0), col("exact_users") * 0.05)).as("est_ok"))
+      .orderBy("week")
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_kmeans" -> qKmeans,
+    "q_modularity" -> qModularity,
+    "q_compact" -> qCompact,
+    "q_hll_rollup" -> qHllRollup,
     "q_variant" -> qVariant,
     "q_sql_pipe" -> qSqlPipe,
     "q_collation" -> qCollation,

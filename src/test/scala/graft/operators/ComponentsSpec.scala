@@ -342,4 +342,42 @@ class ComponentsSpec extends SparkSpec {
           s"trial=$trial k=$k rounds=$r")
     }
   }
+
+  private def modOf(edges: Seq[(Long, Long)], labels: Seq[(Long, Long)]) =
+    Components.modularity(edges.toDF("src", "dst"),
+        labels.toDF("id", "lbl"))
+      .as[(Long, Long, Long)].head()
+
+  test("modularity: two disjoint triangles split perfectly = 0.5") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L))
+    val l = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L)
+    // m=6, per community m_c=3, d_c=6: Q = 2·(3/6 − (6/12)²) = 0.5
+    assert(modOf(e, l) === ((2L, 6L, 500000L)))
+  }
+
+  test("modularity: everything in one community = 0") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val l = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L)
+    // m_c=m, d_c=2m: 4m·m − 4m² = 0
+    assert(modOf(e, l) === ((1L, 3L, 0L)))
+  }
+
+  test("modularity: anti-community split is negative (truncated " +
+      "toward zero like the oracle's //)") {
+    // a 4-cycle split across its diagonal pairs: zero intra edges,
+    // Q = 2·(0 − (4/8)²) = −0.5
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val l = Seq(1L -> 1L, 3L -> 1L, 2L -> 2L, 4L -> 2L)
+    assert(modOf(e, l) === ((2L, 4L, -500000L)))
+  }
+
+  test("modularity: a zero-intra-edge community still contributes " +
+      "its degree term") {
+    // triangle {1,2,3} + node 4 attached to 1; 4 alone in community B:
+    // m=4, A: m_c=3, d_c=7; B: m_c=0, d_c=1
+    // Q = (3/4 − (7/8)²) + (0 − (1/8)²) = 0.75 − 49/64 − 1/64 = −1/32
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L))
+    val l = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 9L)
+    assert(modOf(e, l) === ((2L, 4L, -31250L)))
+  }
 }
