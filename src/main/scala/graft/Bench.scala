@@ -45,7 +45,11 @@ object Bench {
     "q_holt", "q_backtest", "q_holt_grouped", "q_rcte_decay",
     "q_rcte_reach", "q_video_neardup", "q_dedup_apply", "q_stream_pipeline",
     "q_corpus_neardup", "q_corpus_incr_neardup", "q_corpus_index_probe",
-    "q_corpus_stream", "q_corpus_stream_neardup")
+    "q_corpus_stream", "q_corpus_stream_neardup",
+    // round 11: the two iterative additions (driver-loop Lloyd rounds;
+    // LPA + the modularity joins) — the CC-shaped family is solo by the
+    // round-9 rule
+    "q_kmeans", "q_modularity")
 
   /** One timed query: seconds, success, how many RDD storage blocks were
     * still registered after the post-query drain (0 = clean), and how

@@ -286,6 +286,25 @@ final class RunLog(dir: String) {
     else Files.readAllLines(p).asScala.filter(_.nonEmpty).toSet
   }
 
+  /** Every block id any lineage row OR any source's consumption ledger
+    * references — the load-bearing set [[Vacuum]] must never touch:
+    * lineage references keep [[Snapshot.asOf]] reconstructable (and keep
+    * a reset source's blocks alive for their pending reconsumption);
+    * ledger references cover blocks marked consumed by runs whose
+    * lineage predates this log (defensive — the two sets normally
+    * overlap). */
+  def referencedBlocks: Set[String] = {
+    val fromLineage = lineage.flatMap(_._3).toSet
+    val fromLedgers = {
+      val s = Files.list(consumedDir)
+      try s.iterator().asScala
+        .flatMap(p => Files.readAllLines(p).asScala.filter(_.nonEmpty))
+        .toSet
+      finally s.close()
+    }
+    fromLineage ++ fromLedgers
+  }
+
   /** Forget a source's consumed-block ledger — the BACKFILL switch: after
     * a node-logic fix, resetting a source makes the next `runIncremental`
     * reconsume every block (runs.log lineage is append-only and keeps the
