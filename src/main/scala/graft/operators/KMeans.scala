@@ -60,7 +60,19 @@ object KMeans {
       s"cellOf supports 1..64 centroids (got ${centroids.length}) — one " +
         "distance fold per centroid is inlined into codegen")
     val ds = array(centroids.map(c => dist2(qCol, c)): _*)
-    (array_position(ds, array_min(ds)) - 1).cast("int")
+    // single-fold argmin: the k distance folds are interpreted (HOFs
+    // don't codegen), so building `ds` once and folding — instead of
+    // array_position(ds, array_min(ds)), which materializes ds TWICE —
+    // halves the per-row cost of the corpus-wide assignment scan.
+    // Strict `<` keeps the FIRST minimum = the smaller cell id.
+    val indexed = zip_with(ds,
+      sequence(lit(0L), lit((centroids.length - 1).toLong)),
+      (d, j) => struct(d.as("d"), j.as("j")))
+    aggregate(indexed,
+      struct(lit(Long.MaxValue).as("d"), lit(-1L).as("j")),
+      (acc, x) => when(x.getField("d") < acc.getField("d"), x)
+        .otherwise(acc))
+      .getField("j").cast("int")
   }
 
   /** The integer distance to the assigned (nearest) centroid — the
@@ -81,23 +93,31 @@ object KMeans {
       .orderBy("id").collect()
       .map(_.getSeq[Long](1).toArray)
     require(cent.length == k, s"need at least $k vectors (got ${cent.length})")
+    val dim = cent(0).length
     for (_ <- 1 to iters) {
-      // one partial-agg pass: the shuffle carries (cell, coord) rows —
-      // k·dim of them — never the corpus
+      // one partial-agg pass with per-coordinate element_at sums: the
+      // shuffle carries k rows × (dim+1) columns, never the corpus.
+      // Deliberately NOT select(cellOf, posexplode): a generator in the
+      // same projection puts the (interpreted, non-codegen) distance
+      // folds ABOVE the Generate, re-evaluating them once per EXPLODED
+      // row — measured 64× the assignment scan's cost on this shape.
+      val aggs = (0 until dim).map(i =>
+        sum(element_at(col("q"), i + 1)).as(s"s$i")) :+
+        count(lit(1)).as("n")
       val stats = q
-        .select(cellOf(cent, col("q")).as("cell"),
-          posexplode(col("q")).as(Seq("i", "v")))
-        .groupBy("cell", "i")
-        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .select(cellOf(cent, col("q")).as("cell"), col("q"))
+        .groupBy("cell")
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
-      val byCell = stats.groupBy(_.getInt(0))
+      val byCell = stats.map(r => r.getInt(0) -> r).toMap
       cent = cent.zipWithIndex.map { case (old, cell) =>
         byCell.get(cell) match {
           // Long division truncates toward zero — the same contract as
           // Spark `div` and DuckDB `//` (verified on negatives), so the
           // unrolled oracle reproduces every coordinate bit-exactly
-          case Some(rows) => rows.sortBy(_.getInt(1))
-            .map(r => r.getLong(2) / r.getLong(3))
+          case Some(r) =>
+            val n = r.getLong(dim + 1)
+            Array.tabulate(dim)(i => r.getLong(i + 1) / n)
           case None => old // an emptied cell keeps its centroid
         }
       }
