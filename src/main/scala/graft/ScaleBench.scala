@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, KMeans, Similarity}
 
 /** Scaling-evidence run for the dedup/ANN flagships (round-3 verdict #4).
   *
@@ -121,6 +121,21 @@ object ScaleBench {
       val emb = spark.read.parquet(s"$outRoot/emb_$n")
       time(s"cosine_pairs_$n") {
         Similarity.cosinePairs(emb, "vec_id", "embedding", 0.9)
+      }
+    }
+
+    // round 11: integer-exact Lloyd's k-means (the q_kmeans surface) —
+    // per round one narrow assignment scan + one k-row shuffle, centroids
+    // bounded driver state, so the curve should track the scan
+    KMeans.train(spark.read.parquet(s"$outRoot/emb_2000"),
+      "vec_id", "embedding", 4, 1) // warm the plan shapes
+    embSizes.foreach { n =>
+      val emb = spark.read.parquet(s"$outRoot/emb_$n")
+      val t0 = System.nanoTime()
+      val cent = KMeans.train(emb, "vec_id", "embedding", 4, 3)
+      println(f"SCALE kmeans_train_$n ${(System.nanoTime() - t0) / 1e9}%.2f s (3 rounds)")
+      time(s"kmeans_census_$n") {
+        KMeans.census(emb, "vec_id", "embedding", cent)
       }
     }
 
