@@ -14,6 +14,27 @@ final case class Node(id: String, deps: Seq[String],
     fn: Map[String, DataFrame] => DataFrame)
 
 object Node {
+  /** Index of the first char after leading whitespace and leading SQL
+    * comments (`--` line comments and slash-star block comments) — where
+    * the query's first real token starts. Unterminated comments consume
+    * to end (analysis will fail loudly on such input anyway). */
+  private def afterLeadingTrivia(q: String): Int = {
+    var i = 0
+    var moved = true
+    while (moved) {
+      moved = false
+      while (i < q.length && q(i).isWhitespace) { i += 1; moved = true }
+      if (q.startsWith("--", i)) {
+        val nl = q.indexOf('\n', i)
+        i = if (nl < 0) q.length else nl + 1; moved = true
+      } else if (q.startsWith("/*", i)) {
+        val e = q.indexOf("*/", i + 2)
+        i = if (e < 0) q.length else e + 2; moved = true
+      }
+    }
+    i
+  }
+
   /** A SQL pipe (the reference's signature node kind): upstream frames are
     * registered as temp views, then the SQL text runs against them —
     * Catalyst plans it like any DataFrame node.
@@ -42,15 +63,19 @@ object Node {
       val cteDefs = bound.toSeq.sortBy(_._1)
         .map { case (n, v) => s"$n AS (SELECT * FROM $v)" }.mkString(", ")
       // merge with the query's own WITH clause if it has one (RECURSIVE
-      // applies to the whole clause, so the prefix keeps it leading)
-      val recRe = "(?is)^\\s*WITH\\s+RECURSIVE\\b".r
-      val withRe = "(?is)^\\s*WITH\\b".r
+      // applies to the whole clause, so the prefix keeps it leading);
+      // detection must skip leading -- and /* */ comments, or a commented
+      // WITH-query would get a second WITH prepended and fail analysis
+      val p = afterLeadingTrivia(query)
+      val rest = query.substring(p)
+      val recRe = "(?is)^WITH\\s+RECURSIVE\\b".r
+      val withRe = "(?is)^WITH\\b".r
       val quoted = java.util.regex.Matcher.quoteReplacement(cteDefs)
       val rewritten =
-        if (recRe.findFirstIn(query).isDefined)
-          recRe.replaceFirstIn(query, s"WITH RECURSIVE $quoted,")
-        else if (withRe.findFirstIn(query).isDefined)
-          withRe.replaceFirstIn(query, s"WITH $quoted,")
+        if (recRe.findFirstIn(rest).isDefined)
+          query.take(p) + recRe.replaceFirstIn(rest, s"WITH RECURSIVE $quoted,")
+        else if (withRe.findFirstIn(rest).isDefined)
+          query.take(p) + withRe.replaceFirstIn(rest, s"WITH $quoted,")
         else s"WITH $cteDefs $query"
       upstream.foreach { case (name, df) =>
         df.createOrReplaceTempView(bound(name)) }

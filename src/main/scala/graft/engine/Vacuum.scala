@@ -1,6 +1,6 @@
 package graft.engine
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Paths}
 
 /** Block-store retention — the maintenance pair of [[Snapshot]]'s time
   * travel (the lakehouse VACUUM role, scoped to what is actually safe
@@ -45,33 +45,46 @@ object Vacuum {
           .map(_.getFileName.toString).toSeq.sorted
       } finally s.close()
     }
+    // ids-as-directory-names is a CONVENTION this store must actually
+    // follow — block ids may legally contain '/' and a consumer may
+    // ledger logical ids ('batch0') that are not dir names (corpusIngest
+    // does). If the log references blocks but NONE of them matches a
+    // directory here, classifying everything as orphaned would delete a
+    // store this vacuum does not understand; refuse instead. (Conservative
+    // corner: a root holding only true orphans under a non-empty log also
+    // refuses — delete those by hand, with eyes on them.)
+    require(referenced.isEmpty || dirs.isEmpty || dirs.exists(referenced),
+      s"$blockRoot has no directory matching any of the ${referenced.size} " +
+        "referenced block ids — this store does not use ids-as-directory-" +
+        "names (e.g. a stream landing ledgered as batchN over pN dirs); " +
+        "refusing to classify its entire contents as orphaned")
     dirs.partition(referenced)
   }
 
   /** Delete orphaned block directories older than `graceMs` (by last
     * modification of the directory itself — a landing still being
     * written keeps touching it). Returns (deleted, keptYoung, referenced)
-    * counts; never touches a referenced block. */
+    * counts; never touches a referenced block.
+    *
+    * The ledger is RE-READ between planning and deleting, so an old
+    * orphan adopted by a run that appended after the plan snapshot is
+    * skipped. That narrows — not closes — the adoption race (a run can
+    * still append mid-loop); full closure needs the single-maintainer
+    * discipline every VACUUM implementation assumes: don't run the sweep
+    * concurrently with a writer adopting week-old crash remnants. */
   def sweep(log: RunLog, blockRoot: String,
       graceMs: Long = 24L * 3600 * 1000): (Int, Int, Int) = {
     val (referenced, orphans) = plan(log, blockRoot)
     val cutoff = System.currentTimeMillis() - graceMs
+    val adopted = log.referencedBlocks // re-read: see Scaladoc
     var deleted = 0
     var young = 0
-    orphans.foreach { name =>
+    orphans.filterNot(adopted).foreach { name =>
       val p = Paths.get(blockRoot, name)
       if (Files.getLastModifiedTime(p).toMillis <= cutoff) {
-        deleteRecursively(p); deleted += 1
+        graft.sources.Layout.deleteRecursively(p); deleted += 1
       } else young += 1
     }
     (deleted, young, referenced.size)
-  }
-
-  private def deleteRecursively(p: Path): Unit = {
-    val walk = Files.walk(p)
-    try {
-      import scala.jdk.CollectionConverters._
-      walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    } finally walk.close()
   }
 }

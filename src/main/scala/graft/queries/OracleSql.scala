@@ -523,13 +523,14 @@ object OracleSql {
     "q_kmeans" -> kmeansSql,
     "q_modularity" -> modularitySql,
     // compaction is physical layout only — same values as the source
-    // table (the q_bucket_join contract); files_shrunk pins the layout
-    // effect as an oracled literal. l_quantity is integer-valued, so
-    // the BIGINT cast keeps the sum exact at any partitioning.
+    // table (the q_bucket_join contract); within_target pins the
+    // operator's file-count cap (≤ ceil(bytes/target), scale-invariant)
+    // as an oracled literal. l_quantity is integer-valued, so the
+    // BIGINT cast keeps the sum exact at any partitioning.
     "q_compact" ->
       ("SELECT l_returnflag, count(*) n, " +
         "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) sq, " +
-        "true files_shrunk FROM lineitem " +
+        "true within_target FROM lineitem " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
     // the sketch estimate enters as the est_ok VALUE (literal TRUE
     // here): a drifting day→week HLL merge on the engine side fails

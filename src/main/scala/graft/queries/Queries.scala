@@ -1099,12 +1099,20 @@ object Queries {
   /** Symmetrized customer↔supplier trade graph: distinct (custkey,
     * suppkey) pairs through orders⨝lineitem; id spaces kept disjoint by
     * even/odd encoding. Shared by the graph queries. */
-  private def tradeEdges(s: SparkSession, sf: String): DataFrame = {
-    val oi = t(s, sf, "orders")
+  /** The trade graph's ONE-orientation edge list (each undirected
+    * customer↔supplier edge exactly once, even/odd node encoding) — the
+    * single definition every trade-graph query derives from, so the
+    * graph a labeling is computed ON and the graph it is scored AGAINST
+    * (q_communities / q_modularity) can never silently diverge. */
+  private def tradeOriented(s: SparkSession, sf: String): DataFrame =
+    t(s, sf, "orders")
       .join(t(s, sf, "lineitem"), col("o_orderkey") === col("l_orderkey"))
       .select((col("o_custkey") * 2).as("s"), (col("l_suppkey") * 2 + 1).as("d"))
       .distinct()
       .localCheckpoint(true) // feeds both union branches
+
+  private def tradeEdges(s: SparkSession, sf: String): DataFrame = {
+    val oi = tradeOriented(s, sf)
     oi.union(oi.select(col("d"), col("s")))
   }
 
@@ -1861,14 +1869,7 @@ object Queries {
   private def scratchDir(name: String): String = {
     val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-scratch-${ProcessHandle.current().pid()}-$name")
-    def wipe(): Unit = if (java.nio.file.Files.exists(p)) {
-      val walk = java.nio.file.Files.walk(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      } finally walk.close()
-    }
+    def wipe(): Unit = Layout.deleteRecursively(p)
     wipe()
     scratchCleanup.synchronized {
       if (!scratchCleanup.contains(p)) {
@@ -5318,11 +5319,7 @@ object Queries {
     * with q_communities' unrolled LPA rounds, then spells the same
     * integer identity. */
   private val qModularity: Q = (s, sf) => {
-    val oi = t(s, sf, "orders")
-      .join(t(s, sf, "lineitem"), col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("s"), (col("l_suppkey") * 2 + 1).as("d"))
-      .distinct()
-      .localCheckpoint(true) // feeds LPA (symmetrized) AND the m_c join
+    val oi = tradeOriented(s, sf) // ONE graph definition with q_communities
     val e = oi.union(oi.select(col("d"), col("s")))
     val labels = Components.labelPropagation(e, "s", "d", rounds = 3)
     Components.modularity(oi, labels, "s", "d")
@@ -5333,22 +5330,26 @@ object Queries {
     * 64 deliberately-small files, compacted to ~4 MB targets, and the
     * compacted copy is aggregated. The oracle is the SAME aggregate over
     * the original table (compaction is physical layout only — the
-    * q_bucket_join contract), plus a `files_shrunk` flag that pins the
-    * layout effect itself into the oracled row. Timed cost deliberately
+    * q_bucket_join contract), plus a `within_target` flag pinning the
+    * operator's file-count guarantee (output files ≤ ceil(bytes/target),
+    * true at EVERY scale) into the oracled row. Timed cost deliberately
     * includes the rewrite: the amortized write IS the operator. */
   private val qCompact: Q = (s, sf) => {
     val dir = scratchDir("compact")
     t(s, sf, "lineitem").repartition(64).write
       .mode("overwrite").parquet(s"$dir/in")
-    val before = graft.sources.Layout.dataFiles(s"$dir/in")
-    graft.sources.Layout.compact(s, s"$dir/in", s"$dir/out",
+    val target = graft.sources.Layout.compact(s, s"$dir/in", s"$dir/out",
       targetFileBytes = 4L << 20)
     val after = graft.sources.Layout.dataFiles(s"$dir/out")
+    // the operator's SCALE-INVARIANT guarantee: coalesce(n) caps output
+    // files at n = ceil(bytes/target) at every SF (an `after < 64`
+    // shrink claim would flip once per-file bytes outgrow the target;
+    // actual shrinkage on small layouts is LayoutSpec's unit pin)
     s.read.parquet(s"$dir/out")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
         sum(col("l_quantity").cast("long")).as("sq"))
-      .withColumn("files_shrunk", lit(after < before))
+      .withColumn("within_target", lit(after <= target))
       .orderBy("l_returnflag")
   }
 

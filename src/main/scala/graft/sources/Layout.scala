@@ -31,6 +31,19 @@ object Layout {
   /** Total on-disk bytes of a parquet directory's data files. */
   def dataBytes(dir: String): Long = parquetFiles(dir).map(_.length).sum
 
+  /** Depth-first recursive delete (files before their parents) — the one
+    * shared spelling of the walk-reverse-delete idiom (Vacuum sweeps,
+    * query scratch wipes). No-op on a nonexistent path. */
+  def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      } finally walk.close()
+    }
+
   /** Number of parquet data files under `dir` (recursive). */
   def dataFiles(dir: String): Int = parquetFiles(dir).size
 

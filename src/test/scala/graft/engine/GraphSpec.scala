@@ -43,6 +43,24 @@ class GraphSpec extends SparkSpec {
       Map(1 -> 15.0, 2 -> 2.0))
   }
 
+  test("SQL pipe: dep binding never touches a user view of the same " +
+      "name, merges with the query's own WITH, and skips leading " +
+      "comments") {
+    val src = Seq((1, 1.0), (2, 2.0)).toDF("k", "v")
+    // a pre-existing USER view named like the dep must neither be read
+    // nor dropped (round-10 ADVICE: uuid scoping + CTE shadowing)
+    Seq((99, 99.0)).toDF("k", "v").createOrReplaceTempView("src")
+    try {
+      val g = new Graph(Seq(Node.sql("agg", Seq("src"),
+        "-- roll it up\n/* block */ WITH t AS (SELECT v FROM src) " +
+          "SELECT sum(v) AS s FROM t")))
+      val out = g.run(Map("src" -> src))
+      assert(out("agg").head().getDouble(0) === 3.0) // upstream, not the view
+      // the user view survives with its own content
+      assert(spark.table("src").head().getInt(0) === 99)
+    } finally spark.catalog.dropTempView("src")
+  }
+
   test("partitioned parquet sink round-trips with partition pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graftsink").toString
     val df = Seq((1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)).toDF("id", "part", "v")

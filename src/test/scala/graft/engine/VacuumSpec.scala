@@ -68,4 +68,21 @@ class VacuumSpec extends SparkSpec {
       Vacuum.plan(log, s"$dir/nope")
     }
   }
+
+  test("plan refuses a store that does not use ids-as-directory-names " +
+      "instead of classifying everything as orphaned") {
+    // the corpusIngest shape: ledger ids batchN, physical dirs pN — a
+    // sweep here would have deleted checkpoint-immutable landed blocks
+    val dir = Files.createTempDirectory("graftvac4").toString
+    val root = s"$dir/blocks"
+    landBlock(root, "p0", Seq(1L))
+    landBlock(root, "p1", Seq(2L))
+    val log = new RunLog(s"$dir/log")
+    log.markConsumed("docs", Seq("batch0", "batch1"))
+    val ex = intercept[IllegalArgumentException] {
+      Vacuum.plan(log, root)
+    }
+    assert(ex.getMessage.contains("ids-as-directory-names"))
+    assert(Files.isDirectory(Paths.get(root, "p0")))
+  }
 }
