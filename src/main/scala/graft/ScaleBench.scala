@@ -144,24 +144,29 @@ object ScaleBench {
       "vec_id", "embedding", 4, 1) // warm the plan shapes
     embSizes.foreach { n =>
       val emb = spark.read.parquet(s"$outRoot/emb_$n")
-      val trainSec = (1 to scaleReps).map { _ =>
+      // training is deterministic, so the timed reps' centroids ARE the
+      // trained artifact — no extra untimed pass needed for the census
+      val runs = (1 to scaleReps).map { _ =>
         val t0 = System.nanoTime()
-        KMeans.train(emb, "vec_id", "embedding", 4, 3)
-        (System.nanoTime() - t0) / 1e9
-      }.min
+        val c = KMeans.train(emb, "vec_id", "embedding", 4, 3)
+        ((System.nanoTime() - t0) / 1e9, c)
+      }
+      val trainSec = runs.map(_._1).min
+      val trained = runs.head._2
       println(f"SCALE kmeans_train_$n $trainSec%.2f s (3 rounds, min of $scaleReps)")
-      val cent = KMeans.train(emb, "vec_id", "embedding", 4, 3)
       val censusSec = (1 to scaleReps).map { _ =>
         val t0 = System.nanoTime()
-        // force through an aggregate of the COMPUTED columns: a bare
-        // count() would let pruning delete the inertia fold (memory rule)
-        KMeans.census(emb, "vec_id", "embedding", cent)
-          .agg(sum($"n" + $"inertia" + $"chk")).count()
+        // force through an aggregate of the COMPUTED columns AND collect
+        // it: a bare count() lets pruning delete both the inner sum and
+        // the inertia fold (memory rule; the other scale benches collect)
+        KMeans.census(emb, "vec_id", "embedding", trained)
+          .agg(sum($"n" + $"inertia" + $"chk")).collect()
         (System.nanoTime() - t0) / 1e9
       }.min
       println(f"SCALE kmeans_census_$n $censusSec%.2f s (min of $scaleReps)")
     }
 
+    if (!onlyKmeans) {
     // incremental mode: a FIXED 2.5k-doc delta batch (half of them
     // near-dups of corpus docs, ids disjoint) probed against each corpus
     // size, vs re-running the full near-dup over corpus ∪ delta — the
@@ -269,6 +274,8 @@ object ScaleBench {
         Dedup.duplicateSpans(docs, "doc_id", "text", 8)
       }
     }
+    } // !onlyKmeans (doc-corpus sections: incremental, indexed,
+      // tree-depth/bm25, pq/dsir, dup_spans)
     spark.stop()
   }
 }

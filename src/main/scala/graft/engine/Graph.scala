@@ -28,8 +28,15 @@ object Node {
         val nl = q.indexOf('\n', i)
         i = if (nl < 0) q.length else nl + 1; moved = true
       } else if (q.startsWith("/*", i)) {
-        val e = q.indexOf("*/", i + 2)
-        i = if (e < 0) q.length else e + 2; moved = true
+        // Spark SQL bracketed comments NEST — track depth
+        var depth = 1
+        var j = i + 2
+        while (j < q.length && depth > 0) {
+          if (q.startsWith("/*", j)) { depth += 1; j += 2 }
+          else if (q.startsWith("*/", j)) { depth -= 1; j += 2 }
+          else j += 1
+        }
+        i = j; moved = true
       }
     }
     i

@@ -1096,13 +1096,11 @@ object Queries {
       .orderBy("depth")
   }
 
-  /** Symmetrized customer↔supplier trade graph: distinct (custkey,
-    * suppkey) pairs through orders⨝lineitem; id spaces kept disjoint by
-    * even/odd encoding. Shared by the graph queries. */
   /** The trade graph's ONE-orientation edge list (each undirected
-    * customer↔supplier edge exactly once, even/odd node encoding) — the
-    * single definition every trade-graph query derives from, so the
-    * graph a labeling is computed ON and the graph it is scored AGAINST
+    * customer↔supplier edge exactly once, even/odd node encoding; distinct
+    * (custkey, suppkey) pairs through orders⨝lineitem) — the single
+    * definition every trade-graph query derives from, so the graph a
+    * labeling is computed ON and the graph it is scored AGAINST
     * (q_communities / q_modularity) can never silently diverge. */
   private def tradeOriented(s: SparkSession, sf: String): DataFrame =
     t(s, sf, "orders")
@@ -1111,6 +1109,8 @@ object Queries {
       .distinct()
       .localCheckpoint(true) // feeds both union branches
 
+  /** [[tradeOriented]] symmetrized — the undirected adjacency the graph
+    * queries traverse. */
   private def tradeEdges(s: SparkSession, sf: String): DataFrame = {
     val oi = tradeOriented(s, sf)
     oi.union(oi.select(col("d"), col("s")))
