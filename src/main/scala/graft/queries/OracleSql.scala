@@ -519,7 +519,34 @@ object OracleSql {
       "s AS (SELECT CAST(sum(CASE WHEN arma THEN n END) AS BIGINT) na, CAST(sum(CASE WHEN arma THEN k END) AS BIGINT) ka, " +
       "CAST(sum(CASE WHEN NOT arma THEN n END) AS BIGINT) nb, CAST(sum(CASE WHEN NOT arma THEN k END) AS BIGINT) kb FROM g) "
 
+  // Power iteration over the exact integer covariance, unrolled: the
+  // centered Gram stays BIGINT via n·Σvᵢvⱼ − ΣvᵢΣvⱼ then // n², each
+  // round one matvec + fixed-point renorm (x·1000 // max|w|, truncation
+  // toward zero ≡ the engine's Long division). Start vector 1000·e₁.
+  private val embedPc1Sql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"w$i AS (SELECT g.i, CAST(sum(g.gv * v${i - 1}.x) AS BIGINT) w " +
+        s"FROM g JOIN v${i - 1} ON v${i - 1}.i = g.j GROUP BY 1), " +
+        s"m$i AS (SELECT max(abs(w)) m FROM w$i), " +
+        s"v$i AS (SELECT i, (w * 1000) // m$i.m x FROM w$i, m$i)"
+    }.mkString(", ")
+    "WITH q AS (SELECT vec_id id, " +
+      "CAST(generate_subscripts(embedding, 1) AS INT) i, " +
+      "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) v " +
+      "FROM embeddings), " +
+      "nn AS (SELECT count(*) n FROM embeddings), " +
+      "s AS (SELECT i, CAST(sum(v) AS BIGINT) s FROM q GROUP BY i), " +
+      "p AS (SELECT a.i i, b.i j, CAST(sum(a.v * b.v) AS BIGINT) pp " +
+      "FROM q a JOIN q b ON a.id = b.id GROUP BY 1, 2), " +
+      "g AS (SELECT p.i, p.j, (nn.n * p.pp - sa.s * sb.s) // (nn.n * nn.n) gv " +
+      "FROM p, nn, s sa, s sb WHERE sa.i = p.i AND sb.i = p.j), " +
+      "v0 AS (SELECT i, CAST(CASE WHEN i = 1 THEN 1000 ELSE 0 END AS BIGINT) x FROM s), " +
+      rounds + " " +
+      "SELECT i, x FROM v3 ORDER BY i"
+  }
+
   val all: Map[String, String] = Map(
+    "q_embed_pc1" -> embedPc1Sql,
     "q_kmeans" -> kmeansSql,
     "q_modularity" -> modularitySql,
     // compaction is physical layout only — same values as the source

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Bloom, Components, Dedup, Incremental, IntervalJoin, Iterate, Ivf, KMeans, Multimodal, Pq, Rank, Retrieval, Sampling, Similarity, Skew, TextAnalysis, Validate}
+import graft.operators.{AsOfJoin, Bloom, Components, Dedup, Incremental, IntervalJoin, Iterate, Ivf, KMeans, Multimodal, Pca, Pq, Rank, Retrieval, Sampling, Similarity, Skew, TextAnalysis, Validate}
 import graft.engine.{Graph, Node, Observed, RunLog, Snapshot}
 import graft.modules.CorpusModule
 import graft.sources.Layout
@@ -5378,9 +5378,24 @@ object Queries {
       .orderBy("week")
   }
 
+  /** Dominant principal direction of the embedding corpus
+    * ([[operators.Pca.dominantDirection]]): 3 power-iteration rounds
+    * over the exact integer covariance (n²·cov cross-multiplied to
+    * BIGINT, fixed-point renormalization each round) — the
+    * all-but-the-top common-direction estimate (Mu & Viswanath, ICLR
+    * 2018), every coordinate of the result oracled bit-exactly against
+    * the same rounds unrolled in SQL. The corpus is touched by exactly
+    * two aggregates (coordinate sums + (i,j) product sums); the 64×64
+    * matrix and the power rounds are bounded driver state, so at 100 TB
+    * this costs two aggregation passes. */
+  private val qEmbedPc1: Q = (s, sf) =>
+    Pca.dominantDirection(t(s, sf, "embeddings"), "vec_id", "embedding",
+      iters = 3).orderBy("i")
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_embed_pc1" -> qEmbedPc1,
     "q_kmeans" -> qKmeans,
     "q_modularity" -> qModularity,
     "q_compact" -> qCompact,

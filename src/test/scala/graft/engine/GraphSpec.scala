@@ -61,6 +61,18 @@ class GraphSpec extends SparkSpec {
     } finally spark.catalog.dropTempView("src")
   }
 
+  test("SQL pipe: dep bindings merge into a WITH RECURSIVE query " +
+      "(RECURSIVE keyword stays leading)") {
+    val src = Seq((1, 3)).toDF("k", "n") // count down from n=3
+    val g = new Graph(Seq(Node.sql("walk", Seq("src"),
+      "/* nested /* comment */ ok */ WITH RECURSIVE r AS (" +
+        "SELECT n FROM src UNION ALL SELECT n - 1 FROM r WHERE n > 1) " +
+        "SELECT count(*) AS c, sum(n) AS s FROM r")))
+    val out = g.run(Map("src" -> src))
+    val row = out("walk").head()
+    assert((row.getLong(0), row.getLong(1)) === ((3L, 6L))) // 3,2,1
+  }
+
   test("partitioned parquet sink round-trips with partition pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graftsink").toString
     val df = Seq((1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)).toDF("id", "part", "v")
