@@ -50,15 +50,23 @@ object Pca {
       .toMap
     val dim = sums.keys.max
     val n = emb.count()
-    // n·pp and s·s must stay inside BIGINT: |pp| ≤ n·scale², so the
-    // bound is n²·scale² < 2⁶³ → n < 3e6 at scale 1000
-    require(n > 0 && n <= 3000000L,
-      s"dominantDirection: $n rows exceeds the exact-BIGINT bound at " +
-        s"scale $scale — lower the scale or sample")
+    require(n > 0, "dominantDirection: empty corpus")
     val g = Array.tabulate(dim, dim) { (i0, j0) =>
       val (i, j) = (i0 + 1, j0 + 1)
-      // covariance cross-multiplied to integers, bounded by DIV n²
-      (n * prods((i, j)) - sums(i) * sums(j)) / (n * n)
+      // covariance cross-multiplied to integers, bounded by DIV n².
+      // The intermediate n·pp − sᵢ·sⱼ can exceed Long near its own
+      // bound (each term alone ≤ n²·scale² but their difference is not)
+      // — compute in BigInt; the DIVIDED cell is ~scale²-sized and must
+      // fit, which the require pins loudly. BigInt `/` truncates toward
+      // zero like Long `/` and DuckDB `//`, so the oracle (whose BIGINT
+      // arithmetic errors loudly on overflow rather than wrapping)
+      // computes the identical cell wherever it computes at all.
+      val cell = (BigInt(n) * prods((i, j)) - BigInt(sums(i)) * sums(j)) /
+        (BigInt(n) * n)
+      require(cell.isValidLong,
+        s"dominantDirection: covariance cell ($i,$j) exceeds BIGINT — " +
+          s"lower the quantization scale (got $scale)")
+      cell.toLong
     }
     var v = Array.tabulate(dim)(i => if (i == 0) scale.toLong else 0L)
     for (_ <- 1 to iters) {
