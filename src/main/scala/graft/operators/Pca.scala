@@ -63,9 +63,15 @@ object Pca {
       // computes the identical cell wherever it computes at all.
       val cell = (BigInt(n) * prods((i, j)) - BigInt(sums(i)) * sums(j)) /
         (BigInt(n) * n)
-      require(cell.isValidLong,
-        s"dominantDirection: covariance cell ($i,$j) exceeds BIGINT — " +
-          s"lower the quantization scale (got $scale)")
+      // bound each cell so the matvec AND its renorm can never overflow
+      // Long: |w_i| ≤ dim·|cell|·scale and the renorm multiplies by
+      // scale again — the engine must fail loudly here exactly where
+      // the oracle's DuckDB BIGINT arithmetic would error, never wrap
+      val cellBound = Long.MaxValue / (dim.toLong * scale * scale * 2)
+      require(cell.abs <= cellBound,
+        s"dominantDirection: covariance cell ($i,$j) = $cell exceeds the " +
+          s"overflow-safe bound $cellBound — lower the quantization " +
+          s"scale (got $scale)")
       cell.toLong
     }
     var v = Array.tabulate(dim)(i => if (i == 0) scale.toLong else 0L)
