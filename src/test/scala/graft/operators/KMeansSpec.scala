@@ -76,6 +76,49 @@ class KMeansSpec extends SparkSpec {
     assert(q === vs.map(expect))
   }
 
+  test("train matches a single-threaded reference on random corpora " +
+      "(property, seeded)") {
+    // local replication of the exact integer recurrence — same contract
+    // the DuckDB oracle pins, exercised across shapes the fixed corpus
+    // can't reach (k up to 5, dims 2-5, duplicate points, negatives)
+    def refTrain(qs: Array[(Long, Array[Long])], k: Int,
+        iters: Int): Array[Array[Long]] = {
+      var cent = qs.sortBy(_._1).take(k).map(_._2)
+      def cellOf(q: Array[Long]): Int =
+        cent.map(c => c.zip(q).map { case (a, b) => (b - a) * (b - a) }.sum)
+          .zipWithIndex.minBy { case (d, j) => (d, j) }._2
+      for (_ <- 1 to iters) {
+        val members = qs.groupBy { case (_, q) => cellOf(q) }
+        cent = cent.zipWithIndex.map { case (old, cell) =>
+          members.get(cell) match {
+            case Some(rows) =>
+              val n = rows.length
+              Array.tabulate(old.length)(i => rows.map(_._2(i)).sum / n)
+            case None => old
+          }
+        }
+      }
+      cent
+    }
+    val rnd = new scala.util.Random(421)
+    for (trial <- 1 to 8) {
+      val dim = 2 + rnd.nextInt(4)
+      val k = 2 + rnd.nextInt(4)
+      val nPts = k + rnd.nextInt(30)
+      val pts = (0 until nPts).map { id =>
+        (id.toLong, Array.fill(dim)((rnd.nextInt(4001) - 2000) / 1000.0f))
+      }
+      val df = pts.toDF("vec_id", "embedding").repartition(3)
+      val got = KMeans.train(df, "vec_id", "embedding", k, iters = 2)
+      val qs = pts.map { case (id, e) =>
+        (id, e.map(f => math.floor(f.toDouble * 1000 + 0.5).toLong))
+      }.toArray
+      val want = refTrain(qs, k, 2)
+      assert(got.map(_.toSeq).toSeq === want.map(_.toSeq).toSeq,
+        s"trial=$trial dim=$dim k=$k n=$nPts")
+    }
+  }
+
   test("census covers every cell, n sums to corpus, inertia is the " +
       "assigned distance sum") {
     val cent = KMeans.train(blobs, "vec_id", "embedding", k = 2, iters = 2)
