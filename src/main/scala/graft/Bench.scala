@@ -49,7 +49,10 @@ object Bench {
     // round 11: the two iterative additions (driver-loop Lloyd rounds;
     // LPA + the modularity joins) — the CC-shaped family is solo by the
     // round-9 rule
-    "q_kmeans", "q_modularity")
+    "q_kmeans", "q_modularity",
+    // round 12: q_cosine_ivf now TRAINS its coarse quantizer (2 Lloyd
+    // driver rounds) before probing — joins the iterative family
+    "q_cosine_ivf")
 
   /** One timed query: seconds, success, how many RDD storage blocks were
     * still registered after the post-query drain (0 = clean), and how

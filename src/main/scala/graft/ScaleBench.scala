@@ -73,10 +73,10 @@ object ScaleBench {
     def genDocs(n: Long, path: String): Unit =
       ScaleBench.genDocs(spark, n, path)
 
-    def genEmb(n: Long, path: String): Unit = {
+    def genEmb(n: Long, path: String, dim: Int = 64): Unit = {
       val base = spark.range(n).select(
         $"id".as("vec_id"),
-        transform(sequence(lit(0), lit(63)), j =>
+        transform(sequence(lit(0), lit(dim - 1)), j =>
           (pmod(xxhash64($"id", j), lit(2001)).cast("double") / 1000.0 - 1.0)
             .cast("float")).as("embedding"))
       val dups = base.filter(pmod($"vec_id", lit(20)) === 0)
@@ -96,19 +96,23 @@ object ScaleBench {
     val docSizes = Seq(5000L, 15000L, 50000L)
     val embSizes = Seq(2000L, 6000L, 20000L)
 
-    // SPARK_GRAFT_SCALE_ONLY=kmeans reruns just the k-means section
+    // SPARK_GRAFT_SCALE_ONLY={kmeans|assign|gram} reruns ONE section
     // (with min-of-SPARK_GRAFT_SCALE_REPS windows) — the regenerability
     // knob for its SCALING.md row without paying the full doc suite
-    val onlyKmeans =
-      sys.env.get("SPARK_GRAFT_SCALE_ONLY").contains("kmeans")
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+    val onlyKmeans = only.contains("kmeans")
     val scaleReps =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "1").toInt.max(1)
+    def winMin(f: => Unit): Double = (1 to scaleReps).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }.min
 
-    if (!onlyKmeans) docSizes.foreach(n => genDocs(n, s"$outRoot/docs_$n"))
-    embSizes.foreach(n => genEmb(n, s"$outRoot/emb_$n"))
+    if (only.isEmpty) docSizes.foreach(n => genDocs(n, s"$outRoot/docs_$n"))
+    if (only.isEmpty || onlyKmeans)
+      embSizes.foreach(n => genEmb(n, s"$outRoot/emb_$n"))
     println("SCALE generated")
 
-    if (!onlyKmeans) {
+    if (only.isEmpty) {
 
     // warmup all three plan shapes on the smallest corpus
     Dedup.lshVerifiedPairs(spark.read.parquet(s"$outRoot/docs_5000"),
@@ -133,8 +137,9 @@ object ScaleBench {
         Similarity.cosinePairs(emb, "vec_id", "embedding", 0.9)
       }
     }
-    } // !onlyKmeans
+    } // only.isEmpty (dedup/ANN flagship sections)
 
+    if (only.isEmpty || onlyKmeans) {
     // round 11: integer-exact Lloyd's k-means (the q_kmeans surface) —
     // per round one narrow assignment scan + one k-row shuffle, centroids
     // bounded driver state, so the curve should track the scan. Min of
@@ -165,8 +170,54 @@ object ScaleBench {
       }.min
       println(f"SCALE kmeans_census_$n $censusSec%.2f s (min of $scaleReps)")
     }
+    } // kmeans section
 
-    if (!onlyKmeans) {
+    // round 12: the codegen'd assignment scan (NearestCell, the hot
+    // per-row cost of Lloyd's at 100 TB) vs the interpreted HOF-fold
+    // reference — measured on a corpus big enough (210k rows × dim 64,
+    // k = 16) that per-row work dominates the ~1 s scheduling floor the
+    // kmeans_train rows sit on. SPARK_GRAFT_SCALE_ONLY=assign.
+    if (only.isEmpty || only.contains("assign")) {
+      genEmb(200000L, s"$outRoot/emb_200000")
+      val emb = spark.read.parquet(s"$outRoot/emb_200000")
+      val cents = KMeans.train(emb, "vec_id", "embedding", 16, 1)
+      val q = KMeans.quantize(col("embedding"), 1000)
+      def scan(cell: org.apache.spark.sql.Column): Unit =
+        // force through an aggregate OF the computed column + collect
+        // (bare count() would prune the assignment away — memory rule)
+        emb.select(cell.as("c")).agg(sum("c")).collect()
+      scan(KMeans.cellOf(cents, q)) // warm both plan shapes
+      scan(KMeans.cellOfFold(cents, q))
+      val fast = winMin(scan(KMeans.cellOf(cents, q)))
+      val slow = winMin(scan(KMeans.cellOfFold(cents, q)))
+      println(f"SCALE assign_codegen_210k $fast%.2f s (min of $scaleReps)")
+      println(f"SCALE assign_fold_210k $slow%.2f s (min of $scaleReps)")
+    }
+
+    // round 12: one-pass GramAgg vs the join-form Gram, dim 64 → 256 at
+    // fixed n — the dim-scaling evidence for q_embed_pc1's covariance
+    // pass (the join form re-keys dim×n rows BOTH sides of an id
+    // self-join; the agg's shuffle carries one (2+dim+dim²)-long buffer
+    // per map task whatever n is). SPARK_GRAFT_SCALE_ONLY=gram.
+    if (only.isEmpty || only.contains("gram")) {
+      import graft.operators.Pca
+      for (dim <- Seq(64, 256)) {
+        genEmb(6000L, s"$outRoot/embd_$dim", dim)
+        val emb = spark.read.parquet(s"$outRoot/embd_$dim")
+        // timed through the public API (1 power round; the driver-side
+        // BigInt algebra it adds is microseconds at these dims)
+        def run(viaJoin: Boolean): Unit =
+          Pca.dominantDirection(emb, "vec_id", "embedding", iters = 1,
+            gramViaJoin = viaJoin).collect()
+        run(viaJoin = false); run(viaJoin = true) // warm both shapes
+        val agg = winMin(run(viaJoin = false))
+        val join = winMin(run(viaJoin = true))
+        println(f"SCALE gram_agg_d$dim $agg%.2f s (min of $scaleReps)")
+        println(f"SCALE gram_join_d$dim $join%.2f s (min of $scaleReps)")
+      }
+    }
+
+    if (only.isEmpty) {
     // incremental mode: a FIXED 2.5k-doc delta batch (half of them
     // near-dups of corpus docs, ids disjoint) probed against each corpus
     // size, vs re-running the full near-dup over corpus ∪ delta — the
@@ -274,7 +325,7 @@ object ScaleBench {
         Dedup.duplicateSpans(docs, "doc_id", "text", 8)
       }
     }
-    } // !onlyKmeans (doc-corpus sections: incremental, indexed,
+    } // only.isEmpty (doc-corpus sections: incremental, indexed,
       // tree-depth/bm25, pq/dsir, dup_spans)
     spark.stop()
   }

@@ -61,10 +61,12 @@ object Vacuum {
     dirs.partition(referenced)
   }
 
-  /** Delete orphaned block directories older than `graceMs` (by last
-    * modification of the directory itself — a landing still being
-    * written keeps touching it). Returns (deleted, keptYoung, referenced)
-    * counts; never touches a referenced block.
+  /** Delete orphaned block directories older than `graceMs` (by the
+    * NEWEST modification time anywhere under the directory — a landing
+    * still being written keeps touching its files, and a writer
+    * overwriting files INSIDE an existing entry refreshes child mtimes
+    * without refreshing the top-level dir's own). Returns (deleted,
+    * keptYoung, referenced) counts; never touches a referenced block.
     *
     * The ledger is RE-READ between planning and deleting, so an old
     * orphan adopted by a run that appended after the plan snapshot is
@@ -81,10 +83,34 @@ object Vacuum {
     var young = 0
     orphans.filterNot(adopted).foreach { name =>
       val p = Paths.get(blockRoot, name)
-      if (Files.getLastModifiedTime(p).toMillis <= cutoff) {
-        graft.sources.Layout.deleteRecursively(p); deleted += 1
-      } else young += 1
+      // a dir another process (or a racing second sweep) removed between
+      // plan and this loop is already in the sweep's goal state — count
+      // it deleted instead of aborting the whole sweep mid-way
+      try {
+        if (newestMtime(p) <= cutoff) {
+          graft.sources.Layout.deleteRecursively(p); deleted += 1
+        } else young += 1
+      } catch {
+        case _: java.nio.file.NoSuchFileException => deleted += 1
+        // Files.walk wraps a mid-walk disappearance in UncheckedIOException
+        case e: java.io.UncheckedIOException
+            if e.getCause.isInstanceOf[java.nio.file.NoSuchFileException] =>
+          deleted += 1
+      }
     }
     (deleted, young, referenced.size)
+  }
+
+  /** Newest mtime of the directory or anything under it — the liveness
+    * signal the grace window judges. Throws NoSuchFileException if the
+    * root vanished (handled by the sweep loop); a child vanishing during
+    * the walk just drops out of the max. */
+  private def newestMtime(p: java.nio.file.Path): Long = {
+    val walk = Files.walk(p)
+    try walk.mapToLong { c =>
+      try Files.getLastModifiedTime(c).toMillis
+      catch { case _: java.nio.file.NoSuchFileException => Long.MinValue }
+    }.max.orElseThrow(() => new java.nio.file.NoSuchFileException(p.toString))
+    finally walk.close()
   }
 }

@@ -302,6 +302,156 @@ case class SortedIntersect(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Shared typing for the two nearest-centroid expressions: left is the
+  * centroid TABLE (`array<array<bigint>>`, in practice a literal of the
+  * k trained integer centroids), right the quantized row vector
+  * (`array<bigint>`). */
+trait NearestBase { self: BinaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ArrayType(LongType, _), _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<array<bigint>>, array<bigint>), " +
+          s"got (${l.simpleString}, ${r.simpleString})")
+    }
+}
+
+/** Codegen'd argmin of exact integer squared-L2 distance from a quantized
+  * vector to each of k centroids — the k-means ASSIGNMENT scan, which at
+  * 100 TB is the dominant per-round cost of Lloyd's iterations.
+  *
+  * The HOF formulation ([[graft.operators.KMeans.cellOfFold]]: one
+  * zip_with/aggregate fold per centroid + a single argmin fold) is
+  * semantically identical but interpreted — per element, boxed, with
+  * closure calls. This expression is one tight primitive nested loop
+  * inside whole-stage codegen, with a sound early exit: the running sum
+  * is monotone, so a cell whose partial distance already reaches the
+  * best seen can stop mid-coordinate without affecting the argmin.
+  *
+  * Semantics (pinned bit-identical to the fold in KMeansSpec): distances
+  * over min(dim) coordinates, ties keep the FIRST (smallest) cell id —
+  * the convention the cross-engine oracle's `ORDER BY d2, cell` mirrors.
+  * Empty centroid table → -1 (the fold's convention). */
+case class NearestCell(left: Expression, right: Expression)
+    extends BinaryExpression with NearestBase {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_cell"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val cents = a.asInstanceOf[ArrayData]
+    val v = b.asInstanceOf[ArrayData]
+    val k = cents.numElements()
+    var best = -1
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < k) {
+      val ct = cents.getArray(c)
+      val dim = math.min(ct.numElements(), v.numElements())
+      var acc = 0L
+      var j = 0
+      while (j < dim && acc < bestD) {
+        val d = ct.getLong(j) - v.getLong(j)
+        acc += d * d
+        j += 1
+      }
+      if (acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (cents, v) => {
+      val k = ctx.freshName("k"); val c = ctx.freshName("c")
+      val ct = ctx.freshName("ct"); val dim = ctx.freshName("dim")
+      val acc = ctx.freshName("acc"); val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      s"""
+         |int $k = $cents.numElements();
+         |int $best = -1;
+         |long $bestD = Long.MAX_VALUE;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $ct = $cents.getArray($c);
+         |  int $dim = java.lang.Math.min($ct.numElements(), $v.numElements());
+         |  long $acc = 0L;
+         |  for (int $j = 0; $j < $dim && $acc < $bestD; $j++) {
+         |    long $d = $ct.getLong($j) - $v.getLong($j);
+         |    $acc += $d * $d;
+         |  }
+         |  if ($acc < $bestD) { $bestD = $acc; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): NearestCell =
+    copy(left = newLeft, right = newRight)
+}
+
+/** The companion of [[NearestCell]]: the exact integer squared-L2
+  * distance TO the nearest centroid (the per-row inertia term), same
+  * loop, same sound early exit, returning the min distance instead of
+  * its index. */
+case class NearestDist2(left: Expression, right: Expression)
+    extends BinaryExpression with NearestBase {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_nearest_dist2"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val cents = a.asInstanceOf[ArrayData]
+    val v = b.asInstanceOf[ArrayData]
+    val k = cents.numElements()
+    var bestD = Long.MaxValue
+    var c = 0
+    while (c < k) {
+      val ct = cents.getArray(c)
+      val dim = math.min(ct.numElements(), v.numElements())
+      var acc = 0L
+      var j = 0
+      while (j < dim && acc < bestD) {
+        val d = ct.getLong(j) - v.getLong(j)
+        acc += d * d
+        j += 1
+      }
+      if (acc < bestD) bestD = acc
+      c += 1
+    }
+    bestD
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (cents, v) => {
+      val k = ctx.freshName("k"); val c = ctx.freshName("c")
+      val ct = ctx.freshName("ct"); val dim = ctx.freshName("dim")
+      val acc = ctx.freshName("acc"); val j = ctx.freshName("j")
+      val d = ctx.freshName("d"); val bestD = ctx.freshName("bestD")
+      s"""
+         |int $k = $cents.numElements();
+         |long $bestD = Long.MAX_VALUE;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $ct = $cents.getArray($c);
+         |  int $dim = java.lang.Math.min($ct.numElements(), $v.numElements());
+         |  long $acc = 0L;
+         |  for (int $j = 0; $j < $dim && $acc < $bestD; $j++) {
+         |    long $d = $ct.getLong($j) - $v.getLong($j);
+         |    $acc += $d * $d;
+         |  }
+         |  if ($acc < $bestD) { $bestD = $acc; }
+         |}
+         |${ev.value} = $bestD;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): NearestDist2 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API and SQL surfaces for the vector expressions. */
 object VectorFunctions {
 
@@ -330,6 +480,17 @@ object VectorFunctions {
   def sortedIntersect(a: Column, b: Column): Column =
     ColumnBridge.column(
       SortedIntersect(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd nearest-centroid index: argmin of exact integer squared-L2
+    * distance over a centroid-table column (k-means assignment scan). */
+  def nearestCell(centroids: Column, vec: Column): Column =
+    ColumnBridge.column(
+      NearestCell(ColumnBridge.expression(centroids), ColumnBridge.expression(vec)))
+
+  /** Codegen'd distance to the nearest centroid (per-row inertia). */
+  def nearestDist2(centroids: Column, vec: Column): Column =
+    ColumnBridge.column(
+      NearestDist2(ColumnBridge.expression(centroids), ColumnBridge.expression(vec)))
 
   private val registration = (
     new FunctionIdentifier("graft_dot"),
@@ -400,5 +561,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[SortedIntersect].getName,
           "graft_intersect_sorted"),
         (children: Seq[Expression]) => SortedIntersect(children(0), children(1))))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_nearest_cell"),
+        new ExpressionInfo(classOf[NearestCell].getName, "graft_nearest_cell"),
+        (children: Seq[Expression]) => NearestCell(children(0), children(1))))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_nearest_dist2"),
+        new ExpressionInfo(classOf[NearestDist2].getName, "graft_nearest_dist2"),
+        (children: Seq[Expression]) => NearestDist2(children(0), children(1))))
   }
 }

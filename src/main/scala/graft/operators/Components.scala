@@ -469,8 +469,17 @@ object Components {
     * no self-loops. `labels`: total (id, lbl) over the edge vertices —
     * [[labelPropagation]]'s output contract. Scale shape: one degree
     * aggregate + two id-grain joins of node-level frames; the edge list
-    * is scanned twice and never self-joined. The in-plan bound m ≤ 1.5e6
-    * keeps Q·10⁶·4m² inside BIGINT; past that drop to milli-units. */
+    * is scanned twice and never self-joined.
+    *
+    * Arithmetic: m, m_c, d_c are int64 counts (the per-edge work); the
+    * per-community terms and the final Q·10⁶ ride decimal(38,0) — the
+    * q_hhi/q_spearman HUGEINT discipline — because 4·m·m_c·10⁶ outgrows
+    * int64 past m ≈ 1.5e6 edges (the round-11 in-plan cap this replaces).
+    * decimal(38,0) holds 4m²·10⁶ to m ≈ 5e15 edges, i.e. any graph whose
+    * edge COUNT fits int64 in practice; the decimal ops touch only the
+    * n_comm-row community frame, never the edges, so the swap is free.
+    * |Q| ≤ 1 ⇒ q_micro ∈ [−10⁶, 10⁶], cast back to BIGINT losslessly
+    * (same output schema as before). */
   def modularity(undirected: DataFrame, labels: DataFrame,
       srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     val oi = undirected.select(col(srcCol).cast("long").as("s"),
@@ -492,13 +501,13 @@ object Components {
       .select(col("lbl"), col("dc"), coalesce(col("mc"), lit(0L)).as("mc"))
       .crossJoin(broadcast(m))
       .agg(count(lit(1)).as("n_comm"), max("m").as("m"),
-        sum(expr("4 * m * mc - dc * dc")).as("num"))
-      // the guard rides as a filter (the q_approx_distinct pattern —
-      // a projected-then-dropped assert column would be pruned away)
-      .filter(assert_true(col("m") <= 1500000L,
-        lit("modularity: m too large for micro-unit BIGINT arithmetic " +
-          "— use milli-units")).isNull)
+        sum(lit(4).cast("decimal(38,0)") * col("m") * col("mc") -
+          col("dc").cast("decimal(38,0)") * col("dc")).as("num"))
       .select(col("n_comm"), col("m"),
-        expr("num * 1000000 div (4 * m * m)").as("q_micro"))
+        // `div` on decimals is IntegralDivide: the integral quotient,
+        // truncating toward zero (≡ Long `div` ≡ DuckDB `//`), emitted
+        // as BIGINT — |Q| ≤ 1 ⇒ |q_micro| ≤ 10⁶, always in range
+        expr("num * CAST(1000000 AS DECIMAL(38,0)) div " +
+          "(CAST(4 AS DECIMAL(38,0)) * m * m)").as("q_micro"))
   }
 }

@@ -303,6 +303,50 @@ object Dedup {
           w => xxhash64(w)))).as("th"))
       .withColumn("nt", size(col("th")))
 
+  /** Build-or-reuse the PERSISTED near-dup index ([[lshBands]] rows
+    * partitioned by band_id + [[tokenHashIndex]] rows) at `dir`,
+    * concurrency-safe: the index is written to a process-unique sibling
+    * scratch directory and ATOMICALLY renamed into place, so a reader can
+    * never observe a half-written index and two builders racing the same
+    * `dir` both succeed — the loser's rename fails on the existing
+    * destination and its scratch is discarded (its content is identical
+    * by determinism). `dir` existing ⇒ the index under it is COMPLETE;
+    * no READY marker is needed (the marker-then-data protocol this
+    * replaces could be observed between the two writes). Returns the
+    * (bands, tokens) frames read back from the index. */
+  def ensureLshIndex(corpus: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, bands: Int, dir: String): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    val target = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(target)) {
+      val tmp = target.resolveSibling(target.getFileName.toString +
+        s"_build_${ProcessHandle.current().pid()}_${buildSeq.incrementAndGet()}")
+      lshBands(corpus, idCol, textCol, numHashes, bands)
+        .write.mode("overwrite").partitionBy("band_id")
+        .parquet(s"$tmp/bands")
+      tokenHashIndex(corpus, idCol, textCol)
+        .write.mode("overwrite").parquet(s"$tmp/tokens")
+      try java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // another builder renamed first: its index is complete and
+        // identical (deterministic build); ours is redundant scratch.
+        // rename(2)'s EEXIST/ENOTEMPTY surfaces as a plain
+        // FileSystemException ("Directory not empty"), not the typed
+        // DirectoryNotEmptyException — so the benign/real distinction is
+        // the target's existence, not the exception class
+        case _: java.nio.file.FileSystemException
+            if java.nio.file.Files.exists(target) =>
+          graft.sources.Layout.deleteRecursively(tmp)
+      }
+    }
+    (spark.read.parquet(s"$dir/bands"), spark.read.parquet(s"$dir/tokens"))
+  }
+
+  // in-process uniquifier for concurrent ensureLshIndex scratch dirs
+  // (cross-process uniqueness comes from the pid in the name)
+  private val buildSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** The composed scale path: MinHash-LSH candidate generation followed by
     * exact token-Jaccard verification of only those candidates. Sub-quadratic
     * end to end — the pair space is the LSH buckets' (the S-curve prunes

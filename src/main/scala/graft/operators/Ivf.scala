@@ -106,6 +106,47 @@ object Ivf {
       .limit(k)
   }
 
+  /** IVF search over INTEGER-KMEANS-trained coarse cells — the trained
+    * quantizer that is also cross-engine ORACLE-EXACT end to end (the
+    * reason this exists next to [[search]]'s float-Lloyd path): train =
+    * [[KMeans.train]] (bit-exact integer Lloyd), assignment = the
+    * codegen'd [[KMeans.cellOf]] argmin, probe selection = integer
+    * distances from the QUANTIZED query vector to the k trained
+    * centroids (driver-side arithmetic on bounded trained state, ties
+    * to the smaller cell — reproducible in SQL), candidate ranking =
+    * exact float cosine, ordered (cos DESC, id).
+    *
+    * Same physical shape as [[search]]: narrow codegen'd assignment, the
+    * nprobe/k probe filter prunes the candidate scan (with `cell` as a
+    * partition column that is partition pruning at the scan — the
+    * [[graft.sources]] bucketed-embeddings pattern), top-k is a
+    * TakeOrdered. At 100 TB: train cost = iters narrow scans + k·dim-row
+    * shuffles, search cost = nprobe/k of one scan. */
+  def searchKMeansTrained(emb: DataFrame, idCol: String, embCol: String,
+      queryId: Long, k: Int, cells: Int, nprobe: Int, iters: Int,
+      scale: Int = 1000): DataFrame = {
+    val cents = KMeans.train(emb, idCol, embCol, cells, iters, scale)
+    val qCol = KMeans.quantize(col(embCol), scale)
+    val qv = emb.filter(col(idCol) === queryId)
+      .select(col(embCol)).collect().head.getSeq[Float](0).toArray
+    // quantize the query EXACTLY as the corpus was (same double-widened
+    // half-up), then integer distance to each trained centroid; ties to
+    // the smaller cell id — the (d2, cell) sort the oracle mirrors
+    val qq = qv.map(f => math.floor(f.toDouble * scale + 0.5).toLong)
+    val probed = cents.zipWithIndex.map { case (c, cell) =>
+      (c.zip(qq).map { case (a, b) => val d = a - b; d * d }.sum, cell)
+    }.sorted.take(nprobe).map(_._2).toSeq
+    val qlit = typedlit(qv)
+    emb.withColumn("cell", KMeans.cellOf(cents, qCol))
+      .filter(col("cell").isin(probed: _*) && col(idCol) =!= queryId)
+      .select(col(idCol),
+        round(VectorFunctions.dotProduct(col(embCol), qlit) /
+          (sqrt(VectorFunctions.norm2(col(embCol))) *
+            lit(math.sqrt(qv.map(x => x.toDouble * x).sum))), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Assign each row its nearest cell (narrow, shuffle-free). */
   def assign(emb: DataFrame, centroids: Centroids, embCol: String): DataFrame =
     emb.withColumn("cell", cellOf(centroids, embCol))

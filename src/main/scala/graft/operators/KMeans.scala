@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   *   - a cell that loses all members KEEPS its previous centroid (the
   *     deterministic convention the oracle mirrors with a LEFT JOIN).
   *
-  * Scale shape: quantization + assignment are narrow codegen'd scans (one
-  * zip_with/aggregate fold per centroid — same k·dim codegen budget as
-  * [[Ivf.cellOf]], k ≤ 64 enforced); each round's update is ONE partial
+  * Scale shape: quantization + assignment are narrow codegen'd scans —
+  * assignment is the codegen'd [[graft.functions.NearestCell]] argmin
+  * loop (primitive arithmetic, sound partial-distance early exit; the
+  * interpreted HOF folds remain as [[cellOfFold]], the spec-pinned
+  * reference semantics); each round's update is ONE partial
   * aggregate whose shuffle carries k·dim (cell, coord) rows, never the
   * corpus; centroids are bounded driver state (k·dim longs), the same
   * trained-artifact pattern as [[Ivf.train]]'s float centroids and
@@ -52,18 +54,32 @@ object KMeans {
 
   /** Nearest-centroid cell id for a quantized vector column: argmin of
     * integer distance, first occurrence on ties (= the smaller cell id —
-    * the convention the oracle's `ORDER BY d2, cell` mirrors). One
-    * distance fold per centroid is inlined into codegen, so k is bounded
-    * like [[Ivf.cellOf]]'s. */
+    * the convention the oracle's `ORDER BY d2, cell` mirrors).
+    * Implemented by the codegen'd [[graft.functions.NearestCell]] — one
+    * tight primitive nested loop with a sound partial-distance early
+    * exit — because the assignment scan is the dominant per-round cost
+    * of Lloyd's at 100 TB and the HOF folds it replaces are interpreted
+    * ([[cellOfFold]] stays as the pure-built-in reference formulation;
+    * KMeansSpec pins the two bit-identical). */
   def cellOf(centroids: Array[Array[Long]], qCol: Column): Column = {
+    require(centroids.nonEmpty, "cellOf needs at least one centroid")
+    graft.functions.VectorFunctions.nearestCell(
+      typedlit(centroids.map(_.toSeq).toSeq), qCol)
+  }
+
+  /** [[cellOf]] composed purely from built-in higher-order functions —
+    * one zip_with/aggregate distance fold per centroid + a single-fold
+    * argmin (interpreted, so k ≤ 64 keeps the expression tree bounded).
+    * Retained as the executable reference semantics for the codegen'd
+    * expression; not used on the hot path. */
+  private[graft] def cellOfFold(centroids: Array[Array[Long]],
+      qCol: Column): Column = {
     require(centroids.nonEmpty && centroids.length <= 64,
-      s"cellOf supports 1..64 centroids (got ${centroids.length}) — one " +
-        "distance fold per centroid is inlined into codegen")
+      s"cellOfFold supports 1..64 centroids (got ${centroids.length}) — " +
+        "one distance fold per centroid is inlined into the plan")
     val ds = array(centroids.map(c => dist2(qCol, c)): _*)
-    // single-fold argmin: the k distance folds are interpreted (HOFs
-    // don't codegen), so building `ds` once and folding — instead of
-    // array_position(ds, array_min(ds)), which materializes ds TWICE —
-    // halves the per-row cost of the corpus-wide assignment scan.
+    // single-fold argmin: building `ds` once and folding — instead of
+    // array_position(ds, array_min(ds)), which materializes ds TWICE.
     // Strict `<` keeps the FIRST minimum = the smaller cell id.
     val indexed = zip_with(ds,
       sequence(lit(0L), lit((centroids.length - 1).toLong)),
@@ -76,8 +92,16 @@ object KMeans {
   }
 
   /** The integer distance to the assigned (nearest) centroid — the
-    * per-row inertia term. */
-  def minDist2(centroids: Array[Array[Long]], qCol: Column): Column =
+    * per-row inertia term (codegen'd, same loop as [[cellOf]]). */
+  def minDist2(centroids: Array[Array[Long]], qCol: Column): Column = {
+    require(centroids.nonEmpty, "minDist2 needs at least one centroid")
+    graft.functions.VectorFunctions.nearestDist2(
+      typedlit(centroids.map(_.toSeq).toSeq), qCol)
+  }
+
+  /** [[minDist2]] as built-in folds — the reference formulation. */
+  private[graft] def minDist2Fold(centroids: Array[Array[Long]],
+      qCol: Column): Column =
     array_min(array(centroids.map(c => dist2(qCol, c)): _*))
 
   /** Train k centroids with `iters` Lloyd rounds over `emb(idCol, embCol)`.
@@ -98,9 +122,10 @@ object KMeans {
       // one partial-agg pass with per-coordinate element_at sums: the
       // shuffle carries k rows × (dim+1) columns, never the corpus.
       // Deliberately NOT select(cellOf, posexplode): a generator in the
-      // same projection puts the (interpreted, non-codegen) distance
-      // folds ABOVE the Generate, re-evaluating them once per EXPLODED
-      // row — measured 64× the assignment scan's cost on this shape.
+      // same projection puts the assignment argmin ABOVE the Generate,
+      // re-evaluating it once per EXPLODED row — measured 64× the
+      // assignment scan's cost on this shape (with the then-interpreted
+      // folds; the blowup is dim× regardless of codegen).
       val aggs = (0 until dim).map(i =>
         sum(element_at(col("q"), i + 1)).as(s"s$i")) :+
         count(lit(1)).as("n")

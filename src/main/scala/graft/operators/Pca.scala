@@ -13,19 +13,31 @@ import org.apache.spark.sql.functions._
   *   - vectors quantize once to integer grid points (the [[KMeans]]
   *     contract: floor(x·scale + 0.5) on the double-widened value);
   *   - the centered Gram matrix stays integer by cross-multiplication:
-  *     n²·cov[i][j] ∝ n·Σ(vᵢvⱼ) − (Σvᵢ)(Σvⱼ), each term an exact BIGINT
+  *     n²·cov[i][j] ∝ n·Σ(vᵢvⱼ) − (Σvᵢ)(Σvⱼ), each term an exact integer
   *     sum, then one floor division by n² bounds cell magnitude;
   *   - each power round is an integer matvec followed by fixed-point
   *     renormalization v′ = (G·v)·scale DIV max|G·v| — every operation
-  *     truncation-exact in both engines (Spark/Java `/` ≡ DuckDB `//`).
+  *     truncation-exact in both engines (BigInt `/` ≡ Long `/` ≡ DuckDB
+  *     `//`, truncation toward zero).
   *
-  * Scale shape: the corpus is touched by exactly TWO aggregates — the
-  * per-coordinate sums and the (i,j) product sums (one equi-join on id,
-  * word-count shuffle of dim² cells with map-side partials; at very
-  * large dim prefer per-partition outer-product accumulation, at dim 64
-  * the join form is optimal) — and the dim×dim matrix is bounded driver
+  * Scale shape: the corpus is touched by exactly ONE aggregate — a
+  * mergeable per-partition outer-product fold ([[graft.functions.GramAgg]])
+  * whose shuffle carries one (2 + dim + dim²)-long buffer per map task,
+  * never a re-keyed corpus row — and the dim×dim matrix is bounded driver
   * state (the Ivf/KMeans trained-artifact pattern), so the power rounds
-  * cost ZERO cluster work. 100 TB = two aggregation passes, full stop. */
+  * cost ZERO cluster work. 100 TB = one aggregation pass, full stop.
+  * (`gramViaJoin = true` keeps the previous formulation — posexplode +
+  * id self-join + dim²-cell aggregate — as the small-dim fallback; it
+  * shuffles dim × n rows both sides and is only competitive when dim² state
+  * per task would dwarf the partition, i.e. dim in the several-thousands
+  * with tiny partitions. PcaSpec pins both paths bit-identical.)
+  *
+  * Overflow discipline: corpus sums accumulate with addExact/multiplyExact
+  * (loud failure exactly where a DuckDB BIGINT oracle errors, never a
+  * silent wrap); everything DRIVER-side — covariance cells, matvec,
+  * renorm — runs in BigInt, so no magnitude cap is needed at any dim or
+  * scale (the production-scale arithmetic the round-11 cell bound asked
+  * for; cost is dim² BigInt ops per round on the driver, microseconds). */
 object Pca {
 
   /** The dominant direction after `iters` power rounds, as one row per
@@ -33,13 +45,77 @@ object Pca {
     * the fixed-point component in [−scale, scale] (renormalized by the
     * max-abs coordinate each round; start vector = scale·e₁). */
   def dominantDirection(emb: DataFrame, idCol: String, embCol: String,
-      iters: Int, scale: Int = 1000): DataFrame = {
+      iters: Int, scale: Int = 1000,
+      gramViaJoin: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
     val spark = emb.sparkSession
+    val (n, sums, prods) =
+      if (gramViaJoin) gramByJoin(emb, idCol, embCol, scale)
+      else gramByAgg(emb, embCol, scale)
+    require(n > 0, "dominantDirection: empty corpus")
+    val dim = sums.keys.maxOption.getOrElse(0)
+    // covariance cross-multiplied to integers, bounded by DIV n²; BigInt
+    // end to end (the intermediate n·pp − sᵢ·sⱼ can exceed int64 even
+    // when each term fits), truncation toward zero everywhere
+    val g = Array.tabulate(dim, dim) { (i0, j0) =>
+      val (i, j) = (i0 + 1, j0 + 1)
+      val pp = prods.getOrElse((i, j), throw new IllegalArgumentException(
+        s"dominantDirection: no (i,j)=($i,$j) product sum — ragged " +
+          "corpus? all embedding rows must share one dimension"))
+      (BigInt(n) * pp - BigInt(sums(i)) * sums(j)) / (BigInt(n) * n)
+    }
+    var v = Array.tabulate(dim)(i =>
+      if (i == 0) BigInt(scale) else BigInt(0))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => g(i)(j) * v(j)).sum)
+      val m = w.map(_.abs).max
+      require(m > 0, "dominantDirection: G·v vanished — degenerate " +
+        "covariance (all-constant coordinates?)")
+      v = w.map(x => x * scale / m) // fixed-point renorm, trunc toward 0
+    }
+    spark.createDataFrame(v.toSeq.zipWithIndex
+        // in [−scale, scale] by the renorm — always Long-safe
+        .map { case (x, i0) => (i0 + 1, x.toLong) })
+      .toDF("i", "x")
+  }
+
+  /** One-pass Gram: the corpus folds into per-partition
+    * (n, Σvᵢ, Σvᵢvⱼ) buffers, merged by elementwise exact addition —
+    * no explode, no join, no corpus re-key (see [[graft.functions.GramAgg]]). */
+  private def gramByAgg(emb: DataFrame, embCol: String, scale: Int)
+      : (Long, Map[Int, Long], Map[(Int, Int), Long]) = {
+    val buf = gramFrame(emb, embCol, scale).collect().head.getSeq[Long](0)
+    if (buf(0) == 0L) (0L, Map.empty, Map.empty)
+    else {
+      val dim = buf(0).toInt
+      val n = buf(1)
+      val sums = (1 to dim).map(i => i -> buf(1 + i)).toMap
+      val prods = (for (i <- 1 to dim; j <- 1 to dim)
+        yield (i, j) -> buf(1 + dim + (i - 1) * dim + j)).toMap
+      (n, sums, prods)
+    }
+  }
+
+  /** The 1-row gram-buffer frame the agg path collects — exposed so
+    * PlanSpec can pin its physical shape (no Generate, no Join, no
+    * corpus re-key; the only exchange carries one buffer per task). */
+  private[graft] def gramFrame(emb: DataFrame, embCol: String,
+      scale: Int): DataFrame = {
+    val gram = udaf(new graft.functions.GramAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    emb.select(KMeans.quantize(col(embCol), scale).as("q"))
+      .agg(gram(col("q")).as("g"))
+  }
+
+  /** The join-form Gram (posexplode → id self-join → dim²-cell agg):
+    * shuffles dim × n rows both sides; kept as the explicit fallback for
+    * regimes where dim² per-task state is the binding constraint. */
+  private def gramByJoin(emb: DataFrame, idCol: String, embCol: String,
+      scale: Int): (Long, Map[Int, Long], Map[(Int, Int), Long]) = {
     val q = emb.select(col(idCol).cast("long").as("id"),
         posexplode(KMeans.quantize(col(embCol), scale)).as(Seq("p", "v")))
       .select(col("id"), (col("p") + 1).cast("int").as("i"), col("v"))
-    // two corpus aggregates; everything after is bounded driver state
     val sums = q.groupBy("i").agg(sum("v").as("s")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val prods = q.as("a").join(q.as("b"), "id")
@@ -48,43 +124,6 @@ object Pca {
       .collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
       .toMap
-    val dim = sums.keys.max
-    val n = emb.count()
-    require(n > 0, "dominantDirection: empty corpus")
-    val g = Array.tabulate(dim, dim) { (i0, j0) =>
-      val (i, j) = (i0 + 1, j0 + 1)
-      // covariance cross-multiplied to integers, bounded by DIV n².
-      // The intermediate n·pp − sᵢ·sⱼ can exceed Long near its own
-      // bound (each term alone ≤ n²·scale² but their difference is not)
-      // — compute in BigInt; the DIVIDED cell is ~scale²-sized and must
-      // fit, which the require pins loudly. BigInt `/` truncates toward
-      // zero like Long `/` and DuckDB `//`, so the oracle (whose BIGINT
-      // arithmetic errors loudly on overflow rather than wrapping)
-      // computes the identical cell wherever it computes at all.
-      val cell = (BigInt(n) * prods((i, j)) - BigInt(sums(i)) * sums(j)) /
-        (BigInt(n) * n)
-      // bound each cell so the matvec AND its renorm can never overflow
-      // Long: |w_i| ≤ dim·|cell|·scale and the renorm multiplies by
-      // scale again — the engine must fail loudly here exactly where
-      // the oracle's DuckDB BIGINT arithmetic would error, never wrap
-      val cellBound = Long.MaxValue / (dim.toLong * scale * scale * 2)
-      require(cell.abs <= cellBound,
-        s"dominantDirection: covariance cell ($i,$j) = $cell exceeds the " +
-          s"overflow-safe bound $cellBound — lower the quantization " +
-          s"scale (got $scale)")
-      cell.toLong
-    }
-    var v = Array.tabulate(dim)(i => if (i == 0) scale.toLong else 0L)
-    for (_ <- 1 to iters) {
-      val w = Array.tabulate(dim)(i =>
-        (0 until dim).map(j => g(i)(j) * v(j)).sum)
-      val m = w.map(math.abs).max
-      require(m > 0, "dominantDirection: G·v vanished — degenerate " +
-        "covariance (all-constant coordinates?)")
-      v = w.map(x => x * scale / m) // fixed-point renorm, trunc toward 0
-    }
-    spark.createDataFrame(v.toSeq.zipWithIndex
-        .map { case (x, i0) => (i0 + 1, x) })
-      .toDF("i", "x")
+    (emb.count(), sums, prods)
   }
 }

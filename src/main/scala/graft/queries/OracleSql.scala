@@ -202,8 +202,14 @@ object OracleSql {
   // final assignment census under the trained centroids. generate_
   // subscripts is 1-based, so the checksum Σ c·i equals the engine's
   // 0-based Σ c_i·(i+1).
-  private val kmeansSql: String = {
-    val rounds = (1 to 3).map { i =>
+  /** Integer-KMeans training CTEs (mirrors KMeans.train bit-exactly):
+    * `q` = quantized (id, i, v) coords, `seed` = first-k ids,
+    * `c0`…`c<iters>` = the centroid table per Lloyd round (assignment =
+    * rank ORDER BY d2, cell; update = sum // count; emptied cell keeps
+    * its centroid). Shared by the q_kmeans census and the q_cosine_ivf
+    * trained-quantizer probe. */
+  private def kmeansTrainCtes(k: Int, iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
       s"d$i AS (SELECT q.id, c${i - 1}.cell, " +
         s"sum((q.v - c${i - 1}.c)*(q.v - c${i - 1}.c)) d2 " +
         s"FROM q JOIN c${i - 1} ON q.i = c${i - 1}.i GROUP BY 1, 2), " +
@@ -217,13 +223,17 @@ object OracleSql {
         s"coalesce(m$i.c, c${i - 1}.c) c FROM c${i - 1} " +
         s"LEFT JOIN m$i ON m$i.cell = c${i - 1}.cell AND m$i.i = c${i - 1}.i)"
     }.mkString(", ")
-    "WITH q AS (SELECT vec_id id, generate_subscripts(embedding, 1) i, " +
+    "q AS (SELECT vec_id id, generate_subscripts(embedding, 1) i, " +
       "CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) v " +
       "FROM embeddings), " +
-      "seed AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4), " +
+      s"seed AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k), " +
       "c0 AS (SELECT CAST(dense_rank() OVER (ORDER BY q.id) - 1 AS INT) cell, " +
       "q.i, q.v c FROM q JOIN seed ON q.id = seed.vec_id), " +
-      rounds + ", " +
+      rounds
+  }
+
+  private val kmeansSql: String = {
+    "WITH " + kmeansTrainCtes(4, 3) + ", " +
       "df AS (SELECT q.id, c3.cell, sum((q.v - c3.c)*(q.v - c3.c)) d2 " +
       "FROM q JOIN c3 ON q.i = c3.i GROUP BY 1, 2), " +
       "af AS (SELECT id, cell, d2 FROM (SELECT id, cell, d2, " +
@@ -236,6 +246,32 @@ object OracleSql {
       "coalesce(cen.inertia, 0) inertia, chk.chk " +
       "FROM chk LEFT JOIN cen ON chk.cell = cen.cell ORDER BY chk.cell"
   }
+
+  // Trained-IVF probe (mirrors Ivf.searchKMeansTrained): 8 integer-KMeans
+  // coarse cells (2 Lloyd rounds), every vector assigned to its nearest
+  // trained centroid (ties -> smaller cell), the query's 2 nearest cells
+  // probed (same (d2, cell) order), candidates ranked by exact float
+  // cosine — the q_ann_ivf_fixed ranking tail over a TRAINED quantizer.
+  private val cosineIvfSql: String =
+    "WITH " + kmeansTrainCtes(8, 2) + ", " +
+      "df AS (SELECT q.id, c2.cell, sum((q.v - c2.c)*(q.v - c2.c)) d2 " +
+      "FROM q JOIN c2 ON q.i = c2.i GROUP BY 1, 2), " +
+      "af AS (SELECT id, cell FROM (SELECT id, cell, " +
+      "row_number() OVER (PARTITION BY id ORDER BY d2, cell) rn FROM df) t " +
+      "WHERE rn = 1), " +
+      "qp AS (SELECT cell FROM df WHERE id = 0 ORDER BY d2, cell LIMIT 2), " +
+      "cand AS (SELECT af.id FROM af JOIN qp ON af.cell = qp.cell " +
+      "WHERE af.id <> 0), " +
+      "ed AS (SELECT vec_id, generate_subscripts(embedding, 1) i, " +
+      "unnest(embedding) v FROM embeddings), " +
+      "qv AS (SELECT i, v FROM ed WHERE vec_id = 0), " +
+      "ev AS (SELECT ed.vec_id, ed.i, ed.v FROM ed " +
+      "JOIN cand ON ed.vec_id = cand.id), " +
+      "d AS (SELECT ev.vec_id, sum(ev.v*qv.v) dot, sqrt(sum(ev.v*ev.v)) nrm " +
+      "FROM ev JOIN qv ON ev.i = qv.i GROUP BY ev.vec_id), " +
+      "nq AS (SELECT sqrt(sum(v*v)) n FROM qv) " +
+      "SELECT d.vec_id, round(d.dot/(d.nrm*nq.n), 4) cos FROM d, nq " +
+      "ORDER BY cos DESC, d.vec_id LIMIT 10"
 
   // 4 Bellman-Ford rounds from node 2, integer edge costs = per-pair
   // lineitem counts; the hop budget is the semantic, so the unroll is
@@ -548,6 +584,9 @@ object OracleSql {
   val all: Map[String, String] = Map(
     "q_embed_pc1" -> embedPc1Sql,
     "q_kmeans" -> kmeansSql,
+    // trained coarse quantizer (integer KMeans) + nprobe search — the
+    // previously no-oracle IVF path, now oracle-exact end to end
+    "q_cosine_ivf" -> cosineIvfSql,
     "q_modularity" -> modularitySql,
     // compaction is physical layout only — same values as the source
     // table (the q_bucket_join contract); within_target pins the
@@ -1385,6 +1424,16 @@ object OracleSql {
       ("SELECT o_orderpriority, count(*) n, round(sum(l_extendedprice),2) rev " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    // dynamic partition pruning is physical: the oracle is the same
+    // dim-filtered join from the raw table (epoch-day % 7 — DATE-DATE is
+    // BIGINT days in DuckDB ≡ Spark datediff; both operands positive)
+    "q_dpp_prune" ->
+      ("WITH dd AS (SELECT DISTINCT CAST(ts AS DATE) dt FROM events), " +
+        "d2 AS (SELECT dt FROM dd WHERE (dt - DATE '1970-01-01') % 7 = 2), " +
+        "e AS (SELECT event_type, user_id, CAST(ts AS DATE) dt FROM events) " +
+        "SELECT event_type, count(*) n, CAST(sum(user_id) AS BIGINT) chk, " +
+        "count(DISTINCT e.dt) n_days FROM e JOIN d2 ON e.dt = d2.dt " +
+        "GROUP BY event_type ORDER BY event_type"),
     "q_mad" ->
       ("WITH m AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) med " +
         "FROM lineitem GROUP BY 1) " +
@@ -2400,6 +2449,14 @@ object OracleSql {
         "r AS (SELECT event_type, round(avg(value), 3) avg_raw FROM events GROUP BY event_type), " +
         "w AS (SELECT e.event_type, CASE WHEN e.value IS NULL OR q.plo IS NULL THEN e.value ELSE greatest(least(e.value, q.phi), q.plo) END v FROM events e LEFT JOIN q ON e.event_type = q.event_type) " +
         "SELECT w.event_type, CAST(count(*) AS BIGINT) n, r.avg_raw, round(avg(w.v), 3) avg_wins FROM w JOIN r ON w.event_type = r.event_type GROUP BY w.event_type, r.avg_raw ORDER BY w.event_type"),
+    // the approx-winsorize row: n and avg_raw exact; the sketch-bound and
+    // clip-range flags are literal TRUE (the q_hll_rollup bound-as-value
+    // pattern — a sketch outside its rank guarantee, or a clip outside
+    // its own cutpoints, fails the hash compare)
+    "q_winsorize_approx" ->
+      ("SELECT event_type, count(*) n, round(avg(value), 3) avg_raw, " +
+        "TRUE lo_ok, TRUE hi_ok, TRUE wins_ok FROM events " +
+        "GROUP BY event_type ORDER BY event_type"),
     // exact integer moments -> fixed-association doubles: no tolerance
     "q_anomaly" ->
       ("WITH st AS (SELECT lang, source, count(*) n, " +

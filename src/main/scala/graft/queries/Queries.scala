@@ -875,15 +875,16 @@ object Queries {
   private val qAnnMultiprobe: Q = (s, sf) =>
     Similarity.annMultiProbeTopK(t(s, sf, "embeddings"), "vec_id", "embedding", 0L, 10)
 
-  /** IVF ANN: Lloyd-trained coarse cells, search probes the 2 nearest of 8.
-    * No oracle (iterative float centroid training is not reasonably
-    * SQL-expressible); the driver records a rows-only check and IvfSpec
-    * pins the semantics on separable clusters. */
-  private val qCosineIvf: Q = (s, sf) => {
-    val emb = t(s, sf, "embeddings")
-    val cents = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
-    Ivf.search(emb, cents, "vec_id", "embedding", queryId = 0L, k = 10, nprobe = 2)
-  }
+  /** IVF ANN with a TRAINED coarse quantizer, probing the 2 nearest of 8
+    * cells ([[operators.Ivf.searchKMeansTrained]]). The quantizer is the
+    * integer-exact [[operators.KMeans]] Lloyd training, so unlike float
+    * Lloyd (which survives as Ivf.train/search, IvfSpec-pinned) the WHOLE
+    * train→assign→probe→rank path is bit-reproducible in SQL and this row
+    * is oracle-checked end to end — train + probe was the last ANN path
+    * without a green correctness row (no-oracle in rounds ≤ 11). */
+  private val qCosineIvf: Q = (s, sf) =>
+    Ivf.searchKMeansTrained(t(s, sf, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10, cells = 8, nprobe = 2, iters = 2)
 
   /** IVF over FIXED axis-aligned cells (8 cells, probe 2): deterministic
     * and SQL-expressible, so unlike the Lloyd-trained q_cosine_ivf this
@@ -1331,6 +1332,48 @@ object Queries {
       .orderBy("event_type")
   }
 
+  /** q_winsorize's 100 TB plan DECLARED (its Scaladoc's "swap
+    * approx_percentile in at scale" note, previously a note only):
+    * cutpoints come from the mergeable `approx_percentile` sketch — one
+    * partial-agg pass, no exact per-group percentile sort — and the clip
+    * runs against them. Sketch outputs can't be value-oracled, so the row
+    * carries each guarantee as a machine-checked OUTPUT column the oracle
+    * pins literal-TRUE (the q_hll_rollup pattern): lo_ok/hi_ok = each
+    * approx cutpoint's exact rank bracket [#<v + 1, #≤v] overlaps the
+    * target window (q ± 1/accuracy)·n, ±1 for floor/ceil (the
+    * Greenwald–Khanna contract, same arithmetic as q_approx_percentile's
+    * in-plan assert); wins_ok = the clipped mean lies in [plo, phi] (true
+    * for ANY clip, so a broken clip stage fails the hash, not just a
+    * broken sketch). n and avg_raw stay exact-oracled. */
+  private val qWinsorizeApprox: Q = (s, sf) => {
+    val eps = 1.0 / 10000
+    val ev = t(s, sf, "events").select(col("event_type"), col("value"))
+    val cut = ev.groupBy("event_type")
+      .agg(percentile_approx(col("value"), array(lit(0.05), lit(0.95)),
+        lit(10000)).as("c"))
+      .select(col("event_type").as("et"),
+        element_at(col("c"), 1).as("plo"), element_at(col("c"), 2).as("phi"))
+    def within(q: Double, lt: Column, le: Column, nn: Column) =
+      (lt + 1 <= ceil(lit(q + eps) * nn) + 1) &&
+        (le >= floor(lit(q - eps) * nn) - 1)
+    ev.join(broadcast(cut), col("event_type") === col("et"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(col("value")).as("nn"), // rank window is over non-null values
+        round(avg("value"), 3).as("avg_raw"),
+        avg(greatest(least(col("value"), col("phi")), col("plo"))).as("aw"),
+        first("plo").as("plo"), first("phi").as("phi"),
+        sum((col("value") < col("plo")).cast("long")).as("lt_lo"),
+        sum((col("value") <= col("plo")).cast("long")).as("le_lo"),
+        sum((col("value") < col("phi")).cast("long")).as("lt_hi"),
+        sum((col("value") <= col("phi")).cast("long")).as("le_hi"))
+      .select(col("event_type"), col("n"), col("avg_raw"),
+        within(0.05, col("lt_lo"), col("le_lo"), col("nn")).as("lo_ok"),
+        within(0.95, col("lt_hi"), col("le_hi"), col("nn")).as("hi_ok"),
+        (col("aw") >= col("plo") && col("aw") <= col("phi")).as("wins_ok"))
+      .orderBy("event_type")
+  }
+
   /** Epoch upsampling ([[operators.Sampling.upsample]]): en ×3, de ×2,
     * rest ×1 — census per (lang, epoch) proves exact copy counts. */
   private val qUpsample: Q = (s, sf) =>
@@ -1630,17 +1673,13 @@ object Queries {
     val tag = sf.replaceAll("[^A-Za-z0-9.]", "_") +
       s"_${srcFile.length}_${srcFile.lastModified}" +
       s"_h${numHashes}b${bands}m$splitMod"
-    val ixDir = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_index_v1_$tag"
-    val done = new java.io.File(s"$ixDir/_GRAFT_INDEX_READY")
-    if (!done.exists()) {
-      Dedup.lshBands(corpus, "doc_id", "text", numHashes, bands)
-        .write.mode("overwrite").partitionBy("band_id").parquet(s"$ixDir/bands")
-      Dedup.tokenHashIndex(corpus, "doc_id", "text")
-        .write.mode("overwrite").parquet(s"$ixDir/tokens")
-      done.createNewFile()
-    }
+    // build-or-reuse through the atomic-rename protocol (Dedup.ensureLshIndex):
+    // the dir existing ⇒ complete index; concurrent builders race safely
+    val ixDir = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_index_v2_$tag"
+    val (ixBands, ixTokens) = Dedup.ensureLshIndex(
+      corpus, "doc_id", "text", numHashes, bands, ixDir)
     Dedup.incrementalLshVerifiedPairs(
-      s.read.parquet(s"$ixDir/bands"), s.read.parquet(s"$ixDir/tokens"),
+      ixBands, ixTokens,
       delta, "doc_id", "text", numHashes, bands, 0.8)
       .agg(count(lit(1)).as("pairs"),
         sum(col("da") + col("db")).as("chk"),
@@ -2028,6 +2067,35 @@ object Queries {
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("rev"))
       .orderBy("o_orderpriority")
+  }
+
+  /** DYNAMIC partition pruning declared as a query (previously unit-only
+    * in RuntimeFiltersSpec): events written date-partitioned
+    * ([[graft.sources.Tables.writeEventsPartitioned]], the 100 TB fact
+    * layout), joined to a dim whose filter — every-7th epoch day, a
+    * predicate NO static rule can see through the join — selects ~1/7 of
+    * the date partitions. Spark plans the dim side as a runtime subquery
+    * on the fact scan's PartitionFilters, so the unselected date
+    * directories are never opened (PlanSpec pins `dynamicpruning` in the
+    * scan). The oracle is the same join from the raw table: pruning is
+    * physical, values identical. Timed cost deliberately includes the
+    * partitioned write (the q_bucket_join amortized-layout convention). */
+  private val qDppPrune: Q = (s, sf) => {
+    val dir = scratchDir("dpp")
+    graft.sources.Tables.writeEventsPartitioned(s, sf, s"$dir/events")
+    // dim: the distinct event dates with an engine-agnostic day-number
+    // key (epoch-day mod 7 — dayofweek() numbering differs by engine)
+    t(s, sf, "events").select(to_date(col("ts")).as("dt")).distinct()
+      .withColumn("dayno",
+        pmod(datediff(col("dt"), lit("1970-01-01").cast("date")), lit(7)))
+      .write.mode("overwrite").parquet(s"$dir/days")
+    val fact = s.read.parquet(s"$dir/events")
+    val dim = s.read.parquet(s"$dir/days").filter(col("dayno") === 2)
+    fact.join(dim, Seq("dt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("user_id").as("chk"),
+        countDistinct("dt").as("n_days"))
+      .orderBy("event_type")
   }
 
   /** Median absolute deviation per group — the robust scale estimator
@@ -5312,7 +5380,8 @@ object Queries {
 
   /** Modularity of the 3-round label-propagation communities on the
     * undirected trade graph ([[operators.Components.modularity]]):
-    * Q·4m² = Σ_c(4·m·m_c − d_c²) in exact BIGINT arithmetic, reported
+    * Q·4m² = Σ_c(4·m·m_c − d_c²) in exact integer arithmetic (int64
+    * counts, decimal(38,0) community terms — no edge-count cap), reported
     * in micro-units — the quality score OF an iterative algorithm's
     * output, oracle-exact because the one float division is
     * cross-multiplied away. The oracle re-derives the same labeling
@@ -5385,9 +5454,11 @@ object Queries {
     * all-but-the-top common-direction estimate (Mu & Viswanath, ICLR
     * 2018), every coordinate of the result oracled bit-exactly against
     * the same rounds unrolled in SQL. The corpus is touched by exactly
-    * two aggregates (coordinate sums + (i,j) product sums); the 64×64
-    * matrix and the power rounds are bounded driver state, so at 100 TB
-    * this costs two aggregation passes. */
+    * ONE aggregate — a mergeable per-partition outer-product fold
+    * ([[graft.functions.GramAgg]]) whose shuffle carries one
+    * (2 + dim + dim²)-long buffer per map task, never a re-keyed corpus
+    * row; the 64×64 matrix and the power rounds are bounded driver
+    * state, so at 100 TB this costs one aggregation pass. */
   private val qEmbedPc1: Q = (s, sf) =>
     Pca.dominantDirection(t(s, sf, "embeddings"), "vec_id", "embedding",
       iters = 3).orderBy("i")
@@ -5531,6 +5602,7 @@ object Queries {
     "q_intersect_all" -> qIntersectAll,
     "q_except_all" -> qExceptAll,
     "q_bucket_join" -> qBucketJoin,
+    "q_dpp_prune" -> qDppPrune,
     "q_mad" -> qMad,
     "q_ks" -> qKs,
     "q_posexplode" -> qPosexplode,
@@ -5646,6 +5718,7 @@ object Queries {
     "q_keywords" -> qKeywords,
     "q_anomaly" -> qAnomaly,
     "q_winsorize" -> qWinsorize,
+    "q_winsorize_approx" -> qWinsorizeApprox,
     "q_upsample" -> qUpsample,
     "q_pack_text" -> qPackText,
     "q_heavy_hitters" -> qHeavyHitters,

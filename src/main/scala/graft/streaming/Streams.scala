@@ -307,8 +307,14 @@ object Streams {
     // re-checked — that would cost a full pass over docs per resume.
     val conf = spark.sparkContext.hadoopConfiguration
     val srcFs = new org.apache.hadoop.fs.Path(srcDir).getFileSystem(conf)
+    // ckptDir may live on a DIFFERENT filesystem than srcDir (local
+    // scratch checkpoint over an object-store landing, say) — resolving
+    // it through srcFs would misresolve the exists() check (or throw
+    // "Wrong FS") and could re-land files a stream has already seen
+    val ckptPath = new org.apache.hadoop.fs.Path(ckptDir)
+    val ckptExists = ckptPath.getFileSystem(conf).exists(ckptPath)
     if (!allBlocksLanded(srcFs, srcDir, nBlocks)) {
-      require(!srcFs.exists(new org.apache.hadoop.fs.Path(ckptDir)),
+      require(!ckptExists,
         s"checkpoint $ckptDir exists but $srcDir has fewer than " +
           s"$nBlocks landed blocks — refusing to rewrite landing files " +
           "a recorded stream may have seen (was nBlocks changed?)")
@@ -323,7 +329,7 @@ object Streams {
         // as the partial-landing branch above (no recorded stream ⇒ no
         // seen-files map to betray). With a checkpoint the files are
         // immutable — refuse, and name the recovery step.
-        require(!srcFs.exists(new org.apache.hadoop.fs.Path(ckptDir)),
+        require(!ckptExists,
           s"$srcDir has $nBlocks landed blocks but no landing manifest, " +
             s"and checkpoint $ckptDir already recorded a stream over it — " +
             "refusing to rewrite landing files that stream has seen. " +

@@ -8,8 +8,9 @@ class EntrySpec extends SparkSpec {
     // queries without DuckDB oracles must be exactly the sketch/trained
     // ops whose unit tests bound them — a new query key missing BOTH an
     // oracle and a place in this set is a silent correctness-gate hole
-    val noOracleByDesign = Set("q_approx_distinct", "q_approx_percentile",
-      "q_cosine_ivf")
+    // (q_cosine_ivf left this set in round 12: its coarse quantizer is
+    // now the integer-exact KMeans training, oracle-checked end to end)
+    val noOracleByDesign = Set("q_approx_distinct", "q_approx_percentile")
     assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet ===
       noOracleByDesign)
     // and no oracle without a query (dangling SQL is never exercised)
@@ -37,6 +38,30 @@ class EntrySpec extends SparkSpec {
       def wordAt(i: Int, w: String): Boolean =
         s.startsWith(w, i) &&
           (i == 0 || !(s(i - 1).isLetterOrDigit || s(i - 1) == '_'))
+      // skip whitespace AND comments (/*…*/ nested, -- to end of line):
+      // `sum /*c*/ (round(x,2))` must not evade the probe below
+      def skipTrivia(from: Int): Int = {
+        var j = from
+        var moved = true
+        while (moved) {
+          moved = false
+          while (j < s.length && s(j).isWhitespace) { j += 1; moved = true }
+          if (s.startsWith("/*", j)) {
+            var d = 1; var k = j + 2
+            while (k < s.length && d > 0) {
+              if (s.startsWith("/*", k)) { d += 1; k += 2 }
+              else if (s.startsWith("*/", k)) { d -= 1; k += 2 }
+              else k += 1
+            }
+            j = k; moved = true
+          } else if (s.startsWith("--", j)) {
+            val nl = s.indexOf('\n', j)
+            j = if (nl < 0) s.length else nl + 1
+            moved = true
+          }
+        }
+        j
+      }
       def roundHasScaleArg(open: Int): Boolean = {
         var j = open + 1; var d = 1
         while (j < s.length && d > 0) {
@@ -53,14 +78,14 @@ class EntrySpec extends SparkSpec {
       var i = 0
       while (i < s.length) {
         if ((wordAt(i, "sum") || wordAt(i, "avg")) && {
-              var j = i + 3; while (j < s.length && s(j).isWhitespace) j += 1
+              val j = skipTrivia(i + 3)
               j < s.length && s(j) == '('
             }) {
-          var j = s.indexOf('(', i + 3) + 1
+          var j = skipTrivia(i + 3) + 1
           var d = 1
           while (j < s.length && d > 0) {
             if (wordAt(j, "round")) {
-              var k = j + 5; while (k < s.length && s(k).isWhitespace) k += 1
+              val k = skipTrivia(j + 5)
               if (k < s.length && s(k) == '(' && roundHasScaleArg(k))
                 return true
             }
@@ -80,6 +105,12 @@ class EntrySpec extends SparkSpec {
     assert(perRowScaledRound("SELECT avg(1 + round(coalesce(a, b), 2)) FROM t"))
     assert(!perRowScaledRound("SELECT round(sum(x*(1-d)), 2) FROM t"))
     assert(!perRowScaledRound("SELECT sum(round(x*100)) FROM t"))
+    // comments between the name and '(' must not evade the probe
+    assert(perRowScaledRound("SELECT sum /*c*/ (round(x, 2)) FROM t"))
+    assert(perRowScaledRound("SELECT sum(round/*c*/(x, 2)) FROM t"))
+    assert(perRowScaledRound("SELECT sum(round /* a /* b */ c */ (x, 2)) FROM t"))
+    assert(perRowScaledRound("SELECT sum(round -- c\n (x, 2)) FROM t"))
+    assert(!perRowScaledRound("SELECT round /*c*/ (sum(x), 2) FROM t"))
     val offenders = SparkEntry.oracleSql.collect {
       case (name, sql) if perRowScaledRound(sql) => name
     }

@@ -38,6 +38,16 @@ class PlanSpec extends SparkSpec {
     assert(plan("q_sort_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("q_dpp_prune: the dim filter reaches the fact scan as a RUNTIME " +
+      "partition filter (dynamic partition pruning)") {
+    // the declared row's contract beyond values: the date-partitioned
+    // fact scan must carry a dynamicpruning subquery fed by the filtered
+    // dim — whole unselected date directories are never opened
+    val p = plan("q_dpp_prune")
+    assert(p.contains("dynamicpruning"), p)
+    assert(p.contains("PartitionFilters"), p)
+  }
+
   test("q_join_semi/anti decorrelate to semi/anti hash joins") {
     assert(plan("q_join_semi").contains("SemiJoin") || plan("q_join_semi").contains("Semi"))
     assert(plan("q_join_anti").contains("Anti"))

@@ -371,6 +371,27 @@ class ComponentsSpec extends SparkSpec {
     assert(modOf(e, l) === ((2L, 4L, -500000L)))
   }
 
+  test("modularity: m past the old 1.5e6 int64 cap computes exactly " +
+      "(decimal(38,0) community terms — the production-scale arithmetic)") {
+    // 4e6 edges in two communities: a star forest (structure irrelevant)
+    // whose num = Q·4m² = 3.2e13 makes num·10⁶ = 3.2e19 OVERFLOW int64 —
+    // the round-11 in-plan cap rejected this loudly; decimal(38,0) now
+    // computes it. Shape: hub h (h < 1000) connects to 4000 unique
+    // spokes, all inside its own community c = h%2 — every edge intra.
+    // m = 4e6, per community: m_c = 2e6, d_c = 4e6 (sum of degrees).
+    // Q = Σ_c (m_c/m − (d_c/2m)²) = 2·(0.5 − 0.25) = 0.5
+    val e = spark.range(4000000L).select(
+      (col("id") % 1000L).as("src"), // 1000 hubs
+      (lit(10000000L) + col("id")).as("dst")) // unique spokes
+    val nodes = spark.range(4000000L)
+      .select((lit(10000000L) + col("id")).as("id"),
+        (col("id") % 1000L % 2L).as("lbl"))
+      .union(spark.range(1000L).select(col("id"), (col("id") % 2L).as("lbl")))
+    val got = Components.modularity(e, nodes)
+      .as[(Long, Long, Long)].head()
+    assert(got === ((2L, 4000000L, 500000L)))
+  }
+
   test("modularity: a zero-intra-edge community still contributes " +
       "its degree term") {
     // triangle {1,2,3} + node 4 attached to 1; 4 alone in community B:

@@ -318,4 +318,36 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(s2 == Set((2L, 0, 4), (2L, 5, 4)))
   }
+
+  test("ensureLshIndex: concurrent builders race safely (atomic rename, " +
+      "no half-written index observable, no scratch leftovers)") {
+    val corpus = (1L to 40L)
+      .map(i => (i, s"tok${i % 7} tok${i % 5} tok${i % 3} common"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("lshix")
+    val dir = s"$root/index"
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val counts = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val threads = (1 to 3).map { _ =>
+      new Thread(() =>
+        try {
+          val (b, t) = Dedup.ensureLshIndex(corpus, "doc_id", "text", 8, 2, dir)
+          counts.add((b.count(), t.count()))
+        } catch { case e: Throwable => errs.add(e) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, errs)
+    // every racer read a COMPLETE index: 2 band rows + 1 token row per doc
+    counts.forEach { case (b, t) => assert((b, t) === ((80L, 40L))) }
+    // the losers' scratch dirs were discarded — only the index remains
+    val leftovers = java.nio.file.Files.list(root).toArray.map(_.toString)
+    assert(leftovers.toSeq === Seq(dir), leftovers.toSeq)
+    // a later call reuses, never rebuilds: the index tree is untouched
+    val before = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString).sorted.toSeq
+    Dedup.ensureLshIndex(corpus, "doc_id", "text", 8, 2, dir)
+    val after = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString).sorted.toSeq
+    assert(after === before)
+  }
 }

@@ -77,9 +77,10 @@ class IvfSpec extends SparkSpec {
     assert(hits == Seq(1L, 2L)) // ranked by cosine, cell-2 vector excluded
   }
 
-  test("q_cosine_ivf trained centroids at sf0.1 are pinned by digest") {
-    // the no-oracle row's trained state, pinned: Lloyd training with
-    // q_cosine_ivf's exact parameters (k=8, iters=2, id-ordered init) on
+  test("float-Lloyd trained centroids at sf0.1 are pinned by digest") {
+    // the float-Lloyd library path's trained state, pinned (q_cosine_ivf
+    // itself moved to the oracle-exact integer-KMeans quantizer in round
+    // 12): Lloyd training with k=8, iters=2, id-ordered init on
     // the sf0.1 embeddings must reproduce THESE centroids. Values are
     // rounded to 1e-4 before hashing so a ±1-ulp float-merge-order wobble
     // in the distributed mean can never flip the digest, while any real
@@ -94,5 +95,24 @@ class IvfSpec extends SparkSpec {
       .digest(rendered.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(digest == "354ccba931abc08b53f296b37b25bc04",
       s"centroid digest changed: $digest\n$rendered")
+  }
+
+  test("searchKMeansTrained probes the trained cells nearest the query " +
+      "and ranks candidates by exact cosine") {
+    // two planted blobs + one outlier; k=2 trained cells separate the
+    // blobs, nprobe=1 restricts candidates to the query's own blob
+    val d = Seq(
+      (0L, Array(10.0f, 10.0f)),   // query, blob A (seeds cell 0)
+      (1L, Array(-10.0f, 10.0f)),  // blob B (seeds cell 1)
+      (2L, Array(11.0f, 9.5f)),    // blob A — must rank first (cos)
+      (3L, Array(9.0f, 12.0f)),    // blob A
+      (4L, Array(-9.5f, 11.0f)),   // blob B: excluded by nprobe=1
+      (5L, Array(-11.0f, 9.0f))    // blob B: excluded
+    ).toDF("vec_id", "embedding")
+    val hits = Ivf.searchKMeansTrained(d, "vec_id", "embedding",
+      queryId = 0L, k = 10, cells = 2, nprobe = 1, iters = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(hits.toSet === Set(2L, 3L)) // own-blob candidates only
+    assert(hits.head === 2L) // nearly-parallel vector ranks first
   }
 }

@@ -119,6 +119,47 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("codegen'd assignment (NearestCell/NearestDist2) ≡ the HOF fold " +
+      "reference, codegen and interpreted, ties included") {
+    // random corpora + engineered exact ties (duplicate centroids, points
+    // equidistant to two cells) — the early-exit loop must keep the FIRST
+    // minimum exactly like the fold's strict `<`
+    val rnd = new scala.util.Random(77)
+    val pts = (0 until 60).map { id =>
+      (id.toLong, Array.fill(3)((rnd.nextInt(9) - 4) / 2.0f))
+    } :+ (100L, Array(1.0f, 1.0f, 1.0f)) // ties to duplicate centroids
+    val df = pts.toDF("vec_id", "embedding").repartition(4)
+    val cents = Array(
+      Array(1000L, 1000L, 1000L),
+      Array(1000L, 1000L, 1000L), // exact duplicate: tie -> cell 0
+      Array(-500L, 0L, 500L),
+      Array(0L, 0L, 0L))
+    val q = KMeans.quantize(col("embedding"), 1000)
+    def run() = df.select(col("vec_id"),
+        KMeans.cellOf(cents, q).as("cell"),
+        KMeans.minDist2(cents, q).as("d2"),
+        KMeans.cellOfFold(cents, q).as("cell_ref"),
+        KMeans.minDist2Fold(cents, q).as("d2_ref"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), r.getLong(4))).toSeq.sortBy(_._1)
+    val fast = run()
+    fast.foreach { case (id, c, d, cr, dr) =>
+      assert(c === cr, s"cell mismatch id=$id")
+      assert(d === dr, s"dist mismatch id=$id")
+    }
+    assert(fast.find(_._1 == 100L).get._2 === 0) // tie kept the first cell
+    // interpreted path of the custom expressions agrees with codegen
+    val key = "spark.sql.codegen.wholeStage"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() === fast)
+    finally {
+      spark.conf.set(key, old)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("census covers every cell, n sums to corpus, inertia is the " +
       "assigned distance sum") {
     val cent = KMeans.train(blobs, "vec_id", "embedding", k = 2, iters = 2)

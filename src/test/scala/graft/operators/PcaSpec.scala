@@ -72,4 +72,76 @@ class PcaSpec extends SparkSpec {
       .orderBy("i").as[(Int, Long)].collect().map(_._2).toSeq
     assert(got === v.toSeq)
   }
+
+  test("one-pass GramAgg path ≡ the join-form fallback, bit for bit") {
+    // a 5-dim deterministic pseudo-random corpus so the equality is not
+    // an artifact of the planted corpus's symmetry
+    val corpus = (1L to 40L).map { id =>
+      (id, Array.tabulate(5)(j =>
+        (math.sin(id * 7.3 + j * 1.9) * (1 + j)).toFloat))
+    }.toDF("vec_id", "embedding").repartition(7)
+    for (src <- Seq(planted.repartition(3), corpus)) {
+      val agg = Pca.dominantDirection(src, "vec_id", "embedding", 3)
+        .orderBy("i").as[(Int, Long)].collect().toSeq
+      val join = Pca.dominantDirection(src, "vec_id", "embedding", 3,
+        gramViaJoin = true).orderBy("i").as[(Int, Long)].collect().toSeq
+      assert(agg === join)
+    }
+  }
+
+  test("gram frame plan: no Generate, no Join, no corpus re-key") {
+    val f = Pca.gramFrame(planted, "embedding", 1000)
+    f.collect()
+    // final AQE plan only (the executed-plan string repeats the initial)
+    val plan = f.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("Generate"), s"posexplode leaked into:\n$plan")
+    assert(!plan.contains("Join"), s"join leaked into:\n$plan")
+    assert(plan.contains("partial_gramagg"), s"no map-side partial:\n$plan")
+    // exactly one exchange: the partial→final buffer merge (one
+    // (2+dim+dim²)-long buffer per map task, never corpus rows)
+    assert("Exchange".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("magnitudes past the old int64 cell bound now compute exactly " +
+      "(driver algebra in BigInt — the production-scale variant)") {
+    // coords ~±100 quantize to ~±100k; covariance cells ~1e10, past the
+    // round-11 bound Long.MaxValue/(dim·scale²·2) ≈ 2.3e9 that used to
+    // reject this corpus loudly
+    val big = Seq(
+      (1L, Array(100f, 0.1f)), (2L, Array(-100f, -0.1f)),
+      (3L, Array(200f, 0.2f)), (4L, Array(-200f, -0.2f))
+    ).toDF("vec_id", "embedding")
+    val got = Pca.dominantDirection(big, "vec_id", "embedding", 2)
+      .orderBy("i").as[(Int, Long)].collect()
+    // local BigInt recurrence, independently
+    val qs = Seq(Array(100000L, 100L), Array(-100000L, -100L),
+      Array(200000L, 200L), Array(-200000L, -200L))
+    val n = BigInt(4)
+    val s = Array.tabulate(2)(i => qs.map(q => BigInt(q(i))).sum)
+    val g = Array.tabulate(2, 2) { (i, j) =>
+      (n * qs.map(q => BigInt(q(i)) * q(j)).sum - s(i) * s(j)) / (n * n)
+    }
+    var v = Array(BigInt(1000), BigInt(0))
+    for (_ <- 1 to 2) {
+      val w = Array.tabulate(2)(i => (0 until 2).map(j => g(i)(j) * v(j)).sum)
+      val m = w.map(_.abs).max
+      v = w.map(x => x * 1000 / m)
+    }
+    assert(got.map(_._2).toSeq === v.map(_.toLong).toSeq)
+    assert(math.abs(got(0)._2) === 1000L) // variance lives on axis 1
+  }
+
+  test("a ragged corpus is rejected by name, not an opaque lookup error") {
+    val ragged = Seq((1L, Array(0.1f, 0.2f)), (2L, Array(0.3f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Pca.dominantDirection(ragged, "vec_id", "embedding", 1)
+    }
+    // surfaces from the GramAgg reduce, possibly wrapped by Spark
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("ragged"))), ex.getMessage)
+  }
 }
