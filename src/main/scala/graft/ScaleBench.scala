@@ -217,6 +217,82 @@ object ScaleBench {
       }
     }
 
+    // round 12 second wave: the two mergeable-sketch rows vs their exact
+    // competitors at 200k → 2M input rows (10×). KMV overlap shuffles
+    // ≤ k longs per task where exact distinct-overlap shuffles every
+    // distinct key; the quantile compactor partial-aggregates O(cap·log)
+    // state where exact percentile shuffles and sorts whole groups.
+    // SPARK_GRAFT_SCALE_ONLY=sketch.
+    if (only.isEmpty || only.contains("sketch")) {
+      import org.apache.spark.sql.functions.udaf
+      val kmv = udaf(new graft.functions.KmvAgg(256),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val qsk = udaf(new graft.functions.QSketchAgg(128),
+        org.apache.spark.sql.Encoders.scalaDouble)
+      val qmg = udaf(new graft.functions.QSketchMergeAgg(128),
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[graft.functions.QSketch]())
+      for (n <- Seq(200000L, 2000000L)) {
+        // 4 duplicate observations per key; sides off the 3-/2-grids
+        // (the q_kmv_overlap shape). The portable-md5 hash is written
+        // into the layout so BOTH paths read the same parquet and the
+        // timed difference is the aggregation shape alone
+        spark.range(4 * n)
+          .select(pmod(xxhash64($"id"), lit(n)).as("key"))
+          .select($"key",
+            expr("CAST(conv(substr(md5(CAST(key AS STRING)), 1, 12), " +
+              "16, 10) AS BIGINT)").as("h"))
+          .select($"key", $"h", explode(array(
+            when(pmod($"key", lit(3)) =!= 0, lit("a")),
+            when(pmod($"key", lit(2)) =!= 0, lit("b")))).as("side"))
+          .where($"side".isNotNull)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$outRoot/kmv_$n")
+        val sides = spark.read.parquet(s"$outRoot/kmv_$n")
+        def kmvPath(): Unit =
+          sides.groupBy("side").agg(kmv($"h").as("sk"))
+            .select(explode($"sk").as("h"))
+            .agg(kmv($"h").as("sku")).collect()
+        def exactPath(): Unit =
+          sides.groupBy().agg(
+            countDistinct(when($"side" === "a", $"key")),
+            countDistinct(when($"side" === "b", $"key")),
+            countDistinct($"key")).collect()
+        kmvPath(); exactPath() // warm both plan shapes
+        println(f"SCALE kmv_sketch_$n ${winMin(kmvPath())}%.2f s (min of $scaleReps)")
+        println(f"SCALE kmv_exact_$n ${winMin(exactPath())}%.2f s (min of $scaleReps)")
+
+        // quantile rollup: 20 "days" of hash-uniform doubles → day
+        // sketches → one merged sketch (the q_quantile_rollup shape) vs
+        // the exact per-group percentile sort
+        spark.range(n).select(
+            pmod(xxhash64($"id", lit(3)), lit(20)).as("day"),
+            (pmod(xxhash64($"id", lit(5)), lit(1000000)).cast("double")
+              / 1000.0).as("value"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$outRoot/qsk_$n")
+        val vals = spark.read.parquet(s"$outRoot/qsk_$n")
+        def sketchPath(): Unit =
+          vals.groupBy("day").agg(qsk($"value").as("sk"))
+            .agg(qmg($"sk.items", $"sk.weights", $"sk.n", $"sk.err")
+              .as("sk"))
+            .select(size($"sk.items"), $"sk.err").collect()
+        def exactQ(): Unit =
+          vals.groupBy("day")
+            .agg(expr("percentile(value, 0.5D)"), expr("percentile(value, 0.95D)"))
+            .collect()
+        sketchPath(); exactQ() // warm both plan shapes
+        println(f"SCALE qsketch_rollup_$n ${winMin(sketchPath())}%.2f s (min of $scaleReps)")
+        println(f"SCALE qsketch_exact_$n ${winMin(exactQ())}%.2f s (min of $scaleReps)")
+        // the log-state claim: merged-sketch points at this n
+        val sk = vals.groupBy("day").agg(qsk($"value").as("sk"))
+          .agg(qmg($"sk.items", $"sk.weights", $"sk.n", $"sk.err").as("sk"))
+          .select(size($"sk.items").as("pts"), $"sk.err".as("err"))
+          .collect()(0)
+        println(s"SCALE qsketch_state_$n ${sk.getInt(0)} points err=${sk.getLong(1)}")
+      }
+    }
+
     if (only.isEmpty) {
     // incremental mode: a FIXED 2.5k-doc delta batch (half of them
     // near-dups of corpus docs, ids disjoint) probed against each corpus

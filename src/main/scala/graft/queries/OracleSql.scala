@@ -605,6 +605,56 @@ object OracleSql {
       ("SELECT CAST(date_trunc('week', ts) AS DATE) AS week, " +
         "count(DISTINCT user_id) exact_users, true est_ok " +
         "FROM events GROUP BY 1 ORDER BY week"),
+    // KMV bottom-k overlap: the engine's sketch is the k smallest
+    // distinct md5-48-bit hashes, so the oracle rebuilds it with ORDER BY
+    // h LIMIT k and repeats the SAME integer estimator ((k−1)·2^48 // u_k,
+    // ρ·est_union // |union sketch|) — the sketch ESTIMATES themselves are
+    // hash-compared, not just bounded. 71776119061217280 = 255·2^48.
+    "q_kmv_overlap" ->
+      ("WITH dv AS (SELECT doc_id, CAST(concat('0x', " +
+        "substr(md5(CAST(doc_id AS VARCHAR)),1,12)) AS BIGINT) h " +
+        "FROM documents), " +
+        "sd AS (SELECT * FROM (" +
+        "SELECT doc_id, h, CASE WHEN doc_id % 3 <> 0 THEN 'a' END side FROM dv " +
+        "UNION ALL " +
+        "SELECT doc_id, h, CASE WHEN doc_id % 2 <> 0 THEN 'b' END side FROM dv) " +
+        "WHERE side IS NOT NULL), " +
+        "ka AS (SELECT DISTINCT h FROM sd WHERE side = 'a' ORDER BY h LIMIT 256), " +
+        "kb AS (SELECT DISTINCT h FROM sd WHERE side = 'b' ORDER BY h LIMIT 256), " +
+        "ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) " +
+        "ORDER BY h LIMIT 256), " +
+        "st AS (SELECT (SELECT count(*) FROM ka) na, (SELECT max(h) FROM ka) ua, " +
+        "(SELECT count(*) FROM kb) nb, (SELECT max(h) FROM kb) ub, " +
+        "(SELECT count(*) FROM ku) nu, (SELECT max(h) FROM ku) uu, " +
+        "(SELECT count(*) FROM ku WHERE h IN (SELECT h FROM ka) " +
+        "AND h IN (SELECT h FROM kb)) rho), " +
+        "ex AS (SELECT count(DISTINCT CASE WHEN side = 'a' THEN doc_id END) xa, " +
+        "count(DISTINCT CASE WHEN side = 'b' THEN doc_id END) xb, " +
+        "count(DISTINCT doc_id) xu FROM sd) " +
+        "SELECT 256 k, " +
+        "CASE WHEN na < 256 THEN na ELSE 71776119061217280 // ua END est_a, xa exact_a, " +
+        "CASE WHEN nb < 256 THEN nb ELSE 71776119061217280 // ub END est_b, xb exact_b, " +
+        "CASE WHEN nu < 256 THEN nu ELSE 71776119061217280 // uu END est_union, xu exact_union, " +
+        "rho, " +
+        "(rho * (CASE WHEN nu < 256 THEN nu ELSE 71776119061217280 // uu END)) // nu est_inter, " +
+        "xa + xb - xu exact_inter, " +
+        "(1000 * rho) // nu jac_milli " +
+        "FROM st, ex"),
+    // quantile-sketch rollup: n and the exact weekly percentiles are
+    // value-oracled (quantile_cont ≡ Spark percentile, the q_winsorize
+    // precedent); the sketch estimates ride as le_ok/lt_ok — the exact
+    // rank bracket within the sketch's SELF-CERTIFIED bound, literal TRUE
+    // (the q_hll_rollup bound-as-value pattern)
+    "q_quantile_rollup" ->
+      ("WITH ev AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS week, " +
+        "value FROM events WHERE value IS NOT NULL), " +
+        "q AS (SELECT week, count(*) n, " +
+        "round(quantile_cont(value, 0.5), 3) q50, " +
+        "round(quantile_cont(value, 0.95), 3) q95 FROM ev GROUP BY week) " +
+        "SELECT week, 50 pct, n, q50 exact_q, TRUE le_ok, TRUE lt_ok FROM q " +
+        "UNION ALL " +
+        "SELECT week, 95 pct, n, q95 exact_q, TRUE le_ok, TRUE lt_ok FROM q " +
+        "ORDER BY week, pct"),
     // z>2 cross-multiplied to A>0 and A^2>4B, exact int64 end to end
     "q_anomaly_days" ->
       ("WITH d0 AS (SELECT CAST(o_orderdate AS DATE) dy, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) cc " +

@@ -5463,9 +5463,142 @@ object Queries {
     Pca.dominantDirection(t(s, sf, "embeddings"), "vec_id", "embedding",
       iters = 3).orderBy("i")
 
+  /** Distinct-set OVERLAP from bottom-k sketches
+    * ([[graft.functions.KmvAgg]], Bar-Yossef et al. 2002 / Beyer et al.
+    * SIGMOD 2007): the capability HLL (q_hll_rollup) fundamentally
+    * lacks — a KMV sketch is a uniform sample of the distinct set, so
+    * "how many users do corpus A and corpus B SHARE" is answered from
+    * two k-long arrays (ρ/k of the union-sketch mins lie in both sides
+    * ⇒ |A∩B| ≈ ρ·est_union div k) without ever joining the raw sets.
+    * Built the rollup way: per-(side, source) sketches first, then
+    * re-aggregated to side sketches — exact, because any of the k
+    * global minima is among its own source's k minima. Every estimate
+    * is integer arithmetic over the portable md5-48-bit hash, so the
+    * DuckDB oracle reproduces est/rho/jaccard BIT-EXACTLY (ORDER BY h
+    * LIMIT k + the same `div`) — a sketch row whose ESTIMATES are
+    * hash-compared, not just bounded. The side cardinalities are
+    * chosen to exercise BOTH estimator branches at the small SFs (side
+    * b fits the sketch → exact path; side a and the union spill → the
+    * (k−1)·M div u_k path). 100 TB: each side costs one hash-agg
+    * carrying ≤ k longs per (side, source) group; the overlap math
+    * touches three ≤ k arrays on the driver-sized tail. */
+  private val qKmvOverlap: Q = (s, sf) => {
+    val k = 256
+    val num = (k - 1).toLong * (1L << 48) // the KMV (k−1)·M numerator
+    val kmv = udaf(new graft.functions.KmvAgg(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val docs = t(s, sf, "documents").select(col("doc_id"), col("source"),
+      expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, " +
+        "10) AS BIGINT)").as("h"))
+    // two deliberately overlapping corpora: docs off the 3-grid (a) vs
+    // off the 2-grid (b) — overlap = ids coprime to 6, ~1/3 of each
+    val sides = docs.select(col("doc_id"), col("h"), col("source"),
+        explode(array(when(col("doc_id") % 3 =!= 0, lit("a")),
+          when(col("doc_id") % 2 =!= 0, lit("b")))).as("side"))
+      .where(col("side").isNotNull)
+    val srcSk = sides.groupBy(col("side"), col("source"))
+      .agg(kmv(col("h")).as("sk"))
+    val sideSk = srcSk.select(col("side"), explode(col("sk")).as("h"))
+      .groupBy("side").agg(kmv(col("h")).as("sk"))
+    val unionSk = sideSk.select(explode(col("sk")).as("h"))
+      .agg(kmv(col("h")).as("sk"))
+    val exacts = sides.groupBy().agg(
+      countDistinct(when(col("side") === "a", col("doc_id"))).as("exact_a"),
+      countDistinct(when(col("side") === "b", col("doc_id"))).as("exact_b"),
+      countDistinct(col("doc_id")).as("exact_union"))
+    def est(a: String) = s"CASE WHEN size($a) < $k THEN " +
+      s"CAST(size($a) AS BIGINT) ELSE ${num}L div element_at($a, $k) END"
+    sideSk.groupBy().agg(
+        first(when(col("side") === "a", col("sk")), ignoreNulls = true)
+          .as("ska"),
+        first(when(col("side") === "b", col("sk")), ignoreNulls = true)
+          .as("skb"))
+      .crossJoin(broadcast(unionSk.select(col("sk").as("sku"))))
+      .crossJoin(broadcast(exacts))
+      .selectExpr(s"CAST($k AS INT) AS k",
+        s"${est("ska")} AS est_a", "exact_a",
+        s"${est("skb")} AS est_b", "exact_b",
+        s"${est("sku")} AS est_union", "exact_union",
+        "CAST(size(filter(sku, x -> array_contains(ska, x) AND " +
+          "array_contains(skb, x))) AS BIGINT) AS rho",
+        "(CAST(size(filter(sku, x -> array_contains(ska, x) AND " +
+          s"array_contains(skb, x))) AS BIGINT) * (${est("sku")})) div " +
+          "CAST(size(sku) AS BIGINT) AS est_inter",
+        "exact_a + exact_b - exact_union AS exact_inter",
+        "(1000L * CAST(size(filter(sku, x -> array_contains(ska, x) AND " +
+          "array_contains(skb, x))) AS BIGINT)) div " +
+          "CAST(size(sku) AS BIGINT) AS jac_milli")
+  }
+
+  /** Quantile-sketch ROLLUP ([[graft.functions.QSketchAgg]] /
+    * [[graft.functions.QSketchMergeAgg]]) — the quantile analog of
+    * q_hll_rollup, which Spark has no built-in for (`approx_percentile`
+    * yields final numbers, not a storable sketch): per-DAY value
+    * sketches built once, MERGED to ISO weeks, and "p50 / p95 this
+    * week" answered from the merged sketch without rescanning events.
+    * The sketch is a deterministic KLL-shaped compactor that CERTIFIES
+    * ITSELF: every compaction of weight-w items adds w to a carried
+    * worst-case rank-error bound (valid under any merge order), so the
+    * oracled columns are the exact weekly n and p50/p95 plus
+    * le_ok/lt_ok — the estimate's exact rank bracket within the
+    * sketch's OWN bound, as literal-TRUE values (the q_hll_rollup
+    * bound-as-value pattern: a sketch outside its certificate fails the
+    * hash compare). 100 TB: day sketches are the stored artifact
+    * (O(cap·log n) doubles each); any calendar rollup is a sketch-merge
+    * over sketch rows, never event rows. */
+  private val qQuantileRollup: Q = (s, sf) => {
+    val cap = 128
+    val skAgg = udaf(new graft.functions.QSketchAgg(cap),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val mgAgg = udaf(new graft.functions.QSketchMergeAgg(cap),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.QSketch]())
+    def weekly = t(s, sf, "events").where(col("value").isNotNull)
+      .select(to_date(date_trunc("week", col("ts"))).as("week"),
+        to_date(col("ts")).as("day"), col("value"))
+    val daySk = weekly.groupBy("week", "day").agg(skAgg(col("value")).as("sk"))
+    // udaf flattens a case-class input to one parameter per field (the
+    // TopKAgg convention): feed the stored sketch's four fields
+    val wkSk = daySk.groupBy("week").agg(mgAgg(col("sk.items"),
+      col("sk.weights"), col("sk.n"), col("sk.err")).as("sk"))
+    // estimate = first sketch point whose cumulative weight reaches the
+    // rank target; the sketch's contract puts its true rank within ±err
+    val est = wkSk
+      .select(col("week"), col("sk.n").as("n"), col("sk.err").as("err"),
+        explode(arrays_zip(col("sk.items"), col("sk.weights"))).as("e"))
+      .select(col("week"), col("n"), col("err"),
+        col("e.items").as("v"), col("e.weights").as("w"))
+      .withColumn("cw", sum("w").over(Window.partitionBy("week").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("week"), col("n"), col("err"), col("v"), col("cw"),
+        explode(typedlit(Seq(50, 95))).as("pct"))
+      .withColumn("t", ceil(col("pct") / lit(100.0) * col("n")).cast("long"))
+      .where(col("cw") >= col("t"))
+      .groupBy("week", "pct")
+      .agg(min("v").as("est_v"), first("n").as("n"), first("err").as("err"),
+        first("t").as("t"))
+    val flags = weekly.join(broadcast(est), Seq("week"))
+      .groupBy("week", "pct")
+      .agg(first("n").as("n"), first("t").as("t"), first("err").as("err"),
+        sum((col("value") <= col("est_v")).cast("long")).as("le"),
+        sum((col("value") < col("est_v")).cast("long")).as("lt"))
+    val exact = weekly.groupBy("week")
+      .agg(round(expr("percentile(value, 0.5D)"), 3).as("q50"),
+        round(expr("percentile(value, 0.95D)"), 3).as("q95"))
+    flags.join(exact, "week")
+      .select(col("week"), col("pct"), col("n"),
+        when(col("pct") === 50, col("q50")).otherwise(col("q95"))
+          .as("exact_q"),
+        (col("le") >= col("t") - col("err")).as("le_ok"),
+        (col("lt") <= col("t") + col("err")).as("lt_ok"))
+      .orderBy("week", "pct")
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
+    "q_kmv_overlap" -> qKmvOverlap,
+    "q_quantile_rollup" -> qQuantileRollup,
     "q_embed_pc1" -> qEmbedPc1,
     "q_kmeans" -> qKmeans,
     "q_modularity" -> qModularity,

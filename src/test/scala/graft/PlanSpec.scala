@@ -184,6 +184,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q_kmv_overlap: sketches partial-aggregate; the raw sides never " +
+      "pair-join (the overlap math touches only ≤k-long arrays)") {
+    val p = plan("q_kmv_overlap")
+    assert(p.contains("partial_kmvagg"), p) // map-side ≤k-long buffers
+    // the only joins are the deliberate 1-row broadcast attaches; the
+    // distinct sets themselves are never joined or shuffled row-by-row
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_quantile_rollup: day sketches partial-aggregate; the rank-check " +
+      "join broadcasts the 2-rows-per-week estimate frame") {
+    val p = plan("q_quantile_rollup")
+    assert(p.contains("partial_qsketchagg"), p) // map-side compactors
+    assert(p.contains("BroadcastHashJoin"), p) // estimates attach broadcast
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_neardup_lsh: candidate + verify joins never go cartesian") {
     val p = plan("q_neardup_lsh")
     assert(!p.contains("CartesianProduct"), p)

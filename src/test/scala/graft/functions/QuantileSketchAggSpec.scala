@@ -1,0 +1,161 @@
+package graft.functions
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The quantile compactor's load-bearing property is its SELF-ISSUED
+  * certificate: for every value x, the sketch's weighted rank of x is
+  * within the carried `err` of the true rank — under any chunking and
+  * any merge order, for both the raw-value and the sketch-merge
+  * aggregation paths. These tests exercise randomized chunk splits and
+  * shuffled merge orders and check the certificate at every distinct
+  * input value and the midpoints between them (where ≤ and < differ).
+  * q_quantile_rollup then pins the same bracket per week as oracled
+  * literal-TRUE values. */
+class QuantileSketchAggSpec extends AnyFunSuite {
+
+  private val cap = 32
+
+  private def sketchLe(sk: QSketch, x: Double): Long = {
+    var s = 0L
+    var i = 0
+    while (i < sk.items.length) {
+      if (sk.items(i) <= x) s += sk.weights(i); i += 1
+    }
+    s
+  }
+
+  private def sketchLt(sk: QSketch, x: Double): Long = {
+    var s = 0L
+    var i = 0
+    while (i < sk.items.length) {
+      if (sk.items(i) < x) s += sk.weights(i); i += 1
+    }
+    s
+  }
+
+  /** Fold values in random chunks merged in a random order. */
+  private def buildShuffled(vs: Seq[Double], rnd: Random): QSketch = {
+    val agg = new QSketchAgg(cap)
+    var bufs = List(agg.zero)
+    var rest = vs
+    while (rest.nonEmpty) {
+      val take = 1 + rnd.nextInt(math.min(rest.length, 200))
+      bufs ::= rest.take(take).foldLeft(agg.zero)(agg.reduce)
+      rest = rest.drop(take)
+    }
+    var merged = bufs
+    while (merged.length > 1) {
+      val shuffled = rnd.shuffle(merged)
+      merged = agg.merge(shuffled.head, shuffled(1)) :: shuffled.drop(2)
+    }
+    agg.finish(merged.head)
+  }
+
+  private def probePoints(vs: Seq[Double]): Seq[Double] = {
+    val d = vs.distinct.sorted
+    d ++ d.sliding(2).collect { case Seq(a, b) => (a + b) / 2 }.toSeq ++
+      Seq(d.head - 1, d.last + 1)
+  }
+
+  private def checkCertificate(sk: QSketch, vs: Seq[Double]): Unit = {
+    assert(sk.weights.sum === vs.length.toLong, "Σweights must equal n")
+    assert(sk.n === vs.length.toLong)
+    assert(sk.weights.forall(w => w > 0 && (w & (w - 1)) == 0),
+      "weights must be powers of two")
+    for (x <- probePoints(vs)) {
+      val te = vs.count(_ <= x).toLong
+      val tl = vs.count(_ < x).toLong
+      assert(math.abs(sketchLe(sk, x) - te) <= sk.err,
+        s"<=-rank of $x off by more than err=${sk.err}")
+      assert(math.abs(sketchLt(sk, x) - tl) <= sk.err,
+        s"<-rank of $x off by more than err=${sk.err}")
+    }
+  }
+
+  test("rank certificate holds under random chunking and merge order") {
+    val rnd = new Random(13)
+    for (trial <- 1 to 5) {
+      val n = 500 + rnd.nextInt(3000)
+      // duplicates + skew: half the mass in a narrow band
+      val vs = Seq.fill(n)(
+        if (rnd.nextBoolean()) rnd.nextInt(20).toDouble
+        else rnd.nextDouble() * 1e6)
+      checkCertificate(buildShuffled(vs, rnd), vs)
+    }
+  }
+
+  test("certificate survives the sketch-MERGE path (the rollup stage)") {
+    val rnd = new Random(29)
+    val vs = Seq.fill(4000)(rnd.nextGaussian() * 100)
+    // 7 "days" sketched independently, then merged as stored sketches
+    val parts = vs.grouped(600).map(p => buildShuffled(p, rnd)).toSeq
+    val mg = new QSketchMergeAgg(cap)
+    val merged = mg.finish(parts.foldLeft(mg.zero)(mg.reduce))
+    checkCertificate(merged, vs)
+    // and merging buffers of sketches agrees with sequential folding
+    val bufA = parts.take(3).foldLeft(mg.zero)(mg.reduce)
+    val bufB = parts.drop(3).foldLeft(mg.zero)(mg.reduce)
+    checkCertificate(mg.finish(mg.merge(bufA, bufB)), vs)
+  }
+
+  test("the q_quantile_rollup selection rule lands inside its bracket") {
+    // est = min item whose cumulative weight reaches t = ceil(φ·n);
+    // then #{raw ≤ est} ≥ t − err and #{raw < est} ≤ t + err
+    val rnd = new Random(31)
+    val vs = Seq.fill(5000)(rnd.nextDouble() * 1000)
+    val sk = buildShuffled(vs, rnd)
+    val pts = sk.items.zip(sk.weights).sortBy(_._1)
+    for (phi <- Seq(0.05, 0.5, 0.95, 0.99)) {
+      val t = math.ceil(phi * sk.n).toLong
+      var cum = 0L
+      val est = pts.collectFirst {
+        case (v, w) if { cum += w; cum >= t } => v
+      }.get
+      assert(vs.count(_ <= est) >= t - sk.err, s"phi=$phi le bracket")
+      assert(vs.count(_ < est) <= t + sk.err, s"phi=$phi lt bracket")
+    }
+  }
+
+  test("err stays useful: bounded by the compaction-schedule arithmetic") {
+    // each level fires ~n/(cap·2^(l+1)) compactions of cost 2^l, i.e.
+    // ~n/(2·cap) err per level over ~log2(n/cap) levels — so the tracked
+    // bound must stay under n·(log2(n/cap)+2)/cap; a regression that
+    // compacts more often than the schedule trips this (deterministic
+    // seed → pinnable). The ACTUAL estimate error is far tighter — the
+    // certificate tests above see it — err is the provable ceiling.
+    val rnd = new Random(3)
+    val vs = Seq.fill(20000)(rnd.nextDouble())
+    val agg = new QSketchAgg(cap)
+    val sk = agg.finish(vs.foldLeft(agg.zero)(agg.reduce))
+    val levels = 64 - java.lang.Long.numberOfLeadingZeros(vs.length / cap)
+    val ceilErr = vs.length.toLong * (levels + 2) / cap
+    assert(sk.err > 0 && sk.err <= ceilErr,
+      s"err=${sk.err} above the schedule ceiling $ceilErr for n=${vs.length}")
+    // state is logarithmic, not linear
+    assert(sk.items.length < 20 * cap,
+      s"sketch holds ${sk.items.length} points — compaction is not firing")
+  }
+
+  test("sketch-merge rejects corrupted (non-power-of-two) weights") {
+    val mg = new QSketchMergeAgg(cap)
+    val bad = QSketch(Array(1.0), Array(3L), 3L, 0L)
+    val ex = intercept[IllegalArgumentException] {
+      mg.reduce(mg.zero, bad)
+    }
+    assert(ex.getMessage.contains("powers of two"))
+  }
+
+  test("sketch-merge rejects a sketch whose weights don't account for n") {
+    // n ≠ Σweights means corruption or misordered struct fields — the
+    // certificate would silently void, so the merge must refuse
+    val mg = new QSketchMergeAgg(cap)
+    val bad = QSketch(Array(1.0, 2.0), Array(1L, 2L), 7L, 0L)
+    val ex = intercept[IllegalArgumentException] {
+      mg.reduce(mg.zero, bad)
+    }
+    assert(ex.getMessage.contains("misordered") ||
+      ex.getMessage.contains("weights sum"))
+  }
+}
