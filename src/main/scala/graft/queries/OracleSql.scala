@@ -640,6 +640,45 @@ object OracleSql {
         "xa + xb - xu exact_inter, " +
         "(1000 * rho) // nu jac_milli " +
         "FROM st, ex"),
+    // KMV retention: weekly bottom-k rebuilt from RAW users (provably
+    // identical to the engine's day-sketch rollup — a weekly k-minimum
+    // is a k-minimum of its own day), adjacent weeks paired at week−7,
+    // the pair's union-k via per-week row_number, ρ via membership in
+    // both week sketches (LEFT JOIN + coalesce: a zero-overlap pair
+    // must yield est_overlap 0, not a dropped row). Same integer
+    // estimator as q_kmv_overlap — every estimate hash-compared.
+    "q_kmv_retention" ->
+      ("WITH wu AS (SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week, " +
+        "user_id, CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),1,12)) " +
+        "AS BIGINT) h FROM events), " +
+        "kw AS (SELECT week, h FROM (SELECT week, h, row_number() OVER " +
+        "(PARTITION BY week ORDER BY h) r FROM (SELECT DISTINCT week, h FROM wu)) " +
+        "WHERE r <= 256), " +
+        "sz AS (SELECT week, count(*) n, max(h) u FROM kw GROUP BY week), " +
+        "pu AS (SELECT DISTINCT c.week, x.h FROM sz c JOIN kw x " +
+        "ON x.week = c.week OR x.week = c.week - 7), " +
+        "mg AS (SELECT week, h FROM (SELECT week, h, row_number() OVER " +
+        "(PARTITION BY week ORDER BY h) r FROM pu) WHERE r <= 256), " +
+        "mz AS (SELECT week, count(*) nu, max(h) uu FROM mg GROUP BY week), " +
+        "rh AS (SELECT m.week, count(*) r FROM mg m WHERE EXISTS " +
+        "(SELECT 1 FROM kw a WHERE a.week = m.week AND a.h = m.h) AND EXISTS " +
+        "(SELECT 1 FROM kw b WHERE b.week = m.week - 7 AND b.h = m.h) " +
+        "GROUP BY m.week), " +
+        "exu AS (SELECT week, count(*) xu FROM (SELECT DISTINCT week, user_id " +
+        "FROM wu) GROUP BY week), " +
+        "exo AS (SELECT a.week, count(*) xo FROM (SELECT DISTINCT week, user_id " +
+        "FROM wu) a JOIN (SELECT DISTINCT week, user_id FROM wu) b " +
+        "ON b.user_id = a.user_id AND b.week = a.week - 7 GROUP BY a.week) " +
+        "SELECT s.week, " +
+        "CASE WHEN s.n < 256 THEN s.n ELSE 71776119061217280 // s.u END est_users, " +
+        "exu.xu exact_users, " +
+        "(coalesce(rh.r, 0) * (CASE WHEN mz.nu < 256 THEN mz.nu " +
+        "ELSE 71776119061217280 // mz.uu END)) // mz.nu est_overlap, " +
+        "exo.xo exact_overlap " +
+        "FROM sz s JOIN sz p ON p.week = s.week - 7 " +
+        "JOIN mz ON mz.week = s.week LEFT JOIN rh ON rh.week = s.week " +
+        "JOIN exu ON exu.week = s.week JOIN exo ON exo.week = s.week " +
+        "ORDER BY s.week"),
     // quantile-sketch rollup: n and the exact weekly percentiles are
     // value-oracled (quantile_cont ≡ Spark percentile, the q_winsorize
     // precedent); the sketch estimates ride as le_ok/lt_ok — the exact

@@ -5594,10 +5594,73 @@ object Queries {
       .orderBy("week", "pct")
   }
 
+  /** Week-over-week RETURNING-USER overlap from a PERSISTED sketch
+    * table — the q_kmv_overlap capability as the workflow a 100 TB
+    * deployment actually runs: per-day KMV user sketches are written
+    * ONCE as a parquet artifact (the q_compact/q_dpp_prune
+    * amortized-layout convention — the write is part of the timed
+    * cost), then weekly distinct counts AND "how many of this week's
+    * users were here last week" (retention's numerator) are answered
+    * from the sketch table alone: week sketches re-aggregate from the
+    * stored day sketches (exact — a weekly k-minimum is a k-minimum of
+    * its own day), adjacent weeks pair by equi-join, and the pair's
+    * union/ρ arithmetic runs over three ≤k arrays per row. HLL day
+    * sketches could answer the distinct column but NOT the overlap —
+    * intersection is the bottom-k capability. All four estimate/exact
+    * columns are value-oracled; the estimates are BIT-EXACT against
+    * DuckDB's ORDER-BY-LIMIT rebuild of the same integer arithmetic.
+    * The exact columns ride along for the oracle (the q_hll_rollup
+    * convention); at scale only the sketch table is touched. */
+  private val qKmvRetention: Q = (s, sf) => {
+    val k = 256
+    val num = (k - 1).toLong * (1L << 48)
+    val kmv = udaf(new graft.functions.KmvAgg(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val dir = scratchDir("kmvret")
+    val ev = t(s, sf, "events").select(
+      to_date(col("ts")).as("day"),
+      to_date(date_trunc("week", col("ts"))).as("week"),
+      col("user_id"),
+      expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, " +
+        "10) AS BIGINT)").as("h"))
+    // the STORED artifact: one sketch row per day, written once
+    ev.groupBy("week", "day").agg(kmv(col("h")).as("sk"))
+      .write.mode("overwrite").parquet(s"$dir/daysk")
+    val wk = s.read.parquet(s"$dir/daysk")
+      .select(col("week"), explode(col("sk")).as("h"))
+      .groupBy("week").agg(kmv(col("h")).as("sk"))
+    def est(a: String) = s"CASE WHEN size($a) < $k THEN " +
+      s"CAST(size($a) AS BIGINT) ELSE ${num}L div element_at($a, $k) END"
+    val pairs = wk.join(
+        wk.select(date_add(col("week"), 7).as("week"), col("sk").as("psk")),
+        Seq("week"))
+      .selectExpr("week", "sk", "psk",
+        s"slice(array_sort(array_distinct(concat(sk, psk))), 1, $k) AS mg")
+      .selectExpr("week", s"${est("sk")} AS est_users",
+        "CAST(size(filter(mg, x -> array_contains(sk, x) AND " +
+          "array_contains(psk, x))) AS BIGINT) AS rho",
+        s"${est("mg")} AS est_u", "CAST(size(mg) AS BIGINT) AS nu")
+      .selectExpr("week", "est_users",
+        "(rho * est_u) div nu AS est_overlap")
+    val wu = t(s, sf, "events").select(
+      to_date(date_trunc("week", col("ts"))).as("week"),
+      col("user_id")).distinct()
+    val exu = wu.groupBy("week").agg(count(lit(1)).as("exact_users"))
+    val exo = wu.join(
+        wu.select(date_add(col("week"), 7).as("week"), col("user_id")),
+        Seq("week", "user_id"))
+      .groupBy("week").agg(count(lit(1)).as("exact_overlap"))
+    pairs.join(exu, "week").join(exo, "week")
+      .select(col("week"), col("est_users"), col("exact_users"),
+        col("est_overlap"), col("exact_overlap"))
+      .orderBy("week")
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
     "q_kmv_overlap" -> qKmvOverlap,
+    "q_kmv_retention" -> qKmvRetention,
     "q_quantile_rollup" -> qQuantileRollup,
     "q_embed_pc1" -> qEmbedPc1,
     "q_kmeans" -> qKmeans,

@@ -194,6 +194,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_kmv_retention: day-sketch build and weekly rollup both " +
+      "partial-aggregate; pairing never goes cartesian") {
+    val p = plan("q_kmv_retention")
+    assert(p.contains("partial_kmvagg"), p) // map-side ≤k-long buffers
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_quantile_rollup: day sketches partial-aggregate; the rank-check " +
       "join broadcasts the 2-rows-per-week estimate frame") {
     val p = plan("q_quantile_rollup")

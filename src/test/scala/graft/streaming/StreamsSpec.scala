@@ -621,4 +621,54 @@ class StreamsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("Recovery: delete both"))
   }
+
+  test("KMV and quantile sketches merge correctly across streaming " +
+      "micro-batch state (the mergeability contract, second regime)") {
+    // the batch specs pin merge ≡ fold under explicit splits; this pins
+    // the OTHER merge path production hits: a windowed streaming agg
+    // whose state buffer is partially aggregated per micro-batch and
+    // merged by the state store across batches
+    implicit val sqlCtx = spark.sqlContext
+    val kmv = udaf(new graft.functions.KmvAgg(8),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val qsk = udaf(new graft.functions.QSketchAgg(16),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    def h(c: org.apache.spark.sql.Column) = pmod(xxhash64(c), lit(1000))
+    val src = MemoryStream[Ev]
+    val q = src.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(kmv(h(col("user_id"))).as("sk"), qsk(col("value")).as("qs"))
+      .writeStream.format("memory").queryName("skst")
+      .outputMode("append").start()
+    // two micro-batches land in the SAME window -> cross-batch merge
+    val b1 = (1 to 30).map(i => Ev(i, ts(3), i % 7, "c", i.toDouble))
+    val b2 = (31 to 60).map(i => Ev(i, ts(5), i % 9, "c", i.toDouble))
+    src.addData(b1); q.processAllAvailable()
+    src.addData(b2); q.processAllAvailable()
+    src.addData(Seq(Ev(99, ts(60), 1L, "c", 0.0))) // close the window
+    q.processAllAvailable()
+    q.stop()
+    val row = spark.table("skst").collect()
+      .find(_.getStruct(0).getTimestamp(0).getTime == ts(0).getTime).get
+    // KMV sketches are canonical (k smallest distinct), so streaming
+    // state merge must equal the single batch fold EXACTLY
+    val batchSk = spark.createDataset(b1 ++ b2).toDF()
+      .agg(kmv(h(col("user_id"))).as("sk"))
+      .collect()(0).getSeq[Long](0)
+    assert(row.getSeq[Long](1) === batchSk)
+    // the quantile compactor's layout is merge-order-dependent, but its
+    // CERTIFICATE is not: n, Σweights, and the rank bound must hold
+    val qs = row.getStruct(2)
+    val items = qs.getSeq[Double](0)
+    val weights = qs.getSeq[Long](1)
+    val (n, err) = (qs.getLong(2), qs.getLong(3))
+    val vals = (b1 ++ b2).map(_.value)
+    assert(n === vals.length.toLong)
+    assert(weights.sum === n)
+    for (x <- Seq(10.0, 30.5, 55.0)) {
+      val skLe = items.zip(weights).collect { case (v, w) if v <= x => w }.sum
+      assert(math.abs(skLe - vals.count(_ <= x)) <= err, s"probe $x")
+    }
+  }
 }
