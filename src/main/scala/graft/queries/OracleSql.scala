@@ -598,6 +598,15 @@ object OracleSql {
         "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) sq, " +
         "true within_target FROM lineitem " +
         "GROUP BY l_returnflag ORDER BY l_returnflag"),
+    // sorted-table layout: content identity over the range-partitioned
+    // copy + the strict per-file key-range disjointness (what min/max
+    // file skipping relies on) as an oracled literal-TRUE value
+    "q_sorted_layout" ->
+      ("SELECT l_linestatus, count(*) n, " +
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) sq, " +
+        "min(l_orderkey) okmin, max(l_orderkey) okmax, " +
+        "true range_disjoint FROM lineitem " +
+        "GROUP BY l_linestatus ORDER BY l_linestatus"),
     // the sketch estimate enters as the est_ok VALUE (literal TRUE
     // here): a drifting day→week HLL merge on the engine side fails
     // the hash compare, not just an in-plan assert

@@ -5422,6 +5422,40 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  /** Sorted-table layout declared ([[graft.sources.Layout.sortedBy]],
+    * the lakehouse ORDER-BY/sort-key table next to q_compact /
+    * q_bucket_join / q_zorder / q_dpp_prune in the layout family):
+    * lineitem range-partitioned + sorted on l_orderkey, written once
+    * (amortized-write convention — the rewrite IS the operator), read
+    * back and aggregated. The oracle is the same aggregate over the
+    * original table (layout is physical), plus `range_disjoint` — the
+    * invariant that makes min/max file skipping WORK — as an oracled
+    * literal-TRUE value: every output file's [min, max] l_orderkey
+    * interval is strictly disjoint from every other's (equal keys
+    * co-locate under range partitioning), checked over the actual
+    * written files (bounded driver state: one row per file). */
+  private val qSortedLayout: Q = (s, sf) => {
+    val dir = scratchDir("sorted")
+    Layout.sortedBy(t(s, sf, "lineitem")
+        .select("l_orderkey", "l_linestatus", "l_quantity"),
+        8, col("l_orderkey"))
+      .write.mode("overwrite").parquet(s"$dir/out")
+    val back = s.read.parquet(s"$dir/out")
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+      .collect().sortBy(_.getAs[Long]("lo"))
+    val disjoint = ranges.length > 0 && ranges.sliding(2).forall {
+      case Array(a, b) => a.getAs[Long]("hi") < b.getAs[Long]("lo")
+      case _           => true // a single file is trivially disjoint
+    }
+    back.groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sq"),
+        min("l_orderkey").as("okmin"), max("l_orderkey").as("okmax"))
+      .withColumn("range_disjoint", lit(disjoint))
+      .orderBy("l_linestatus")
+  }
+
   /** Re-aggregatable distinct-count sketches (Apache DataSketches HLL,
     * the Spark 3.5+ hll_sketch_agg family): per-DAY user sketches built
     * once, then MERGED to ISO weeks with hll_union_agg — the
@@ -5662,6 +5696,7 @@ object Queries {
     "q_kmv_overlap" -> qKmvOverlap,
     "q_kmv_retention" -> qKmvRetention,
     "q_quantile_rollup" -> qQuantileRollup,
+    "q_sorted_layout" -> qSortedLayout,
     "q_embed_pc1" -> qEmbedPc1,
     "q_kmeans" -> qKmeans,
     "q_modularity" -> qModularity,

@@ -89,6 +89,23 @@ object Layout {
   def zValue(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 
+  /** Range-partition `df` on `key` and sort within partitions — the
+    * SORTED-TABLE layout (the lakehouse ORDER BY / sort-key table): every
+    * output file covers a disjoint key interval, so any reader that
+    * consults min/max metadata (parquet footers, lakehouse manifests)
+    * skips whole files on key predicates, and key-merge consumers
+    * (as-of joins, range joins) get pre-sorted runs. Boundaries come
+    * from Spark's deterministic reservoir sample (seeded by partition
+    * index), so output sizes stay balanced under key skew — the reason
+    * this beats hash layouts for sorted access. Equal keys land in one
+    * partition, making per-file ranges STRICTLY disjoint — the invariant
+    * q_sorted_layout pins into its oracled row. One shuffle, the same
+    * cost class as any repartition-and-write maintenance pass. */
+  def sortedBy(df: DataFrame, partitions: Int, key: Column): DataFrame = {
+    require(partitions > 0, "partitions must be positive")
+    df.repartitionByRange(partitions, key).sortWithinPartitions(key)
+  }
+
   /** Cluster `df` by the Z-curve over (x, y): one range partition on z
     * (balanced output files from the sampled range bounds) + an in-
     * partition sort — so every output file covers a compact z-interval

@@ -75,4 +75,49 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("sortedBy plans a range exchange; a metadata skipper needs few files") {
+    val dir = java.nio.file.Files.createTempDirectory("sorted").toString
+    // skewed keys: half the rows share key 0 — range boundaries come from
+    // the sample, so files stay balanced AND the hot key co-locates
+    val df = (0L until 8000L).map(i => (if (i % 2 == 0) 0L else i, i))
+      .toDF("k", "v")
+    val planned = Layout.sortedBy(df, 8, col("k"))
+    assert(planned.queryExecution.executedPlan.toString
+      .contains("rangepartitioning"), "expected a range exchange")
+    planned.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 8000L)
+    // per-file [min, max] key ranges are STRICTLY disjoint (equal keys
+    // co-locate), so a min/max-consulting reader prunes whole files
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min("k").as("lo"), max("k").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length >= 3)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, ranges.mkString(","))
+      case _ =>
+    }
+    // the skipping arithmetic a manifest-based reader runs: a narrow key
+    // predicate's candidate set (files whose range overlaps it) is a
+    // strict minority of the layout
+    val probe = (5001L, 5400L)
+    val needed = ranges.count { case (lo, hi) =>
+      hi >= probe._1 && lo <= probe._2 }
+    assert(needed >= 1 && needed < ranges.length / 2,
+      s"needed=$needed of ${ranges.length}")
+    // and rows inside each file arrive key-sorted (the merge-consumer
+    // contract). A file can be SPLIT across input partitions, and split
+    // read order is not id-ordered across partitions — so the sound
+    // check is per (file, input partition): within one, rows come in
+    // file order and monotonically_increasing_id increases
+    val mono = back
+      .withColumn("f", input_file_name())
+      .withColumn("pid", spark_partition_id())
+      .withColumn("prev", lag("k", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("f", "pid")
+          .orderBy(monotonically_increasing_id())))
+      .filter(col("prev").isNotNull && col("prev") > col("k"))
+    assert(mono.count() == 0L, "rows within a file must be key-sorted")
+  }
 }
