@@ -683,10 +683,10 @@ object OracleSql {
         "exu.xu exact_users, " +
         "(coalesce(rh.r, 0) * (CASE WHEN mz.nu < 256 THEN mz.nu " +
         "ELSE 71776119061217280 // mz.uu END)) // mz.nu est_overlap, " +
-        "exo.xo exact_overlap " +
+        "coalesce(exo.xo, 0) exact_overlap " +
         "FROM sz s JOIN sz p ON p.week = s.week - 7 " +
         "JOIN mz ON mz.week = s.week LEFT JOIN rh ON rh.week = s.week " +
-        "JOIN exu ON exu.week = s.week JOIN exo ON exo.week = s.week " +
+        "JOIN exu ON exu.week = s.week LEFT JOIN exo ON exo.week = s.week " +
         "ORDER BY s.week"),
     // quantile-sketch rollup: n and the exact weekly percentiles are
     // value-oracled (quantile_cont ≡ Spark percentile, the q_winsorize

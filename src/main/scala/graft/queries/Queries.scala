@@ -5516,9 +5516,20 @@ object Queries {
     * (k−1)·M div u_k path). 100 TB: each side costs one hash-agg
     * carrying ≤ k longs per (side, source) group; the overlap math
     * touches three ≤ k arrays on the driver-sized tail. */
+  /** The KMV estimator's ONE SQL spelling, shared by q_kmv_overlap and
+    * q_kmv_retention (and mirrored verbatim by their DuckDB oracles):
+    * exact size below k, `(k−1)·2^48 div u_k` once spilled. A single
+    * definition so the two queries can never drift from each other —
+    * the oracles' bit-exact hash compare depends on this arithmetic. */
+  private val kmvK = 256
+  private def kmvEstSql(a: String): String = {
+    val num = (kmvK - 1).toLong * (1L << 48) // the KMV (k−1)·M numerator
+    s"CASE WHEN size($a) < $kmvK THEN CAST(size($a) AS BIGINT) " +
+      s"ELSE ${num}L div element_at($a, $kmvK) END"
+  }
+
   private val qKmvOverlap: Q = (s, sf) => {
-    val k = 256
-    val num = (k - 1).toLong * (1L << 48) // the KMV (k−1)·M numerator
+    val k = kmvK
     val kmv = udaf(new graft.functions.KmvAgg(k),
       org.apache.spark.sql.Encoders.scalaLong)
     val docs = t(s, sf, "documents").select(col("doc_id"), col("source"),
@@ -5540,8 +5551,7 @@ object Queries {
       countDistinct(when(col("side") === "a", col("doc_id"))).as("exact_a"),
       countDistinct(when(col("side") === "b", col("doc_id"))).as("exact_b"),
       countDistinct(col("doc_id")).as("exact_union"))
-    def est(a: String) = s"CASE WHEN size($a) < $k THEN " +
-      s"CAST(size($a) AS BIGINT) ELSE ${num}L div element_at($a, $k) END"
+    def est(a: String) = kmvEstSql(a)
     sideSk.groupBy().agg(
         first(when(col("side") === "a", col("sk")), ignoreNulls = true)
           .as("ska"),
@@ -5646,8 +5656,7 @@ object Queries {
     * The exact columns ride along for the oracle (the q_hll_rollup
     * convention); at scale only the sketch table is touched. */
   private val qKmvRetention: Q = (s, sf) => {
-    val k = 256
-    val num = (k - 1).toLong * (1L << 48)
+    val k = kmvK
     val kmv = udaf(new graft.functions.KmvAgg(k),
       org.apache.spark.sql.Encoders.scalaLong)
     val dir = scratchDir("kmvret")
@@ -5663,8 +5672,7 @@ object Queries {
     val wk = s.read.parquet(s"$dir/daysk")
       .select(col("week"), explode(col("sk")).as("h"))
       .groupBy("week").agg(kmv(col("h")).as("sk"))
-    def est(a: String) = s"CASE WHEN size($a) < $k THEN " +
-      s"CAST(size($a) AS BIGINT) ELSE ${num}L div element_at($a, $k) END"
+    def est(a: String) = kmvEstSql(a)
     val pairs = wk.join(
         wk.select(date_add(col("week"), 7).as("week"), col("sk").as("psk")),
         Seq("week"))
@@ -5684,9 +5692,12 @@ object Queries {
         wu.select(date_add(col("week"), 7).as("week"), col("user_id")),
         Seq("week", "user_id"))
       .groupBy("week").agg(count(lit(1)).as("exact_overlap"))
-    pairs.join(exu, "week").join(exo, "week")
+    // exo LEFT: a week pair sharing NO users must report overlap 0, not
+    // vanish from the result (the oracle coalesces identically)
+    pairs.join(exu, "week").join(exo, Seq("week"), "left")
       .select(col("week"), col("est_users"), col("exact_users"),
-        col("est_overlap"), col("exact_overlap"))
+        col("est_overlap"),
+        coalesce(col("exact_overlap"), lit(0L)).as("exact_overlap"))
       .orderBy("week")
   }
 
