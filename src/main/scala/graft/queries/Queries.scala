@@ -5528,6 +5528,26 @@ object Queries {
       s"ELSE ${num}L div element_at($a, $kmvK) END"
   }
 
+  /** q_kmv_retention's pair arithmetic over a (week, sk) sketch frame,
+    * factored out so a synthetic frame can exercise the shapes the
+    * shipped SFs never hit (a ZERO-overlap adjacent pair must yield
+    * est_overlap 0, not a dropped or erroring row — KmvPairsSpec):
+    * adjacent weeks pair at week−7, the pair's union sketch is the k
+    * smallest of the two arrays, ρ counts union-mins present in both,
+    * and `est_overlap = ρ·est(union) div |union sketch|`. */
+  private[queries] def kmvWeekPairs(wk: DataFrame): DataFrame =
+    wk.join(
+        wk.select(date_add(col("week"), 7).as("week"), col("sk").as("psk")),
+        Seq("week"))
+      .selectExpr("week", "sk", "psk",
+        s"slice(array_sort(array_distinct(concat(sk, psk))), 1, $kmvK) AS mg")
+      .selectExpr("week", s"${kmvEstSql("sk")} AS est_users",
+        "CAST(size(filter(mg, x -> array_contains(sk, x) AND " +
+          "array_contains(psk, x))) AS BIGINT) AS rho",
+        s"${kmvEstSql("mg")} AS est_u", "CAST(size(mg) AS BIGINT) AS nu")
+      .selectExpr("week", "est_users",
+        "(rho * est_u) div nu AS est_overlap")
+
   private val qKmvOverlap: Q = (s, sf) => {
     val k = kmvK
     val kmv = udaf(new graft.functions.KmvAgg(k),
@@ -5672,18 +5692,7 @@ object Queries {
     val wk = s.read.parquet(s"$dir/daysk")
       .select(col("week"), explode(col("sk")).as("h"))
       .groupBy("week").agg(kmv(col("h")).as("sk"))
-    def est(a: String) = kmvEstSql(a)
-    val pairs = wk.join(
-        wk.select(date_add(col("week"), 7).as("week"), col("sk").as("psk")),
-        Seq("week"))
-      .selectExpr("week", "sk", "psk",
-        s"slice(array_sort(array_distinct(concat(sk, psk))), 1, $k) AS mg")
-      .selectExpr("week", s"${est("sk")} AS est_users",
-        "CAST(size(filter(mg, x -> array_contains(sk, x) AND " +
-          "array_contains(psk, x))) AS BIGINT) AS rho",
-        s"${est("mg")} AS est_u", "CAST(size(mg) AS BIGINT) AS nu")
-      .selectExpr("week", "est_users",
-        "(rho * est_u) div nu AS est_overlap")
+    val pairs = kmvWeekPairs(wk)
     val wu = t(s, sf, "events").select(
       to_date(date_trunc("week", col("ts"))).as("week"),
       col("user_id")).distinct()
