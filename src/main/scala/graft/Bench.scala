@@ -344,12 +344,48 @@ object Bench {
 
   // ------------------------------------------------------------- main
 
+  /** Deterministic single-thread CPU canary: 2×10⁸ SplitMix64 finalizer
+    * rounds (fixed seed, fixed iteration count, no allocation), min over
+    * 3 runs (the first run absorbs its own JIT). Stamped into the bench
+    * record as `host_canary_ms` so host speed AT RECORD TIME is a
+    * recorded ratio across rounds, not a forensic argument from medians
+    * of code-untouched queries (the r11→r12 0.72×→1.02× regression was
+    * classified host-class from exactly such an argument). The work is
+    * pure integer arithmetic on one core — it moves with CPU clock and
+    * timeslice contention, the two host factors that inflate every
+    * query uniformly, and with nothing else (no IO, no GC, no Spark). */
+  def hostCanaryMs(): Double = {
+    val golden = 0x9e3779b97f4a7c15L
+    var sink = 0L
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      var x = golden
+      var i = 0
+      while (i < 200000000) {
+        x += golden
+        x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
+        x ^= x >>> 27; x *= 0x94d049bb133111ebL
+        x ^= x >>> 31
+        i += 1
+      }
+      sink ^= x
+      (System.nanoTime() - t0) / 1e6
+    }
+    val best = Seq(once(), once(), once()).min
+    // black-hole the accumulator so the loop cannot be dead-code'd
+    if (sink == 42L) System.err.println("[bench] canary sink hit 42")
+    best
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val fork = sys.env.getOrElse("SPARK_GRAFT_FORK", "1") != "0"
+    // measured BEFORE any Spark work so it reads the host, not the suite
+    val canaryMs = hostCanaryMs()
+    System.err.println(f"[bench] host canary: $canaryMs%.1f ms")
     val names = SparkEntry.queries.keys.toSeq.sorted
     // lazy: in fork mode the parent only builds a session if a child
     // fails twice and its block must run in-process as a fallback
@@ -374,14 +410,15 @@ object Bench {
         }
       }
     if (parentSession != null) parentSession.stop()
-    emit(results, sfDir, if (fork) "fork" else "inproc")
+    emit(results, sfDir, if (fork) "fork" else "inproc", canaryMs)
   }
 
   /** Write BENCH_DETAIL.json (full per-query record + leaked column) and
     * print the one harness-parsed JSON line (total + slowest queries —
     * the harness keeps only the last ~2000 chars of stdout, and at 270
     * queries the full map is ~2.4 KB, which truncated rounds 1-2 and 4). */
-  def emit(results: Seq[QResult], sfDir: String, mode: String): Unit = {
+  def emit(results: Seq[QResult], sfDir: String, mode: String,
+      canaryMs: Double = -1): Unit = {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def entry(r: QResult): String =
       s""""${r.name}":${if (r.ok) f3(r.sec) else -1}"""
@@ -419,7 +456,7 @@ object Bench {
         sorted.filter(r => repsFor(r.name) != benchReps)
           .map(r => s""""${r.name}":${repsFor(r.name)}""")
           .mkString("{", ",", "}")
-      },"sf":"$sfDir","errors":$errors}"""
+      },"host_canary_ms":${f3(canaryMs)},"sf":"$sfDir","errors":$errors}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
     // escaped where it is interpolated into the JSON line: a quote or
     // backslash in the env-provided path must not yield an unparseable
@@ -433,7 +470,7 @@ object Bench {
     val qs = sorted // sorted name order; errors always included as -1
       .filter(r => !r.ok || slowSet(r.name))
       .map(entry).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errors,"detail":"$detailPathJson"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"host_canary_ms":${f3(canaryMs)},"sf":"$sfDir","errors":$errors,"detail":"$detailPathJson"}""")
   }
 }
 

@@ -40,7 +40,11 @@ import org.apache.spark.sql.expressions.Aggregator
   * O(n·k), and the md5 feed precludes ordering attacks by construction.
   */
 class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
-  require(k > 0, s"k must be positive (got $k)")
+  // k = 1 is degenerate for the estimator (the (k−1)·M numerator is 0,
+  // and a retained hash of 0 would make it 0/0) — make the configuration
+  // unrepresentable rather than guard every estimate call site
+  require(k > 1, s"k must be > 1 (got $k) — the (k-1)*M/h_(k) estimator " +
+    "degenerates at k=1")
 
   override def zero: Array[Long] = Array.empty
 
