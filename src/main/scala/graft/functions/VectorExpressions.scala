@@ -452,6 +452,127 @@ case class NearestDist2(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The FLOAT twin of [[NearestCell]]: argmin of squared-L2 distance from
+  * an `array<float>` vector to each row of an `array<array<float>>`
+  * centroid table — the IVF coarse-quantizer assignment scan. This is
+  * what retires [[graft.operators.Ivf]]'s 256-cell cap: the old `cellOf`
+  * inlined ONE distance expression per centroid (`norm2 + Σc² − 2·dot`
+  * over literals), so codegen size grew linearly with k and production
+  * cell counts (k ~ √n, thousands) blew the JIT budget. Here the
+  * centroid table is a single array literal and the scan is one nested
+  * primitive loop, k-independent in code size — the same move
+  * [[NearestCell]] made for the integer k-means path.
+  *
+  * Semantics are pinned BIT-IDENTICAL to the old inlined form (IvfSpec
+  * ties test; the float-Lloyd digest pin survives unchanged), which
+  * means replicating its exact widening discipline per centroid c:
+  *
+  *   d(c) = (n2 + sc2) − dot·2   where
+  *   n2  = Σ (double)(vᵢ·vᵢ)     — FLOAT product, then widened
+  *                                 ([[DotProduct]] of v with itself),
+  *   sc2 = Σ (double)cᵢ·(double)cᵢ — DOUBLE product (the driver-side
+  *                                 literal Σc² of the old form),
+  *   dot = Σ (double)(vᵢ·cᵢ)     — float product, widened, over
+  *                                 min(|v|, |c|) coordinates.
+  *
+  * Ties keep the FIRST (smallest) cell id — exactly array_position(ds,
+  * array_min(ds)) on exactly-equal doubles. Empty centroid table → -1.
+  * No partial-distance early exit: d accumulates as (sc2 − 2·dot),
+  * which is not monotone in the coordinate index (unlike the integer
+  * Σ(a−b)² form), so a sound exit does not exist in this widening
+  * discipline. */
+case class NearestCellF(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(ArrayType(FloatType, _), _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<array<float>>, array<float>), " +
+          s"got (${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_cell_f"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val cents = a.asInstanceOf[ArrayData]
+    val v = b.asInstanceOf[ArrayData]
+    val k = cents.numElements()
+    val nv = v.numElements()
+    var n2 = 0.0
+    var j = 0
+    while (j < nv) {
+      val f = v.getFloat(j); n2 += (f * f).toDouble; j += 1
+    }
+    var best = -1
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < k) {
+      val ct = cents.getArray(c)
+      val nc = ct.numElements()
+      var sc2 = 0.0
+      j = 0
+      while (j < nc) {
+        val f = ct.getFloat(j); sc2 += f.toDouble * f.toDouble; j += 1
+      }
+      var dot = 0.0
+      val nd = math.min(nc, nv)
+      j = 0
+      while (j < nd) {
+        dot += (v.getFloat(j) * ct.getFloat(j)).toDouble; j += 1
+      }
+      val d = (n2 + sc2) - dot * 2.0
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (cents, v) => {
+      val k = ctx.freshName("k"); val c = ctx.freshName("c")
+      val ct = ctx.freshName("ct"); val nc = ctx.freshName("nc")
+      val nv = ctx.freshName("nv"); val nd = ctx.freshName("nd")
+      val j = ctx.freshName("j"); val f = ctx.freshName("f")
+      val n2 = ctx.freshName("n2"); val sc2 = ctx.freshName("sc2")
+      val dot = ctx.freshName("dot"); val d = ctx.freshName("d")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      s"""
+         |int $k = $cents.numElements();
+         |int $nv = $v.numElements();
+         |double $n2 = 0.0;
+         |for (int $j = 0; $j < $nv; $j++) {
+         |  float $f = $v.getFloat($j);
+         |  $n2 += (double) ($f * $f);
+         |}
+         |int $best = -1;
+         |double $bestD = Double.POSITIVE_INFINITY;
+         |for (int $c = 0; $c < $k; $c++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $ct = $cents.getArray($c);
+         |  int $nc = $ct.numElements();
+         |  double $sc2 = 0.0;
+         |  for (int $j = 0; $j < $nc; $j++) {
+         |    float $f = $ct.getFloat($j);
+         |    $sc2 += ((double) $f) * ((double) $f);
+         |  }
+         |  double $dot = 0.0;
+         |  int $nd = java.lang.Math.min($nc, $nv);
+         |  for (int $j = 0; $j < $nd; $j++) {
+         |    $dot += (double) ($v.getFloat($j) * $ct.getFloat($j));
+         |  }
+         |  double $d = ($n2 + $sc2) - $dot * 2.0;
+         |  if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): NearestCellF =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API and SQL surfaces for the vector expressions. */
 object VectorFunctions {
 
@@ -491,6 +612,12 @@ object VectorFunctions {
   def nearestDist2(centroids: Column, vec: Column): Column =
     ColumnBridge.column(
       NearestDist2(ColumnBridge.expression(centroids), ColumnBridge.expression(vec)))
+
+  /** Codegen'd FLOAT nearest-centroid index (IVF coarse assignment;
+    * k-independent code size — no cell-count cap). */
+  def nearestCellF(centroids: Column, vec: Column): Column =
+    ColumnBridge.column(
+      NearestCellF(ColumnBridge.expression(centroids), ColumnBridge.expression(vec)))
 
   private val registration = (
     new FunctionIdentifier("graft_dot"),
@@ -569,5 +696,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (new FunctionIdentifier("graft_nearest_dist2"),
         new ExpressionInfo(classOf[NearestDist2].getName, "graft_nearest_dist2"),
         (children: Seq[Expression]) => NearestDist2(children(0), children(1))))
+    ext.injectFunction(
+      (new FunctionIdentifier("graft_nearest_cell_f"),
+        new ExpressionInfo(classOf[NearestCellF].getName, "graft_nearest_cell_f"),
+        (children: Seq[Expression]) => NearestCellF(children(0), children(1))))
   }
 }

@@ -20,8 +20,10 @@ object Ivf {
 
   type Centroids = Array[(Int, Array[Float])]
 
-  /** Squared L2 distance from the embedding column to a literal centroid. */
-  private def dist2Lit(embCol: String, c: Array[Float]): Column = {
+  /** Squared L2 distance from the embedding column to a literal centroid
+    * — the per-centroid term of the REFERENCE inlined form ([[cellOfInlined]]);
+    * kept so IvfSpec can pin the codegen'd scan value-identical to it. */
+  private[operators] def dist2Lit(embCol: String, c: Array[Float]): Column = {
     val lit2 = typedlit(c)
     VectorFunctions.norm2(col(embCol)) +
       lit(c.map(x => x.toDouble * x).sum) -
@@ -30,17 +32,26 @@ object Ivf {
 
   /** Nearest-cell index as a column: argmin = position of the min distance
     * (first occurrence on ties → the smaller cell id). Cell ids are the
-    * 0-based positions of `centroids`. */
+    * 0-based positions of `centroids`. One codegen'd primitive scan over a
+    * single array-of-arrays literal ([[graft.functions.NearestCellF]]), so
+    * code size is k-INDEPENDENT — production coarse quantizers want
+    * k ~ √n cells (thousands-plus), which the previous one-inlined-
+    * distance-expression-per-centroid form capped at 256 before blowing
+    * the JIT/codegen budget. Values are bit-identical to that form
+    * (NearestCellF replicates its widening discipline; IvfSpec ties
+    * test + the float-Lloyd digest pin). */
   def cellOf(centroids: Centroids, embCol: String): Column = {
-    // one literal distance expression per centroid: codegen size grows
-    // linearly with k, which is fine for coarse IVF (k ≤ a few hundred
-    // cells) but would blow the JIT/codegen budget in the thousands — at
-    // that point rewrite as a single array-of-arrays literal folded with
-    // aggregate()/zip_with instead of k inlined expressions
-    require(centroids.length <= 256,
-      s"cellOf supports at most 256 centroids (got ${centroids.length}) — " +
-        "codegen embeds one distance expression per centroid; use an " +
-        "array-literal rewrite for finer quantizers")
+    require(centroids.nonEmpty, "cellOf needs at least one centroid")
+    VectorFunctions.nearestCellF(
+      typedlit(centroids.map(_._2.toSeq).toSeq), col(embCol))
+  }
+
+  /** The pre-round-13 inlined reference form (one literal distance
+    * expression per centroid, argmin via array_position/array_min):
+    * semantically the spec's ground truth for [[cellOf]], retired from
+    * production because its codegen grows linearly with k. */
+  private[operators] def cellOfInlined(centroids: Centroids,
+      embCol: String): Column = {
     val ds = array(centroids.map { case (_, c) => dist2Lit(embCol, c) }: _*)
     (array_position(ds, array_min(ds)) - 1).cast("int")
   }

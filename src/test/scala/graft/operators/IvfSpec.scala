@@ -50,17 +50,54 @@ class IvfSpec extends SparkSpec {
     assert(cells == Map(0L -> 0, 1L -> 1, 2L -> 0))
   }
 
-  test("cellOf enforces the codegen k-bound (≤ 256 literal distances)") {
-    // one inlined distance expression per centroid: fine for coarse IVF,
-    // unbounded k would blow the codegen budget — the guard names the
-    // array-literal rewrite for finer quantizers
-    val toMany: Ivf.Centroids =
-      Array.tabulate(257)(i => (i, Array(i.toFloat)))
-    val e = intercept[IllegalArgumentException](
-      Ivf.cellOf(toMany, "embedding"))
-    assert(e.getMessage.contains("256"))
-    // 256 exactly is allowed
-    Ivf.cellOf(toMany.take(256), "embedding")
+  test("cellOf (codegen'd NearestCellF) ≡ the inlined reference form, " +
+      "codegen and interpreted, ties included") {
+    // engineered exact ties: duplicate centroids and a point equidistant
+    // to two cells — the primitive scan must keep the FIRST minimum
+    // exactly like array_position(ds, array_min(ds)) on the inlined form
+    val rnd = new scala.util.Random(55)
+    val pts = (0 until 60).map { id =>
+      (id.toLong, Array.fill(3)((rnd.nextInt(9) - 4) / 2.0f))
+    } :+ (100L, Array(1.0f, 1.0f, 1.0f))
+    val df = pts.toDF("vec_id", "embedding").repartition(4)
+    val cents: Ivf.Centroids = Array(
+      (0, Array(1.0f, 1.0f, 1.0f)),
+      (1, Array(1.0f, 1.0f, 1.0f)), // exact duplicate: tie -> cell 0
+      (2, Array(-0.5f, 0.0f, 0.5f)),
+      (3, Array(0.0f, 0.0f, 0.0f)))
+    def run() = df.select(col("vec_id"),
+        Ivf.cellOf(cents, "embedding").as("cell"),
+        Ivf.cellOfInlined(cents, "embedding").as("cell_ref"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .toSeq.sortBy(_._1)
+    val fast = run()
+    fast.foreach { case (id, c, cr) => assert(c === cr, s"id=$id") }
+    assert(fast.find(_._1 == 100L).get._2 === 0) // tie kept the first cell
+    val key = "spark.sql.codegen.wholeStage"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() === fast)
+    finally {
+      spark.conf.set(key, old)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("cellOf has no cell-count cap: train + search at k=1024 cells") {
+    // production coarse IVF wants k ~ √n cells (thousands); the retired
+    // inlined form capped at 256 because codegen grew linearly with k.
+    // NearestCellF's code size is k-independent — one Lloyd round and a
+    // probed search at k=1024 must just work.
+    val big = (0 until 1200).map { i =>
+      // +1 keeps every vector (and so every cosine denominator) nonzero
+      (i.toLong, Array((i % 40 + 1).toFloat, (i / 40 + 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = Ivf.train(big, "vec_id", "embedding", k = 1024, iters = 1)
+    assert(cents.length > 256, s"only ${cents.length} cells survived")
+    val hits = Ivf.search(big, cents, "vec_id", "embedding",
+      queryId = 41L, k = 5, nprobe = 8).collect() // vec (1,1): nonzero norm
+    assert(hits.nonEmpty)
   }
 
   test("searchFixed probes the query's top cells and ranks by cosine") {
