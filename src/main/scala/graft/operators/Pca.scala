@@ -43,14 +43,26 @@ object Pca {
   /** The dominant direction after `iters` power rounds, as one row per
     * coordinate: (i, x) with i 1-BASED (matching SQL subscripts) and x
     * the fixed-point component in [−scale, scale] (renormalized by the
-    * max-abs coordinate each round; start vector = scale·e₁). */
+    * max-abs coordinate each round; start vector = scale·e₁).
+    *
+    * Gram-pass selection (all three bit-identical — PcaSpec pins it):
+    * default = [[graft.functions.GramAgg]], one (2+dim+dim²)-long buffer
+    * per map task — optimal while dim² longs is a sane task allocation
+    * (dim ≲ 512–1k); `gramBlock = B > 0` = the column-block TILED outer
+    * product ([[graft.functions.GramTileAgg]]), per-task resident state
+    * O(B²) — the production path at dim ≥ 1k where the monolithic buffer
+    * is ~dim²·8 bytes/task (128 MB at dim 4096); `gramViaJoin` = the
+    * posexplode/self-join fallback kept as the pure-built-in reference. */
   def dominantDirection(emb: DataFrame, idCol: String, embCol: String,
       iters: Int, scale: Int = 1000,
-      gramViaJoin: Boolean = false): DataFrame = {
+      gramViaJoin: Boolean = false, gramBlock: Int = 0): DataFrame = {
     require(iters >= 1, s"iters must be >= 1 (got $iters)")
+    require(!(gramViaJoin && gramBlock > 0),
+      "choose ONE gram path: gramViaJoin or gramBlock, not both")
     val spark = emb.sparkSession
     val (n, sums, prods) =
       if (gramViaJoin) gramByJoin(emb, idCol, embCol, scale)
+      else if (gramBlock > 0) gramByTiles(emb, embCol, scale, gramBlock)
       else gramByAgg(emb, embCol, scale)
     require(n > 0, "dominantDirection: empty corpus")
     val dim = sums.keys.maxOption.getOrElse(0)
@@ -106,6 +118,89 @@ object Pca {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
     emb.select(KMeans.quantize(col(embCol), scale).as("q"))
       .agg(gram(col("q")).as("g"))
+  }
+
+  /** Column-block TILED Gram ([[graft.functions.GramTileAgg]]): each row
+    * explodes into its (dim/B)(dim/B+1)/2 upper-triangle block pairs and
+    * the aggregation is keyed by tile — per-task resident state drops
+    * from dim² to O(B²) (sort-based partial-agg fallback past the
+    * object-hash threshold), the corpus is still read exactly ONCE, and
+    * the shuffle carries tiles, not corpus rows. The mirror half and the
+    * per-coordinate sums (diagonal tiles) are assembled driver-side. */
+  private def gramByTiles(emb: DataFrame, embCol: String, scale: Int,
+      block: Int): (Long, Map[Int, Long], Map[(Int, Int), Long]) = {
+    require(block >= 1, s"gramBlock must be >= 1 (got $block)")
+    val rows = gramTileFrame(emb, embCol, scale, block).collect()
+    if (rows.isEmpty) (0L, Map.empty, Map.empty)
+    else {
+      var n = 0L
+      val sums = Map.newBuilder[Int, Long]
+      val prods = Map.newBuilder[(Int, Int), Long]
+      rows.foreach { r =>
+        val bi = r.getInt(0)
+        val bj = r.getInt(1)
+        val tile = r.getSeq[Long](2)
+        val li = tile(0).toInt
+        val lj = tile(1).toInt
+        if (bi == bj) {
+          n = tile(2)
+          var i = 0
+          while (i < li) { sums += (bi * block + i + 1) -> tile(3 + i); i += 1 }
+        }
+        var i = 0
+        while (i < li) {
+          var j = 0
+          while (j < lj) {
+            val p = tile(3 + li + lj + i * lj + j)
+            val gi = bi * block + i + 1
+            val gj = bj * block + j + 1
+            prods += (gi, gj) -> p
+            prods += (gj, gi) -> p // the mirrored lower-triangle half
+            j += 1
+          }
+          i += 1
+        }
+      }
+      (n, sums.result(), prods.result())
+    }
+  }
+
+  /** The tile frame the blocked path collects — exposed so PcaSpec can
+    * pin its physical shape (one aggregation exchange keyed by tile; the
+    * explode feeds the partial agg in-stage and never shuffles raw
+    * block rows). One row per upper-triangle tile. */
+  private[graft] def gramTileFrame(emb: DataFrame, embCol: String,
+      scale: Int, block: Int): DataFrame = {
+    // dim from one row: bounded driver state, the trained-artifact
+    // pattern (a LIMIT-1 scan, not a full pass)
+    val head = emb.select(size(col(embCol)).as("d")).limit(1).collect()
+    if (head.isEmpty)
+      return emb.sparkSession.emptyDataFrame
+        .select(lit(0).as("bi"), lit(0).as("bj"),
+          lit(null).cast("array<bigint>").as("tile"))
+    val dim = head.head.getInt(0)
+    val nb = (dim + block - 1) / block
+    val tileAgg = udaf(new graft.functions.GramTileAgg,
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Seq[Long], Seq[Long])]())
+    // ragged guard IN-PLAN: the tiles only see SLICES, so a row LONGER
+    // than the probed dim would otherwise truncate silently (its excess
+    // coordinates fall outside every block) and a shorter row surfaces
+    // as a confusing empty-slice error — name the contract violation at
+    // the row instead (the GramAgg convention)
+    val q = emb.select(KMeans.quantize(col(embCol), scale).as("q"))
+      .filter(assert_true(size(col("q")) === dim,
+        concat(lit("gram tile: ragged corpus — row has dim "),
+          size(col("q")),
+          lit(s", corpus has dim $dim (all embedding rows must share " +
+            "one dimension)"))).isNull)
+    val pairs = for { bi <- 0 until nb; bj <- bi until nb } yield
+      struct(lit(bi).as("bi"), lit(bj).as("bj"),
+        slice(col("q"), bi * block + 1, block).as("qi"),
+        slice(col("q"), bj * block + 1, block).as("qj"))
+    q.select(explode(array(pairs: _*)).as("t"))
+      .groupBy(col("t.bi").as("bi"), col("t.bj").as("bj"))
+      .agg(tileAgg(col("t.qi"), col("t.qj")).as("tile"))
   }
 
   /** The join-form Gram (posexplode → id self-join → dim²-cell agg):

@@ -89,6 +89,55 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("blocked (tiled) gram path ≡ GramAgg ≡ join, bit for bit — " +
+      "including block sizes that do and don't divide dim") {
+    // 5-dim corpus: B=2 leaves a short edge block (5 = 2+2+1), B=5 is a
+    // single tile, B=8 over-covers — all must agree with the monolith
+    val corpus = (1L to 40L).map { id =>
+      (id, Array.tabulate(5)(j =>
+        (math.sin(id * 7.3 + j * 1.9) * (1 + j)).toFloat))
+    }.toDF("vec_id", "embedding").repartition(7)
+    val ref = Pca.dominantDirection(corpus, "vec_id", "embedding", 3)
+      .orderBy("i").as[(Int, Long)].collect().toSeq
+    for (b <- Seq(1, 2, 3, 5, 8)) {
+      val tiled = Pca.dominantDirection(corpus, "vec_id", "embedding", 3,
+        gramBlock = b).orderBy("i").as[(Int, Long)].collect().toSeq
+      assert(tiled === ref, s"gramBlock=$b diverged from GramAgg")
+    }
+    // and on the planted corpus against the join reference too
+    val j = Pca.dominantDirection(planted, "vec_id", "embedding", 3,
+      gramViaJoin = true).orderBy("i").as[(Int, Long)].collect().toSeq
+    val t = Pca.dominantDirection(planted, "vec_id", "embedding", 3,
+      gramBlock = 1).orderBy("i").as[(Int, Long)].collect().toSeq
+    assert(t === j)
+  }
+
+  test("tiled gram rejects a ragged corpus by name, like the monolith") {
+    val ragged = Seq((1L, Array(0.1f, 0.2f, 0.3f)), (2L, Array(0.3f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Pca.dominantDirection(ragged, "vec_id", "embedding", 1, gramBlock = 2)
+    }
+    def causes(th: Throwable): Seq[Throwable] =
+      if (th == null) Nil else th +: causes(th.getCause)
+    assert(causes(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("ragged"))), ex.getMessage)
+  }
+
+  test("tile frame plan: ONE aggregation exchange keyed by tile; the " +
+      "explode feeds the partial agg in-stage (no raw block-row shuffle)") {
+    val f = Pca.gramTileFrame(planted, "embedding", 1000, 1)
+    f.collect()
+    val plan = f.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // partial aggregation must sit UNDER the exchange: the shuffle
+    // carries per-task tile buffers, never exploded corpus rows
+    assert(plan.contains("partial_gramtileagg"),
+      s"no map-side partial tile agg:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("gram frame plan: no Generate, no Join, no corpus re-key") {
     val f = Pca.gramFrame(planted, "embedding", 1000)
     f.collect()
