@@ -18,22 +18,37 @@ final case class QSketch(items: Array[Double], weights: Array[Long],
 /** Mutable compactor state: `lvl0` is a fixed-capacity insert scratch
   * (weight-1 items, O(1) hot-path append); `data`/`offs` hold the
   * compacted levels 1.. flattened (level l ≥ 1 occupies
-  * `data[offs(l−1), offs(l))`, every item there weighing `2^l`). */
-final case class QBuf(var n: Long, var err: Long, var comps: Long,
+  * `data[offs(l−1), offs(l))`, every item there weighing `2^l`);
+  * `compsL(l)` counts the compactions LEVEL l has fired (its parity
+  * picks the kept offset AND drives the pair-charging — see
+  * [[QSketchOps]]). */
+final case class QBuf(var n: Long, var err: Long, compsL: Array[Long],
                       var fill0: Int, lvl0: Array[Double],
                       data: Array[Double], offs: Array[Int])
 
 /** Shared compactor core for [[QSketchAgg]] / [[QSketchMergeAgg]]. The
   * algorithm is the KLL compactor shape (Karnin–Lang–Liberty FOCS 2016)
   * made DETERMINISTIC and SELF-CERTIFYING: a level holding ≥ cap items
-  * of weight w is sorted, every second item (alternating offset by
-  * compaction count — no RNG) is promoted at weight 2w, the odd leftover
-  * stays, and `err += w`. Each such compaction shifts the weighted rank
-  * of ANY query point by at most w (of c compacted items ≤ x, the
-  * ⌊c/2⌋-or-⌈c/2⌉ kept at double weight represent c·w ± w), so the
-  * accumulated `err` is a machine-checked worst-case bound — not a
-  * probabilistic one — valid under ANY merge order or partitioning.
-  * Total state is O(cap · log(n/cap)); err grows as O(n·log(n/cap)/cap). */
+  * of weight w is sorted, every second item is promoted at weight 2w
+  * (kept offset = the level's compaction-count parity — no RNG) and the
+  * odd leftover stays. Each compaction shifts the weighted rank of ANY
+  * query point x by e = ±w·(c mod 2) where c = #compacted items ≤ x:
+  * keeping EVEN offsets biases +w·(c mod 2), ODD offsets −w·(c mod 2).
+  * Because the offset alternates PER LEVEL, consecutive same-level
+  * compactions have opposite bias signs, so a pair's combined shift is
+  * in [−w, +w] — and the certificate charges `err += w` only when a
+  * pair OPENS (even per-level count), nothing when it closes. That is
+  * KLL's derandomized pairing argument (KLL §4) turned into a carried
+  * worst-case bound: ~ceil(mₗ/2)·2^l per level instead of the naive
+  * mₗ·2^l — measured ~2× tighter at equal state (SCALING.md), still
+  * deterministic, still valid under ANY merge order or partitioning
+  * (merging sums the per-level counters; each side's open pair stays
+  * fully charged, a cross-boundary closer pairs against an open opener
+  * with the opposite sign, and every closer matches an opener
+  * injectively — the invariant the charge total bounds). Re-entering a
+  * STORED sketch ([[addSketch]]) adds its carried err wholesale: its
+  * compaction history is summarized by its own certificate, so it
+  * interacts with no open pair. Total state is O(cap · log(n/cap)). */
 private[functions] object QSketchOps {
 
   /** Levels ≥ 1 as growable buffers, level0 items appended to `l0`. */
@@ -52,13 +67,15 @@ private[functions] object QSketchOps {
     }
   }
 
-  /** Compact every level holding ≥ cap items, bottom-up; returns the
-    * added (err, comps). Growable levels make promotion overflow-proof
+  /** Compact every level holding ≥ cap items, bottom-up; mutates the
+    * per-level compaction counters and returns the added err under the
+    * PAIR-CHARGING rule (charge w when a level's count is even — the
+    * pair opener; its odd-count closer promotes the opposite offset and
+    * charges nothing). Growable levels make promotion overflow-proof
     * regardless of how lopsided a merge was. */
   private def sweep(levels: ArrayBuffer[ArrayBuffer[Double]], cap: Int,
-                    comps0: Long): (Long, Long) = {
+                    comps: ArrayBuffer[Long]): Long = {
     var err = 0L
-    var comps = comps0
     var l = 0
     while (l < levels.length) {
       val lv = levels(l)
@@ -66,9 +83,10 @@ private[functions] object QSketchOps {
         val arr = lv.toArray
         java.util.Arrays.sort(arr)
         val pairs = arr.length / 2
-        val parity = (comps & 1L).toInt
-        comps += 1
-        err += 1L << l
+        while (comps.length <= l) comps += 0L
+        val parity = (comps(l) & 1L).toInt
+        if (parity == 0) err += 1L << l // pair opener; the closer is free
+        comps(l) += 1
         if (levels.length <= l + 1) levels += new ArrayBuffer[Double]
         val up = levels(l + 1)
         var i = 0
@@ -78,13 +96,13 @@ private[functions] object QSketchOps {
       }
       l += 1
     }
-    (err, comps)
+    err
   }
 
   /** Rebuild the flat QBuf from swept levels (level 0 holds < cap items
     * by the sweep invariant, so it fits the scratch). */
   private def rebuild(levels: ArrayBuffer[ArrayBuffer[Double]], cap: Int,
-                      n: Long, err: Long, comps: Long): QBuf = {
+                      n: Long, err: Long, comps: ArrayBuffer[Long]): QBuf = {
     val l0 = new Array[Double](cap)
     var i = 0
     while (i < levels(0).length) { l0(i) = levels(0)(i); i += 1 }
@@ -101,11 +119,12 @@ private[functions] object QSketchOps {
       while (q < upper(l).length) { data(p) = upper(l)(q); p += 1; q += 1 }
       l += 1
     }
-    QBuf(n, err, comps, levels(0).length, l0, data, offs)
+    QBuf(n, err, comps.toArray, levels(0).length, l0, data, offs)
   }
 
   def empty(cap: Int): QBuf =
-    QBuf(0L, 0L, 0L, 0, new Array[Double](cap), Array.empty, Array.empty)
+    QBuf(0L, 0L, Array.empty, 0, new Array[Double](cap),
+      Array.empty, Array.empty)
 
   /** O(1) append; a full scratch triggers one O(state) sweep — amortized
     * O(state/cap) = O(log) per insert. */
@@ -117,7 +136,8 @@ private[functions] object QSketchOps {
     else {
       val levels = ArrayBuffer(new ArrayBuffer[Double])
       explode(buf, levels)
-      val (de, comps) = sweep(levels, cap, buf.comps)
+      val comps = ArrayBuffer.from(buf.compsL)
+      val de = sweep(levels, cap, comps)
       rebuild(levels, cap, buf.n, buf.err + de, comps)
     }
   }
@@ -128,7 +148,19 @@ private[functions] object QSketchOps {
     val levels = ArrayBuffer(new ArrayBuffer[Double])
     explode(a, levels)
     explode(b, levels)
-    val (de, comps) = sweep(levels, cap, a.comps + b.comps)
+    // per-level counters SUM: each side's pairs were charged internally;
+    // a post-merge closer (odd summed count) pairs against whichever
+    // side left an opener — opposite sign by the parity rule, so the
+    // charge invariant carries through (Scaladoc proof sketch above)
+    val comps = ArrayBuffer.fill(
+      math.max(a.compsL.length, b.compsL.length))(0L)
+    var i = 0
+    while (i < comps.length) {
+      comps(i) = (if (i < a.compsL.length) a.compsL(i) else 0L) +
+        (if (i < b.compsL.length) b.compsL(i) else 0L)
+      i += 1
+    }
+    val de = sweep(levels, cap, comps)
     rebuild(levels, cap, a.n + b.n, a.err + b.err + de, comps)
   }
 
@@ -157,7 +189,11 @@ private[functions] object QSketchOps {
     require(wsum == sk.n,
       s"QSketch weights sum to $wsum but n=${sk.n} — corrupt sketch " +
         "or misordered fields (expected items, weights, n, err)")
-    val (de, comps) = sweep(levels, cap, buf.comps)
+    // the stored sketch's compaction history is summarized by its own
+    // carried err (added wholesale) — it contributes no open pair, so
+    // the buffer's per-level counters continue unchanged
+    val comps = ArrayBuffer.from(buf.compsL)
+    val de = sweep(levels, cap, comps)
     rebuild(levels, cap, buf.n + sk.n, buf.err + sk.err + de, comps)
   }
 

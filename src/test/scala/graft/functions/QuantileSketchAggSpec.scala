@@ -118,6 +118,22 @@ class QuantileSketchAggSpec extends AnyFunSuite {
     }
   }
 
+  test("pair-charged certificate is measurably tighter than naive " +
+      "per-compaction charging (the round-13 KLL pairing bound)") {
+    // charging w per compaction certified 5.74% of n at this exact
+    // seed/size/cap (r12 state, recorded in SCALING.md); the per-level
+    // alternation pairing must land well under it — and the property
+    // tests above still hold the bound against TRUE ranks, so this is
+    // tightness, not optimism
+    val rnd = new Random(3)
+    val agg = new QSketchAgg(128)
+    var buf = agg.zero
+    (1 to 20000).foreach(_ => buf = agg.reduce(buf, rnd.nextDouble()))
+    val sk = agg.finish(buf)
+    val pct = sk.err * 100.0 / sk.n
+    assert(pct < 4.0, s"err=${sk.err} ($pct% of n) — pairing regressed")
+  }
+
   test("err stays useful: bounded by the compaction-schedule arithmetic") {
     // each level fires ~n/(cap·2^(l+1)) compactions of cost 2^l, i.e.
     // ~n/(2·cap) err per level over ~log2(n/cap) levels — so the tracked
@@ -136,6 +152,36 @@ class QuantileSketchAggSpec extends AnyFunSuite {
     // state is logarithmic, not linear
     assert(sk.items.length < 20 * cap,
       s"sketch holds ${sk.items.length} points — compaction is not firing")
+  }
+
+  test("stored-artifact path: QSketch survives a parquet round-trip " +
+      "into QSketchMergeAgg with its certificate intact") {
+    // the deployment path q_quantile_rollup runs: per-day sketches are
+    // WRITTEN as parquet and every rollup re-aggregates the file — so the
+    // struct must round-trip through storage (not just the state store)
+    // and the re-aggregated certificate must still hold against raw data
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, udaf}
+    val rnd = new Random(47)
+    val vs = Seq.fill(3000)(rnd.nextDouble() * 500)
+    val skAgg = udaf(new QSketchAgg(cap),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val dir = java.nio.file.Files.createTempDirectory("qsk_rt").toString
+    vs.zipWithIndex.map { case (v, i) => (i % 7, v) }.toDF("day", "v")
+      .groupBy("day").agg(skAgg(col("v")).as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val mgAgg = udaf(new QSketchMergeAgg(cap),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[QSketch]())
+    val merged = spark.read.parquet(dir)
+      .agg(mgAgg(col("sk.items"), col("sk.weights"), col("sk.n"),
+        col("sk.err")).as("sk"))
+      .select(col("sk.items"), col("sk.weights"), col("sk.n"), col("sk.err"))
+      .as[(Seq[Double], Seq[Long], Long, Long)].head()
+    checkCertificate(
+      QSketch(merged._1.toArray, merged._2.toArray, merged._3, merged._4), vs)
   }
 
   test("sketch-merge rejects corrupted (non-power-of-two) weights") {
