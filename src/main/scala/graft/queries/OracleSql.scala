@@ -688,6 +688,55 @@ object OracleSql {
         "JOIN mz ON mz.week = s.week LEFT JOIN rh ON rh.week = s.week " +
         "JOIN exu ON exu.week = s.week LEFT JOIN exo ON exo.week = s.week " +
         "ORDER BY s.week"),
+    // rolling 28-day KMV windows: bottom-k rebuilt from RAW users over
+    // the same date ranges the engine's day-sketch rollup unions
+    // ([week−21, week+6] current, [week−49, week−22] prior — provably
+    // identical, a window k-minimum is a k-minimum of its own day),
+    // same integer estimator as q_kmv_overlap. LEFT JOIN + coalesce on
+    // the prior-window rows: an anchor whose prior window is EMPTY (or
+    // shares no users) must yield est_overlap_28d 0, not a dropped row.
+    "q_kmv_rolling" ->
+      ("WITH wu AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id, " +
+        "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),1,12)) " +
+        "AS BIGINT) h FROM events), " +
+        "an AS (SELECT DISTINCT CAST(date_trunc('week', day) AS DATE) AS week " +
+        "FROM wu), " +
+        "cw AS (SELECT DISTINCT a.week, d.h FROM an a JOIN wu d " +
+        "ON d.day BETWEEN a.week - 21 AND a.week + 6), " +
+        "pw AS (SELECT DISTINCT a.week, d.h FROM an a JOIN wu d " +
+        "ON d.day BETWEEN a.week - 49 AND a.week - 22), " +
+        "ck AS (SELECT week, h FROM (SELECT week, h, row_number() OVER " +
+        "(PARTITION BY week ORDER BY h) r FROM cw) WHERE r <= 256), " +
+        "pk AS (SELECT week, h FROM (SELECT week, h, row_number() OVER " +
+        "(PARTITION BY week ORDER BY h) r FROM pw) WHERE r <= 256), " +
+        "csz AS (SELECT week, count(*) n, max(h) u FROM ck GROUP BY week), " +
+        "mg AS (SELECT week, h FROM (SELECT week, h, row_number() OVER " +
+        "(PARTITION BY week ORDER BY h) r FROM " +
+        "(SELECT week, h FROM ck UNION SELECT week, h FROM pk)) " +
+        "WHERE r <= 256), " +
+        "mz AS (SELECT week, count(*) nu, max(h) uu FROM mg GROUP BY week), " +
+        "rh AS (SELECT m.week, count(*) r FROM mg m WHERE EXISTS " +
+        "(SELECT 1 FROM ck a WHERE a.week = m.week AND a.h = m.h) AND EXISTS " +
+        "(SELECT 1 FROM pk b WHERE b.week = m.week AND b.h = m.h) " +
+        "GROUP BY m.week), " +
+        "cu AS (SELECT DISTINCT a.week, d.user_id FROM an a JOIN wu d " +
+        "ON d.day BETWEEN a.week - 21 AND a.week + 6), " +
+        "pu AS (SELECT DISTINCT a.week, d.user_id FROM an a JOIN wu d " +
+        "ON d.day BETWEEN a.week - 49 AND a.week - 22), " +
+        "exu AS (SELECT week, count(*) xu FROM cu GROUP BY week), " +
+        "exo AS (SELECT c.week, count(*) xo FROM cu c JOIN pu p " +
+        "ON p.week = c.week AND p.user_id = c.user_id GROUP BY c.week) " +
+        "SELECT c.week, " +
+        "CASE WHEN c.n < 256 THEN c.n ELSE 71776119061217280 // c.u END " +
+        "est_users_28d, " +
+        "exu.xu exact_users_28d, " +
+        "(coalesce(rh.r, 0) * (CASE WHEN mz.nu < 256 THEN mz.nu " +
+        "ELSE 71776119061217280 // mz.uu END)) // mz.nu est_overlap_28d, " +
+        "coalesce(exo.xo, 0) exact_overlap_28d " +
+        "FROM csz c JOIN mz ON mz.week = c.week " +
+        "LEFT JOIN rh ON rh.week = c.week " +
+        "JOIN exu ON exu.week = c.week LEFT JOIN exo ON exo.week = c.week " +
+        "ORDER BY c.week"),
     // quantile-sketch rollup: n and the exact weekly percentiles are
     // value-oracled (quantile_cont ≡ Spark percentile, the q_winsorize
     // precedent); the sketch estimates ride as le_ok/lt_ok — the exact

@@ -5430,10 +5430,17 @@ object Queries {
     * back and aggregated. The oracle is the same aggregate over the
     * original table (layout is physical), plus `range_disjoint` — the
     * invariant that makes min/max file skipping WORK — as an oracled
-    * literal-TRUE value: every output file's [min, max] l_orderkey
+    * literal-TRUE value: every RANGE PARTITION's [min, max] l_orderkey
     * interval is strictly disjoint from every other's (equal keys
-    * co-locate under range partitioning), checked over the actual
-    * written files (bounded driver state: one row per file). */
+    * co-locate under range partitioning — that is exactly what the
+    * partitioner guarantees), checked over the actual written files
+    * (bounded driver state: one row per partition). Grouping is by the
+    * writer task index parsed from the file name, NOT per physical
+    * file: range partitioning never promises one file per partition
+    * (maxRecordsPerFile or a size-based rollover splits a partition
+    * into part-NNNNN-…c000/c001 siblings, and a run of equal keys can
+    * then straddle two files of the SAME partition), so the per-file
+    * spelling would oracle an accident of writer config. */
   private val qSortedLayout: Q = (s, sf) => {
     val dir = scratchDir("sorted")
     Layout.sortedBy(t(s, sf, "lineitem")
@@ -5441,12 +5448,13 @@ object Queries {
         8, col("l_orderkey"))
       .write.mode("overwrite").parquet(s"$dir/out")
     val back = s.read.parquet(s"$dir/out")
-    val ranges = back.groupBy(input_file_name().as("f"))
+    val ranges = back.groupBy(
+        regexp_extract(input_file_name(), "part-(\\d+)", 1).as("p"))
       .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
       .collect().sortBy(_.getAs[Long]("lo"))
     val disjoint = ranges.length > 0 && ranges.sliding(2).forall {
       case Array(a, b) => a.getAs[Long]("hi") < b.getAs[Long]("lo")
-      case _           => true // a single file is trivially disjoint
+      case _           => true // a single partition is trivially disjoint
     }
     back.groupBy("l_linestatus")
       .agg(count(lit(1)).as("n"),
@@ -5520,7 +5528,15 @@ object Queries {
     * q_kmv_retention (and mirrored verbatim by their DuckDB oracles):
     * exact size below k, `(k−1)·2^48 div u_k` once spilled. A single
     * definition so the two queries can never drift from each other —
-    * the oracles' bit-exact hash compare depends on this arithmetic. */
+    * the oracles' bit-exact hash compare depends on this arithmetic.
+    *
+    * Headroom contract: downstream products of this estimate (ρ·est in
+    * [[kmvWeekPairs]] / q_kmv_overlap's est_inter, ρ ≤ k) stay Long-safe
+    * while est < 2⁶³/k — at k=256 that is ~3.6e16 distinct keys, far past
+    * any real corpus and past the 48-bit hash's own birthday regime. A
+    * wider hash or a much larger k must re-check this bound: Spark wraps
+    * Long products silently where DuckDB raises on BIGINT overflow, so
+    * crossing it would DIVERGE engine from oracle rather than fail both. */
   private val kmvK = 256
   private def kmvEstSql(a: String): String = {
     val num = (kmvK - 1).toLong * (1L << 48) // the KMV (k−1)·M numerator
@@ -5608,8 +5624,13 @@ object Queries {
     * sketch's OWN bound, as literal-TRUE values (the q_hll_rollup
     * bound-as-value pattern: a sketch outside its certificate fails the
     * hash compare). 100 TB: day sketches are the stored artifact
-    * (O(cap·log n) doubles each); any calendar rollup is a sketch-merge
-    * over sketch rows, never event rows. */
+    * (O(cap·log n) doubles each), written ONCE as parquet (the
+    * q_kmv_retention amortized-write convention — the write is part of
+    * the timed cost) and every calendar rollup re-aggregates the SKETCH
+    * TABLE from disk, never event rows. The parquet round-trip (struct
+    * of items/weights/n/err through a file and back into
+    * QSketchMergeAgg) is exactly the path a deployment runs, so it is
+    * in the oracled row, not just a unit test. */
   private val qQuantileRollup: Q = (s, sf) => {
     val cap = 128
     val skAgg = udaf(new graft.functions.QSketchAgg(cap),
@@ -5617,10 +5638,14 @@ object Queries {
     val mgAgg = udaf(new graft.functions.QSketchMergeAgg(cap),
       org.apache.spark.sql.catalyst.encoders
         .ExpressionEncoder[graft.functions.QSketch]())
+    val dir = scratchDir("qsk")
     def weekly = t(s, sf, "events").where(col("value").isNotNull)
       .select(to_date(date_trunc("week", col("ts"))).as("week"),
         to_date(col("ts")).as("day"), col("value"))
-    val daySk = weekly.groupBy("week", "day").agg(skAgg(col("value")).as("sk"))
+    // the STORED artifact: one sketch row per day, written once
+    weekly.groupBy("week", "day").agg(skAgg(col("value")).as("sk"))
+      .write.mode("overwrite").parquet(s"$dir/daysk")
+    val daySk = s.read.parquet(s"$dir/daysk")
     // udaf flattens a case-class input to one parameter per field (the
     // TopKAgg convention): feed the stored sketch's four fields
     val wkSk = daySk.groupBy("week").agg(mgAgg(col("sk.items"),
@@ -5710,11 +5735,94 @@ object Queries {
       .orderBy("week")
   }
 
+  /** ROLLING-window arithmetic over a (day, sk) KMV day-sketch frame,
+    * factored out so a synthetic frame can pin the shapes the shipped
+    * SFs never hit (KmvRollingSpec): one anchor per distinct week
+    * present; the current window is the trailing 28 days ending that
+    * week's Sunday (days in [week−21, week+6]), the prior window the
+    * 28 days before it ([week−49, week−22]); window sketches re-aggregate
+    * the day sketches inside the date range (exact — a window k-minimum
+    * is a k-minimum of its own day), so the pairing is GAP-TOLERANT BY
+    * CONSTRUCTION: a missing day or week contributes no rows but shifts
+    * nothing (ranges are date arithmetic, not adjacency — the
+    * kmvWeekPairs week−7 equi-join drops a row at any series gap, which
+    * is correct for week-over-week but not for a trailing dashboard
+    * window), and an EMPTY prior window yields est_overlap_28d = 0 with
+    * the anchor row intact, never a dropped anchor. */
+  private[queries] def kmvRollingWindows(daySk: DataFrame): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvAgg(kmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val anchors = daySk
+      .select(to_date(date_trunc("week", col("day"))).as("week")).distinct()
+    // anchor × day-sketch range join: both sides are sketch-table-sized
+    // (one row per week / per day — bounded metadata, never event rows)
+    def winSk(lo: Int, hi: Int, out: String) = anchors.as("a")
+      .join(daySk.as("d"), col("d.day")
+        .between(date_add(col("a.week"), lo), date_add(col("a.week"), hi)))
+      .select(col("a.week").as("week"), explode(col("d.sk")).as("h"))
+      .groupBy("week").agg(kmv(col("h")).as(out))
+    winSk(-21, 6, "csk")
+      .join(winSk(-49, -22, "psk"), Seq("week"), "left")
+      .withColumn("psk",
+        coalesce(col("psk"), expr("CAST(array() AS ARRAY<BIGINT>)")))
+      .selectExpr("week", "csk", "psk",
+        s"slice(array_sort(array_distinct(concat(csk, psk))), 1, $kmvK) AS mg")
+      .selectExpr("week", s"${kmvEstSql("csk")} AS est_users_28d",
+        "CAST(size(filter(mg, x -> array_contains(csk, x) AND " +
+          "array_contains(psk, x))) AS BIGINT) AS rho",
+        s"${kmvEstSql("mg")} AS est_u", "CAST(size(mg) AS BIGINT) AS nu")
+      .selectExpr("week", "est_users_28d",
+        "(rho * est_u) div nu AS est_overlap_28d")
+  }
+
+  /** Trailing-28-day ROLLING distinct users + overlap vs the prior
+    * 28-day window, answered from the SAME persisted day-sketch table
+    * q_kmv_retention writes — the growth-dashboard shape a strictly
+    * week-over-week pairing cannot express (and gap-tolerant where the
+    * week−7 equi-join is not: see [[kmvRollingWindows]]). The artifact
+    * write is in the timed row (amortized-write convention); the rollup
+    * itself touches sketch rows only — at 100 TB each window is a union
+    * of ≤ 28 k-long arrays per anchor, driver-bounded metadata scale.
+    * All estimates BIT-EXACT against DuckDB's ORDER-BY-LIMIT rebuild of
+    * the same windows; exact columns ride along for the oracle. */
+  private val qKmvRolling: Q = (s, sf) => {
+    val kmv = udaf(new graft.functions.KmvAgg(kmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val dir = scratchDir("kmvroll")
+    val ev = t(s, sf, "events").select(
+      to_date(col("ts")).as("day"),
+      col("user_id"),
+      expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, " +
+        "10) AS BIGINT)").as("h"))
+    ev.groupBy("day").agg(kmv(col("h")).as("sk"))
+      .write.mode("overwrite").parquet(s"$dir/daysk")
+    val roll = kmvRollingWindows(s.read.parquet(s"$dir/daysk"))
+    // exact window memberships (oracle riders): anchor × distinct
+    // (day, user) range join, windows identical to the sketch path's
+    val du = ev.select(col("day"), col("user_id")).distinct()
+    val anchors = ev
+      .select(to_date(date_trunc("week", col("day"))).as("week")).distinct()
+    def winU(lo: Int, hi: Int) = anchors.as("a")
+      .join(du.as("u"), col("u.day")
+        .between(date_add(col("a.week"), lo), date_add(col("a.week"), hi)))
+      .select(col("a.week").as("week"), col("u.user_id")).distinct()
+    val curU = winU(-21, 6)
+    val exu = curU.groupBy("week").agg(count(lit(1)).as("exact_users_28d"))
+    val exo = curU.join(winU(-49, -22), Seq("week", "user_id"))
+      .groupBy("week").agg(count(lit(1)).as("exact_overlap_28d"))
+    roll.join(exu, "week").join(exo, Seq("week"), "left")
+      .select(col("week"), col("est_users_28d"), col("exact_users_28d"),
+        col("est_overlap_28d"),
+        coalesce(col("exact_overlap_28d"), lit(0L)).as("exact_overlap_28d"))
+      .orderBy("week")
+  }
+
   // ---------------------------------------------------------------- map
 
   val all: Map[String, Q] = Map(
     "q_kmv_overlap" -> qKmvOverlap,
     "q_kmv_retention" -> qKmvRetention,
+    "q_kmv_rolling" -> qKmvRolling,
     "q_quantile_rollup" -> qQuantileRollup,
     "q_sorted_layout" -> qSortedLayout,
     "q_embed_pc1" -> qEmbedPc1,
