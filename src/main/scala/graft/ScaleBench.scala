@@ -217,6 +217,44 @@ object ScaleBench {
       }
     }
 
+    // round 13: the HIGH-DIM Gram regime — GramAgg's monolithic
+    // (2+dim+dim²)-long per-task buffer vs the column-block TILED outer
+    // product (GramTileAgg, B = 128) at dim 1024 → 4096, n = 2000 fixed.
+    // At dim 4096 the monolith is ~134 MB of longs PER MAP TASK (32
+    // tasks ≈ 4.3 GB resident before any merge, plus a 134 MB single-row
+    // final merge); the tiles hold O(fallback-threshold · B²) resident
+    // and stream everything else. Timed through the public API with
+    // iters = 1 (the driver BigInt algebra is shared by both paths).
+    // SPARK_GRAFT_SCALE_ONLY=gramhd.
+    if (only.contains("gramhd")) {
+      import graft.operators.Pca
+      val dims = sys.env.getOrElse("SPARK_GRAFT_GRAMHD_DIMS",
+        "1024,2048,4096").split(",").map(_.trim.toInt).toSeq
+      for (dim <- dims) {
+        genEmb(2000L, s"$outRoot/embhd_$dim", dim)
+        val emb = spark.read.parquet(s"$outRoot/embhd_$dim")
+        def run(blk: Int): Unit =
+          Pca.dominantDirection(emb, "vec_id", "embedding", iters = 1,
+            gramBlock = blk).collect()
+        run(128) // warm the tiled shape
+        val tiled = winMin(run(128))
+        println(f"SCALE gramhd_tiled_d$dim $tiled%.2f s (min of $scaleReps)")
+        // the monolith is EXPECTED to hit its per-task dim² wall here —
+        // a failure is the datapoint, not a bench bug, so record it
+        // instead of dying (executor OOM in local mode can still take
+        // the JVM down; run mono LAST so tiled numbers always land)
+        try {
+          run(0)
+          val mono = winMin(run(0))
+          println(f"SCALE gramhd_mono_d$dim $mono%.2f s (min of $scaleReps)")
+        } catch {
+          case e: Throwable =>
+            println(s"SCALE gramhd_mono_d$dim FAILED " +
+              s"(${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)})")
+        }
+      }
+    }
+
     // round 12 second wave: the two mergeable-sketch rows vs their exact
     // competitors at 200k → 2M input rows (10×). KMV overlap shuffles
     // ≤ k longs per task where exact distinct-overlap shuffles every

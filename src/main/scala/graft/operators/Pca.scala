@@ -60,21 +60,24 @@ object Pca {
     require(!(gramViaJoin && gramBlock > 0),
       "choose ONE gram path: gramViaJoin or gramBlock, not both")
     val spark = emb.sparkSession
+    // dense driver representation — sums(i0) = Σv_{i0+1}, prods row-major
+    // dim×dim (a Map of (i,j) tuples is ~100 bytes/boxed entry: 3+ GB of
+    // driver hash map at dim 4096, where the flat long array is 134 MB)
     val (n, sums, prods) =
       if (gramViaJoin) gramByJoin(emb, idCol, embCol, scale)
       else if (gramBlock > 0) gramByTiles(emb, embCol, scale, gramBlock)
       else gramByAgg(emb, embCol, scale)
     require(n > 0, "dominantDirection: empty corpus")
-    val dim = sums.keys.maxOption.getOrElse(0)
+    val dim = sums.length
     // covariance cross-multiplied to integers, bounded by DIV n²; BigInt
     // end to end (the intermediate n·pp − sᵢ·sⱼ can exceed int64 even
     // when each term fits), truncation toward zero everywhere
     val g = Array.tabulate(dim, dim) { (i0, j0) =>
-      val (i, j) = (i0 + 1, j0 + 1)
-      val pp = prods.getOrElse((i, j), throw new IllegalArgumentException(
-        s"dominantDirection: no (i,j)=($i,$j) product sum — ragged " +
-          "corpus? all embedding rows must share one dimension"))
-      (BigInt(n) * pp - BigInt(sums(i)) * sums(j)) / (BigInt(n) * n)
+      val pp = prods(i0 * dim + j0)
+      if (pp == GramMissing) throw new IllegalArgumentException(
+        s"dominantDirection: no (i,j)=(${i0 + 1},${j0 + 1}) product sum — " +
+          "ragged corpus? all embedding rows must share one dimension")
+      (BigInt(n) * pp - BigInt(sums(i0)) * sums(j0)) / (BigInt(n) * n)
     }
     var v = Array.tabulate(dim)(i =>
       if (i == 0) BigInt(scale) else BigInt(0))
@@ -92,19 +95,24 @@ object Pca {
       .toDF("i", "x")
   }
 
+  /** Sentinel for "this Gram cell was never produced" (only reachable on
+    * the join path over a ragged corpus — the agg/tile paths reject
+    * raggedness in-plan). Long.MinValue cannot be a real product sum of
+    * an overflow-checked accumulation. */
+  private val GramMissing = Long.MinValue
+
   /** One-pass Gram: the corpus folds into per-partition
     * (n, Σvᵢ, Σvᵢvⱼ) buffers, merged by elementwise exact addition —
     * no explode, no join, no corpus re-key (see [[graft.functions.GramAgg]]). */
   private def gramByAgg(emb: DataFrame, embCol: String, scale: Int)
-      : (Long, Map[Int, Long], Map[(Int, Int), Long]) = {
+      : (Long, Array[Long], Array[Long]) = {
     val buf = gramFrame(emb, embCol, scale).collect().head.getSeq[Long](0)
-    if (buf(0) == 0L) (0L, Map.empty, Map.empty)
+    if (buf(0) == 0L) (0L, Array.empty, Array.empty)
     else {
       val dim = buf(0).toInt
       val n = buf(1)
-      val sums = (1 to dim).map(i => i -> buf(1 + i)).toMap
-      val prods = (for (i <- 1 to dim; j <- 1 to dim)
-        yield (i, j) -> buf(1 + dim + (i - 1) * dim + j)).toMap
+      val sums = Array.tabulate(dim)(i => buf(2 + i))
+      val prods = Array.tabulate(dim * dim)(p => buf(2 + dim + p))
       (n, sums, prods)
     }
   }
@@ -128,14 +136,19 @@ object Pca {
     * the shuffle carries tiles, not corpus rows. The mirror half and the
     * per-coordinate sums (diagonal tiles) are assembled driver-side. */
   private def gramByTiles(emb: DataFrame, embCol: String, scale: Int,
-      block: Int): (Long, Map[Int, Long], Map[(Int, Int), Long]) = {
+      block: Int): (Long, Array[Long], Array[Long]) = {
     require(block >= 1, s"gramBlock must be >= 1 (got $block)")
     val rows = gramTileFrame(emb, embCol, scale, block).collect()
-    if (rows.isEmpty) (0L, Map.empty, Map.empty)
+    if (rows.isEmpty) (0L, Array.empty, Array.empty)
     else {
+      // dim = block offset of the last block + its width (rows carry
+      // every upper-triangle tile, so the max (bj, lj) pins the edge)
+      val dim = rows.iterator.map { r =>
+        r.getInt(1) * block + r.getSeq[Long](2)(1).toInt
+      }.max
       var n = 0L
-      val sums = Map.newBuilder[Int, Long]
-      val prods = Map.newBuilder[(Int, Int), Long]
+      val sums = new Array[Long](dim)
+      val prods = new Array[Long](dim * dim)
       rows.foreach { r =>
         val bi = r.getInt(0)
         val bj = r.getInt(1)
@@ -145,23 +158,23 @@ object Pca {
         if (bi == bj) {
           n = tile(2)
           var i = 0
-          while (i < li) { sums += (bi * block + i + 1) -> tile(3 + i); i += 1 }
+          while (i < li) { sums(bi * block + i) = tile(3 + i); i += 1 }
         }
         var i = 0
         while (i < li) {
           var j = 0
           while (j < lj) {
             val p = tile(3 + li + lj + i * lj + j)
-            val gi = bi * block + i + 1
-            val gj = bj * block + j + 1
-            prods += (gi, gj) -> p
-            prods += (gj, gi) -> p // the mirrored lower-triangle half
+            val gi = bi * block + i
+            val gj = bj * block + j
+            prods(gi * dim + gj) = p
+            prods(gj * dim + gi) = p // the mirrored lower-triangle half
             j += 1
           }
           i += 1
         }
       }
-      (n, sums.result(), prods.result())
+      (n, sums, prods)
     }
   }
 
@@ -183,42 +196,63 @@ object Pca {
     val tileAgg = udaf(new graft.functions.GramTileAgg,
       org.apache.spark.sql.catalyst.encoders
         .ExpressionEncoder[(Seq[Long], Seq[Long])]())
+    // Shape note: the pairs explode is a LITERAL array of (bi, bj) INTS
+    // and the block slices are computed AFTER the explode with
+    // column-arg slice() + a B-length quantize — ONE small expression,
+    // codegen size independent of nb. (Slicing before the explode — one
+    // struct per pair, each with its own slice-of-quantize — inlines
+    // the full-dim quantize transform into every struct under project
+    // collapse: 272 unrolled dim-length loops at dim 2048 blew janino's
+    // 64 KB method limit AND recomputed quantize per pair.) The raw
+    // embedding flows through the Generate as a pointer; only the 2·B
+    // sliced longs materialize per pair row at the aggregate boundary.
+    // quantize ∘ slice ≡ slice ∘ quantize (elementwise), so tiles match
+    // GramAgg's quantization exactly.
+    val pairsLit = typedlit(
+      for { bi <- 0 until nb; bj <- bi until nb } yield (bi, bj))
     // ragged guard IN-PLAN: the tiles only see SLICES, so a row LONGER
     // than the probed dim would otherwise truncate silently (its excess
     // coordinates fall outside every block) and a shorter row surfaces
     // as a confusing empty-slice error — name the contract violation at
     // the row instead (the GramAgg convention)
-    val q = emb.select(KMeans.quantize(col(embCol), scale).as("q"))
-      .filter(assert_true(size(col("q")) === dim,
+    emb.select(col(embCol).as("e"))
+      .filter(assert_true(size(col("e")) === dim,
         concat(lit("gram tile: ragged corpus — row has dim "),
-          size(col("q")),
+          size(col("e")),
           lit(s", corpus has dim $dim (all embedding rows must share " +
             "one dimension)"))).isNull)
-    val pairs = for { bi <- 0 until nb; bj <- bi until nb } yield
-      struct(lit(bi).as("bi"), lit(bj).as("bj"),
-        slice(col("q"), bi * block + 1, block).as("qi"),
-        slice(col("q"), bj * block + 1, block).as("qj"))
-    q.select(explode(array(pairs: _*)).as("t"))
-      .groupBy(col("t.bi").as("bi"), col("t.bj").as("bj"))
-      .agg(tileAgg(col("t.qi"), col("t.qj")).as("tile"))
+      .select(col("e"), explode(pairsLit).as("p"))
+      .select(col("p._1").as("bi"), col("p._2").as("bj"),
+        KMeans.quantize(slice(col("e"), col("p._1") * block + 1,
+          lit(block)), scale).as("qi"),
+        KMeans.quantize(slice(col("e"), col("p._2") * block + 1,
+          lit(block)), scale).as("qj"))
+      .groupBy("bi", "bj")
+      .agg(tileAgg(col("qi"), col("qj")).as("tile"))
   }
 
   /** The join-form Gram (posexplode → id self-join → dim²-cell agg):
     * shuffles dim × n rows both sides; kept as the explicit fallback for
     * regimes where dim² per-task state is the binding constraint. */
   private def gramByJoin(emb: DataFrame, idCol: String, embCol: String,
-      scale: Int): (Long, Map[Int, Long], Map[(Int, Int), Long]) = {
+      scale: Int): (Long, Array[Long], Array[Long]) = {
     val q = emb.select(col(idCol).cast("long").as("id"),
         posexplode(KMeans.quantize(col(embCol), scale)).as(Seq("p", "v")))
       .select(col("id"), (col("p") + 1).cast("int").as("i"), col("v"))
-    val sums = q.groupBy("i").agg(sum("v").as("s")).collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val prods = q.as("a").join(q.as("b"), "id")
+    val sumRows = q.groupBy("i").agg(sum("v").as("s")).collect()
+    if (sumRows.isEmpty) return (0L, Array.empty, Array.empty)
+    val dim = sumRows.iterator.map(_.getInt(0)).max
+    val sums = new Array[Long](dim)
+    sumRows.foreach(r => sums(r.getInt(0) - 1) = r.getLong(1))
+    // a ragged corpus can leave (i,j) cells unproduced on this path —
+    // seed the sentinel so dominantDirection rejects them by name
+    val prods = Array.fill(dim * dim)(GramMissing)
+    q.as("a").join(q.as("b"), "id")
       .groupBy(col("a.i").as("i"), col("b.i").as("j"))
       .agg(sum(col("a.v") * col("b.v")).as("pp"))
       .collect()
-      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
-      .toMap
+      .foreach(r =>
+        prods((r.getInt(0) - 1) * dim + (r.getInt(1) - 1)) = r.getLong(2))
     (emb.count(), sums, prods)
   }
 }

@@ -202,10 +202,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("q_quantile_rollup: day sketches partial-aggregate; the rank-check " +
-      "join broadcasts the 2-rows-per-week estimate frame") {
+  test("q_kmv_rolling: day sketches partial-aggregate; the window range " +
+      "joins stay off cartesian (sketch-table-sized sides only)") {
+    val p = plan("q_kmv_rolling")
+    assert(p.contains("partial_kmvagg"), p) // map-side ≤k-long buffers
+    // the anchor×day-sketch date-range joins are non-equi by design —
+    // their broadcast side is one row per week (bounded metadata, never
+    // event rows), so a nested-loop probe over it is the intended plan;
+    // an unbounded cartesian is not
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_quantile_rollup: the weekly rollup partial-aggregates stored " +
+      "sketches; the rank-check join broadcasts the estimate frame") {
+    // the day-sketch BUILD is a separate parquet write action since the
+    // artifact was persisted (r13) — the returned frame starts from the
+    // sketch table, so the pin is on the MERGE aggregate's map side
     val p = plan("q_quantile_rollup")
-    assert(p.contains("partial_qsketchagg"), p) // map-side compactors
+    assert(p.contains("partial_qsketchmergeagg"), p) // map-side compactors
     assert(p.contains("BroadcastHashJoin"), p) // estimates attach broadcast
     assert(!p.contains("CartesianProduct"), p)
   }
