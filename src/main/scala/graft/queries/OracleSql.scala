@@ -737,6 +737,21 @@ object OracleSql {
         "LEFT JOIN rh ON rh.week = c.week " +
         "JOIN exu ON exu.week = c.week LEFT JOIN exo ON exo.week = c.week " +
         "ORDER BY c.week"),
+    // rolling 28-day quantile windows from stored day sketches: n_28d is
+    // exact by sketch construction (sum of day n's) and value-compared
+    // to the raw window count; exact_p95 = quantile_cont ≡ Spark
+    // percentile; the sketch estimate rides as le_ok/lt_ok — its exact
+    // rank bracket within the sketch's OWN carried bound, literal TRUE
+    "q_quantile_rolling" ->
+      ("WITH ev AS (SELECT CAST(ts AS DATE) AS day, value FROM events " +
+        "WHERE value IS NOT NULL), " +
+        "an AS (SELECT DISTINCT CAST(date_trunc('week', day) AS DATE) AS week " +
+        "FROM ev), " +
+        "w AS (SELECT a.week, e.value FROM an a JOIN ev e " +
+        "ON e.day BETWEEN a.week - 21 AND a.week + 6) " +
+        "SELECT week, count(*) n_28d, " +
+        "round(quantile_cont(value, 0.95), 3) exact_p95, " +
+        "TRUE le_ok, TRUE lt_ok FROM w GROUP BY week ORDER BY week"),
     // quantile-sketch rollup: n and the exact weekly percentiles are
     // value-oracled (quantile_cont ≡ Spark percentile, the q_winsorize
     // precedent); the sketch estimates ride as le_ok/lt_ok — the exact

@@ -5683,6 +5683,68 @@ object Queries {
       .orderBy("week", "pct")
   }
 
+  /** Trailing-28-day ROLLING p95 from the PERSISTED day quantile-sketch
+    * table — the latency-dashboard shape, and the quantile sibling of
+    * [[qKmvRolling]] (same date-range windows, same gap tolerance: a
+    * missing day contributes nothing and shifts nothing): one anchor
+    * per week present, the window sketch is a [[functions.QSketchMergeAgg]]
+    * merge of the stored day sketches in [week−21, week+6], and the
+    * p95 estimate is the cumulative-weight selection over the merged
+    * sketch — whose carried certificate still bounds the estimate's
+    * exact rank (le_ok/lt_ok oracled literal-TRUE, the q_quantile_rollup
+    * pattern; the certificate survives the window merge BY CONSTRUCTION,
+    * valid under any merge order). n_28d comes off the merged sketch
+    * (exact: Σ day n) and is value-oracled against the raw window
+    * count; exact_p95 rides for the oracle. 100 TB: the artifact write
+    * is amortized once; every window is a merge of ≤ 28 sketch rows —
+    * the event log is touched only by the oracle riders. */
+  private val qQuantileRolling: Q = (s, sf) => {
+    val cap = 128
+    val skAgg = udaf(new graft.functions.QSketchAgg(cap),
+      org.apache.spark.sql.Encoders.scalaDouble)
+    val mgAgg = udaf(new graft.functions.QSketchMergeAgg(cap),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.QSketch]())
+    val dir = scratchDir("qskroll")
+    val ev = t(s, sf, "events").where(col("value").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("value"))
+    ev.groupBy("day").agg(skAgg(col("value")).as("sk"))
+      .write.mode("overwrite").parquet(s"$dir/daysk")
+    val daySk = s.read.parquet(s"$dir/daysk")
+    val anchors = daySk
+      .select(to_date(date_trunc("week", col("day"))).as("week")).distinct()
+    def winJoin(right: DataFrame, dayCol: String) = anchors.as("a")
+      .join(right.as("d"), col(s"d.$dayCol")
+        .between(date_add(col("a.week"), -21), date_add(col("a.week"), 6)))
+    val winSk = winJoin(daySk, "day")
+      .groupBy(col("a.week").as("week"))
+      .agg(mgAgg(col("d.sk.items"), col("d.sk.weights"), col("d.sk.n"),
+        col("d.sk.err")).as("sk"))
+    val est = winSk
+      .select(col("week"), col("sk.n").as("n"), col("sk.err").as("err"),
+        explode(arrays_zip(col("sk.items"), col("sk.weights"))).as("e"))
+      .select(col("week"), col("n"), col("err"),
+        col("e.items").as("v"), col("e.weights").as("w"))
+      .withColumn("cw", sum("w").over(Window.partitionBy("week").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t", ceil(lit(0.95) * col("n")).cast("long"))
+      .where(col("cw") >= col("t"))
+      .groupBy("week").agg(min("v").as("est_v"), first("n").as("n"),
+        first("err").as("err"), first("t").as("t"))
+    winJoin(ev, "day")
+      .select(col("a.week").as("week"), col("d.value").as("value"))
+      .join(broadcast(est), Seq("week"))
+      .groupBy("week")
+      .agg(first("n").as("n_28d"), first("t").as("t"), first("err").as("err"),
+        sum((col("value") <= col("est_v")).cast("long")).as("le"),
+        sum((col("value") < col("est_v")).cast("long")).as("lt"),
+        round(expr("percentile(value, 0.95D)"), 3).as("exact_p95"))
+      .select(col("week"), col("n_28d"), col("exact_p95"),
+        (col("le") >= col("t") - col("err")).as("le_ok"),
+        (col("lt") <= col("t") + col("err")).as("lt_ok"))
+      .orderBy("week")
+  }
+
   /** Week-over-week RETURNING-USER overlap from a PERSISTED sketch
     * table — the q_kmv_overlap capability as the workflow a 100 TB
     * deployment actually runs: per-day KMV user sketches are written
@@ -5824,6 +5886,7 @@ object Queries {
     "q_kmv_retention" -> qKmvRetention,
     "q_kmv_rolling" -> qKmvRolling,
     "q_quantile_rollup" -> qQuantileRollup,
+    "q_quantile_rolling" -> qQuantileRolling,
     "q_sorted_layout" -> qSortedLayout,
     "q_embed_pc1" -> qEmbedPc1,
     "q_kmeans" -> qKmeans,

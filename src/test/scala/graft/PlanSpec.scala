@@ -213,6 +213,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_quantile_rolling: window merges partial-aggregate stored " +
+      "sketches; range joins stay off cartesian") {
+    val p = plan("q_quantile_rolling")
+    assert(p.contains("partial_qsketchmergeagg"), p) // map-side compactors
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_quantile_rollup: the weekly rollup partial-aggregates stored " +
       "sketches; the rank-check join broadcasts the estimate frame") {
     // the day-sketch BUILD is a separate parquet write action since the
