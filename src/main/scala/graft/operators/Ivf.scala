@@ -57,24 +57,40 @@ object Ivf {
   }
 
   /** Train k centroids with `iters` Lloyd iterations (init: first k vectors
-    * in id order). Deterministic. */
+    * in id order). Deterministic (the per-coordinate double averages are
+    * merge-order-sensitive at the ulp level like any distributed float
+    * mean — IvfSpec's digest pin rounds to 1e-4 before hashing for
+    * exactly this reason).
+    *
+    * Update shape (the [[KMeans.train]] convention): ONE partial
+    * aggregate per round with per-coordinate `element_at` means — the
+    * shuffle carries k rows × (dim+1) columns, never the corpus. The
+    * previous `select(cellOf, posexplode)` formulation both shuffled
+    * n·dim exploded rows per round AND put the assignment argmin in the
+    * same projection as a generator, re-evaluating it once per EXPLODED
+    * row (the dim× blowup KMeans.train documents); at k ≥ 1024 cells —
+    * now reachable since [[cellOf]] lost its codegen cap — that shape
+    * was the training bottleneck. */
   def train(emb: DataFrame, idCol: String, embCol: String, k: Int,
       iters: Int): Centroids = {
     var centroids: Centroids = emb.orderBy(col(idCol)).limit(k)
       .select(col(embCol)).collect()
       .map(_.getSeq[Float](0).toArray).zipWithIndex.map(_.swap)
+    require(centroids.nonEmpty, s"train: need at least 1 vector")
+    val dim = centroids(0)._2.length
     (1 to iters).foreach { _ =>
+      val aggs = (0 until dim).map(i =>
+        avg(element_at(col(embCol), i + 1)).as(s"m$i"))
       val means = emb
-        .select(cellOf(centroids, embCol).as("cell"),
-          posexplode(col(embCol)).as(Seq("i", "v")))
-        .groupBy("cell", "i").agg(avg("v").as("m"))
+        .select(cellOf(centroids, embCol).as("cell"), col(embCol))
+        .groupBy("cell")
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
       // re-index 0..k'-1: a cell can go empty, and cellOf maps cells by
       // position in this array
-      centroids = means.groupBy(_.getInt(0)).toArray
-        .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
-        }.sortBy(_._1).zipWithIndex.map { case ((_, arr), i) => (i, arr) }
+      centroids = means.sortBy(_.getInt(0)).zipWithIndex.map { case (r, i) =>
+        (i, Array.tabulate(dim)(j => r.getDouble(j + 1).toFloat))
+      }
     }
     centroids
   }
