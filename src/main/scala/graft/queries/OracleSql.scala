@@ -737,6 +737,34 @@ object OracleSql {
         "LEFT JOIN rh ON rh.week = c.week " +
         "JOIN exu ON exu.week = c.week LEFT JOIN exo ON exo.week = c.week " +
         "ORDER BY c.week"),
+    // multi-horizon trailing distincts: bottom-k rebuilt from RAW users
+    // per (anchor week, horizon) window [week+7−h, week+6] — identical
+    // to the engine's day-sketch re-aggregation by exact mergeability;
+    // same integer estimator as q_kmv_overlap, exact riders along.
+    "q_kmv_horizons" ->
+      ("WITH wu AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id, " +
+        "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),1,12)) " +
+        "AS BIGINT) h FROM events), " +
+        "an AS (SELECT DISTINCT CAST(date_trunc('week', day) AS DATE) AS week " +
+        "FROM wu), " +
+        "hz AS (SELECT * FROM (VALUES (7),(28),(84)) t(horizon)), " +
+        "cw AS (SELECT DISTINCT a.week, z.horizon, d.h FROM an a " +
+        "CROSS JOIN hz z JOIN wu d " +
+        "ON d.day BETWEEN a.week + 7 - z.horizon AND a.week + 6), " +
+        "ck AS (SELECT week, horizon, h FROM (SELECT week, horizon, h, " +
+        "row_number() OVER (PARTITION BY week, horizon ORDER BY h) r " +
+        "FROM cw) WHERE r <= 256), " +
+        "sz AS (SELECT week, horizon, count(*) n, max(h) u FROM ck " +
+        "GROUP BY week, horizon), " +
+        "ex AS (SELECT a.week, z.horizon, count(DISTINCT d.user_id) xu " +
+        "FROM an a CROSS JOIN hz z JOIN wu d " +
+        "ON d.day BETWEEN a.week + 7 - z.horizon AND a.week + 6 " +
+        "GROUP BY a.week, z.horizon) " +
+        "SELECT s.week, s.horizon, " +
+        "CASE WHEN s.n < 256 THEN s.n ELSE 71776119061217280 // s.u END " +
+        "est_users, ex.xu exact_users " +
+        "FROM sz s JOIN ex ON ex.week = s.week AND ex.horizon = s.horizon " +
+        "ORDER BY s.week, s.horizon"),
     // rolling 28-day quantile windows from stored day sketches: n_28d is
     // exact by sketch construction (sum of day n's) and value-compared
     // to the raw window count; exact_p95 = quantile_cont ≡ Spark

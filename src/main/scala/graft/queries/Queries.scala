@@ -5683,6 +5683,50 @@ object Queries {
       .orderBy("week", "pct")
   }
 
+  /** MULTI-HORIZON trailing distincts from ONE pass over the persisted
+    * day-sketch table: the 7/28/84-day windows (WAU / ~MAU / ~QAU) per
+    * anchor week, answered together by joining the sketch table against
+    * a HORIZONS literal — the generalization of [[qKmvRolling]]'s fixed
+    * 28-day window (one more horizon = one more VALUES row, not another
+    * scan). Window = the trailing h days ending the anchor week's
+    * Sunday ([week+7−h, week+6]); window sketches re-aggregate stored
+    * day sketches in-range (exact mergeability), gap-tolerant like
+    * every date-range window here. Estimates BIT-EXACT vs DuckDB's
+    * ORDER-BY-LIMIT rebuild per (week, horizon); exact riders along.
+    * 100 TB: the artifact write is amortized once; the horizon fan-out
+    * multiplies sketch-table rows (days × horizons), never event rows. */
+  private val qKmvHorizons: Q = (s, sf) => {
+    val kmv = udaf(new graft.functions.KmvAgg(kmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val dir = scratchDir("kmvhz")
+    val ev = t(s, sf, "events").select(
+      to_date(col("ts")).as("day"),
+      col("user_id"),
+      expr("CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, " +
+        "10) AS BIGINT)").as("h"))
+    ev.groupBy("day").agg(kmv(col("h")).as("sk"))
+      .write.mode("overwrite").parquet(s"$dir/daysk")
+    val daySk = s.read.parquet(s"$dir/daysk")
+    val anchored = daySk
+      .select(to_date(date_trunc("week", col("day"))).as("week")).distinct()
+      .select(col("week"), explode(typedlit(Seq(7, 28, 84))).as("horizon"))
+    def inWin(dayCol: Column) = dayCol.between(
+      date_add(col("a.week"), lit(7) - col("a.horizon")),
+      date_add(col("a.week"), 6))
+    val est = anchored.as("a")
+      .join(daySk.as("d"), inWin(col("d.day")))
+      .select(col("a.week").as("week"), col("a.horizon").as("horizon"),
+        explode(col("d.sk")).as("h"))
+      .groupBy("week", "horizon").agg(kmv(col("h")).as("sk"))
+      .selectExpr("week", "horizon", s"${kmvEstSql("sk")} AS est_users")
+    val exact = anchored.as("a")
+      .join(ev.as("u"), inWin(col("u.day")))
+      .groupBy(col("a.week").as("week"), col("a.horizon").as("horizon"))
+      .agg(countDistinct(col("u.user_id")).as("exact_users"))
+    est.join(exact, Seq("week", "horizon"))
+      .orderBy("week", "horizon")
+  }
+
   /** Trailing-28-day ROLLING p95 from the PERSISTED day quantile-sketch
     * table — the latency-dashboard shape, and the quantile sibling of
     * [[qKmvRolling]] (same date-range windows, same gap tolerance: a
@@ -5885,6 +5929,7 @@ object Queries {
     "q_kmv_overlap" -> qKmvOverlap,
     "q_kmv_retention" -> qKmvRetention,
     "q_kmv_rolling" -> qKmvRolling,
+    "q_kmv_horizons" -> qKmvHorizons,
     "q_quantile_rollup" -> qQuantileRollup,
     "q_quantile_rolling" -> qQuantileRolling,
     "q_sorted_layout" -> qSortedLayout,

@@ -213,6 +213,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_kmv_horizons: one sketch-table pass answers every horizon; " +
+      "partial-aggregated, no cartesian") {
+    val p = plan("q_kmv_horizons")
+    assert(p.contains("partial_kmvagg"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_quantile_rolling: window merges partial-aggregate stored " +
       "sketches; range joins stay off cartesian") {
     val p = plan("q_quantile_rolling")
