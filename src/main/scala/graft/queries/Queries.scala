@@ -5448,12 +5448,22 @@ object Queries {
         8, col("l_orderkey"))
       .write.mode("overwrite").parquet(s"$dir/out")
     val back = s.read.parquet(s"$dir/out")
-    val ranges = back.groupBy(
-        regexp_extract(input_file_name(), "part-(\\d+)", 1).as("p"))
+    // per-FILE ranges in-plan (input_file_name is a cheap per-batch
+    // constant), folded to per-PARTITION ranges driver-side by parsing
+    // the writer task index out of each file NAME — one string op per
+    // FILE, not a regexp per row
+    val fileRanges = back.groupBy(input_file_name().as("f"))
       .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
-      .collect().sortBy(_.getAs[Long]("lo"))
+      .collect()
+    val partIdx = "part-(\\d+)".r
+    val ranges = fileRanges
+      .groupBy(r => partIdx.findFirstMatchIn(r.getString(0))
+        .map(_.group(1)).getOrElse(r.getString(0)))
+      .values.map(rs => (rs.map(_.getAs[Long]("lo")).min,
+        rs.map(_.getAs[Long]("hi")).max))
+      .toArray.sortBy(_._1)
     val disjoint = ranges.length > 0 && ranges.sliding(2).forall {
-      case Array(a, b) => a.getAs[Long]("hi") < b.getAs[Long]("lo")
+      case Array(a, b) => a._2 < b._1
       case _           => true // a single partition is trivially disjoint
     }
     back.groupBy("l_linestatus")
