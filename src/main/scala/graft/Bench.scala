@@ -89,8 +89,17 @@ object Bench {
     * code unchanged since r7 in both). They take min-of-[[roamerReps]]
     * timed windows instead of [[benchReps]]: one roaming window cannot
     * survive two quiet ones, and at ~2 s steady state the extra window
-    * costs ~4 s of untimed wall clock total. */
-  val roamers: Set[String] = Set("q_stream_pipeline", "q_tree_depth")
+    * costs ~4 s of untimed wall clock total.
+    *
+    * Round 14 adds the UnionLoop recursion pair + the random-walk row:
+    * the r13 driver printed q_rcte_decay 11.18 s and q_holt_grouped
+    * 10.21 s against 3.8-4.9 s quiet references (code untouched since
+    * r12) — 27 sequential recursion micro-rounds make these the most
+    * scheduling-noise-sensitive plans in the suite, exactly the roamer
+    * profile; q_random_walk (driver-loop iterative, +2.9 s same round,
+    * same zero-diff) joins by the same rule. */
+  val roamers: Set[String] = Set("q_stream_pipeline", "q_tree_depth",
+    "q_rcte_decay", "q_holt_grouped", "q_random_walk")
   val roamerReps: Int =
     sys.env.getOrElse("SPARK_GRAFT_ROAMER_REPS", "3").toInt.max(1)
 
@@ -383,6 +392,7 @@ object Bench {
       "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val fork = sys.env.getOrElse("SPARK_GRAFT_FORK", "1") != "0"
+    val wallT0 = System.nanoTime()
     // measured BEFORE any Spark work so it reads the host, not the suite
     val canaryMs = hostCanaryMs()
     System.err.println(f"[bench] host canary: $canaryMs%.1f ms")
@@ -410,7 +420,8 @@ object Bench {
         }
       }
     if (parentSession != null) parentSession.stop()
-    emit(results, sfDir, if (fork) "fork" else "inproc", canaryMs)
+    emit(results, sfDir, if (fork) "fork" else "inproc", canaryMs,
+      (System.nanoTime() - wallT0) / 1e9)
   }
 
   /** Write BENCH_DETAIL.json (full per-query record + leaked column) and
@@ -418,7 +429,7 @@ object Bench {
     * the harness keeps only the last ~2000 chars of stdout, and at 270
     * queries the full map is ~2.4 KB, which truncated rounds 1-2 and 4). */
   def emit(results: Seq[QResult], sfDir: String, mode: String,
-      canaryMs: Double = -1): Unit = {
+      canaryMs: Double = -1, wallS: Double = -1): Unit = {
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def entry(r: QResult): String =
       s""""${r.name}":${if (r.ok) f3(r.sec) else -1}"""
@@ -456,7 +467,16 @@ object Bench {
         sorted.filter(r => repsFor(r.name) != benchReps)
           .map(r => s""""${r.name}":${repsFor(r.name)}""")
           .mkString("{", ",", "}")
-      },"host_canary_ms":${f3(canaryMs)},"sf":"$sfDir","errors":$errors}"""
+      },"host_canary_ms":${f3(canaryMs)},"wall_s":${f3(wallS)},"untimed_wall_s":${
+        // the fixed-cost denominator (VERDICT r13 #2): everything the
+        // suite pays that no timed window sees — child-JVM startup,
+        // session builds, untimed target-SF warms, storage drains, GC
+        // settles. wall − Σ timed is exact in fork mode (children run
+        // strictly sequentially); if suite growth pushes this past the
+        // timed total's own growth, block sizing is the lever, not the
+        // queries.
+        f3(if (wallS < 0) -1 else wallS - total)
+      },"sf":"$sfDir","errors":$errors}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
     // escaped where it is interpolated into the JSON line: a quote or
     // backslash in the env-provided path must not yield an unparseable

@@ -41,18 +41,32 @@ import org.apache.spark.sql.expressions.Aggregator
   *
   * Overflow discipline: addExact/multiplyExact — identical to [[GramAgg]]
   * (loud failure where a DuckDB BIGINT oracle errors, never a wrap).
-  * Ragged corpora are rejected by name at the first offending row. */
+  * Ragged corpora are rejected by name at the first offending row.
+  *
+  * Diagonal halving (round 14): the third input flags a DIAGONAL tile
+  * (bi = bj, so the two slices are the same block and the product
+  * sub-matrix is symmetric) — reduce then fills only the upper triangle
+  * (j ≥ i), halving the multiply/add work on the diagonal stripe; the
+  * lower cells stay 0 in the buffer and the driver assembles them by
+  * mirror (which it did for the cross-block half already). The flag is
+  * a function of the TILE KEY, so every row and merge partner of one
+  * tile agrees on it — mixed fills within a tile cannot occur. */
 class GramTileAgg
-    extends Aggregator[(Seq[Long], Seq[Long]), Array[Long], Array[Long]] {
+    extends Aggregator[(Seq[Long], Seq[Long], Boolean), Array[Long],
+      Array[Long]] {
 
   override def zero: Array[Long] = Array(0L, 0L, 0L)
 
-  override def reduce(buf0: Array[Long], v: (Seq[Long], Seq[Long]))
+  override def reduce(buf0: Array[Long], v: (Seq[Long], Seq[Long], Boolean))
       : Array[Long] = {
     val a = v._1.toArray
     val b = v._2.toArray
+    val diag = v._3
     val li = a.length
     val lj = b.length
+    require(!diag || li == lj,
+      s"gram tile: diagonal tile with unequal block lengths ($li,$lj) — " +
+        "the diag flag must only be set for bi = bj")
     require(li > 0 && lj > 0,
       "gram tile: empty block slice — ragged corpus (a row shorter than " +
         "the probed dimension leaves a trailing block empty)")
@@ -81,7 +95,7 @@ class GramTileAgg
     while (i < li) {
       val row = 3 + li + lj + i * lj
       val ai = a(i)
-      j = 0
+      j = if (diag) i else 0 // diagonal tile: upper triangle only
       while (j < lj) {
         buf(row + j) = Math.addExact(buf(row + j), Math.multiplyExact(ai, b(j)))
         j += 1

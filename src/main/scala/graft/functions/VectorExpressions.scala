@@ -476,7 +476,11 @@ case class NearestDist2(left: Expression, right: Expression)
   *                                 min(|v|, |c|) coordinates.
   *
   * Ties keep the FIRST (smallest) cell id — exactly array_position(ds,
-  * array_min(ds)) on exactly-equal doubles. Empty centroid table → -1.
+  * array_min(ds)) on exactly-equal doubles. An EMPTY centroid table
+  * raises a named error (in both the interpreted and generated paths):
+  * the pre-r14 behavior returned the -1 sentinel, which the Column-API
+  * wrapper guarded but SQL callers of graft_nearest_cell_f could
+  * silently propagate into downstream grouping (ADVICE r13).
   * No partial-distance early exit: d accumulates as (sc2 − 2·dot),
   * which is not monotone in the coordinate index (unlike the integer
   * Σ(a−b)² form), so a sound exit does not exist in this widening
@@ -499,6 +503,7 @@ case class NearestCellF(left: Expression, right: Expression)
     val cents = a.asInstanceOf[ArrayData]
     val v = b.asInstanceOf[ArrayData]
     val k = cents.numElements()
+    if (k == 0) throw new IllegalArgumentException(NearestCellF.emptyMsg)
     val nv = v.numElements()
     var n2 = 0.0
     var j = 0
@@ -540,6 +545,10 @@ case class NearestCellF(left: Expression, right: Expression)
       val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
       s"""
          |int $k = $cents.numElements();
+         |if ($k == 0) {
+         |  throw new IllegalArgumentException(
+         |    "${NearestCellF.emptyMsg}");
+         |}
          |int $nv = $v.numElements();
          |double $n2 = 0.0;
          |for (int $j = 0; $j < $nv; $j++) {
@@ -571,6 +580,15 @@ case class NearestCellF(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): NearestCellF =
     copy(left = newLeft, right = newRight)
+}
+
+object NearestCellF {
+  /** The named empty-centroid contract error — one literal shared by the
+    * interpreted and generated paths so the two engines cannot drift.
+    * (No quotes/backslashes: the string is interpolated into generated
+    * Java source as a literal.) */
+  final val emptyMsg: String =
+    "graft_nearest_cell_f: empty centroid table (need at least 1 centroid)"
 }
 
 /** Column-API and SQL surfaces for the vector expressions. */

@@ -62,15 +62,17 @@ object Ivf {
     * mean — IvfSpec's digest pin rounds to 1e-4 before hashing for
     * exactly this reason).
     *
-    * Update shape (the [[KMeans.train]] convention): ONE partial
-    * aggregate per round with per-coordinate `element_at` means — the
-    * shuffle carries k rows × (dim+1) columns, never the corpus. The
-    * previous `select(cellOf, posexplode)` formulation both shuffled
-    * n·dim exploded rows per round AND put the assignment argmin in the
-    * same projection as a generator, re-evaluating it once per EXPLODED
-    * row (the dim× blowup KMeans.train documents); at k ≥ 1024 cells —
-    * now reachable since [[cellOf]] lost its codegen cap — that shape
-    * was the training bottleneck. */
+    * Update shape: ONE partial aggregate per round whose single
+    * array-typed buffer ([[graft.functions.VecSumAgg]]: [n, Σv(1..dim)])
+    * carries the whole per-cell sum — the shuffle is still k rows ×
+    * (dim+1) doubles, never the corpus, and unlike the retired
+    * per-coordinate `avg(element_at)` spelling the PLAN no longer fans
+    * out to dim aggregate expressions (analysis/codegen were linear in
+    * dim — the janino method-size risk at the 1k–4k regime this path
+    * targets, ADVICE r13). Ragged rows are rejected BY NAME inside the
+    * aggregate instead of surfacing as an avg-null NullPointerException.
+    * (The earlier `select(cellOf, posexplode)` history is documented at
+    * [[KMeans.train]]: n·dim exploded rows AND a per-exploded-row argmin.) */
   def train(emb: DataFrame, idCol: String, embCol: String, k: Int,
       iters: Int): Centroids = {
     var centroids: Centroids = emb.orderBy(col(idCol)).limit(k)
@@ -78,18 +80,23 @@ object Ivf {
       .map(_.getSeq[Float](0).toArray).zipWithIndex.map(_.swap)
     require(centroids.nonEmpty, s"train: need at least 1 vector")
     val dim = centroids(0)._2.length
+    val vecSum = udaf(new graft.functions.VecSumAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
     (1 to iters).foreach { _ =>
-      val aggs = (0 until dim).map(i =>
-        avg(element_at(col(embCol), i + 1)).as(s"m$i"))
-      val means = emb
+      val stats = emb
         .select(cellOf(centroids, embCol).as("cell"), col(embCol))
         .groupBy("cell")
-        .agg(aggs.head, aggs.tail: _*)
+        .agg(vecSum(col(embCol)).as("sv"))
         .collect()
       // re-index 0..k'-1: a cell can go empty, and cellOf maps cells by
       // position in this array
-      centroids = means.sortBy(_.getInt(0)).zipWithIndex.map { case (r, i) =>
-        (i, Array.tabulate(dim)(j => r.getDouble(j + 1).toFloat))
+      centroids = stats.sortBy(_.getInt(0)).zipWithIndex.map { case (r, i) =>
+        val sv = r.getSeq[Double](1)
+        require(sv.length == dim + 1,
+          s"train: ragged corpus — cell sum has dim ${sv.length - 1}, " +
+            s"centroids have dim $dim")
+        val n = sv(0)
+        (i, Array.tabulate(dim)(j => (sv(j + 1) / n).toFloat))
       }
     }
     centroids

@@ -37,7 +37,14 @@ import org.apache.spark.sql.functions._
   * silent wrap); everything DRIVER-side — covariance cells, matvec,
   * renorm — runs in BigInt, so no magnitude cap is needed at any dim or
   * scale (the production-scale arithmetic the round-11 cell bound asked
-  * for; cost is dim² BigInt ops per round on the driver, microseconds). */
+  * for; cost is dim² BigInt ops per round on the driver, microseconds).
+  *
+  * Driver-memory contract (the [[graft.functions.KmvAgg]] headroom-
+  * contract convention): every Gram path assembles the FULL dim×dim
+  * product matrix on the driver as one flat long array — dim²·8 bytes,
+  * i.e. 134 MB at dim 4096 and ~536 MB at 8192, quadratic beyond. Fine
+  * through ~8k dims on a normally-sized driver; past that the fix is a
+  * distributed eigensolver, not a bigger tile. */
 object Pca {
 
   /** The dominant direction after `iters` power rounds, as one row per
@@ -162,7 +169,9 @@ object Pca {
         }
         var i = 0
         while (i < li) {
-          var j = 0
+          // a diagonal tile carries only its upper triangle (j ≥ i) —
+          // the lower half is the mirror, same as the cross-block half
+          var j = if (bi == bj) i else 0
           while (j < lj) {
             val p = tile(3 + li + lj + i * lj + j)
             val gi = bi * block + i
@@ -195,7 +204,7 @@ object Pca {
     val nb = (dim + block - 1) / block
     val tileAgg = udaf(new graft.functions.GramTileAgg,
       org.apache.spark.sql.catalyst.encoders
-        .ExpressionEncoder[(Seq[Long], Seq[Long])]())
+        .ExpressionEncoder[(Seq[Long], Seq[Long], Boolean)]())
     // Shape note: the pairs explode is a LITERAL array of (bi, bj) INTS
     // and the block slices are computed AFTER the explode with
     // column-arg slice() + a B-length quantize — ONE small expression,
@@ -228,7 +237,12 @@ object Pca {
         KMeans.quantize(slice(col("e"), col("p._2") * block + 1,
           lit(block)), scale).as("qj"))
       .groupBy("bi", "bj")
-      .agg(tileAgg(col("qi"), col("qj")).as("tile"))
+      // diag flag = a function of the tile key: diagonal tiles (bi = bj)
+      // accumulate only the upper triangle — the product sub-matrix is
+      // symmetric there, so the driver mirrors the rest (halves the
+      // multiply/add work on the diagonal stripe, VERDICT r13 #4)
+      .agg(tileAgg(col("qi"), col("qj"), col("bi") === col("bj"))
+        .as("tile"))
   }
 
   /** The join-form Gram (posexplode → id self-join → dim²-cell agg):

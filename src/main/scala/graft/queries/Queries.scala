@@ -5671,7 +5671,10 @@ object Queries {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("week"), col("n"), col("err"), col("v"), col("cw"),
         explode(typedlit(Seq(50, 95))).as("pct"))
-      .withColumn("t", ceil(col("pct") / lit(100.0) * col("n")).cast("long"))
+      // integer rank target (the qQuantileRolling fix, generalized):
+      // ceil(pct·n/100) = (pct·n + 99) div 100 — no binary-fraction
+      // rounding at n a multiple of 100/gcd(pct,100)
+      .withColumn("t", expr("(CAST(pct AS BIGINT) * n + 99) DIV 100"))
       .where(col("cw") >= col("t"))
       .groupBy("week", "pct")
       .agg(min("v").as("est_v"), first("n").as("n"), first("err").as("err"),
@@ -5717,22 +5720,21 @@ object Queries {
     ev.groupBy("day").agg(kmv(col("h")).as("sk"))
       .write.mode("overwrite").parquet(s"$dir/daysk")
     val daySk = s.read.parquet(s"$dir/daysk")
-    val anchored = daySk
-      .select(to_date(date_trunc("week", col("day"))).as("week")).distinct()
-      .select(col("week"), explode(typedlit(Seq(7, 28, 84))).as("horizon"))
-    def inWin(dayCol: Column) = dayCol.between(
-      date_add(col("a.week"), lit(7) - col("a.horizon")),
-      date_add(col("a.week"), 6))
-    val est = anchored.as("a")
-      .join(daySk.as("d"), inWin(col("d.day")))
-      .select(col("a.week").as("week"), col("a.horizon").as("horizon"),
-        explode(col("d.sk")).as("h"))
-      .groupBy("week", "horizon").agg(kmv(col("h")).as("sk"))
+    // a horizon IS a rolling window with static offsets: the trailing h
+    // days ending the anchor week's Sunday = [week + (7 − h), week + 6]
+    // — one more horizon is one more label row in this Seq
+    val horizons = Seq(7, 28, 84).map(h => (h.toString, 7 - h, 6))
+    def horizonCol = col("win").cast("int").as("horizon")
+    val est = graft.operators.Sketches.rollingWindows(daySk, "day",
+        horizons)(graft.operators.Sketches.kmvMerge(kmv, "sk"))
+      .select(col("week"), horizonCol, col("sk"))
       .selectExpr("week", "horizon", s"${kmvEstSql("sk")} AS est_users")
-    val exact = anchored.as("a")
-      .join(ev.as("u"), inWin(col("u.day")))
-      .groupBy(col("a.week").as("week"), col("a.horizon").as("horizon"))
-      .agg(countDistinct(col("u.user_id")).as("exact_users"))
+    // the exact rider runs the SAME skeleton over the event-grain frame,
+    // so query and oracle provably share one window definition
+    val exact = graft.operators.Sketches.rollingWindows(ev, "day",
+        horizons)((rows, keys) => rows.groupBy(keys.map(col): _*)
+          .agg(countDistinct(col("user_id")).as("exact_users")))
+      .select(col("week"), horizonCol, col("exact_users"))
     est.join(exact, Seq("week", "horizon"))
       .orderBy("week", "horizon")
   }
@@ -5765,15 +5767,18 @@ object Queries {
     ev.groupBy("day").agg(skAgg(col("value")).as("sk"))
       .write.mode("overwrite").parquet(s"$dir/daysk")
     val daySk = s.read.parquet(s"$dir/daysk")
-    val anchors = daySk
-      .select(to_date(date_trunc("week", col("day"))).as("week")).distinct()
-    def winJoin(right: DataFrame, dayCol: String) = anchors.as("a")
-      .join(right.as("d"), col(s"d.$dayCol")
-        .between(date_add(col("a.week"), -21), date_add(col("a.week"), 6)))
-    val winSk = winJoin(daySk, "day")
-      .groupBy(col("a.week").as("week"))
-      .agg(mgAgg(col("d.sk.items"), col("d.sk.weights"), col("d.sk.n"),
-        col("d.sk.err")).as("sk"))
+    // the shared anchor × date-range × sketch-merge skeleton — the
+    // quantile instantiation (merge = GK-sketch merge over the stored
+    // day sketches; one window, so `win` drops after the reduce)
+    val win28 = Seq(("28", -21, 6))
+    def winRows(right: DataFrame)(
+        merge: (DataFrame, Seq[String]) => DataFrame) =
+      graft.operators.Sketches.rollingWindows(right, "day", win28)(merge)
+        .drop("win")
+    val winSk = winRows(daySk)((rows, keys) =>
+      rows.groupBy(keys.map(col): _*)
+        .agg(mgAgg(col("sk.items"), col("sk.weights"), col("sk.n"),
+          col("sk.err")).as("sk")))
     val est = winSk
       .select(col("week"), col("sk.n").as("n"), col("sk.err").as("err"),
         explode(arrays_zip(col("sk.items"), col("sk.weights"))).as("e"))
@@ -5781,18 +5786,24 @@ object Queries {
         col("e.items").as("v"), col("e.weights").as("w"))
       .withColumn("cw", sum("w").over(Window.partitionBy("week").orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("t", ceil(lit(0.95) * col("n")).cast("long"))
+      // target rank in INTEGER arithmetic: ceil(0.95·n) = (19n+19) div 20.
+      // The binary double 0.95 rounds UP (0.95·20 = 19.000000000000004),
+      // shifting the selected rank by one whenever n is an exact multiple
+      // of 20 — the certificate stayed internally consistent, but the p95
+      // definition was off-by-one-rank at those n (ADVICE r13).
+      .withColumn("t", expr("(19 * n + 19) DIV 20"))
       .where(col("cw") >= col("t"))
       .groupBy("week").agg(min("v").as("est_v"), first("n").as("n"),
         first("err").as("err"), first("t").as("t"))
-    winJoin(ev, "day")
-      .select(col("a.week").as("week"), col("d.value").as("value"))
-      .join(broadcast(est), Seq("week"))
-      .groupBy("week")
-      .agg(first("n").as("n_28d"), first("t").as("t"), first("err").as("err"),
-        sum((col("value") <= col("est_v")).cast("long")).as("le"),
-        sum((col("value") < col("est_v")).cast("long")).as("lt"),
-        round(expr("percentile(value, 0.95D)"), 3).as("exact_p95"))
+    winRows(ev)((rows, keys) => rows
+        .select(keys.map(col) :+ col("value"): _*)
+        .join(broadcast(est), Seq("week"))
+        .groupBy(keys.map(col): _*)
+        .agg(first("n").as("n_28d"), first("t").as("t"),
+          first("err").as("err"),
+          sum((col("value") <= col("est_v")).cast("long")).as("le"),
+          sum((col("value") < col("est_v")).cast("long")).as("lt"),
+          round(expr("percentile(value, 0.95D)"), 3).as("exact_p95")))
       .select(col("week"), col("n_28d"), col("exact_p95"),
         (col("le") >= col("t") - col("err")).as("le_ok"),
         (col("lt") <= col("t") + col("err")).as("lt_ok"))
@@ -5868,17 +5879,15 @@ object Queries {
   private[queries] def kmvRollingWindows(daySk: DataFrame): DataFrame = {
     val kmv = udaf(new graft.functions.KmvAgg(kmvK),
       org.apache.spark.sql.Encoders.scalaLong)
-    val anchors = daySk
-      .select(to_date(date_trunc("week", col("day"))).as("week")).distinct()
-    // anchor × day-sketch range join: both sides are sketch-table-sized
-    // (one row per week / per day — bounded metadata, never event rows)
-    def winSk(lo: Int, hi: Int, out: String) = anchors.as("a")
-      .join(daySk.as("d"), col("d.day")
-        .between(date_add(col("a.week"), lo), date_add(col("a.week"), hi)))
-      .select(col("a.week").as("week"), explode(col("d.sk")).as("h"))
-      .groupBy("week").agg(kmv(col("h")).as(out))
-    winSk(-21, 6, "csk")
-      .join(winSk(-49, -22, "psk"), Seq("week"), "left")
+    // the shared anchor × date-range × sketch-merge skeleton
+    // (operators/Sketches.scala); both windows ride ONE range join
+    val w = graft.operators.Sketches.rollingWindows(daySk, "day",
+      Seq(("cur", -21, 6), ("prior", -49, -22)))(
+      graft.operators.Sketches.kmvMerge(kmv, "sk"))
+    def win(label: String, out: String) = w.filter(col("win") === label)
+      .select(col("week"), col("sk").as(out))
+    win("cur", "csk")
+      .join(win("prior", "psk"), Seq("week"), "left")
       .withColumn("psk",
         coalesce(col("psk"), expr("CAST(array() AS ARRAY<BIGINT>)")))
       .selectExpr("week", "csk", "psk",

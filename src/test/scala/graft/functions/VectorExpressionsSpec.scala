@@ -185,6 +185,26 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("graft_nearest_cell_f raises BY NAME on an empty centroid table, " +
+      "codegen and interpreted (no silent -1 sentinel into grouping)") {
+    val df = Seq((1L, Array(1.0f, 2.0f))).toDF("id", "v")
+    val empty = typedlit(Seq.empty[Seq[Float]])
+    def run(): Unit =
+      df.select(VectorFunctions.nearestCellF(empty, col("v"))).collect()
+    val e1 = intercept[Exception] { run() }
+    assert(e1.getMessage != null &&
+      (e1.getMessage.contains("empty centroid") ||
+        Option(e1.getCause).exists(_.getMessage.contains("empty centroid"))),
+      s"codegen path: $e1")
+    withCodegenDisabled {
+      val e2 = intercept[Exception] { run() }
+      assert(e2.getMessage != null &&
+        (e2.getMessage.contains("empty centroid") ||
+          Option(e2.getCause).exists(_.getMessage.contains("empty centroid"))),
+        s"interpreted path: $e2")
+    }
+  }
+
   private def withCodegenDisabled[T](f: => T): T = {
     val key = "spark.sql.codegen.wholeStage"
     val factoryKey = "spark.sql.codegen.factoryMode"

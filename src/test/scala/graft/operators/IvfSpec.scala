@@ -84,6 +84,30 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("train rejects a ragged corpus by name (no avg-null NPE)") {
+    val ragged = Seq(
+      (0L, Array(1.0f, 2.0f)),
+      (1L, Array(3.0f, 4.0f)),
+      (2L, Array(5.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Ivf.train(ragged, "vec_id", "embedding", k = 1, iters = 1)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("ragged")), s"got: $e")
+  }
+
+  test("train planning is dim-independent: one array-typed aggregate at " +
+      "dim 2048 (the retired per-coordinate avg fan-out built 2048 " +
+      "aggregate expressions here)") {
+    val rnd = new scala.util.Random(91)
+    val hi = (0 until 12).map(i =>
+      (i.toLong, Array.fill(2048)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val cents = Ivf.train(hi, "vec_id", "embedding", k = 4, iters = 1)
+    assert(cents.nonEmpty && cents.head._2.length == 2048)
+  }
+
   test("cellOf has no cell-count cap: train + search at k=1024 cells") {
     // production coarse IVF wants k ~ √n cells (thousands); the retired
     // inlined form capped at 256 because codegen grew linearly with k.
