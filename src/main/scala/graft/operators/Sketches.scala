@@ -41,17 +41,25 @@ object Sketches {
     *                joined frame (columns: `week` date, `win` string
     *                label, plus `dayRows`' own columns) and the group
     *                keys Seq("week", "win"); must return one row per key
+    * @param anchorDays frame the ANCHOR weeks derive from (same `dayCol`
+    *                name); defaults to `dayRows`. Exact riders over an
+    *                event-grain frame should pass the day-SKETCH table
+    *                here: its day set is identical by construction (the
+    *                sketch table is a groupBy(day) of the events), and
+    *                deriving anchors from the one-row-per-day frame
+    *                skips a full event-scan distinct
     * @return whatever `merge` returns, one row per non-empty
     *         (anchor week, window label) */
   def rollingWindows(dayRows: DataFrame, dayCol: String,
-      windows: Seq[(String, Int, Int)])(
+      windows: Seq[(String, Int, Int)],
+      anchorDays: DataFrame = null)(
       merge: (DataFrame, Seq[String]) => DataFrame): DataFrame = {
     require(windows.nonEmpty, "rollingWindows: need at least one window")
     require(windows.forall { case (_, lo, hi) => lo <= hi },
       s"rollingWindows: every window needs lo <= hi (got $windows)")
     require(windows.map(_._1).distinct.size == windows.size,
       s"rollingWindows: window labels must be unique (got ${windows.map(_._1)})")
-    val anchored = dayRows
+    val anchored = Option(anchorDays).getOrElse(dayRows)
       .select(to_date(date_trunc("week", col(dayCol))).as("week")).distinct()
       .select(col("week"), explode(typedlit(windows)).as("w"))
       .select(col("week"), col("w._1").as("win"),

@@ -5730,10 +5730,13 @@ object Queries {
       .select(col("week"), horizonCol, col("sk"))
       .selectExpr("week", "horizon", s"${kmvEstSql("sk")} AS est_users")
     // the exact rider runs the SAME skeleton over the event-grain frame,
-    // so query and oracle provably share one window definition
+    // so query and oracle provably share one window definition; anchors
+    // still derive from the one-row-per-day sketch table (identical day
+    // set by construction — no event-scan distinct just for anchors)
     val exact = graft.operators.Sketches.rollingWindows(ev, "day",
-        horizons)((rows, keys) => rows.groupBy(keys.map(col): _*)
-          .agg(countDistinct(col("user_id")).as("exact_users")))
+        horizons, anchorDays = daySk)((rows, keys) =>
+          rows.groupBy(keys.map(col): _*)
+            .agg(countDistinct(col("user_id")).as("exact_users")))
       .select(col("week"), horizonCol, col("exact_users"))
     est.join(exact, Seq("week", "horizon"))
       .orderBy("week", "horizon")
@@ -5771,10 +5774,12 @@ object Queries {
     // quantile instantiation (merge = GK-sketch merge over the stored
     // day sketches; one window, so `win` drops after the reduce)
     val win28 = Seq(("28", -21, 6))
+    // anchors always derive from the day-SKETCH table (same day set as
+    // the events by construction; no event-scan distinct for anchors)
     def winRows(right: DataFrame)(
         merge: (DataFrame, Seq[String]) => DataFrame) =
-      graft.operators.Sketches.rollingWindows(right, "day", win28)(merge)
-        .drop("win")
+      graft.operators.Sketches.rollingWindows(right, "day", win28,
+        anchorDays = daySk)(merge).drop("win")
     val winSk = winRows(daySk)((rows, keys) =>
       rows.groupBy(keys.map(col): _*)
         .agg(mgAgg(col("sk.items"), col("sk.weights"), col("sk.n"),

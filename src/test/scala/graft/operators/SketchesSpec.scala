@@ -41,6 +41,21 @@ class SketchesSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getAs[String]("win") == "cur")
   }
 
+  test("anchorDays override: anchors derive from the override frame, " +
+      "rows still come from dayRows (the exact-rider shape)") {
+    val rows = days("2024-01-02" -> 1L, "2024-01-09" -> 2L)
+    // anchor source holds ONLY the first week: the second week must not
+    // anchor, but its day still lands in the first anchor's window range
+    // if the range reaches it (here [0, 6] does not; [0, 13] would)
+    val out = Sketches.rollingWindows(rows, "day", Seq(("wk", 0, 6)),
+        anchorDays = days("2024-01-02" -> 99L))(
+        (r, keys) => r.groupBy(keys.map(col): _*).agg(sum("v").as("s")))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Date]("week") == Date.valueOf("2024-01-01"))
+    assert(out.head.getAs[Long]("s") == 1L)
+  }
+
   test("bad window specs are rejected by name") {
     val d = days("2024-01-02" -> 1L)
     def idMerge = (rows: org.apache.spark.sql.DataFrame, keys: Seq[String]) =>
