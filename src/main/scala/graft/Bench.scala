@@ -65,7 +65,21 @@ object Bench {
     * one conflated count could exceed the stamped reps value and read as
     * more timed windows failing than were run. */
   final case class QResult(name: String, sec: Double, ok: Boolean,
-      leaked: Int, failedWarms: Int = 0, failedReps: Int = 0)
+      leaked: Int, failedWarms: Int = 0, failedReps: Int = 0,
+      allWindowsSec: Double = 0.0)
+
+  /** Fixed-cost class per query (round-14 verdict #3): `stream` rows time
+    * real Structured-Streaming orchestration (landing + checkpoint + two
+    * micro-batches), `codec` rows time in-plan media encode/decode, `solo`
+    * rows are the singleton-JVM iterative family, everything else is
+    * `default`. Stamped into BENCH_DETAIL so regression sweeps can filter
+    * the fixed-cost rows mechanically instead of re-litigating them. */
+  def queryClass(name: String): String =
+    if (name == "q_corpus_stream" || name == "q_corpus_stream_neardup")
+      "stream"
+    else if (name == "q_video_neardup" || name == "q_audio_neardup") "codec"
+    else if (solo(name)) "solo"
+    else "default"
 
   /** Timing-discipline knobs, parsed ONCE at object init and read by
     * BOTH the timing loop ([[runQueries]]) and the BENCH_DETAIL stamp
@@ -249,14 +263,20 @@ object Bench {
       val leaked = drainStorage(spark)
       val good = times.filter(_._2)
       val failedReps = times.count(!_._2)
+      // every timed window's wall, kept separately from the min: the
+      // untimed_wall_s subtraction needs Σ of ALL windows, not reps × min
+      // (round-14 ADVICE — the discarded (reps−1) windows are timed work,
+      // not fixed cost, and counting them as 'untimed' shifted the metric
+      // whenever rep counts changed)
+      val allSec = times.map(_._1).sum
       // ok if ANY rep succeeded (an intermittent infra failure must not
       // report a working query as broken — correctness is Verify's gate);
       // sec = min over successful windows
       if (good.nonEmpty)
         QResult(name, good.map(_._1).min, ok = true, leaked,
-          failedWarms, failedReps)
+          failedWarms, failedReps, allSec)
       else QResult(name, times.head._1, ok = false, leaked,
-        failedWarms, failedReps)
+        failedWarms, failedReps, allSec)
     }
   }
 
@@ -326,9 +346,9 @@ object Bench {
     java.nio.file.Files.deleteIfExists(out)
     val parsed = lines.flatMap { l =>
       l.split('\t') match {
-        case Array(n, s, ok, lk, fw, fr) =>
+        case Array(n, s, ok, lk, fw, fr, aw) =>
           try Some(QResult(n, s.toDouble, ok == "1", lk.toInt,
-            fw.toInt, fr.toInt))
+            fw.toInt, fr.toInt, aw.toDouble))
           catch { case _: NumberFormatException => None }
         case _ => None
       }
@@ -409,7 +429,12 @@ object Bench {
       else {
         val blockSize = sys.env.getOrElse("SPARK_GRAFT_BLOCK", "30").toInt
         blocks(names, blockSize).zipWithIndex.flatMap { case (b, i) =>
-          runChildBlock(b, sfDir, warmDir, cpus, i)
+          // per-block wall stamp (round-14 verdict #1's denominator work):
+          // the untimed fixed cost is ~all child-JVM startup + warm passes,
+          // and attributing it per block is what makes the wall budget
+          // diagnosable instead of a single opaque residue
+          val t0 = System.nanoTime()
+          val r = runChildBlock(b, sfDir, warmDir, cpus, i)
             .orElse(runChildBlock(b, sfDir, warmDir, cpus, i)) // retry once
             .getOrElse {
               // a flaky fork must not turn into bench "errors": run the
@@ -417,6 +442,12 @@ object Bench {
               System.err.println(s"[bench] block $i falling back in-process")
               runQueries(session(), b, sfDir, warmDir)
             }
+          val wall = (System.nanoTime() - t0) / 1e9
+          val timed = r.filter(_.ok).map(_.allWindowsSec).sum
+          System.err.println(f"[bench] block $i%d (${b.size}%d queries, " +
+            f"first=${b.headOption.getOrElse("")}%s) wall $wall%.1f s, " +
+            f"timed-windows $timed%.1f s")
+          r
         }
       }
     if (parentSession != null) parentSession.stop()
@@ -467,15 +498,28 @@ object Bench {
         sorted.filter(r => repsFor(r.name) != benchReps)
           .map(r => s""""${r.name}":${repsFor(r.name)}""")
           .mkString("{", ",", "}")
-      },"host_canary_ms":${f3(canaryMs)},"wall_s":${f3(wallS)},"untimed_wall_s":${
+      },"host_canary_ms":${f3(canaryMs)},"wall_s":${f3(wallS)},"timed_windows_s":${
+        // Σ of EVERY timed window (all reps, success or not) — the value
+        // the untimed subtraction needs (round-14 ADVICE: subtracting
+        // reps × min counted the discarded windows as 'untimed' and moved
+        // whenever rep counts changed)
+        f3(results.map(_.allWindowsSec).sum)
+      },"untimed_wall_s":${
         // the fixed-cost denominator (VERDICT r13 #2): everything the
-        // suite pays that no timed window sees — child-JVM startup,
+        // suite pays that NO timed window sees — child-JVM startup,
         // session builds, untimed target-SF warms, storage drains, GC
-        // settles. wall − Σ timed is exact in fork mode (children run
-        // strictly sequentially); if suite growth pushes this past the
-        // timed total's own growth, block sizing is the lever, not the
-        // queries.
-        f3(if (wallS < 0) -1 else wallS - total)
+        // settles. wall − Σ all timed windows is exact in fork mode
+        // (children run strictly sequentially); if suite growth pushes
+        // this past the timed total's own growth, block sizing is the
+        // lever, not the queries.
+        f3(if (wallS < 0) -1 else wallS - results.map(_.allWindowsSec).sum)
+      },"class":${
+        // fixed-cost class stamp (round-14 verdict #3): only non-default
+        // rows are listed — `stream`/`codec` rows are machine-excludable
+        // from regression sweeps, `solo` mirrors the fork layout
+        sorted.filter(r => queryClass(r.name) != "default")
+          .map(r => s""""${r.name}":"${queryClass(r.name)}"""")
+          .mkString("{", ",", "}")
       },"sf":"$sfDir","errors":$errors}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
     // escaped where it is interpolated into the JSON line: a quote or
@@ -511,7 +555,7 @@ object BenchChild {
       val results = Bench.runQueries(spark, names, sfDir, warmDir)
       def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
       val tsv = results.map(r =>
-        s"${r.name}\t${f3(r.sec)}\t${if (r.ok) 1 else 0}\t${r.leaked}\t${r.failedWarms}\t${r.failedReps}")
+        s"${r.name}\t${f3(r.sec)}\t${if (r.ok) 1 else 0}\t${r.leaked}\t${r.failedWarms}\t${r.failedReps}\t${f3(r.allWindowsSec)}")
         .mkString("", "\n", "\n")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), tsv)
       // once the TSV is written the block's results are valid — a

@@ -41,7 +41,10 @@ object Dedup {
     val sig = array((0 until numHashes).map { i =>
       expr(s"array_min(transform(array_distinct(split($textCol, ' ')), w -> md5(concat('$i:', w))))")
     }: _*)
-    df.select(col(idCol), sig.as("sig"))
+    // numHashes md5 evaluations per distinct token are the dominant narrow
+    // cost — spread so an unsplittable-single-file corpus doesn't compute
+    // them on one core (identity on an already-wide scan)
+    Spread.auto(df).select(col(idCol), sig.as("sig"))
   }
 
   /** LSH band index of a corpus batch: one (idCol, band_id, bv) row per doc
@@ -114,7 +117,7 @@ object Dedup {
       textCol: String, n: Int): DataFrame = {
     val benchShingles = broadcast(
       bench.select(explode(wordShingles(col(textCol), n)).as("s")).distinct())
-    val contaminated = train
+    val contaminated = Spread.auto(train)
       .select(col(idCol), explode(wordShingles(col(textCol), n)).as("s"))
       .join(benchShingles, "s", "left_semi")
       .select(idCol).distinct()
@@ -180,7 +183,7 @@ object Dedup {
     * pair sharing ≥ 1 (surviving) token. */
   private def pairCounts(df: DataFrame, idCol: String, groupCol: String,
       tokensExpr: Column, maxDf: Option[Long]): DataFrame = {
-    val d = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+    val d = Spread.auto(df).select(col(idCol).as("id"), col(groupCol).as("grp"),
       tokensExpr.as("toks"))
     val base = d.select(col("id"), col("grp"), size(col("toks")).as("nt"),
       explode(col("toks")).as("w"))
@@ -223,7 +226,7 @@ object Dedup {
   def prefixFilteredPairs(df: DataFrame, idCol: String, groupCol: String,
       textCol: String, tau: Double): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1] (got $tau)")
-    val d = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+    val d = Spread.auto(df).select(col(idCol).as("id"), col(groupCol).as("grp"),
       tokens(col(textCol)).as("toks"))
     // global rarity order, ties broken by the token itself (total order —
     // both the prefix construction and the lemma need determinism)
@@ -298,7 +301,7 @@ object Dedup {
     * indexed overload verifies candidates against these rows without ever
     * re-tokenizing corpus documents. */
   def tokenHashIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol),
+    Spread.auto(df).select(col(idCol),
         array_sort(array_distinct(transform(tokens(col(textCol)),
           w => xxhash64(w)))).as("th"))
       .withColumn("nt", size(col("th")))
@@ -321,11 +324,16 @@ object Dedup {
     if (!java.nio.file.Files.exists(target)) {
       val tmp = target.resolveSibling(target.getFileName.toString +
         s"_build_${ProcessHandle.current().pid()}_${buildSeq.incrementAndGet()}")
+      // REBALANCE before the writes (guide §6 output sizing): the spread
+      // signature build otherwise fans each index into one small file per
+      // task — locally that made every later probe schedule 32× the scan
+      // tasks; at scale the AQE rebalance splits to advisory-sized files
+      // instead, so the index is right-sized at any volume
       lshBands(corpus, idCol, textCol, numHashes, bands)
-        .write.mode("overwrite").partitionBy("band_id")
+        .hint("rebalance").write.mode("overwrite").partitionBy("band_id")
         .parquet(s"$tmp/bands")
       tokenHashIndex(corpus, idCol, textCol)
-        .write.mode("overwrite").parquet(s"$tmp/tokens")
+        .hint("rebalance").write.mode("overwrite").parquet(s"$tmp/tokens")
       try java.nio.file.Files.move(tmp, target,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {
@@ -387,7 +395,7 @@ object Dedup {
     require(width >= 1, s"passage width must be >= 1 (got $width)")
     val ws = split(col(textCol), " ")
     val nchunks = greatest(ceil(size(ws).cast("double") / width).cast("int"), lit(1))
-    val chunks = df.select(col(idCol).as("id"),
+    val chunks = Spread.auto(df).select(col(idCol).as("id"),
       posexplode(transform(sequence(lit(0), nchunks - lit(1)),
         i => array_join(slice(ws, i * width + lit(1), lit(width)), " ")))
         .as(Seq("pos", "chunk")))
@@ -473,7 +481,7 @@ object Dedup {
     * md5 (portable hex→int), bit b of the signature set iff the +1/−1 vote
     * sum at bit b is positive. Returns (idCol, sig). */
   def simHash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol),
+    val tok = Spread.auto(df).select(col(idCol),
         explode(tokens(col(textCol))).as("w"))
       .withColumn("h", expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)"))
     val votes = (0 until 16).map { b =>
@@ -508,7 +516,7 @@ object Dedup {
     * what a window is. */
   private def windowHashes(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
-    df.select(col(idCol), split(col(textCol), " ").as("ws"))
+    Spread.auto(df).select(col(idCol), split(col(textCol), " ").as("ws"))
       .where(size(col("ws")) >= k)
       .select(col(idCol), posexplode(expr(
         s"transform(sequence(0, size(ws) - $k), p -> " +

@@ -23,6 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's stream cache defaults to DISK: every read/write otherwise
+  // creates (and deletes) a temp FILE per image — for the MJPEG rows that
+  // is two filesystem round-trips per FRAME, and it WAS the codec cost
+  // (measured sf0.1: q_video_neardup's 300-AVI fingerprint stage fell
+  // 4.8 s → 0.27 s once the cache moved in-memory). All payloads here are
+  // in-memory byte arrays, so the disk cache buys nothing at any scale.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** One media row: payload is the raw encoded bytes. */
   final case class MediaRow(id: Long, modality: String, payload: Array[Byte],
       width: Int, height: Int)
@@ -465,7 +473,16 @@ object Multimodal {
       maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"banding guarantees exactness only for maxHamming <= 3 (got $maxHamming)")
-    val bands = hashes.select(col(idCol).as("id"), col(hashCol).as("h"))
+    // materialize the (id, hash) table ONCE: both join sides derive from
+    // it, and without the cut the whole upstream — the media decode +
+    // fingerprint pass for the codec rows — re-runs per side (measured at
+    // sf0.1: the two 32-task codec stages of q_video_neardup each carried
+    // all 300 AVI round-trips). This is the optimization guide §8 move
+    // verbatim: fingerprints are decided-on metadata, compute them one
+    // pass and join the 16-byte rows, never re-decode payloads.
+    val hs = graft.operators.Checkpoint.cut(
+      hashes.select(col(idCol).as("id"), col(hashCol).as("h")))
+    val bands = hs
       .select(col("id"), col("h"),
         explode(expr("transform(sequence(0, 3), b -> " +
           "struct(b AS bi, shiftright(h, b * 16) & 65535 AS bv))")).as("bd"))

@@ -224,7 +224,7 @@ object Sampling {
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
       targetCol: String, targetVal: String, buckets: Int): DataFrame = {
     val alpha = 0.5
-    val tok = df.select(col(idCol), col(targetCol),
+    val tok = Spread.auto(df).select(col(idCol), col(targetCol),
         explode(split(col(textCol), " ")).as("tw"))
       .where(col("tw") =!= "")
       .select(col(idCol), col(targetCol),

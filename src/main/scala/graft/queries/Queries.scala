@@ -1846,7 +1846,11 @@ object Queries {
         expr("CAST(conv(substr(md5(concat('aud', CAST(doc_id div 5 AS " +
           "STRING))), 1, 15), 16, 10) AS BIGINT) ^ " +
           "shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 3 AS INT))").as("h"))
-    val fps = pats.as[(Long, Long)].mapPartitions(_.map { case (id, pat) =>
+    // NOT spread (unlike the video row): with ImageIO/WAV codec cost at
+    // ~0.3 s serial for 500 docs, the repartition exchange measured
+    // slower than the work it parallelizes (A/B: 0.70 s → 1.21 s)
+    val fps = pats.as[(Long, Long)]
+      .mapPartitions(_.map { case (id, pat) =>
       val wav = Multimodal.patternWav(pat) // real WAV bytes
       val fp = Multimodal.audioEnergyFingerprint(wav)
         .fold(e => throw new IllegalStateException(e), identity)
@@ -1875,7 +1879,11 @@ object Queries {
         expr("CAST(conv(substr(md5(concat('vid', CAST(doc_id div 5 AS " +
           "STRING))), 1, 15), 16, 10) AS BIGINT) ^ " +
           "shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 4 AS INT))").as("h"))
-    val fps = pats.as[(Long, Long)].mapPartitions(_.map { case (id, pat) =>
+    // spread BEFORE the codec map: 300 docs × 64 frames = 19200 JPEG
+    // encodes + decodes dominate this row, and the single-file scan would
+    // run every one of them on one core of the 32 available
+    val fps = graft.operators.Spread.auto(pats).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, pat) =>
       val avi = Multimodal.patternAvi(pat) // real MJPEG-AVI bytes
       val fp = Multimodal.videoLumaFingerprint(avi)
         .fold(e => throw new IllegalStateException(e), identity)
@@ -5096,9 +5104,12 @@ object Queries {
         Dedup.tokenHashIndex(m("docs"), "doc_id", "text"))))
     ix.runIncremental(Map("docs" -> Seq("backlog" -> backlog)), log,
       sink = out => {
-        out("bands").write.mode("append").partitionBy("band_id")
-          .parquet(s"$work/bands")
-        out("tokens").write.mode("append").parquet(s"$work/tokens")
+        // rebalance before the index writes (guide §6): few right-sized
+        // files instead of one per spread task — see Dedup.ensureLshIndex
+        out("bands").hint("rebalance").write.mode("append")
+          .partitionBy("band_id").parquet(s"$work/bands")
+        out("tokens").hint("rebalance").write.mode("append")
+          .parquet(s"$work/tokens")
       })
     val probe = new Graph(Seq(
       Node("pairs", Seq("docs"), m =>
