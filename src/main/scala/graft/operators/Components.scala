@@ -66,12 +66,15 @@ object Components {
     // round to OBSERVE the fixpoint, so allow maxIter+1 total rounds:
     // maxIter == diameter must succeed, not spuriously report divergence
     while (iter <= maxIter && !converged) {
+      // one fused aggregate per round: min over {own label} ∪ {neighbor
+      // labels} — identical values to the former msgs-min + left-join +
+      // least/coalesce spelling (min is total over the union), with one
+      // exchange and one join fewer per round (the label frame unions
+      // into the SAME aggregate the messages feed)
       val msgs = sym.join(labels.withColumnRenamed("id", "s"), "s")
         .select(col("d").as("id"), col("comp"))
-        .groupBy("id").agg(min("comp").as("nc"))
-      val next = labels.join(msgs, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+      val next = labels.union(msgs)
+        .groupBy("id").agg(min("comp").as("comp"))
         .cut
       val s = labelSum(next)
       converged = s.compareTo(last) == 0
@@ -183,14 +186,19 @@ object Components {
     var labels = e.select(col("s").as("id")).union(e.select(col("d")))
       .distinct().withColumn("lbl", col("id")).cut
     for (_ <- 1 to rounds) {
+      // TOTAL labeling via a zero-count own-label candidate instead of a
+      // per-round left join: a real vote carries c ≥ 1, so the (0, own)
+      // row wins exactly when a vertex received NO votes — the former
+      // coalesce(vl, lbl) semantics, one join and one exchange fewer per
+      // round (the argmax aggregate absorbs the keep-own fallback)
       val votes = e.join(labels.withColumnRenamed("id", "s"), "s")
         .groupBy(col("d").as("id"), col("lbl"))
         .agg(count(lit(1)).as("c"))
+      labels = votes
+        .union(labels.select(col("id"), col("lbl"), lit(0L).as("c")))
         .groupBy("id")
         .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
-        .select(col("id"), (-col("m.nl")).as("vl"))
-      labels = labels.join(votes, Seq("id"), "left")
-        .select(col("id"), coalesce(col("vl"), col("lbl")).as("lbl"))
+        .select(col("id"), (-col("m.nl")).as("lbl"))
         .cut
     }
     labels
@@ -389,13 +397,16 @@ object Components {
     val base = (dampDen - dampNum) * (scale / dampDen)
     var pr = nodes.withColumn("rank", lit(scale))
     for (_ <- 1 to iters) {
+      // one fused aggregate per round: every node contributes a zero row
+      // to the inflow sum, so the former left-join + coalesce(m, 0) is
+      // the same sum with one exchange and one join fewer per round
+      // (inflow ids ⊆ nodes by construction, so the row set is identical)
       val inflow = ew.join(pr, col("s") === col("id"))
         .select(col("d").as("id"), expr("rank div deg").as("c"))
+      pr = inflow.union(nodes.select(col("id"), lit(0L).as("c")))
         .groupBy("id").agg(sum("c").as("m"))
-      pr = nodes.join(inflow, Seq("id"), "left")
         .select(col("id"),
-          (lit(base) + expr(s"($dampNum * coalesce(m, 0L)) div $dampDen"))
-            .as("rank"))
+          (lit(base) + expr(s"($dampNum * m) div $dampDen")).as("rank"))
         .cut
     }
     pr

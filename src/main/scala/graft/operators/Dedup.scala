@@ -183,7 +183,13 @@ object Dedup {
     * pair sharing ≥ 1 (surviving) token. */
   private def pairCounts(df: DataFrame, idCol: String, groupCol: String,
       tokensExpr: Column, maxDf: Option[Long]): DataFrame = {
-    val d = Spread.auto(df).select(col(idCol).as("id"), col(groupCol).as("grp"),
+    // deliberately NOT spread: the declared exact-Jaccard rows run on
+    // bounded (≤ a few hundred doc) slices where the repartition flipped
+    // the inverted-index join's runtime shape and measured 2× slower
+    // (q_dedup_cluster 2.4 s → 5.6 s); at corpus scale the exact path is
+    // documented as post-LSH verification anyway, so the single-split
+    // case this would fix does not arise there
+    val d = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
       tokensExpr.as("toks"))
     val base = d.select(col("id"), col("grp"), size(col("toks")).as("nt"),
       explode(col("toks")).as("w"))
@@ -226,7 +232,9 @@ object Dedup {
   def prefixFilteredPairs(df: DataFrame, idCol: String, groupCol: String,
       textCol: String, tau: Double): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1] (got $tau)")
-    val d = Spread.auto(df).select(col(idCol).as("id"), col(groupCol).as("grp"),
+    // not spread — same bounded-slice measurement as [[pairCounts]]
+    // (q_neardup_prefix 1.1 s → 2.1 s with the repartition)
+    val d = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
       tokens(col(textCol)).as("toks"))
     // global rarity order, ties broken by the token itself (total order —
     // both the prefix construction and the lemma need determinism)

@@ -356,10 +356,21 @@ object Streams {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         nBatches.incrementAndGet()
+        // a maxFilesPerTrigger=1 micro-batch scans ONE file, so the whole
+        // module chain (scrub regexes, fingerprints, scoring) would run
+        // on one core however many the session has — the Spread.auto
+        // input-skew rule, applied with a direct partition probe because
+        // a micro-batch frame's leaves are runtime RDDs, not file
+        // relations (the probe is safe here: the batch plan is a bare
+        // scan, so building its RDD runs no jobs). Identity when the
+        // block file lands with enough row groups to scan wide.
+        val par = batch.sparkSession.sparkContext.defaultParallelism
+        val spread = if (batch.rdd.getNumPartitions * 2 <= par)
+          batch.repartition(par) else batch
         // batchId is stable under replay — the ledger key that makes
         // the replayed batch a no-op
         graph.runIncremental(
-          Map("docs" -> Seq(s"batch$batchId" -> batch)), log,
+          Map("docs" -> Seq(s"batch$batchId" -> spread)), log,
           sink = out => {
             out("kept").write.mode("overwrite")
               .parquet(s"$keptDir/batch=$batchId")
