@@ -52,7 +52,13 @@ object Bench {
     "q_kmeans", "q_modularity",
     // round 12: q_cosine_ivf now TRAINS its coarse quantizer (2 Lloyd
     // driver rounds) before probing — joins the iterative family
-    "q_cosine_ivf")
+    "q_cosine_ivf",
+    // round 16: q_keep_best runs jaccardPairs + the iterative
+    // connectedComponents loop (keepClusterKeepers) — the r15 driver
+    // printed 5.9 s for it inside a shared 30-query block at 32 cores vs
+    // 1.6-1.8 s isolated (BenchChild) and 1.6 s at 8 cores, the exact
+    // shared-block inflation profile the solo rule exists for
+    "q_keep_best")
 
   /** One timed query: seconds, success, how many RDD storage blocks were
     * still registered after the post-query drain (0 = clean), and how
@@ -443,7 +449,10 @@ object Bench {
               runQueries(session(), b, sfDir, warmDir)
             }
           val wall = (System.nanoTime() - t0) / 1e9
-          val timed = r.filter(_.ok).map(_.allWindowsSec).sum
+          // ALL rows' windows, ok or not — the same denominator the JSON
+          // untimed_wall_s subtraction uses, so per-block walls reconcile
+          // with the final record even when a rep fails (r15 ADVICE)
+          val timed = r.map(_.allWindowsSec).sum
           System.err.println(f"[bench] block $i%d (${b.size}%d queries, " +
             f"first=${b.headOption.getOrElse("")}%s) wall $wall%.1f s, " +
             f"timed-windows $timed%.1f s")

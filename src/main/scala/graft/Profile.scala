@@ -29,12 +29,17 @@ object Profile {
     })
     args.foreach { q =>
       SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count() // warm
+      // listener events are posted asynchronously: drain the warm pass's
+      // stragglers BEFORE arming the collector, and drain the timed run's
+      // tail BEFORE disarming it (ADVICE r15 — the old order dropped the
+      // timed query's final stage events and could leak warm stages in)
+      Thread.sleep(300)
       stages.clear(); collect = true
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, sfDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      collect = false
       Thread.sleep(300)
+      collect = false
       println(s"===== $q ${"%.2f".format(sec)} s ($n rows) =====")
       stages.forEach(s => println(s))
     }

@@ -37,6 +37,32 @@ import Checkpoint.CutOps
   */
 object Components {
 
+  /** Round-shape regime switch, same key as [[Checkpoint.cutStatic]]:
+    * the per-round "combine new values with the previous frame" step has
+    * two equivalent spellings whose winner depends on whether the
+    * VARYING frame (labels / ranks) is broadcastable.
+    *
+    *  - DEFAULT (flag off, the local/broadcastable regime): aggregate
+    *    the new values alone and LEFT-JOIN them back onto the previous
+    *    frame — AQE broadcasts the small side at runtime, so the O(V)
+    *    previous frame never re-shuffles (measured r16 sf0.1 `local[32]`,
+    *    min of 3 paired loops: cc 2.25 s vs 3.42 fused, pagerank 2.41 vs
+    *    3.45, lpa 2.31 vs 2.89 — the r15 driver regressions on
+    *    q_pagerank/q_communities were exactly this).
+    *  - FUSED (flag on, the cluster regime): union the previous frame
+    *    INTO the aggregate — one exchange and one join fewer per round
+    *    in the static plan (plans/r16/{cc,pr,lpa}_round_*.txt: 3 vs 4-5
+    *    exchanges, 2 vs 4 joins), which wins exactly when the varying
+    *    frame is too big to broadcast and the static side carries a
+    *    cutBy layout — the same regime that flips cutStatic.
+    *
+    * Both spellings produce identical values (min/sum/argmax over the
+    * union ≡ join + least/coalesce — r15 verdict's equivalence argument,
+    * oracle-verified in both rounds). */
+  private def fusedRounds(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption(Checkpoint.CopartitionKey)
+      .exists(_.equalsIgnoreCase("true"))
+
   /** Components of the undirected graph given by (srcCol, dstCol) integer
     * edge endpoints. Returns (id, comp): one row per vertex appearing in
     * any edge, comp = min vertex id in its component. Vertices with no
@@ -65,16 +91,21 @@ object Components {
     // a diameter-d graph needs d label-moving rounds plus ONE no-change
     // round to OBSERVE the fixpoint, so allow maxIter+1 total rounds:
     // maxIter == diameter must succeed, not spuriously report divergence
+    val fused = fusedRounds(labels)
     while (iter <= maxIter && !converged) {
-      // one fused aggregate per round: min over {own label} ∪ {neighbor
-      // labels} — identical values to the former msgs-min + left-join +
-      // least/coalesce spelling (min is total over the union), with one
-      // exchange and one join fewer per round (the label frame unions
-      // into the SAME aggregate the messages feed)
+      // per-round combine, regime-switched (see [[fusedRounds]]): min
+      // over {own label} ∪ {neighbor labels}, either as one fused
+      // aggregate (cluster regime) or as msgs-min + broadcastable
+      // left-join + least/coalesce (default) — identical values (min is
+      // total over the union)
       val msgs = sym.join(labels.withColumnRenamed("id", "s"), "s")
         .select(col("d").as("id"), col("comp"))
-      val next = labels.union(msgs)
-        .groupBy("id").agg(min("comp").as("comp"))
+      val next = (if (fused)
+        labels.union(msgs).groupBy("id").agg(min("comp").as("comp"))
+      else labels.join(
+          msgs.groupBy("id").agg(min("comp").as("nc")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp")))
         .cut
       val s = labelSum(next)
       converged = s.compareTo(last) == 0
@@ -185,20 +216,26 @@ object Components {
       .cutStatic("s")
     var labels = e.select(col("s").as("id")).union(e.select(col("d")))
       .distinct().withColumn("lbl", col("id")).cut
+    val fused = fusedRounds(labels)
     for (_ <- 1 to rounds) {
-      // TOTAL labeling via a zero-count own-label candidate instead of a
-      // per-round left join: a real vote carries c ≥ 1, so the (0, own)
-      // row wins exactly when a vertex received NO votes — the former
-      // coalesce(vl, lbl) semantics, one join and one exchange fewer per
-      // round (the argmax aggregate absorbs the keep-own fallback)
+      // TOTAL labeling, regime-switched (see [[fusedRounds]]): the
+      // zero-count own-label candidate makes the argmax aggregate absorb
+      // the keep-own fallback (fused, cluster regime); the default joins
+      // the votes argmax back with coalesce(vl, lbl) — a real vote
+      // carries c ≥ 1, so both spellings elect the same label
       val votes = e.join(labels.withColumnRenamed("id", "s"), "s")
         .groupBy(col("d").as("id"), col("lbl"))
         .agg(count(lit(1)).as("c"))
-      labels = votes
-        .union(labels.select(col("id"), col("lbl"), lit(0L).as("c")))
-        .groupBy("id")
-        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
-        .select(col("id"), (-col("m.nl")).as("lbl"))
+      labels = (if (fused)
+        votes.union(labels.select(col("id"), col("lbl"), lit(0L).as("c")))
+          .groupBy("id")
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("id"), (-col("m.nl")).as("lbl"))
+      else labels.join(
+          votes.groupBy("id")
+            .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+            .select(col("id"), (-col("m.nl")).as("vl")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("vl"), col("lbl")).as("lbl")))
         .cut
     }
     labels
@@ -396,17 +433,23 @@ object Components {
       .distinct().cut
     val base = (dampDen - dampNum) * (scale / dampDen)
     var pr = nodes.withColumn("rank", lit(scale))
+    val fused = fusedRounds(pr)
     for (_ <- 1 to iters) {
-      // one fused aggregate per round: every node contributes a zero row
-      // to the inflow sum, so the former left-join + coalesce(m, 0) is
-      // the same sum with one exchange and one join fewer per round
-      // (inflow ids ⊆ nodes by construction, so the row set is identical)
+      // per-round inflow sum, regime-switched (see [[fusedRounds]]):
+      // every node contributing a zero row to the aggregate (fused) and
+      // left-join + coalesce(m, 0) (default) are the same sum — inflow
+      // ids ⊆ nodes by construction, so the row set is identical
       val inflow = ew.join(pr, col("s") === col("id"))
         .select(col("d").as("id"), expr("rank div deg").as("c"))
-      pr = inflow.union(nodes.select(col("id"), lit(0L).as("c")))
-        .groupBy("id").agg(sum("c").as("m"))
-        .select(col("id"),
-          (lit(base) + expr(s"($dampNum * m) div $dampDen")).as("rank"))
+      pr = (if (fused)
+        inflow.union(nodes.select(col("id"), lit(0L).as("c")))
+          .groupBy("id").agg(sum("c").as("m"))
+          .select(col("id"),
+            (lit(base) + expr(s"($dampNum * m) div $dampDen")).as("rank"))
+      else nodes.join(
+          inflow.groupBy("id").agg(sum("c").as("m")), Seq("id"), "left")
+        .select(col("id"), (lit(base) +
+          expr(s"($dampNum * coalesce(m, 0L)) div $dampDen")).as("rank")))
         .cut
     }
     pr

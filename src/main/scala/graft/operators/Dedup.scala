@@ -332,16 +332,25 @@ object Dedup {
     if (!java.nio.file.Files.exists(target)) {
       val tmp = target.resolveSibling(target.getFileName.toString +
         s"_build_${ProcessHandle.current().pid()}_${buildSeq.incrementAndGet()}")
-      // REBALANCE before the writes (guide §6 output sizing): the spread
-      // signature build otherwise fans each index into one small file per
-      // task — locally that made every later probe schedule 32× the scan
-      // tasks; at scale the AQE rebalance splits to advisory-sized files
-      // instead, so the index is right-sized at any volume
-      lshBands(corpus, idCol, textCol, numHashes, bands)
-        .hint("rebalance").write.mode("overwrite").partitionBy("band_id")
-        .parquet(s"$tmp/bands")
-      tokenHashIndex(corpus, idCol, textCol)
-        .hint("rebalance").write.mode("overwrite").parquet(s"$tmp/tokens")
+      // The build feeds ONLY these writes, so the signature work is NOT
+      // spread (Spread.noSpread — measured r16: spreading a write-only
+      // build cost the probe row ~0.7 s in exchange + per-task files),
+      // and the writes get a CONDITIONAL rebalance (guide §6 output
+      // sizing, r15 verdict #1): when the corpus exceeds one advisory
+      // partition the AQE rebalance — keyed by band_id for the
+      // partitioned write, so files stay bounded per band — splits to
+      // advisory-sized files; below that the whole index fits one
+      // partition and the shuffle would cost more than the few small
+      // files it merges (measured: the unconditional hint + spread
+      // regressed q_corpus_index_probe 20% in r15)
+      Spread.noSpread {
+        Spread.rebalanceForWrite(
+            lshBands(corpus, idCol, textCol, numHashes, bands), "band_id")
+          .write.mode("overwrite").partitionBy("band_id")
+          .parquet(s"$tmp/bands")
+        Spread.rebalanceForWrite(tokenHashIndex(corpus, idCol, textCol))
+          .write.mode("overwrite").parquet(s"$tmp/tokens")
+      }
       try java.nio.file.Files.move(tmp, target,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       catch {

@@ -215,11 +215,14 @@ object Validate {
     // now made true physically — at 100 TB the difference is 11 corpus
     // scans). Deliberately NOT spread: the single tokenize is cheap
     // relative to the repartition it would pay (A/B: 0.63 s vs 1.03 s).
-    val cnt = df.filter(col(sliceCol).isin(slices: _*))
+    // Checkpoint.cut, not raw localCheckpoint: honors the
+    // graft.checkpoint.reliable cluster posture (r15 ADVICE — an
+    // executor-local-only cut here would silently lose durability on
+    // preemptible fleets while the rest of the repo upgrades)
+    val cnt = Checkpoint.cut(df.filter(col(sliceCol).isin(slices: _*))
       .select(col(sliceCol).as("sl"), explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
-      .groupBy("sl", "w").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .groupBy("sl", "w").agg(count(lit(1)).as("c")))
     val tot = cnt.groupBy("sl").agg(sum("c").as("n"))
     pairs.map { case (a, b) =>
       val ca = cnt.filter(col("sl") === a).select(col("w"), col("c").as("ca"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.{AsOfJoin, Bloom, Components, Dedup, Incremental, IntervalJoin, Iterate, Ivf, KMeans, Multimodal, Pca, Pq, Rank, Retrieval, Sampling, Similarity, Skew, TextAnalysis, Validate}
+import graft.operators.{AsOfJoin, Bloom, Components, Dedup, Incremental, IntervalJoin, Iterate, Ivf, KMeans, Multimodal, Pca, Pq, Rank, Retrieval, Sampling, Similarity, Skew, Spread, TextAnalysis, Validate}
 import graft.engine.{Graph, Node, Observed, RunLog, Snapshot}
 import graft.modules.CorpusModule
 import graft.sources.Layout
@@ -1191,8 +1191,11 @@ object Queries {
     // cold for the edge build alone). Group size is the order's line
     // count — bounded small — so the per-group quadratic emission never
     // meets a hot key; no .distinct() here because triangles()
-    // canonicalizes and dedups internally.
-    val e = li.groupBy("o")
+    // canonicalizes and dedups internally. Spread.autoKeyed keeps the
+    // CPU-heavy per-group emission on every core when the input is one
+    // split (AQE would coalesce the small-bytes shuffle to 3-4 tasks);
+    // the groupBy reuses the declared hash layout — no extra exchange.
+    val e = Spread.autoKeyed(li, "o").groupBy("o")
       .agg(sort_array(array_distinct(collect_list(col("p").cast("long"))))
         .as("ps"))
       .select(explode(expr(pairCombosExpr("ps", "a", "b"))).as("pr"))
@@ -2656,8 +2659,8 @@ object Queries {
     // RAW projection feeds it — array_distinct dedups within the basket,
     // so the upstream global distinct (a full extra shuffle) is only
     // needed by the support/total aggregates.
-    t(s, sf, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    Spread.autoKeyed(t(s, sf, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")), "o")
       .groupBy("o")
       .agg(sort_array(array_distinct(collect_list(col("p")))).as("ps"))
       .select(explode(expr(pairCombosExpr("ps", "pa", "pb"))).as("pr"))
@@ -4305,7 +4308,7 @@ object Queries {
     * so pair scores are bit-stable integers and the top-20 boundary is
     * total under (cn, aa, a, b). */
   private val qLinkpred: Q = (s, sf) => {
-    val byOrder = t(s, sf, "lineitem")
+    val byOrder = Spread.autoKeyed(t(s, sf, "lineitem"), "l_orderkey")
       .groupBy("l_orderkey")
       .agg(sort_array(array_distinct(collect_list(col("l_partkey").cast("long"))))
         .as("ps"))
@@ -4332,8 +4335,8 @@ object Queries {
     * double ratio rounded to 6, and the top-15 boundary tie-breaks on
     * node id. */
   private val qClusterCoeff: Q = (s, sf) => {
-    val canon = t(s, sf, "lineitem")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+    val canon = Spread.autoKeyed(t(s, sf, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")), "o")
       .groupBy("o")
       .agg(sort_array(array_distinct(collect_list(col("p").cast("long"))))
         .as("ps"))
@@ -5102,15 +5105,21 @@ object Queries {
         Dedup.lshBands(m("docs"), "doc_id", "text", numHashes, bands)),
       Node("tokens", Seq("docs"), m =>
         Dedup.tokenHashIndex(m("docs"), "doc_id", "text"))))
-    ix.runIncremental(Map("docs" -> Seq("backlog" -> backlog)), log,
-      sink = out => {
-        // rebalance before the index writes (guide §6): few right-sized
-        // files instead of one per spread task — see Dedup.ensureLshIndex
-        out("bands").hint("rebalance").write.mode("append")
-          .partitionBy("band_id").parquet(s"$work/bands")
-        out("tokens").hint("rebalance").write.mode("append")
-          .parquet(s"$work/tokens")
-      })
+    // the ingest run builds frames that feed ONLY the index writes: no
+    // spread (write-only builds lose by fanning out — Spread.noSpread),
+    // and a conditional rebalance before each write (guide §6, r15
+    // verdict #1): advisory-sized files when the input is big, no extra
+    // shuffle when the whole index fits one advisory partition
+    Spread.noSpread {
+      ix.runIncremental(Map("docs" -> Seq("backlog" -> backlog)), log,
+        sink = out => {
+          Spread.rebalanceForWrite(out("bands"), "band_id")
+            .write.mode("append").partitionBy("band_id")
+            .parquet(s"$work/bands")
+          Spread.rebalanceForWrite(out("tokens")).write.mode("append")
+            .parquet(s"$work/tokens")
+        })
+    }
     val probe = new Graph(Seq(
       Node("pairs", Seq("docs"), m =>
         Dedup.incrementalLshVerifiedPairs(

@@ -359,14 +359,12 @@ object Streams {
         // a maxFilesPerTrigger=1 micro-batch scans ONE file, so the whole
         // module chain (scrub regexes, fingerprints, scoring) would run
         // on one core however many the session has — the Spread.auto
-        // input-skew rule, applied with a direct partition probe because
-        // a micro-batch frame's leaves are runtime RDDs, not file
-        // relations (the probe is safe here: the batch plan is a bare
-        // scan, so building its RDD runs no jobs). Identity when the
-        // block file lands with enough row groups to scan wide.
-        val par = batch.sparkSession.sparkContext.defaultParallelism
-        val spread = if (batch.rdd.getNumPartitions * 2 <= par)
-          batch.repartition(par) else batch
+        // input-skew rule. Spread.autoBatch probes the batch's ANALYZED
+        // plan (a LogicalRDD leaf holds its RDD — a field read, not the
+        // full physical planning the former batch.rdd probe forced per
+        // trigger, r15 ADVICE). Identity when the block file lands with
+        // enough row groups to scan wide.
+        val spread = graft.operators.Spread.autoBatch(batch)
         // batchId is stable under replay — the ledger key that makes
         // the replayed batch a no-op
         graph.runIncremental(

@@ -401,4 +401,34 @@ class ComponentsSpec extends SparkSpec {
     val l = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 9L)
     assert(modOf(e, l) === ((2L, 4L, -31250L)))
   }
+
+  test("fused (copartition) and default round shapes agree bit-for-bit: " +
+      "cc, labelPropagation, pageRank (r16 regime switch)") {
+    // random graph incl. a source-only vertex (LPA keep-own fallback) and
+    // a dangling sink (pageRank zero-inflow row) — the rows where the two
+    // spellings could diverge if the equivalence argument were wrong
+    val rnd = new scala.util.Random(16)
+    val edges = (Seq.fill(120)(
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)) ++
+      Seq((40L, 3L), (5L, 41L))).toDF("src", "dst")
+    def run[T](flag: String)(body: => T): T = {
+      spark.conf.set(Checkpoint.CopartitionKey, flag)
+      try body finally spark.conf.unset(Checkpoint.CopartitionKey)
+    }
+    val ccD = run("false")(Components.connectedComponents(edges)
+      .as[(Long, Long)].collect().toSet)
+    val ccF = run("true")(Components.connectedComponents(edges)
+      .as[(Long, Long)].collect().toSet)
+    assert(ccD === ccF)
+    val lpD = run("false")(Components.labelPropagation(edges, rounds = 3)
+      .as[(Long, Long)].collect().toSet)
+    val lpF = run("true")(Components.labelPropagation(edges, rounds = 3)
+      .as[(Long, Long)].collect().toSet)
+    assert(lpD === lpF)
+    val prD = run("false")(Components.pageRank(edges, iters = 4)
+      .as[(Long, Long)].collect().toSet)
+    val prF = run("true")(Components.pageRank(edges, iters = 4)
+      .as[(Long, Long)].collect().toSet)
+    assert(prD === prF)
+  }
 }
