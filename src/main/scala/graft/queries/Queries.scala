@@ -5425,7 +5425,18 @@ object Queries {
     * includes the rewrite: the amortized write IS the operator. */
   private val qCompact: Q = (s, sf) => {
     val dir = scratchDir("compact")
-    t(s, sf, "lineitem").repartition(64).write
+    // fixture: ~64 small files, but from a CAPPED writer pool —
+    // maxRecordsPerFile rolls each of the 8 writer tasks over every
+    // rows/64 records, so the fragmented input costs 8 sequential
+    // writers at ANY core count instead of 64 concurrent tiny parquet
+    // writers (the r15 scaling block's worst row: 32 cores ran this 2×
+    // SLOWER than 8 — job profile put 0.8 s of the 1.9 s row in the
+    // fixture write alone). The produced layout is the same fragmented
+    // ~64-file directory the compaction demo needs at every SF.
+    val li = t(s, sf, "lineitem")
+    val rows = li.count()
+    li.repartition(8).write
+      .option("maxRecordsPerFile", math.max(1L, rows / 64L))
       .mode("overwrite").parquet(s"$dir/in")
     val target = graft.sources.Layout.compact(s, s"$dir/in", s"$dir/out",
       targetFileBytes = 4L << 20)
